@@ -1,0 +1,304 @@
+"""Aggregation surface (SURVEY.md §2.5 + grouped/distinct/rollup extras).
+
+All double reductions go through the exact decimal accumulator
+(``_util.dsum``) — see registry docstring. Spark executes these as
+partial (map-side) + final hash aggregates automatically; at 100 TB the
+partial aggregation is what keeps shuffle volume ~|groups| not |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T, davg, davg_sql, dec, dec_sql, dsum, dsum_sql
+from .registry import query
+
+
+_DISC_PRICE_SQL = (
+    f"{dec_sql('l_extendedprice', 14, 2)}"
+    f" * (CAST(1 AS DECIMAL(3,2)) - {dec_sql('l_discount', 4, 2)})"
+)
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(3,2)) + {dec_sql('l_tax', 4, 2)})"
+
+
+@query(
+    "q1_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_discount')} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "tpch"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: the headline full-scan aggregate (also bench headline).
+    # Measures multiply exact decimal *factors* (see _util.dec) so sums are
+    # exact and engine-portable.
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))
+    charge = disc_price * (one + dec("l_tax", 4, 2))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_value_counts",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tags=("A1",),
+)
+def agg_value_counts(spark, sf_dir):
+    # reference: watches.repo.value_counts() preprocess.py:215;
+    # bag .frequencies(sort=True) gha.ipynb cell 12
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+@query(
+    "agg_global_count",
+    sql="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    tags=("A2",),
+)
+def agg_global_count(spark, sf_dir):
+    return T(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_multi_shared_scan",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           {sq} AS total_qty
+    FROM lineitem
+    """.format(sq=dsum_sql("l_quantity")),
+    tags=("A3", "A4"),
+)
+def agg_multi_shared_scan(spark, sf_dir):
+    # reference computes 4 counts in one graph pass (gha.ipynb cell 23);
+    # here: one scan, one aggregate node, five measures.
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        dsum("l_quantity").alias("total_qty"),
+    )
+
+
+@query(
+    "agg_max_watermark",
+    sql="SELECT max(ts) AS high_water FROM events",
+    tags=("A4", "T1"),
+)
+def agg_max_watermark(spark, sf_dir):
+    # reference: ingestion high-water mark from Delta file stats
+    # (parse_start_stop, preprocess.py:181-186). On Parquet this resolves
+    # from footer min/max statistics without a full scan.
+    return T(spark, sf_dir, "events").agg(F.max("ts").alias("high_water"))
+
+
+@query(
+    "agg_group_multi_key",
+    sql="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_group_multi_key(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.sum("l_orderkey").alias("key_sum"))
+    )
+
+
+@query(
+    "agg_distinct_per_group",
+    sql="""
+    SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_distinct_per_group(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@query(
+    "agg_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "agg_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "agg_stats_per_nation",
+    sql=f"""
+    SELECT n.n_name,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_supp,
+           {dsum_sql('s.s_acctbal')} AS total_bal,
+           {davg_sql('s.s_acctbal')} AS avg_bal
+    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "join"),
+)
+def agg_stats_per_nation(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_supp"),
+            dsum("s_acctbal").alias("total_bal"),
+            davg("s_acctbal").alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_variance_deterministic",
+    sql=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum({dec_sql('l_quantity', 8, 2)} * {dec_sql('l_quantity', 8, 2)}) AS DOUBLE)
+            - {dsum_sql('l_quantity', 4)} * {dsum_sql('l_quantity', 4)} / count(*))
+           / (count(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_variance_deterministic(spark, sf_dir):
+    # sample variance via exact decimal moments (var_samp itself reduces in
+    # engine-specific order → not hash-stable across engines).
+    li = T(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    s1 = dsum("l_quantity", 4)
+    s2 = F.sum(dec("l_quantity", 8, 2) * dec("l_quantity", 8, 2)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_qty"),
+    )
+
+
+@query("agg_approx_distinct_users", sql=None, tags=("approx",))
+def agg_approx_distinct_users(spark, sf_dir):
+    # HLL sketch — approximate by construction, no SQL oracle (rows-only).
+    return (
+        T(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+# --- time-bucketed trends (gha.ipynb cell 27 "recent trends") --------------
+
+
+@query(
+    "trend_daily_counts",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+    """,
+    tags=("trend",),
+)
+def trend_daily_counts(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "trend_hourly_by_type",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sv} AS total_value
+    FROM events GROUP BY 1, 2
+    """.format(sv=dsum_sql("value")),
+    tags=("trend",),
+)
+def trend_hourly_by_type(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "trend_year_month_orders",
+    sql=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("trend",),
+)
+def trend_year_month_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))

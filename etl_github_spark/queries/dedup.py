@@ -1,0 +1,257 @@
+"""Deduplication operators (north-star §2.9): exact, normalized,
+n-gram-Jaccard near-dup (exhaustive-recall), MinHash-LSH (scale path),
+SimHash.
+
+Exact/normalized/Jaccard variants are SQL-expressible and oracle-checked;
+MinHash/SimHash use Spark-only hash primitives (xxhash64) and get
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ._util import T
+from .registry import query
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "dedup_exact_distinct",
+    sql="SELECT DISTINCT text, lang FROM documents",
+    tags=("dedup",),
+)
+def dedup_exact_distinct(spark, sf_dir):
+    # exact dedup == hash groupBy on the full value; Spark plans a
+    # partial+final HashAggregate (shuffle volume = |distinct|).
+    return T(spark, sf_dir, "documents").select("text", "lang").distinct()
+
+
+@query(
+    "dedup_exact_keep_first",
+    sql="""
+    SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    # deterministic survivor choice (min id) — dropDuplicates keeps an
+    # arbitrary row, which is not reproducible across runs/engines.
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+@query(
+    "dedup_summary",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_unique_norm
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def dedup_summary(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.countDistinct(F.md5(norm)).alias("n_unique_norm"),
+    )
+
+
+def _shingles(words_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (1-indexed ops)."""
+    # callers must pre-filter size(words) >= n: indices stay in bounds
+    # (ANSI mode errors on out-of-range element_at) and sequence() ascends.
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words_col, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    sql="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.08
+    """,
+    tags=("dedup", "neardup"),
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exhaustive-recall n-gram Jaccard near-dup.
+
+    Candidate pairs = docs sharing >= 1 trigram shingle (any pair with
+    Jaccard >= t necessarily shares one, so recall is exact). The
+    inverted-index self-join is the classic shuffle-heavy step; the
+    MinHash-LSH variant below is the 100 TB path that bounds candidate
+    generation per band bucket.
+    """
+    d = T(spark, sf_dir, "documents").where(F.size(_words()) >= 3)
+    sh = d.select(
+        "doc_id", _shingles(_words()).alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        jac >= 0.08
+    )
+
+
+# --- MinHash-LSH near-dup: the scale path (rows-only check) ----------------
+
+_N_HASHES = 32
+_BAND_SIZE = 4  # 8 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """doc_id → array<long> MinHash signature over trigram shingles.
+
+    Hash family h_i(s) = xxhash64(i, s): one explode + one groupBy; the
+    per-doc min over each seeded hash is a partial-aggregatable min, so
+    shuffle volume is |docs| × n_hashes longs, independent of text size.
+    """
+    sh = docs.where(F.size(_words()) >= 3).select(
+        "doc_id", F.explode(_shingles(_words())).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+@query("dedup_minhash_lsh", sql=None, tags=("dedup", "neardup", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Bands of the signature are hashed to buckets; only docs sharing a
+    band bucket are paired (estimated Jaccard from signature agreement).
+    This bounds the self-join to bucket-local pairs — the standard
+    trade of exact recall for scalability (vs dedup_jaccard_pairs).
+    """
+    docs = T(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * _BAND_SIZE + r] for r in range(_BAND_SIZE)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                ).cast("double")
+                / _N_HASHES
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("est_jaccard") >= 0.5)
+
+
+@query("dedup_simhash", sql=None, tags=("dedup", "neardup"))
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document from word-level xxhash64 features.
+
+    sign-sum per bit position, fully vectorized: explode words → per-bit
+    ±1 contributions via bit tests → groupBy doc sum → reassemble bits.
+    Near-dup candidates = identical simhash (Hamming-0 buckets); wider
+    Hamming radii come from multi-table probing of bit-rotations.
+    """
+    docs = T(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.array_distinct(_words())).alias("word"))
+    h = w.select("doc_id", F.xxhash64("word").alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    import functools
+
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    sim = bit_sums.select(
+        "doc_id",
+        functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms).alias("simhash"),
+    )
+    dup_buckets = (
+        sim.groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("bucket_size") > 1)
+    )
+    return sim.join(dup_buckets, "simhash", "left").select(
+        "doc_id", "simhash", F.coalesce("bucket_size", F.lit(1)).alias("bucket_size")
+    )

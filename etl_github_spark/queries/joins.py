@@ -1,0 +1,180 @@
+"""Join surface (SURVEY.md §2.4).
+
+The reference has exactly one join — an inner equi-join against a
+pre-shrunk dim side (preprocess.py:216,220), i.e. a broadcast hash join
+in intent. The engine ships the full join surface; Catalyst/AQE picks
+broadcast vs sort-merge, and we hint ``broadcast()`` where the dim side
+is provably small (at 100 TB the fact side never moves for those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T, dec
+from .registry import query
+
+
+@query(
+    "join_inner_broadcast",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("J1",),
+)
+def join_inner_broadcast(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer_agg",
+    sql="""
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer_agg(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_semi",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@query(
+    "join_full_outer",
+    sql="""
+    WITH supp AS (
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS supp_cnt
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_nationkey, n.n_name, s.supp_cnt
+    FROM nation n FULL OUTER JOIN supp s ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "supp_cnt"
+    )
+
+
+@query(
+    "join_cross",
+    sql="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    r = T(spark, sf_dir, "region").select("r_name")
+    s = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "join_multiway_dims",
+    sql="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+    tags=("join",),
+)
+def join_multiway_dims(spark, sf_dir):
+    # star-schema dim chain: both dims broadcast; fact side never shuffles.
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+_REV_SQL = (
+    "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+
+
+@query(
+    "join_fact_fact_revenue",
+    sql=f"""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           {_REV_SQL} AS revenue,
+           CAST(count(*) AS BIGINT) AS line_cnt
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    HAVING {_REV_SQL} > 100000
+    """,
+    tags=("join", "agg"),
+)
+def join_fact_fact_revenue(spark, sf_dir):
+    # fact-fact equi-join: at scale this is a shuffle join on l_orderkey /
+    # o_orderkey — bucketing both tables by the key (sink.py writer) makes
+    # it shuffle-free; AQE handles skew.
+    o = T(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2024-02-01 00:00:00").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.sum(dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))).cast(
+        "double"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(rev.alias("revenue"), F.count("*").alias("line_cnt"))
+        .where(F.col("revenue") > 100000)
+    )

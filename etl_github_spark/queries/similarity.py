@@ -1,0 +1,174 @@
+"""Similarity search over ``embeddings`` (north-star §2.9).
+
+Brute-force cosine is the correctness baseline; SRP-LSH bucketing is the
+100 TB path (bounded candidate sets per bucket instead of an O(N·Q)
+scan).
+
+Determinism note: float dot products are order-sensitive, so the oracle
+pairing forces the *same* left-fold order in both engines — Spark
+``F.aggregate`` over ``zip_with`` products vs DuckDB ``list_reduce``
+over ``list_transform`` products. float→double widening is exact and a
+float32×float32 product is exactly representable in double, so both
+engines execute the identical IEEE op sequence → bit-identical cosines.
+No decimal routing needed (and no explode/shuffle: the whole cosine is a
+single whole-stage-codegen projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ._util import T
+from .registry import query
+
+_DIM = 64  # fixture embedding dimensionality (FIXTURES.md §A)
+
+
+def fold_dot(a, b) -> Column:
+    """Deterministic left-fold dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b) -> Column:
+    return fold_dot(a, b) / (F.sqrt(fold_dot(a, a)) * F.sqrt(fold_dot(b, b)))
+
+
+def _fold_dot_sql(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_COS_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id, e.label,
+             {dot} / (sqrt({n1}) * sqrt({n2})) AS cos_sim
+      FROM embeddings e, q
+    )
+""".format(
+    dot=_fold_dot_sql("e.embedding", "q.qe"),
+    n1=_fold_dot_sql("e.embedding", "e.embedding"),
+    n2=_fold_dot_sql("q.qe", "q.qe"),
+)
+
+
+def _cosine_vs_query(spark, sf_dir) -> DataFrame:
+    """vec_id, label, cos_sim(embedding, embedding[vec_id=0])."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+    )
+
+
+@query(
+    "sim_cosine_threshold",
+    sql=_COS_SQL + "SELECT vec_id, label, cos_sim FROM cos WHERE cos_sim >= 0.2",
+    tags=("similarity",),
+)
+def sim_cosine_threshold(spark, sf_dir):
+    return _cosine_vs_query(spark, sf_dir).where(F.col("cos_sim") >= 0.2)
+
+
+@query(
+    "sim_topk_bruteforce",
+    sql=_COS_SQL + "SELECT vec_id, cos_sim FROM cos ORDER BY cos_sim DESC, vec_id LIMIT 10",
+    tags=("similarity", "topk"),
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    # top-k by exact cosine: Spark plans TakeOrderedAndProject (no global
+    # sort). cos_sim is bit-deterministic, so the row set is stable.
+    return (
+        _cosine_vs_query(spark, sf_dir)
+        .select("vec_id", "cos_sim")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_norms",
+    sql="""
+    SELECT vec_id, label, sqrt({ss}) AS l2_norm
+    FROM embeddings e
+    """.format(ss=_fold_dot_sql("e.embedding", "e.embedding")),
+    tags=("similarity",),
+)
+def sim_norms(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(fold_dot(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
+    )
+
+
+# --- scale path: SRP-LSH bucketed search (rows-only) -----------------------
+
+
+def _srp_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state needed:
+    a splitmix64-style hash of (seed, plane, dim) → uniform in [-1, 1))."""
+
+    def u(p: int, d: int) -> float:
+        x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & (
+            2**64 - 1
+        )
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & (2**64 - 1)
+        x ^= x >> 31
+        return (x / 2**63) - 1.0
+
+    return [[u(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def srp_bucket(vec_col, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id for an array<float> column."""
+    bits = []
+    for p, plane in enumerate(planes):
+        dot = fold_dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+@query("sim_lsh_bucketed_topk", sql=None, tags=("similarity", "lsh"))
+def sim_lsh_bucketed_topk(spark, sf_dir):
+    """ANN top-k: SRP-LSH bucket join, exact cosine re-rank inside bucket.
+
+    At 100 TB: bucket id becomes the partition/cluster key; the query side
+    broadcasts and only bucket-colliding candidates are scored —
+    O(N/2^bits) per query instead of O(N).
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    planes = _srp_planes(8, _DIM)
+    data = emb.select(
+        "vec_id", "embedding", srp_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        srp_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    cand = data.join(F.broadcast(q), "bucket")
+    return (
+        cand.select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

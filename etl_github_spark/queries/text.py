@@ -1,0 +1,183 @@
+"""Text analysis operators over ``documents`` (north-star §2.9).
+
+Language-ID heuristic, quality scoring, token counting, document
+fingerprinting, n-gram frequencies — all as built-in column expressions
+(JVM-side, whole-stage codegen); zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T
+from .registry import query
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "text_token_count",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_word_freq",
+    sql="""
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word HAVING count(*) >= 50
+    """,
+    tags=("text",),
+)
+def text_word_freq(spark, sf_dir):
+    # explode → partial-agg per partition → final agg: shuffle volume is
+    # |vocab| not |tokens| — the property that matters at 100 TB.
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= 50)
+    )
+
+
+@query(
+    "text_bigram_freq",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 2)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM w)
+    GROUP BY bigram HAVING count(*) >= 10
+    """,
+    tags=("text",),
+)
+def text_bigram_freq(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.size(_words()) >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(_words()) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(_words(), i), F.element_at(_words(), i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= 10)
+    )
+
+
+@query(
+    "text_quality_score",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                   w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_chars - n_tokens + 1) / n_tokens AS avg_token_len,
+           n_stop / n_tokens AS stop_ratio,
+           n_tokens / (1 + n_chars) AS density
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(_words()).cast("double")
+    is_stop = lambda w: (w == "the") | (w == "a") | (w == "of")  # noqa: E731
+    n_stop = F.size(F.filter(_words(), is_stop)).cast("double")
+    return d.select(
+        "doc_id",
+        ((n_chars - n_tokens + 1) / n_tokens).alias("avg_token_len"),
+        (n_stop / n_tokens).alias("stop_ratio"),
+        (n_tokens / (1 + n_chars)).alias("density"),
+    )
+
+
+@query(
+    "text_lang_id_heuristic",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 w -> w = 'the' OR w = 'a')) AS en_hits,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits * 20 >= n_tokens THEN 'en_like' ELSE 'other' END AS predicted
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_lang_id_heuristic(spark, sf_dir):
+    # n-gram/stopword-hit language ID: at scale this generalizes to a
+    # per-language stopword table broadcast-joined against exploded tokens.
+    d = T(spark, sf_dir, "documents")
+    en_hits = F.size(F.filter(_words(), lambda w: (w == "the") | (w == "a")))
+    n_tokens = F.size(_words())
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en_hits * 20 >= n_tokens, "en_like").otherwise("other").alias("predicted"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark, sf_dir):
+    # deterministic document fingerprint over normalized text (md5 is
+    # engine-portable; xxhash64 is Spark-only so reserved for internals).
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return T(spark, sf_dir, "documents").select("doc_id", F.md5(norm).alias("fp"))
+
+
+@query(
+    "multimodal_binary_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_binary_meta(spark, sf_dir):
+    # multimodal plumbing: opaque payload as BinaryType + typed metadata.
+    # Real decode (image/audio) lives in etl_github_spark.text.multimodal
+    # as mapInPandas with a stubbed codec.
+    d = T(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.length("text").alias("n_chars_measured"),
+    )

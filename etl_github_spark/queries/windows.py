@@ -1,0 +1,160 @@
+"""Window functions (SURVEY.md §2.7 — reference-implied by the trends
+question, gha.ipynb cell 27: ranking "popular repositories from recent
+activity" and per-entity time-ordered analysis).
+
+Every window orders by a unique key chain so ranks are total across
+engines. Frame reductions over doubles go through the decimal
+accumulator; per-row lag/lead passthrough is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._util import T
+from .registry import query
+
+
+@query(
+    "window_rank_topn_per_group",
+    sql="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_topn_per_group(spark, sf_dir):
+    # top-N per group: single shuffle on the partition key, no global sort.
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense",
+    sql="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS INTEGER) AS drnk
+    FROM part
+    """,
+    tags=("window",),
+)
+def window_rank_dense(spark, sf_dir):
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"), "p_partkey")
+    return T(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    sql="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+        )
+    )
+
+
+@query(
+    "window_moving_sum",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum,
+           CAST(count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_n
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_moving_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("mv_sum"),
+        F.count("*").over(w).alias("mv_n"),
+    )
+
+
+@query(
+    "window_cumulative_share",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_cumulative_share(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    sql="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS bal_quartile
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_ntile_quartiles(spark, sf_dir):
+    # single unpartitioned window — fine for a dim table; for a 100 TB fact
+    # table use approx percentile buckets instead (documented trade-off).
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("bal_quartile")
+    )

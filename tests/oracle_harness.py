@@ -1,0 +1,82 @@
+"""Local replica of the driver's DuckDB-oracle diff.
+
+Runs each registered query in Spark and its oracle SQL in DuckDB on the
+same parquet tables, then compares row count, column names, and an
+order-insensitive canonical value set. Stricter than a hash: mismatches
+print the offending rows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from datetime import date, datetime
+
+import duckdb
+
+from etl_github_spark.io.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(v):
+    """Canonicalize a cell for cross-engine comparison (exact: the driver
+    hashes values, so we do not fuzz floats — determinism is the query
+    author's job)."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (int, str, bool)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    try:  # Decimal and friends
+        return repr(v)
+    except Exception:
+        return str(v)
+
+
+def rows_to_multiset(cols: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    errors: list[str] = []
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+    con.close()
+
+    if sorted(s_cols) != sorted(d_cols):
+        errors.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return errors
+    if len(s_rows) != len(d_rows):
+        errors.append(f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+    sm = rows_to_multiset(s_cols, s_rows)
+    dm = rows_to_multiset(d_cols, d_rows)
+    if sm != dm:
+        only_s = list((sm - dm).items())[:3]
+        only_d = list((dm - sm).items())[:3]
+        errors.append(f"{name}: values differ; spark-only={only_s} duck-only={only_d}")
+    return errors

@@ -1,0 +1,45 @@
+"""Differential oracle tests: every registered query vs DuckDB (SURVEY §5.1).
+
+This mirrors the driver's CORRECTNESS gate locally so regressions are
+caught before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_github_spark.queries.registry import QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+ORACLE_QUERIES = sorted(n for n, d in QUERIES.items() if d.sql is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, d in QUERIES.items() if d.sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    d = QUERIES[name]
+    errors = compare(spark, SF_ORACLE, name, d.fn, d.sql)
+    assert not errors, "\n".join(errors)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    d = QUERIES[name]
+    df = d.fn(spark, SF_ORACLE)
+    rows = df.collect()
+    assert df.columns  # stable schema
+    assert rows is not None
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert len(df.collect()) > 0
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 40
