@@ -1,0 +1,133 @@
+"""Golden end-to-end test of the GH Archive ingest path (SURVEY.md §5.3):
+NDJSON(.gz) → parse → six typed tables → date-partitioned sink →
+reference queries; plus corrupt tolerance, schemas, incremental
+high-water mark, and explode edge cases.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_github_spark.gha import EXTRACTORS, parse_raw_lines
+from etl_github_spark.gha.extract import count_corrupt
+from etl_github_spark.gha.incremental import parse_start_stop
+from etl_github_spark.gha.pipeline import extract_tables, ingest_files, list_files
+from etl_github_spark.gha.queries import keyword_comments, keyword_commits
+from etl_github_spark.gha.schemas import TABLE_SCHEMAS
+from etl_github_spark.io.sink import read_table
+
+from .gha_fixture import EVENTS, N_CORRUPT, write_fixture
+
+
+def _raw(spark, tmp_path, gz=True):
+    paths = write_fixture(tmp_path / ("gz" if gz else "plain"), gz=gz)
+    return spark.read.text(paths)
+
+
+def test_parse_drops_corrupt_and_unknown(spark, tmp_path):
+    raw = _raw(spark, tmp_path)
+    events = parse_raw_lines(raw)
+    # all well-formed envelope events survive (incl. unknown GollumEvent)
+    assert events.count() == len(EVENTS)
+    assert count_corrupt(raw) == N_CORRUPT
+
+
+def test_extract_tables_golden(spark, tmp_path):
+    tables = extract_tables(_raw(spark, tmp_path))
+
+    commits = {tuple(r) for r in tables["commit"].select("sha", "username", "repo").collect()}
+    # 2+1+1+1 commits; zero-commit push contributes no rows
+    assert commits == {
+        ("a1", "alice", "org/tools"),
+        ("a2", "alice", "org/tools"),
+        ("b1", "dependabot", "org/tools"),
+        ("c1", "dave", "dask/dask"),
+        ("d1", "erin", "org/tools"),
+    }
+
+    # schemas match the declared normalized schemas exactly
+    for name, df in tables.items():
+        assert df.schema == TABLE_SCHEMAS[name], name
+
+    # timestamp parsing: tz offset normalized to UTC session time
+    row = tables["pr"].select("pr_created_at", "created_at", "date").first()
+    assert row["pr_created_at"] == dt.datetime(2024, 2, 29, 22, 39)
+    assert row["date"] == dt.date(2024, 2, 29)
+
+    # date column crosses the midnight boundary correctly
+    dates = {r["date"] for r in tables["commit"].select("date").collect()}
+    assert dates == {dt.date(2024, 2, 29), dt.date(2024, 3, 1)}
+
+    assert tables["watch"].count() == 7
+    assert tables["fork"].count() == 1
+    assert tables["create"].first()["description"] is None
+
+
+def test_ingest_sink_partitioned_and_incremental(spark, tmp_path):
+    paths = write_fixture(tmp_path / "in", gz=True)
+    out = ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    commit = read_table(spark, out["commit"], fmt="parquet")
+    assert commit.count() == 5
+    # hive partition layout by date
+    parts = {p.name for p in (tmp_path / "lake" / "commit").iterdir() if p.is_dir()}
+    assert parts == {"date=2024-02-29", "date=2024-03-01"}
+
+    # high-water mark: comment table max created_at is 2024-03-01T00:25
+    start, stop = parse_start_stop(
+        spark,
+        out["comment"],
+        now=dt.datetime(2024, 3, 2, 5, 30, tzinfo=dt.timezone.utc),
+    )
+    assert start == dt.datetime(2024, 3, 1, 1, 0, tzinfo=dt.timezone.utc)
+    assert stop == dt.datetime(2024, 3, 2, 4, 0, tzinfo=dt.timezone.utc)
+
+    # append is incremental: re-ingest doubles rows (caller is responsible
+    # for not re-listing processed hours; write itself must not dedup)
+    ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    assert read_table(spark, out["commit"], fmt="parquet").count() == 10
+
+
+def test_reference_queries_golden(spark, tmp_path):
+    tables = extract_tables(_raw(spark, tmp_path))
+    out = keyword_commits(tables["commit"], tables["watch"]).collect()
+    # only alice's "use Dask ..." commit survives: bot excluded, dask/
+    # repo excluded, org/quiet unpopular, "daskboard" lacks " dask",
+    # "fix typo" lacks keyword. " dask" matches lower("use Dask ...").
+    assert [(r["username"], r["repo"], r["sha"] if "sha" in r else None) for r in out] == [
+        ("alice", "org/tools", None)
+    ]
+    assert out[0]["count"] == 6
+
+    comments = keyword_comments(tables["comment"], tables["watch"]).collect()
+    assert [(r["username"], r["repo"]) for r in comments] == [("gina", "org/tools")]
+
+
+def test_plain_text_and_gzip_equivalent(spark, tmp_path):
+    t_gz = extract_tables(_raw(spark, tmp_path, gz=True))
+    t_txt = extract_tables(_raw(spark, tmp_path, gz=False))
+    for name in EXTRACTORS:
+        assert t_gz[name].count() == t_txt[name].count(), name
+
+
+def test_list_files_manifest():
+    files = list_files(
+        dt.datetime(2024, 2, 29, 22), dt.datetime(2024, 3, 1, 2)
+    )
+    assert files[0].endswith("2024-02-29-22.json.gz")
+    assert files[-1].endswith("2024-03-01-1.json.gz")  # no zero-padding
+    assert len(files) == 4
+
+
+def test_commit_messages_nonnull_filter_semantics(spark, tmp_path):
+    # SQL three-valued logic: contains(null) is null → row dropped, which
+    # differs from pandas NaN propagation (SURVEY.md §7 risk register).
+    tables = extract_tables(_raw(spark, tmp_path))
+    df = tables["commit"].withColumn(
+        "message", F.when(F.col("sha") == "a2", None).otherwise(F.col("message"))
+    )
+    kept = df.where(F.lower(F.col("message")).contains(" dask")).collect()
+    assert {r["sha"] for r in kept} == {"a1", "b1", "c1"}
+    dropped = df.where(~F.lower(F.col("message")).contains(" dask")).collect()
+    assert "a2" not in {r["sha"] for r in dropped}
