@@ -1,0 +1,132 @@
+"""Multimodal column plumbing (north-star §2.9).
+
+Image/audio/video payloads are opaque ``BinaryType`` columns with typed
+metadata structs. The Spark-side mechanics — schema, partition-aware
+batch iteration, Arrow batch shapes, UDF signatures — are real and
+tested; the codec itself is stubbed (decode libraries are not in this
+environment) behind ``Codec``: a deterministic fake for tests, a
+``NotImplementedError`` default for production clarity.
+
+At 100 TB: payload bytes dominate row size, so operators here use
+``mapInPandas`` (streaming Arrow batches, no full-partition
+materialization), keep metadata-only plans payload-free via early
+column pruning, and size batches with
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media table: opaque payload + typed metadata (FIXTURES.md-style)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("format", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("digest", StringType(), True),
+        StructField("feat_0", IntegerType(), True),
+        StructField("feat_1", IntegerType(), True),
+    ]
+)
+
+
+@dataclass
+class Codec:
+    """Pluggable decode/feature hook. Production would wire Pillow/ffmpeg
+    here; this environment ships only the deterministic fake."""
+
+    fake: bool = False
+
+    def decode_features(self, payload: bytes) -> tuple[int, int]:
+        if not self.fake:
+            raise NotImplementedError(
+                "no media codec in this environment; use Codec(fake=True) "
+                "or plug a real decoder"
+            )
+        # deterministic fake: two stable pseudo-features from the bytes
+        d = hashlib.sha256(payload).digest()
+        return int.from_bytes(d[:2], "big"), int.from_bytes(d[2:4], "big")
+
+
+def extract_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """payload → per-item features via Arrow-batched mapInPandas.
+
+    The UDF sees an iterator of pandas batches — bounded memory per task
+    regardless of partition size, which is what makes this safe when a
+    single partition holds gigabytes of payloads.
+    """
+    codec = codec or Codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                (None, None) if p is None else codec.decode_features(bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                    "digest": [
+                        None if p is None else hashlib.sha256(bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "feat_0": [f[0] for f in feats],
+                    "feat_1": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def meta_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate: never touches payload bytes, so the scan
+    prunes the binary column entirely (check ReadSchema in explain)."""
+    return (
+        media.select("media_id", "meta.format", "meta.width", "meta.height")
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stub: deterministic keep-every-Nth by media_id —
+    the partition/plumbing shape of video frame sampling with the codec
+    factored out."""
+    return media.where(F.col("media_id") % every_n == 0)

@@ -1,0 +1,89 @@
+"""Structured Streaming variants of the ingest + trend queries.
+
+The reference is a micro-batch incremental pipeline wearing streaming
+concepts by hand (SURVEY.md §2.8): Prefect hourly trigger (T3), Delta
+high-water mark (T1), now-1h completeness cutoff (T2). Spark-native,
+those map onto a file-source stream with checkpointed exactly-once
+sinks, ``Trigger.AvailableNow`` for backfill-then-steady-state (T4),
+and event-time watermarks for late data (T2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..gha.extract import EXTRACTORS, parse_raw_lines
+
+
+def read_raw_stream(
+    spark: SparkSession, indir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an NDJSON landing directory.
+
+    Replaces the reference's hourly manifest+futures loop: new hourly
+    files are discovered by the source, each processed exactly once
+    (checkpoint), retries handled by the engine (T5/T6).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(indir)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    indir: str,
+    outdir: str,
+    checkpoint_dir: str,
+    table: str = "commit",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream one normalized table from raw NDJSON to a partitioned sink.
+
+    ``Trigger.AvailableNow`` drains everything currently landed then
+    stops — the two-phase backfill→steady-state pattern (T4,
+    preprocess.py:269-280) in one code path; a processing-time trigger
+    turns the same query into the hourly steady state.
+    """
+    events = parse_raw_lines(read_raw_stream(spark, indir))
+    out = EXTRACTORS[table](events)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", f"{outdir}/{table}")
+        .option("checkpointLocation", f"{checkpoint_dir}/{table}")
+        .partitionBy("date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:  # pragma: no cover - steady-state mode, exercised in production
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_col: str = "repo",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark.
+
+    The watermark is the principled version of the reference's
+    "stop = now - 1h because the current hour is incomplete" cutoff
+    (T2, preprocess.py:187-189): windows close only when event time has
+    passed watermark; later events are dropped deterministically.
+    """
+    return (
+        events.withWatermark("created_at", watermark)
+        .groupBy(F.window("created_at", window).alias("w"), group_col)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "cnt",
+        )
+    )
