@@ -42,10 +42,13 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
+    """Steady-state timing: one untimed warm-up (whole-stage codegen JIT,
+    parquet footer caching), then one timed run — the per-query constant
+    that matters when the same plan runs over thousands of partitions."""
     fn = QUERIES[name].fn
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
 
 

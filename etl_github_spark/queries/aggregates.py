@@ -10,15 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T, davg, davg_sql, dec, dec_sql, dsum, dsum_sql
+from ._util import T, davg, davg_sql, dsum, dsum_sql, fxp, fxp_sql
 from .registry import query
 
 
-_DISC_PRICE_SQL = (
-    f"{dec_sql('l_extendedprice', 14, 2)}"
-    f" * (CAST(1 AS DECIMAL(3,2)) - {dec_sql('l_discount', 4, 2)})"
-)
-_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(3,2)) + {dec_sql('l_tax', 4, 2)})"
+# fixed-point integer measures: price/discount/tax are exact 2-decimal
+# values, so price*100, (100-disc*100), (100+tax*100) are exact integers
+# and their products sum exactly (scaled by 1e4 / 1e6).
+_DISC_PRICE_SQL = f"{fxp_sql('l_extendedprice')} * (100 - {fxp_sql('l_discount')})"
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (100 + {fxp_sql('l_tax')})"
 
 
 @query(
@@ -27,32 +27,29 @@ _CHARGE_SQL = f"{_DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(3,2)) + {dec_sql('l_tax',
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
            {dsum_sql('l_extendedprice')} AS sum_base_price,
-           CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(sum({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           (CAST(sum({_DISC_PRICE_SQL}) AS BIGINT) / 10000.0) AS sum_disc_price,
+           (CAST(sum({_CHARGE_SQL}) AS BIGINT) / 1000000.0) AS sum_charge,
            {davg_sql('l_quantity')} AS avg_qty,
            {davg_sql('l_discount')} AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("A1", "tpch"),
 )
 def q1_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: the headline full-scan aggregate (also bench headline).
-    # Measures multiply exact decimal *factors* (see _util.dec) so sums are
-    # exact and engine-portable.
     li = T(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
     )
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))
-    charge = disc_price * (one + dec("l_tax", 4, 2))
+    disc_price = fxp("l_extendedprice") * (100 - fxp("l_discount"))
+    charge = disc_price * (100 + fxp("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(disc_price) / 10000.0).alias("sum_disc_price"),
+        (F.sum(charge) / 1000000.0).alias("sum_charge"),
         davg("l_quantity").alias("avg_qty"),
         davg("l_discount").alias("avg_disc"),
         F.count("*").alias("count_order"),
@@ -219,20 +216,20 @@ def agg_stats_per_nation(spark, sf_dir):
     sql=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           (CAST(sum({dec_sql('l_quantity', 8, 2)} * {dec_sql('l_quantity', 8, 2)}) AS DOUBLE)
-            - {dsum_sql('l_quantity', 4)} * {dsum_sql('l_quantity', 4)} / count(*))
+           ((CAST(sum({fxp_sql('l_quantity')} * {fxp_sql('l_quantity')}) AS BIGINT) / 10000.0)
+            - {dsum_sql('l_quantity')} * {dsum_sql('l_quantity')} / count(*))
            / (count(*) - 1) AS var_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg",),
 )
 def agg_variance_deterministic(spark, sf_dir):
-    # sample variance via exact decimal moments (var_samp itself reduces in
+    # sample variance via exact integer moments (var_samp itself reduces in
     # engine-specific order → not hash-stable across engines).
     li = T(spark, sf_dir, "lineitem")
     n = F.count("*")
-    s1 = dsum("l_quantity", 4)
-    s2 = F.sum(dec("l_quantity", 8, 2) * dec("l_quantity", 8, 2)).cast("double")
+    s1 = dsum("l_quantity")
+    s2 = F.sum(fxp("l_quantity") * fxp("l_quantity")) / 10000.0
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         ((s2 - s1 * s1 / n) / (n - 1)).alias("var_qty"),

@@ -178,8 +178,8 @@ def filter_null_safe(spark, sf_dir):
     "filter_range_date",
     sql="""
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '2024-06-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-06-01 00:00:00'
       AND o_orderstatus = 'F'
     """,
     tags=("F1", "pushdown"),
@@ -187,8 +187,8 @@ def filter_null_safe(spark, sf_dir):
 def filter_range_date(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     return o.where(
-        (F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderstatus") == "F")
     ).select("o_orderkey", "o_totalprice")
 

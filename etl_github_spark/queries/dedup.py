@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 def _words():
@@ -116,10 +116,14 @@ def dedup_jaccard_pairs(spark, sf_dir):
     MinHash-LSH variant below is the 100 TB path that bounds candidate
     generation per band bucket.
     """
-    d = T(spark, sf_dir, "documents").where(F.size(_words()) >= 3)
+    d = par(T(spark, sf_dir, "documents")).where(F.size(_words()) >= 3)
+    # join on xxhash64(shingle) longs, not shingle strings: ~3× smaller
+    # shuffle payload and cheaper key compare; counts are unchanged short
+    # of a 64-bit collision (~1e-9 at millions of distinct shingles).
     sh = d.select(
-        "doc_id", _shingles(_words()).alias("shingles")
-    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+        "doc_id",
+        F.array_distinct(F.transform(_shingles(_words()), lambda s: F.xxhash64(s))).alias("hs"),
+    ).select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -146,18 +150,24 @@ _BAND_SIZE = 4  # 8 bands × 4 rows
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """doc_id → array<long> MinHash signature over trigram shingles.
 
-    Hash family h_i(s) = xxhash64(i, s): one explode + one groupBy; the
-    per-doc min over each seeded hash is a partial-aggregatable min, so
-    shuffle volume is |docs| × n_hashes longs, independent of text size.
+    Hash family h_i(s) = xxhash64(i, xxhash64(s)): shingle strings are
+    hashed once, then n_hashes cheap long re-hashes run inside array
+    ``transform``/``array_min`` — a pure per-row projection with NO
+    explode and NO shuffle (the earlier explode+groupBy formulation
+    shuffled |docs|×n_hashes rows; this shuffles nothing).
     """
-    sh = docs.where(F.size(_words()) >= 3).select(
-        "doc_id", F.explode(_shingles(_words())).alias("sh")
+    base = F.transform(_shingles(_words()), lambda s: F.xxhash64(s))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(F.lit(i), h)))
+            for i in range(n_hashes)
+        ]
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    return (
+        docs.where(F.size(_words()) >= 3)
+        .select("doc_id", base.alias("hs"))
+        .select("doc_id", sig.alias("sig"))
+    )
 
 
 @query("dedup_minhash_lsh", sql=None, tags=("dedup", "neardup", "lsh"))
@@ -169,7 +179,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     This bounds the self-join to bucket-local pairs — the standard
     trade of exact recall for scalability (vs dedup_jaccard_pairs).
     """
-    docs = T(spark, sf_dir, "documents")
+    docs = par(T(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs)
     n_bands = _N_HASHES // _BAND_SIZE
     bands = sig.select(
@@ -224,7 +234,7 @@ def dedup_simhash(spark, sf_dir):
     Near-dup candidates = identical simhash (Hamming-0 buckets); wider
     Hamming radii come from multi-table probing of bit-rotations.
     """
-    docs = T(spark, sf_dir, "documents")
+    docs = par(T(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.explode(F.array_distinct(_words())).alias("word"))
     h = w.select("doc_id", F.xxhash64("word").alias("h"))
     bit_sums = h.groupBy("doc_id").agg(

@@ -119,7 +119,7 @@ def agg_pivot_conditional(spark, sf_dir):
     "scalar_date_arith",
     sql="""
     SELECT o_orderkey,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '2024-12-31 00:00:00') AS INTEGER) AS days_to_eoy,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS INTEGER) AS days_to_eoy,
            CAST(year(o_orderdate + INTERVAL 90 DAY) AS INTEGER) AS yr_plus90,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
     FROM orders WHERE o_orderstatus = 'O'
@@ -130,7 +130,7 @@ def scalar_date_arith(spark, sf_dir):
     o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     return o.select(
         "o_orderkey",
-        F.datediff(F.lit("2024-12-31").cast("date"), F.to_date("o_orderdate")).alias(
+        F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate")).alias(
             "days_to_eoy"
         ),
         F.year(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("yr_plus90"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T, dec
+from ._util import T, fxp
 from .registry import query
 
 
@@ -142,8 +142,8 @@ def join_multiway_dims(spark, sf_dir):
 
 
 _REV_SQL = (
-    "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+    "(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0)"
 )
 
 
@@ -154,9 +154,9 @@ _REV_SQL = (
            {_REV_SQL} AS revenue,
            CAST(count(*) AS BIGINT) AS line_cnt
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderdate >= TIMESTAMP '2024-02-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY o.o_orderkey, o.o_orderstatus
-    HAVING {_REV_SQL} > 100000
+    HAVING {_REV_SQL} > 400000
     """,
     tags=("join", "agg"),
 )
@@ -165,16 +165,13 @@ def join_fact_fact_revenue(spark, sf_dir):
     # o_orderkey — bucketing both tables by the key (sink.py writer) makes
     # it shuffle-free; AQE handles skew.
     o = T(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2024-02-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
     )
     li = T(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    rev = F.sum(dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))).cast(
-        "double"
-    )
+    rev = F.sum(fxp("l_extendedprice") * (100 - fxp("l_discount"))) / 10000.0
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(rev.alias("revenue"), F.count("*").alias("line_cnt"))
-        .where(F.col("revenue") > 100000)
+        .where(F.col("revenue") > 400000)
     )

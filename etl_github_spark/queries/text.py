@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 def _words():
@@ -69,7 +69,7 @@ def text_word_freq(spark, sf_dir):
     tags=("text",),
 )
 def text_bigram_freq(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").where(F.size(_words()) >= 2)
+    d = par(T(spark, sf_dir, "documents")).where(F.size(_words()) >= 2)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(_words()) - 1),
         lambda i: F.concat_ws(" ", F.element_at(_words(), i), F.element_at(_words(), i + 1)),

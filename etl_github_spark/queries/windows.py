@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, fxp
 from .registry import query
 
 
@@ -93,9 +93,9 @@ def window_lag_lead(spark, sf_dir):
     "window_moving_sum",
     sql="""
     SELECT user_id, event_id,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           (CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum,
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0) AS mv_sum,
            CAST(count(*) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_n
@@ -113,7 +113,7 @@ def window_moving_sum(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("mv_sum"),
+        (F.sum(fxp("value")).over(w) / 100.0).alias("mv_sum"),
         F.count("*").over(w).alias("mv_n"),
     )
 
@@ -122,9 +122,9 @@ def window_moving_sum(spark, sf_dir):
     "window_cumulative_share",
     sql="""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0) AS running_spend
     FROM orders
     """,
     tags=("window",),
@@ -138,7 +138,7 @@ def window_cumulative_share(spark, sf_dir):
     return T(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+        (F.sum(fxp("o_totalprice")).over(w) / 100.0).alias("running_spend"),
     )
 
 
