@@ -1,0 +1,119 @@
+"""Property-based invariants (SURVEY.md §5.4), hypothesis-driven.
+
+Each property runs few examples (Spark actions are ~seconds each) but
+over adversarial generated data: empty arrays, nulls, duplicate rows,
+permutations.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_commits = st.lists(
+    st.tuples(
+        st.integers(0, 50),  # event id
+        st.lists(st.text("abc", min_size=1, max_size=3), max_size=4),  # commits
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@SET
+@given(data=rows_commits)
+def test_explode_preserves_total_commit_count(spark, data):
+    df = spark.createDataFrame(data, "id: long, commits: array<string>")
+    exploded = df.select("id", F.explode("commits").alias("c"))
+    assert exploded.count() == sum(len(c) for _, c in data)
+
+
+@SET
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["x", "y", "z"])),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_distinct_idempotent_and_matches_python(spark, data):
+    df = spark.createDataFrame(data, "k: long, v: string")
+    d1 = df.distinct()
+    assert d1.count() == len(set(data))
+    assert d1.distinct().count() == d1.count()  # idempotent
+
+
+@SET
+@given(
+    data=st.lists(st.tuples(st.integers(-100, 100), st.integers(0, 9)), max_size=30),
+    thresh=st.integers(-50, 50),
+)
+def test_filter_composition(spark, data, thresh):
+    df = spark.createDataFrame(data, "a: long, b: long")
+    both = df.where(F.col("a") > thresh).where(F.col("b") % 2 == 0)
+    conj = df.where((F.col("a") > thresh) & (F.col("b") % 2 == 0))
+    assert sorted(map(tuple, both.collect())) == sorted(map(tuple, conj.collect()))
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-99999, max_value=99999, places=2, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fixed_point_sum_invariant_under_partitioning(spark, vals, seed):
+    """dsum must be identical for any row order / partition count — the
+    core determinism claim behind every oracle-checked money aggregate."""
+    from etl_github_spark.queries._util import dsum
+
+    import random
+
+    doubles = [float(v) for v in vals]
+    shuffled = doubles[:]
+    random.Random(seed).shuffle(shuffled)
+    a = (
+        spark.createDataFrame([(v,) for v in doubles], "x: double")
+        .coalesce(1)
+        .agg(dsum("x").alias("s"))
+        .first()["s"]
+    )
+    b = (
+        spark.createDataFrame([(v,) for v in shuffled], "x: double")
+        .repartition(7)
+        .agg(dsum("x").alias("s"))
+        .first()["s"]
+    )
+    assert a == b  # bit-identical, not approx
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=0, max_size=15
+    )
+)
+def test_exact_dedup_keep_first_survivors(spark, texts):
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id: long, text: string")
+    out = {
+        r["text"]: (r["keep_id"], r["dup_cnt"])
+        for r in df.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .collect()
+    }
+    expect: dict[str, list[int]] = {}
+    for i, t in data:
+        expect.setdefault(t, []).append(i)
+    assert out == {t: (min(ids), len(ids)) for t, ids in expect.items()}
