@@ -27,6 +27,8 @@ from etl_github_spark.session import get_spark
 HEADLINE = [
     "flagship_popular_user_clicks",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "join_fact_fact_revenue",
     "join_left_outer_agg",
     "window_rank_topn_per_group",
@@ -52,6 +54,41 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_gha_ingest(spark, n_copies: int = 1500) -> float:
+    """ETL throughput: NDJSON → six normalized partitioned tables.
+
+    Generates a deterministic ~27k-event landing dir (fixture events ×
+    n_copies with varied actors), then times the full ingest_files run
+    (parse + 6 extracts + partitioned parquet writes).
+    """
+    import json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from etl_github_spark.gha.pipeline import ingest_files
+    from tests.gha_fixture import EVENTS
+
+    tmp = Path(tempfile.mkdtemp(prefix="gha_bench_"))
+    landing = tmp / "landing"
+    landing.mkdir()
+    n_files = 8
+    handles = [open(landing / f"2024-02-29-{h}.json", "w") for h in range(n_files)]
+    for i in range(n_copies):
+        for j, ev in enumerate(EVENTS):
+            ev = dict(ev)
+            ev["actor"] = {"login": f"user{i}_{j}"}
+            handles[(i + j) % n_files].write(json.dumps(ev) + "\n")
+    for h in handles:
+        h.close()
+    try:
+        t0 = time.perf_counter()
+        ingest_files(spark, [str(landing)], str(tmp / "lake"), fmt="parquet")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +106,11 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on failure
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    try:
+        timings["gha_ingest_27k_events"] = round(bench_gha_ingest(spark), 3)
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR gha_ingest: {e}", file=sys.stderr)
+        timings["gha_ingest_27k_events"] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

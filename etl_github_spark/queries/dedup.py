@@ -116,13 +116,21 @@ def dedup_jaccard_pairs(spark, sf_dir):
     MinHash-LSH variant below is the 100 TB path that bounds candidate
     generation per band bucket.
     """
-    d = par(T(spark, sf_dir, "documents")).where(F.size(_words()) >= 3)
+    # materialize the token array once per row (lambda bodies are not
+    # CSE'd: element_at(split(text), i) would re-split per element).
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+    )
     # join on xxhash64(shingle) longs, not shingle strings: ~3× smaller
     # shuffle payload and cheaper key compare; counts are unchanged short
     # of a 64-bit collision (~1e-9 at millions of distinct shingles).
     sh = d.select(
         "doc_id",
-        F.array_distinct(F.transform(_shingles(_words()), lambda s: F.xxhash64(s))).alias("hs"),
+        F.array_distinct(
+            F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s))
+        ).alias("hs"),
     ).select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -156,7 +164,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     explode and NO shuffle (the earlier explode+groupBy formulation
     shuffled |docs|×n_hashes rows; this shuffles nothing).
     """
-    base = F.transform(_shingles(_words()), lambda s: F.xxhash64(s))
+    base = F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s))
     sig = F.array(
         *[
             F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(F.lit(i), h)))
@@ -164,7 +172,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
         ]
     )
     return (
-        docs.where(F.size(_words()) >= 3)
+        docs.select("doc_id", _words().alias("w"))  # tokenize once per row
+        .where(F.size("w") >= 3)
         .select("doc_id", base.alias("hs"))
         .select("doc_id", sig.alias("sig"))
     )

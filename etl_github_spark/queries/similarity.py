@@ -112,6 +112,41 @@ def sim_norms(spark, sf_dir):
     )
 
 
+@query(
+    "sim_label_centroids",
+    sql="""
+    WITH ex AS (
+      SELECT label, t.i AS dim,
+             CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {d}) t(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           list_reduce(list_sort(list(x)), (acc, v) -> acc + v) / count(*) AS centroid
+    FROM ex GROUP BY label, dim
+    """.format(d=_DIM + 1),
+    tags=("similarity", "centroid"),
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension).
+
+    Cross-row float sums are order-dependent, so both engines fold the
+    *sorted* value list (sort_array+aggregate ↔ list_sort+list_reduce):
+    identical op sequence → bit-identical means. At 100 TB you'd trade
+    this for a two-level fixed-point quantized mean; here exactness is
+    the contract.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i", "xf")
+    ).select("label", (F.col("i") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("x")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return ex.groupBy("label", "dim").agg(
+        (folded / F.count("x")).alias("centroid")
+    )
+
+
 # --- scale path: SRP-LSH bucketed search (rows-only) -----------------------
 
 

@@ -69,10 +69,19 @@ def text_word_freq(spark, sf_dir):
     tags=("text",),
 )
 def text_bigram_freq(spark, sf_dir):
-    d = par(T(spark, sf_dir, "documents")).where(F.size(_words()) >= 2)
+    # materialize the token array ONCE per row: expressions inside
+    # higher-order lambdas are not common-subexpression-eliminated, so
+    # referencing split(text) per element would re-split the document for
+    # every bigram (quadratic in doc length).
+    w = F.col("w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select(_words().alias("w"))
+        .where(F.size(w) >= 2)
+    )
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(_words()) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(_words(), i), F.element_at(_words(), i + 1)),
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -158,6 +167,25 @@ def text_fingerprint(spark, sf_dir):
     # engine-portable; xxhash64 is Spark-only so reserved for internals).
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return T(spark, sf_dir, "documents").select("doc_id", F.md5(norm).alias("fp"))
+
+
+@query(
+    "text_stopword_removal",
+    sql="""
+    SELECT doc_id,
+           list_filter(string_split(text, ' '),
+                       w -> NOT (w = 'the' OR w = 'a' OR w = 'of')) AS content_words
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_stopword_removal(spark, sf_dir):
+    # array-valued output: stopword filtering as a pure higher-order
+    # column op (per-row, no shuffle, order-preserving).
+    keep = lambda w: ~((w == "the") | (w == "a") | (w == "of"))  # noqa: E731
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(_words(), keep).alias("content_words")
+    )
 
 
 @query(
