@@ -303,6 +303,49 @@ def set_union_distinct(spark, sf_dir):
 
 
 @query(
+    "sessionize_events",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "session"),
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (1-day inactivity gap).
+
+    Spark-native ``session_window`` — the same operator Structured
+    Streaming uses for stateful session aggregation, here in batch. The
+    oracle reproduces the semantics with gaps-and-islands SQL (new
+    session when the gap is STRICTLY greater than the threshold —
+    verified boundary behavior). One shuffle on user_id either way.
+    """
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
     "join_range_predicate",
     sql="""
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS late_lines
