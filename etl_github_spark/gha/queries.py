@@ -11,6 +11,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def run_analytics(spark, lakedir: str, outdir: str, fmt: str | None = None) -> dict[str, str]:
+    """The reference's full query_data flow (preprocess.py:209-244):
+    read the lakehouse tables, run both keyword queries, overwrite the
+    result tables (rm-and-rewrite in the reference → atomic
+    mode="overwrite" here, S6)."""
+    from ..io.sink import read_table, write_table
+
+    commit = read_table(spark, f"{lakedir}/commit", fmt=fmt)
+    comment = read_table(spark, f"{lakedir}/comment", fmt=fmt)
+    watch = read_table(spark, f"{lakedir}/watch", fmt=fmt)
+    out = {
+        "commits": f"{outdir}/dask/commits",
+        "comments": f"{outdir}/dask/comments",
+    }
+    write_table(
+        keyword_commits(commit, watch), out["commits"],
+        mode="overwrite", partition_by=(), fmt=fmt,
+    )
+    write_table(
+        keyword_comments(comment, watch), out["comments"],
+        mode="overwrite", partition_by=(), fmt=fmt,
+    )
+    return out
+
+
 def popular_repos(watch: DataFrame, min_watches: int = 5) -> DataFrame:
     """watch.repo.value_counts()[> min] (preprocess.py:215-216).
 

@@ -113,6 +113,28 @@ def sim_norms(spark, sf_dir):
 
 
 @query(
+    "sim_normalize_embeddings",
+    sql="""
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) / sqrt({ss})) AS unit_vec
+    FROM embeddings e
+    """.format(ss=_fold_dot_sql("e.embedding", "e.embedding")),
+    tags=("similarity",),
+)
+def sim_normalize_embeddings(spark, sf_dir):
+    # unit-norm projection: per-row transform, norm via the shared
+    # left-fold — the standard pre-step that turns cosine into dot
+    # product for downstream ANN.
+    emb = T(spark, sf_dir, "embeddings")
+    norm = F.sqrt(fold_dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+    )
+
+
+@query(
     "sim_label_centroids",
     sql="""
     WITH ex AS (

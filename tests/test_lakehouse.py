@@ -1,0 +1,80 @@
+"""Lakehouse round-trip tests: full EP2 analytics flow (query →
+overwrite sink), compaction, and streaming windowed aggregation over a
+real stream."""
+
+from __future__ import annotations
+
+from etl_github_spark.gha.pipeline import ingest_files
+from etl_github_spark.gha.queries import run_analytics
+from etl_github_spark.io.sink import compact_table, read_table
+
+from .gha_fixture import write_fixture
+
+
+def test_run_analytics_overwrite_sink(spark, tmp_path):
+    paths = write_fixture(tmp_path / "in", gz=True)
+    ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    out = run_analytics(spark, str(tmp_path / "lake"), str(tmp_path / "results"), fmt="parquet")
+    commits = read_table(spark, out["commits"], fmt="parquet").collect()
+    assert [(r["username"], r["repo"], r["count"]) for r in commits] == [
+        ("alice", "org/tools", 6)
+    ]
+    comments = read_table(spark, out["comments"], fmt="parquet").collect()
+    assert [(r["username"], r["comment"]) for r in comments] == [("gina", "try dask here")]
+
+    # overwrite is idempotent: re-running replaces, not appends (S6)
+    run_analytics(spark, str(tmp_path / "lake"), str(tmp_path / "results"), fmt="parquet")
+    assert read_table(spark, out["commits"], fmt="parquet").count() == 1
+
+
+def test_compaction_preserves_rows_and_layout(spark, tmp_path):
+    paths = write_fixture(tmp_path / "in", gz=True)
+    out = ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    # three appends → many small files
+    ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    before = read_table(spark, out["watch"], fmt="parquet")
+    n_before = before.count()
+    files_before = len(list((tmp_path / "lake" / "watch").rglob("*.parquet")))
+
+    compact_table(spark, out["watch"])
+
+    after = read_table(spark, out["watch"], fmt="parquet")
+    assert after.count() == n_before == 21
+    files_after = len(list((tmp_path / "lake" / "watch").rglob("*.parquet")))
+    assert files_after < files_before
+    assert files_after == 1  # one date partition × target 1 file
+    parts = {p.name for p in (tmp_path / "lake" / "watch").iterdir() if p.is_dir()}
+    assert parts == {"date=2024-02-29"}
+
+
+def test_streaming_windowed_agg_end_to_end(spark, tmp_path):
+    """Real stream: landing dir → parse → watermark+window agg → memory
+    sink via foreachBatch-free append... complete-mode memory table."""
+    from etl_github_spark.gha.extract import parse_raw_lines
+    from etl_github_spark.gha.pipeline import extract_tables  # noqa: F401
+    from etl_github_spark.streaming import stream_windowed_counts
+    from etl_github_spark.streaming.pipeline import read_raw_stream
+    from etl_github_spark.gha.extract import extract_commits
+
+    write_fixture(tmp_path / "landing", gz=False)
+    events = parse_raw_lines(read_raw_stream(spark, str(tmp_path / "landing")))
+    commits = extract_commits(events)
+    agg = stream_windowed_counts(commits, window="1 hour", group_col="repo")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].isoformat(), r["repo"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # append mode emits only windows closed by the watermark (event time
+    # has advanced past them); the final 00:00 window stays open.
+    assert rows[("2024-02-29T22:00:00", "org/tools")] == 3
+    assert ("2024-03-01T00:00:00", "org/tools") not in rows
