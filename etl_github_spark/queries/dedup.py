@@ -149,6 +149,47 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+_EMB_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {ab} / (sqrt({aa}) * sqrt({bb})) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.9
+    """.format(
+        ab=_EMB_DOT.format(a="a.embedding", b="b.embedding"),
+        aa=_EMB_DOT.format(a="a.embedding", b="a.embedding"),
+        bb=_EMB_DOT.format(a="b.embedding", b="b.embedding"),
+    ),
+    tags=("dedup", "neardup", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9).
+
+    Exhaustive-recall baseline: all-pairs cosine via the deterministic
+    left-fold (bit-identical to the oracle). O(N²) by construction —
+    the scale path is sim_lsh_bucketed_topk's SRP bucketing, which
+    turns candidate generation into bucket-local joins.
+    """
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
+        F.col("cos_sim") >= 0.9
+    )
+
+
 # --- MinHash-LSH near-dup: the scale path (rows-only check) ----------------
 
 _N_HASHES = 32
