@@ -162,7 +162,7 @@ _EMB_DOT = (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {ab} / (sqrt({aa}) * sqrt({bb})) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.9
+    WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.35
     """.format(
         ab=_EMB_DOT.format(a="a.embedding", b="b.embedding"),
         aa=_EMB_DOT.format(a="a.embedding", b="a.embedding"),
@@ -171,7 +171,8 @@ _EMB_DOT = (
     tags=("dedup", "neardup", "embedding"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9).
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35; the synthetic
+    embeddings top out near 0.51, so this is the top ~0.1% of pairs).
 
     Exhaustive-recall baseline: all-pairs cosine via the deterministic
     left-fold (bit-identical to the oracle). O(N²) by construction —
@@ -186,7 +187,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
-        F.col("cos_sim") >= 0.9
+        F.col("cos_sim") >= 0.35
     )
 
 
