@@ -161,14 +161,14 @@ def scalar_regexp(spark, sf_dir):
     "filter_in_list",
     sql="""
     SELECT n_nationkey, n_name FROM nation
-    WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA', 'KENYA')
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_24')
     """,
     tags=("filter",),
 )
 def filter_in_list(spark, sf_dir):
     return (
         T(spark, sf_dir, "nation")
-        .where(F.col("n_name").isin("FRANCE", "GERMANY", "CHINA", "KENYA"))
+        .where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_24"))
         .select("n_nationkey", "n_name")
     )
 

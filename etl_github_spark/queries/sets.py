@@ -47,12 +47,14 @@ def set_intersect(spark, sf_dir):
     sql="""
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400
     """,
     tags=("set",),
 )
 def set_except(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     a = e.where(F.col("event_type") == "view").select("user_id")
-    b = e.where(F.col("event_type") == "error").select("user_id")
+    b = e.where((F.col("event_type") == "purchase") & (F.col("value") > 400)).select(
+        "user_id"
+    )
     return a.subtract(b)  # EXCEPT (set semantics, distinct)
