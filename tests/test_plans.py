@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the properties ARCHITECTURE.md claims
+(pushdown, pruning, broadcast, TakeOrderedAndProject) must survive
+refactors — a correct-but-slow plan is a perf regression the oracle
+can't catch."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_github_spark.queries.registry import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name].fn(spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_prunes_scan(spark):
+    p = plan_of(spark, "project_subset")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_extendedprice" not in read
+
+
+def test_filters_push_to_scan(spark):
+    p = plan_of(spark, "filter_range_date")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "o_orderdate" in pushed and "GreaterThanOrEqual" in pushed
+    assert "EqualTo(o_orderstatus,F)" in pushed.replace(" ", "").replace("'", "")
+
+
+def test_flagship_uses_broadcast_join(spark):
+    p = plan_of(spark, "flagship_popular_user_clicks")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_dims_broadcast(spark):
+    p = plan_of(spark, "join_multiway_dims")
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan_of(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q1_partial_final_aggregate(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    """Signature computation must stay a pure projection (no Exchange
+    between scan and the signature select)."""
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.dedup import minhash_signatures
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_signatures(load_table(spark, SF_SMALL, "documents")).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
