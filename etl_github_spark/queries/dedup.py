@@ -132,6 +132,10 @@ def dedup_jaccard_pairs(spark, sf_dir):
             F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s))
         ).alias("hs"),
     ).select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh"))
+    # both self-join sides reference this subtree and Spark does not reuse
+    # the exchange across them — materialize once (executor-local blocks)
+    # instead of re-shingling the corpus twice.
+    sh = sh.localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -250,6 +254,7 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = bands.localCheckpoint(eager=False)  # signature subtree: compute once
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
