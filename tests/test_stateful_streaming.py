@@ -1,0 +1,105 @@
+"""applyInPandasWithState operator test: state must accumulate across
+micro-batches (the property plain windowed aggregation can't express)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from etl_github_spark.streaming.stateful import user_activity_profile
+
+
+def _write_batch(d: Path, name: str, rows):
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, indir, ckpt, qname):
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .json(str(indir))
+    )
+    q = (
+        user_activity_profile(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    indir = tmp_path / "in"
+    _write_batch(
+        indir,
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 10.0},
+            {"user_id": 1, "ts": "2024-01-01T00:05:00", "value": 5.0},
+            {"user_id": 2, "ts": "2024-01-01T00:01:00", "value": 1.0},
+        ],
+    )
+    _write_batch(
+        indir,
+        "b2.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01T01:00:00", "value": 2.5},
+        ],
+    )
+    _run_stream(spark, indir, tmp_path / "ckpt", "profiles")
+    rows = spark.sql(
+        "SELECT * FROM profiles ORDER BY user_id, n_events"
+    ).collect()
+    # user 1 appears in both batches: first emit (2 events), then the
+    # state-carried update (3 events, 17.5 total)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    assert by_user[2] == [(1, 1.0)]
+    assert by_user[1][-1] == (3, 17.5)
+    assert (2, 15.0) in by_user[1]
+    final = [r for r in rows if r.user_id == 1][-1]
+    assert final.last_seen.isoformat() == "2024-01-01T01:00:00"
+
+
+def _run_stream_recoverable(spark, indir, ckpt, outdir):
+    # memory sink cannot recover from a checkpoint; foreachBatch + parquet
+    # can, which is also the production shape for update-mode state output.
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(outdir))
+
+    q = (
+        user_activity_profile(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_state_survives_restart(spark, tmp_path):
+    indir = tmp_path / "in"
+    _write_batch(indir, "b1.json", [{"user_id": 7, "ts": "2024-01-01T00:00:00", "value": 1.0}])
+    _run_stream_recoverable(spark, indir, tmp_path / "ckpt", tmp_path / "out")
+    # second run with a NEW file: checkpointed state must carry over
+    _write_batch(indir, "b2.json", [{"user_id": 7, "ts": "2024-01-02T00:00:00", "value": 2.0}])
+    _run_stream_recoverable(spark, indir, tmp_path / "ckpt", tmp_path / "out")
+    rows = spark.read.parquet(str(tmp_path / "out")).orderBy("n_events").collect()
+    assert [(r.n_events, r.total_value) for r in rows if r.user_id == 7] == [
+        (1, 1.0),
+        (2, 3.0),
+    ]
