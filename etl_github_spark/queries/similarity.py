@@ -206,6 +206,38 @@ def srp_bucket(vec_col, planes: list[list[float]]) -> Column:
     return out
 
 
+@query("sim_topk_pandas_vectorized", sql=None, tags=("similarity", "topk", "pandas"))
+def sim_topk_pandas_vectorized(spark, sf_dir):
+    """Brute-force top-k via an Arrow-batched pandas/numpy kernel.
+
+    The documented exception to "UDFs are the slow path": for dense
+    numeric kernels a vectorized numpy matmul over Arrow batches beats
+    per-element JVM folds as dimensionality grows. Rows-only check
+    (numpy's reduction order differs from the left-fold oracle); ranked
+    ids match sim_topk_bruteforce, pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = T(spark, sf_dir, "embeddings")
+    q_vec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qn = np.asarray(q_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    b = spark.sparkContext.broadcast(qn)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ b.value) / norms
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cos_sim": cos})
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id long, cos_sim double"
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
 @query("sim_lsh_bucketed_topk", sql=None, tags=("similarity", "lsh"))
 def sim_lsh_bucketed_topk(spark, sf_dir):
     """ANN top-k: SRP-LSH bucket join, exact cosine re-rank inside bucket.

@@ -170,6 +170,30 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "text_token_count_bpe",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subtokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numeric
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count_bpe(spark, sf_dir):
+    # BPE-ish pre-tokenization: alpha runs / digit runs / single
+    # punctuation, via regexp_extract_all (identical class-based pattern
+    # in Java and RE2 regex dialects).
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_subtokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_numeric"),
+    )
+
+
+@query(
     "text_stopword_removal",
     sql="""
     SELECT doc_id,
