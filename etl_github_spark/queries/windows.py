@@ -143,6 +143,27 @@ def window_cumulative_share(spark, sf_dir):
 
 
 @query(
+    "window_percent_rank",
+    sql="""
+    SELECT s_suppkey,
+           percent_rank() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_pct,
+           cume_dist()    OVER (ORDER BY s_acctbal, s_suppkey) AS bal_cume
+    FROM supplier
+    """,
+    tags=("window",),
+)
+def window_percent_rank(spark, sf_dir):
+    # (rank-1)/(n-1) and cume counts are integer-derived → the double
+    # division is deterministic across engines.
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("bal_pct"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+@query(
     "window_ntile_quartiles",
     sql="""
     SELECT c_custkey,
