@@ -77,11 +77,13 @@ def join_asof_last_view(spark, sf_dir):
 )
 def agg_grouping_sets(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("_gs_orders")
+    # unique per sf_dir: the driver may reuse one session across runs
+    view = f"_gs_orders_{abs(hash(sf_dir)) % 10**8}"
+    o.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-        FROM _gs_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
