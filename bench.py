@@ -45,13 +45,18 @@ HEADLINE = [
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     """Steady-state timing: one untimed warm-up (whole-stage codegen JIT,
-    parquet footer caching), then one timed run — the per-query constant
-    that matters when the same plan runs over thousands of partitions."""
+    parquet footer caching), then best-of-2 timed runs — min is robust to
+    the GC/scheduler noise spikes a shared host injects, and steady-state
+    is the per-query constant that matters when the same plan runs over
+    thousands of partitions."""
     fn = QUERIES[name].fn
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_gha_ingest(spark, n_copies: int = 1500) -> float:
