@@ -223,6 +223,29 @@ def project_json_prop(spark, sf_dir):
 
 
 @query(
+    "project_json_struct",
+    sql="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("P4", "json"),
+)
+def project_json_struct(spark, sf_dir):
+    # typed JSON parse (from_json → struct field access), vs the string
+    # path of get_json_object in project_json_prop. Missing fields are
+    # null, not errors.
+    e = T(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    parsed = F.from_json("props", "k BIGINT, missing BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("missing").alias("absent"),
+    )
+
+
+@query(
     "scalar_string_funcs",
     sql="""
     SELECT doc_id,

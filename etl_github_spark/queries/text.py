@@ -194,6 +194,32 @@ def text_token_count_bpe(spark, sf_dir):
 
 
 @query(
+    "text_levenshtein_pairs",
+    sql="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 2
+    """,
+    tags=("text", "similarity"),
+)
+def text_levenshtein_pairs(spark, sf_dir):
+    # edit-distance near-match over a small distinct domain — the
+    # fuzzy-string-join primitive (at scale: length + q-gram prefilters
+    # before the quadratic distance).
+    s = T(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    dist = F.levenshtein("src_a", "src_b")
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", dist.alias("dist"))
+        .where(F.col("dist") <= 2)
+    )
+
+
+@query(
     "text_stopword_removal",
     sql="""
     SELECT doc_id,

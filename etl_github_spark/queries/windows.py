@@ -143,6 +143,32 @@ def window_cumulative_share(spark, sf_dir):
 
 
 @query(
+    "window_time_range_count",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS events_last_hour
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def window_time_range_count(spark, sf_dir):
+    # time-based RANGE frame (sliding 1h count per user). The DataFrame
+    # API's rangeBetween only takes longs, so the interval frame is
+    # expressed in SQL — still one shuffle on user_id.
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("events_last_hour"),
+    )
+
+
+@query(
     "window_percent_rank",
     sql="""
     SELECT s_suppkey,
