@@ -200,7 +200,7 @@ def text_token_count_bpe(spark, sf_dir):
     SELECT a.source AS src_a, b.source AS src_b,
            CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
     FROM s a JOIN s b ON a.source < b.source
-    WHERE levenshtein(a.source, b.source) <= 2
+    WHERE levenshtein(a.source, b.source) <= 1
     """,
     tags=("text", "similarity"),
 )
@@ -215,7 +215,7 @@ def text_levenshtein_pairs(spark, sf_dir):
     return (
         a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
         .select("src_a", "src_b", dist.alias("dist"))
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") <= 1)
     )
 
 
