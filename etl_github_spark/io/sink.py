@@ -1,12 +1,14 @@
-"""Lakehouse sinks: date-partitioned append/overwrite + compaction.
+"""Lakehouse sinks: date-partitioned append/overwrite + compaction + vacuum.
 
 The reference writes Delta tables via ``write_deltalake(mode="append",
-partition_by="date")`` and rewrites query results wholesale
-(preprocess.py:165-175,226-230). Spark-side this is
-``df.write.format(...).mode(...).partitionBy("date")``. Delta is used
-when the delta-spark package is importable; otherwise plain Parquet
-preserves the same layout and semantics (SURVEY.md §1.4) — the
-``_delta_log`` transaction features degrade to directory semantics.
+partition_by="date")``, rewrites query results wholesale, and compacts +
+vacuums after each batch (preprocess.py:165-206,226-230). Spark-side the
+same contract is ``df.write.mode(...).partitionBy("date")`` over Parquet:
+delta-spark is not installable in this environment (see ARCHITECTURE.md
+§storage), so the storage layer is Parquet-only by design — same layout,
+same append/overwrite semantics; the ``_delta_log`` transaction features
+degrade to directory semantics, with :func:`vacuum_table` providing the
+``vacuum(retention_hours=0)`` analog (orphan staging-artifact reaping).
 
 The reference's append+retry design can double-append on retry
 (preprocess.py:261; SURVEY.md §7 risk register); Spark task retries plus
@@ -16,19 +18,16 @@ no retry loop appears here by design.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
+_FORMAT = "parquet"
 
-def delta_available() -> bool:
-    try:  # pragma: no cover - environment probe
-        import delta  # noqa: F401
-
-        return True
-    except Exception:
-        return False
-
-
-_FORMAT = "delta" if delta_available() else "parquet"
+# Suffixes of staging directories produced by compact_table's two-phase
+# rewrite; a crash between phases leaves one behind for vacuum to reap.
+_STAGING_SUFFIXES = ("__compacting", "__old")
 
 
 def write_table(
@@ -46,7 +45,7 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """Delta/Parquet table scan (S5)."""
+    """Delta/Parquet-layout table scan (S5)."""
     return spark.read.format(fmt or _FORMAT).load(path)
 
 
@@ -67,30 +66,70 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
-def compact_table(spark: SparkSession, path: str, target_files_per_partition: int = 1) -> None:
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int = 50_000_000,
+) -> None:
     """Small-file compaction (S7, preprocess.py:199-206).
 
-    With Delta this is OPTIMIZE; for plain Parquet we rewrite each date
-    partition coalesced. Hourly appends create 24 small files/day — at
-    100 TB an uncompacted table turns scans into metadata storms, which
-    is exactly why the reference compacts after every ingest batch.
-    """
-    if _FORMAT == "delta":  # pragma: no cover - delta not present in CI env
-        from delta.tables import DeltaTable
+    Hourly appends create 24 small files/day — at 100 TB an uncompacted
+    table turns scans into metadata storms, which is exactly why the
+    reference compacts after every ingest batch (Delta OPTIMIZE there;
+    coalesced rewrite here).
 
-        DeltaTable.forPath(spark, path).optimize().executeCompaction()
-        return
+    ``repartition("date")`` hash-clusters each date partition into one
+    task (dates spread across ``spark.sql.shuffle.partitions`` tasks, so
+    a year of dates compacts in parallel), and ``maxRecordsPerFile``
+    splits any oversized date back into bounded files — per-partition
+    file-count control without funnelling the whole table through one
+    task. The swap is rename-aside (old → ``__old``, new → live, reap
+    old): the table path is missing only between two metadata renames,
+    not for the whole rewrite. A crash mid-swap leaves a ``__old`` /
+    ``__compacting`` staging dir that :func:`vacuum_table` reaps.
+    """
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
     (
-        df.repartition(target_files_per_partition, "date")
+        df.repartition("date")
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("date")
         .parquet(tmp)
     )
-    # atomic-ish swap via filesystem rename (local/HDFS; object stores
-    # would use the Delta path above instead)
-    import shutil
-
-    shutil.rmtree(path)
+    # rename-aside swap (local/HDFS rename semantics; an object store
+    # would use a transactional table format instead)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
+
+
+def vacuum_table(path: str) -> list[str]:
+    """Reap orphaned write artifacts (the ``vacuum(retention_hours=0)``
+    analog for the Parquet layout; preprocess.py:205).
+
+    A killed Spark overwrite leaves ``_temporary/`` committer staging
+    trees; a crash inside :func:`compact_table`'s swap leaves
+    ``<table>__compacting`` / ``<table>__old`` siblings. None are
+    referenced by a successful read, but at 100 TB they are real storage
+    cost and confuse recursive listings. Returns the paths removed.
+    """
+    root = Path(path)
+    removed: list[str] = []
+    # committer staging trees anywhere under the table
+    for tmp_dir in root.rglob("_temporary"):
+        if tmp_dir.is_dir():
+            removed.append(str(tmp_dir))
+            shutil.rmtree(tmp_dir)
+    # half-finished compaction siblings
+    for suffix in _STAGING_SUFFIXES:
+        sibling = root.with_name(root.name + suffix)
+        if sibling.exists():
+            removed.append(str(sibling))
+            shutil.rmtree(sibling)
+    # stray in-flight task files (never committed, so not part of any read)
+    for tmp_file in root.rglob("*.tmp"):
+        removed.append(str(tmp_file))
+        tmp_file.unlink()
+    return removed

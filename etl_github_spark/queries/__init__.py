@@ -5,5 +5,11 @@ a PySpark implementation and (when SQL-expressible) a DuckDB oracle SQL
 string the driver diffs against at sf=0.01.
 """
 
-from . import core, joins, aggregates, windows, sets, text, dedup, similarity, extra, tpch, reshape  # noqa: F401,E402
+# Registration order matters: the driver's correctness gate verifies queries in
+# registration order (bounded window), so the highest-value / least-recently-verified
+# modules register first. Round 2 rotation: the LLM-pipeline surface
+# (text/dedup/similarity), TPC-H shapes, extra, reshape, and sets lead (50 entries —
+# all 48 queries unverified in round 1 plus two green canaries); the round-1-verified
+# core/joins/aggregates/windows follow.
+from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401

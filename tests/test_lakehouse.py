@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from etl_github_spark.gha.pipeline import ingest_files
 from etl_github_spark.gha.queries import run_analytics
-from etl_github_spark.io.sink import compact_table, read_table
+from etl_github_spark.io.sink import compact_table, read_table, vacuum_table
 
 from .gha_fixture import write_fixture
 
@@ -46,6 +46,38 @@ def test_compaction_preserves_rows_and_layout(spark, tmp_path):
     assert files_after == 1  # one date partition × target 1 file
     parts = {p.name for p in (tmp_path / "lake" / "watch").iterdir() if p.is_dir()}
     assert parts == {"date=2024-02-29"}
+
+
+def test_vacuum_reaps_orphans_preserves_rows(spark, tmp_path):
+    """Simulated failed overwrite + crashed compaction swap: vacuum reaps
+    the orphans, live data untouched (parquet analog of
+    vacuum(retention_hours=0), preprocess.py:205)."""
+    paths = write_fixture(tmp_path / "in", gz=True)
+    out = ingest_files(spark, paths, str(tmp_path / "lake"), fmt="parquet")
+    watch = tmp_path / "lake" / "watch"
+    n_before = read_table(spark, out["watch"], fmt="parquet").count()
+
+    # killed overwrite → committer staging tree left behind
+    staging = watch / "_temporary" / "0" / "task_000"
+    staging.mkdir(parents=True)
+    (staging / "part-junk.parquet").write_bytes(b"not parquet")
+    # crashed compaction → half-finished sibling dirs
+    (tmp_path / "lake" / "watch__compacting").mkdir()
+    (tmp_path / "lake" / "watch__compacting" / "x").write_text("junk")
+    (tmp_path / "lake" / "watch__old").mkdir()
+    # in-flight task file never committed
+    (watch / "date=2024-02-29" / ".part-inflight.tmp").write_bytes(b"junk")
+
+    removed = vacuum_table(str(watch))
+    assert len(removed) == 4
+    assert not (watch / "_temporary").exists()
+    assert not (tmp_path / "lake" / "watch__compacting").exists()
+    assert not (tmp_path / "lake" / "watch__old").exists()
+    assert not list(watch.rglob("*.tmp"))
+    assert read_table(spark, out["watch"], fmt="parquet").count() == n_before
+
+    # idempotent: second vacuum is a no-op
+    assert vacuum_table(str(watch)) == []
 
 
 def test_streaming_windowed_agg_end_to_end(spark, tmp_path):
