@@ -23,16 +23,83 @@ def list_files(
     stop: dt.datetime,
     template: str = "https://data.gharchive.org/{:%Y-%m-%d-}{}.json.gz",
 ) -> list[str]:
-    """Hourly file manifest for [start, stop) (preprocess.py:193-196).
+    """Hourly file manifest for [start, stop] (preprocess.py:193-196).
 
-    GH Archive names hours without zero-padding ("2024-02-29-3.json.gz").
+    Inclusive of the stop hour, matching the reference's
+    ``pd.date_range(start, stop)``: with ``stop = floor(now) - 1h``
+    (parse_start_stop) the last fully-published hour is ingested in the
+    same run, not deferred to the next one. GH Archive names hours
+    without zero-padding ("2024-02-29-3.json.gz").
     """
     out = []
     t = start.replace(minute=0, second=0, microsecond=0)
-    while t < stop:
+    while t <= stop:
         out.append(template.format(t, t.hour))
         t += _HOUR
     return out
+
+
+def fetch_to_landing(
+    spark: SparkSession,
+    urls: list[str],
+    landing_dir: str,
+    timeout: float = 60.0,
+    max_retries: int = 3,
+) -> list[str]:
+    """Parallel HTTP(S) fetch of the hourly manifest into a landing dir.
+
+    ``spark.read.text`` has no https filesystem, so the reference's
+    direct-streaming scan of ``https://data.gharchive.org/...json.gz``
+    (preprocess.py:144-147) becomes a two-step production path here:
+    fetch-to-landing (this function, one executor task per URL — the
+    same per-file parallelism the reference gets from client.map) then
+    :func:`read_raw` over the landed files.
+
+    Each download writes ``<name>.part`` then renames — a killed run
+    never leaves a truncated file under a final name, and re-runs are
+    idempotent (existing files are skipped, so resuming a partial fetch
+    only pulls what's missing). Failures retry with backoff inside the
+    task; a URL that still fails after ``max_retries`` raises and fails
+    the job (matching the reference's retries= semantics). The landing
+    dir must be storage every executor can reach (shared FS / object
+    store on a real cluster).
+
+    Returns the local landed paths in manifest order.
+    """
+    import os
+
+    os.makedirs(landing_dir, exist_ok=True)
+
+    def _fetch_one(url: str) -> str:
+        import os
+        import time
+        import urllib.request
+
+        name = url.rstrip("/").rsplit("/", 1)[-1]
+        dest = os.path.join(landing_dir, name)
+        if os.path.exists(dest):  # idempotent re-run
+            return dest
+        part = dest + ".part"
+        last: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                    part, "wb"
+                ) as out:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.replace(part, dest)  # atomic publish
+                return dest
+            except Exception as exc:  # noqa: BLE001 - retry any transport error
+                last = exc
+                time.sleep(min(2**attempt, 30))
+        raise RuntimeError(f"fetch failed after {max_retries} tries: {url}") from last
+
+    sc = spark.sparkContext
+    return sc.parallelize(urls, max(1, len(urls))).map(_fetch_one).collect()
 
 
 def read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -79,3 +146,19 @@ def ingest_files(
         return out
     finally:
         events.unpersist()
+
+
+def ingest_urls(
+    spark: SparkSession,
+    urls: list[str],
+    landing_dir: str,
+    outdir: str,
+    mode: str = "append",
+    fmt: str | None = None,
+) -> dict[str, str]:
+    """Production entry point for the real GH Archive source:
+    manifest URLs → :func:`fetch_to_landing` → :func:`ingest_files`.
+    Compose with :func:`list_files` / ``incremental.parse_start_stop``
+    for the steady-state hourly loop (preprocess.py:247-266)."""
+    paths = fetch_to_landing(spark, urls, landing_dir)
+    return ingest_files(spark, paths, outdir, mode=mode, fmt=fmt)

@@ -115,9 +115,53 @@ def test_list_files_manifest():
     files = list_files(
         dt.datetime(2024, 2, 29, 22), dt.datetime(2024, 3, 1, 2)
     )
+    # inclusive of the stop hour, matching the reference's pd.date_range
     assert files[0].endswith("2024-02-29-22.json.gz")
-    assert files[-1].endswith("2024-03-01-1.json.gz")  # no zero-padding
-    assert len(files) == 4
+    assert files[-1].endswith("2024-03-01-2.json.gz")  # no zero-padding
+    assert len(files) == 5
+
+
+def test_fetch_to_landing_and_ingest(spark, tmp_path):
+    """file://-stubbed https manifest → parallel fetch → ingest end-to-end
+    (the production path for the real GH Archive source)."""
+    from etl_github_spark.gha.pipeline import fetch_to_landing, ingest_urls
+
+    src_paths = write_fixture(tmp_path / "src", gz=True)
+    urls = [f"file://{p}" for p in src_paths]
+    landing = tmp_path / "landing"
+
+    landed = fetch_to_landing(spark, urls, str(landing))
+    assert [p.rsplit("/", 1)[-1] for p in landed] == [
+        p.rsplit("/", 1)[-1] for p in src_paths
+    ]
+    assert all((landing / p.rsplit("/", 1)[-1]).exists() for p in src_paths)
+    assert not list(landing.glob("*.part"))  # atomic publish, no leftovers
+
+    # idempotent: re-fetch skips existing files (mtimes unchanged)
+    mtimes = {p: (landing / p.rsplit("/", 1)[-1]).stat().st_mtime_ns for p in src_paths}
+    fetch_to_landing(spark, urls, str(landing))
+    assert mtimes == {
+        p: (landing / p.rsplit("/", 1)[-1]).stat().st_mtime_ns for p in src_paths
+    }
+
+    out = ingest_urls(spark, urls, str(tmp_path / "landing2"), str(tmp_path / "lake"))
+    from etl_github_spark.io.sink import read_table
+
+    assert read_table(spark, out["watch"], fmt="parquet").count() == 7
+
+
+def test_fetch_to_landing_failure_raises(spark, tmp_path):
+    from etl_github_spark.gha.pipeline import fetch_to_landing
+
+    import pytest
+
+    with pytest.raises(Exception, match="fetch failed|nosuchfile"):
+        fetch_to_landing(
+            spark,
+            [f"file://{tmp_path}/nosuchfile.json.gz"],
+            str(tmp_path / "landing"),
+            max_retries=1,
+        )
 
 
 def test_commit_messages_nonnull_filter_semantics(spark, tmp_path):
