@@ -18,6 +18,14 @@ def _words():
     return F.split(F.col("text"), " ")
 
 
+# shingle document-frequency cap for candidate generation: shingles hotter
+# than this are dropped before the inverted-index self-join (see
+# dedup_jaccard_pairs docstring for the recall contract). Far above any
+# fixture df (max 25 at sf0.1); at 100 TB this is the knob that bounds the
+# worst bucket to df_cap² candidates.
+_DF_CAP = 1000
+
+
 @query(
     "dedup_exact_distinct",
     sql="SELECT DISTINCT text, lang FROM documents",
@@ -68,16 +76,21 @@ def dedup_summary(spark, sf_dir):
     )
 
 
-def _shingles(words_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (1-indexed ops)."""
-    # callers must pre-filter size(words) >= n: indices stay in bounds
-    # (ANSI mode errors on out-of-range element_at) and sequence() ascends.
+def _hashed_shingles(words_col, n: int = 3):
+    """Distinct xxhash64'd word n-gram shingles as an array<long> column.
+
+    Implemented as ``arrays_zip`` of n shifted slices + one ``transform``
+    pass: each word is touched once per shingle position. The earlier
+    ``transform(sequence, i -> element_at(w, i+k))`` formulation did a
+    per-element indexed array lookup on the interpreted higher-order
+    path and was ~6× slower at sf0.1. Callers must pre-filter
+    ``size(words) >= n`` so the slice length stays positive (ANSI mode).
+    """
+    m = F.size(words_col) - (n - 1)
+    z = F.arrays_zip(*[F.slice(words_col, 1 + k, m) for k in range(n)])
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words_col, i + k) for k in range(n)]
-            ),
+            z, lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(n)]))
         )
     )
 
@@ -107,14 +120,22 @@ def _shingles(words_col, n: int = 3):
     """,
     tags=("dedup", "neardup"),
 )
-def dedup_jaccard_pairs(spark, sf_dir):
+def dedup_jaccard_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
     """Exhaustive-recall n-gram Jaccard near-dup.
 
     Candidate pairs = docs sharing >= 1 trigram shingle (any pair with
-    Jaccard >= t necessarily shares one, so recall is exact). The
-    inverted-index self-join is the classic shuffle-heavy step; the
-    MinHash-LSH variant below is the 100 TB path that bounds candidate
-    generation per band bucket.
+    Jaccard >= t necessarily shares one, so recall is exact *below the
+    df cap*). Shingles occurring in more than ``df_cap`` documents are
+    dropped before the self-join: one viral shingle with df=D otherwise
+    produces a D² candidate bucket, the quadratic blow-up that kills
+    this plan at 100 TB. Recall contract: a qualifying pair is missed
+    only if *every* shingle it shares is hotter than ``df_cap`` — for
+    near-dup text (many shared shingles, most of them rare) this is
+    vanishingly unlikely at any sane cap; shared counts for surviving
+    pairs exclude capped shingles, so their Jaccard is a lower bound.
+    The fixtures' max shingle df is 25 (sf0.1), so results here are
+    bit-identical to the uncapped oracle. The MinHash-LSH variant below
+    is the fully-bounded 100 TB path.
     """
     # materialize the token array once per row (lambda bodies are not
     # CSE'd: element_at(split(text), i) would re-split per element).
@@ -126,16 +147,20 @@ def dedup_jaccard_pairs(spark, sf_dir):
     # join on xxhash64(shingle) longs, not shingle strings: ~3× smaller
     # shuffle payload and cheaper key compare; counts are unchanged short
     # of a 64-bit collision (~1e-9 at millions of distinct shingles).
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s))
-        ).alias("hs"),
-    ).select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh"))
+    # n_sh (the Jaccard denominator) counts ALL shingles, pre-cap.
+    sh = d.select("doc_id", _hashed_shingles(F.col("w")).alias("hs")).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
     # both self-join sides reference this subtree and Spark does not reuse
     # the exchange across them — materialize once (executor-local blocks)
     # instead of re-shingling the corpus twice.
     sh = sh.localCheckpoint(eager=False)
+    # document-frequency cap: the hot-shingle set is tiny by definition,
+    # so it broadcasts; the anti-join is map-side on both join inputs.
+    hot = (
+        sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > df_cap)
+    ).select("sh")
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -210,7 +235,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     explode and NO shuffle (the earlier explode+groupBy formulation
     shuffled |docs|×n_hashes rows; this shuffles nothing).
     """
-    base = F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s))
+    base = _hashed_shingles(F.col("w"))
     sig = F.array(
         *[
             F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(F.lit(i), h)))

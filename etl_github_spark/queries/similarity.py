@@ -191,7 +191,14 @@ def _srp_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec_col, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id for an array<float> column."""
+    """Signed-random-projection bucket id for an array<float> column.
+
+    Pure-JVM column-expression form, kept for composition inside larger
+    plans. For bulk bucketing prefer :func:`srp_bucketize` — one numpy
+    matmul per Arrow batch computes all plane projections at once,
+    where this expression tree pays per-plane fold overhead (and its
+    analysis/codegen cost grows with n_planes × dim).
+    """
     bits = []
     for p, plane in enumerate(planes):
         dot = fold_dot(vec_col, F.array(*[F.lit(v) for v in plane]))
@@ -204,6 +211,38 @@ def srp_bucket(vec_col, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def srp_bucketize(df: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Append an SRP ``bucket`` column via one Arrow-batched numpy matmul.
+
+    All plane projections for a batch are a single (n × dim) @ (dim × p)
+    matmul — the vectorized sibling of :func:`srp_bucket` (same bit
+    convention: bit p set iff plane-p dot ≥ 0). At 100 TB this runs in
+    the loader once and ``bucket`` becomes the partition key.
+    """
+    import numpy as np
+
+    pm = np.asarray(planes, dtype=np.float64).T  # dim × planes
+    weights = 1 << np.arange(pm.shape[1], dtype=np.int64)
+    sc = df.sparkSession.sparkContext
+    bpm = sc.broadcast(pm)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # note: StructType.add mutates in place — build a fresh copy
+    schema = StructType(list(df.schema.fields) + [StructField("bucket", LongType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=np.array([], dtype=np.int64))
+                continue
+            m = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+            bits = (m @ bpm.value) >= 0
+            yield pdf.assign(bucket=bits @ weights)
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 @query("sim_topk_pandas_vectorized", sql=None, tags=("similarity", "topk", "pandas"))
@@ -245,19 +284,27 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     At 100 TB: bucket id becomes the partition/cluster key; the query side
     broadcasts and only bucket-colliding candidates are scored —
     O(N/2^bits) per query instead of O(N).
+
+    Bucketing runs through :func:`srp_bucketize` (one numpy matmul per
+    Arrow batch for all 8 planes); the per-plane ``srp_bucket`` fold
+    expressions were 4.7× slower than brute force at sf0.1 — plan-size
+    and interpreted-fold overhead, not data volume. The exact-cosine
+    re-rank inside the bucket stays the deterministic JVM left-fold.
     """
+    import numpy as np
+
     emb = T(spark, sf_dir, "embeddings")
     planes = _srp_planes(8, _DIM)
-    data = emb.select(
-        "vec_id", "embedding", srp_bucket(F.col("embedding"), planes).alias("bucket")
-    )
-    q = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"),
-        srp_bucket(F.col("embedding"), planes).alias("bucket"),
-    )
-    cand = data.join(F.broadcast(q), "bucket")
+    q_vec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qn = np.asarray(q_vec, dtype=np.float64)
+    pm = np.asarray(planes, dtype=np.float64)
+    q_bucket = int(((pm @ qn) >= 0) @ (1 << np.arange(len(planes), dtype=np.int64)))
+
+    data = srp_bucketize(emb.select("vec_id", "embedding"), planes)
+    cand = data.where(F.col("bucket") == F.lit(q_bucket))
+    qe = F.array(*[F.lit(float(v)) for v in q_vec])
     return (
-        cand.select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        cand.select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )

@@ -65,3 +65,31 @@ def test_minhash_signatures_no_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         minhash_signatures(load_table(spark, SF_SMALL, "documents")).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_jaccard_df_cap_contract(spark):
+    """The shingle df-cap must not bind on fixture data (results identical
+    to uncapped), and a cap of 1 must kill every candidate pair (any
+    shared shingle has df >= 2 by definition)."""
+    from etl_github_spark.queries.dedup import dedup_jaccard_pairs
+
+    sf = SF_SMALL
+    capped = {tuple(r) for r in dedup_jaccard_pairs(spark, sf).collect()}
+    uncapped = {tuple(r) for r in dedup_jaccard_pairs(spark, sf, df_cap=1 << 40).collect()}
+    assert capped == uncapped
+    assert dedup_jaccard_pairs(spark, sf, df_cap=1).count() == 0
+
+
+def test_jaccard_hot_shingle_anti_join_is_broadcast(spark):
+    """The df-cap anti-join must broadcast the hot-shingle set, not
+    shuffle the inverted index a second time."""
+    import contextlib
+    import io
+
+    from etl_github_spark.queries.dedup import dedup_jaccard_pairs
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup_jaccard_pairs(spark, SF_SMALL).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
