@@ -43,20 +43,20 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
+def run_query(spark, name: str, sf_dir: str) -> list[float]:
     """Steady-state timing: one untimed warm-up (whole-stage codegen JIT,
-    parquet footer caching), then best-of-2 timed runs — min is robust to
-    the GC/scheduler noise spikes a shared host injects, and steady-state
-    is the per-query constant that matters when the same plan runs over
-    thousands of partitions."""
+    parquet footer caching), then 2 timed runs, all returned — min is the
+    headline (robust to the GC/scheduler noise spikes a shared host
+    injects); the full sample list ships in the JSON so round-over-round
+    deltas are attributable to code vs host noise."""
     fn = QUERIES[name].fn
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    best = float("inf")
+    samples = []
     for _ in range(2):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        samples.append(round(time.perf_counter() - t0, 3))
+    return samples
 
 
 def bench_gha_ingest(spark, n_copies: int = 1500) -> float:
@@ -105,9 +105,11 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         try:
-            timings[name] = round(run_query(spark, name, sf_dir), 3)
+            samples[name] = run_query(spark, name, sf_dir)
+            timings[name] = min(samples[name])
         except Exception as e:  # keep the bench line parseable on failure
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -125,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

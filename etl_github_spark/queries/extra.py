@@ -77,8 +77,12 @@ def join_asof_last_view(spark, sf_dir):
 )
 def agg_grouping_sets(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
-    # unique per sf_dir: the driver may reuse one session across runs
-    view = f"_gs_orders_{abs(hash(sf_dir)) % 10**8}"
+    # unique per sf_dir: the driver may reuse one session across runs.
+    # md5, not hash(): Python string hashing is per-process randomized
+    # (PYTHONHASHSEED), so hash()-derived names differ across processes.
+    import hashlib
+
+    view = f"_gs_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     o.createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -308,7 +312,7 @@ def set_union_distinct(spark, sf_dir):
     "sessionize_events",
     sql="""
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
       FROM events
@@ -316,7 +320,7 @@ def set_union_distinct(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM e
     )
@@ -331,9 +335,13 @@ def sessionize_events(spark, sf_dir):
 
     Spark-native ``session_window`` — the same operator Structured
     Streaming uses for stateful session aggregation, here in batch. The
-    oracle reproduces the semantics with gaps-and-islands SQL (new
-    session when the gap is STRICTLY greater than the threshold —
-    verified boundary behavior). One shuffle on user_id either way.
+    oracle reproduces the semantics with gaps-and-islands SQL. Boundary
+    pin (tests/test_properties.py): Spark MERGES touching session
+    windows, so an event exactly ``gap`` after the previous one stays
+    in the SAME session — the oracle's new-session condition is
+    therefore strictly ``>``; its running sum orders by (ts, event_id)
+    so tied timestamps stay deterministic. One shuffle on user_id
+    either way.
     """
     e = T(spark, sf_dir, "events")
     return (

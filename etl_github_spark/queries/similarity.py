@@ -285,11 +285,16 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     broadcasts and only bucket-colliding candidates are scored —
     O(N/2^bits) per query instead of O(N).
 
-    Bucketing runs through :func:`srp_bucketize` (one numpy matmul per
-    Arrow batch for all 8 planes); the per-plane ``srp_bucket`` fold
+    Bucketing + bucket filter are fused in one Arrow-batched numpy
+    kernel (all 8 plane projections = one matmul; only colliders cross
+    back to the JVM). The round-1 per-plane ``srp_bucket`` fold
     expressions were 4.7× slower than brute force at sf0.1 — plan-size
-    and interpreted-fold overhead, not data volume. The exact-cosine
+    and interpreted-fold overhead, not data volume; fused, LSH runs at
+    brute-force parity even at 500 vectors, where the only remaining
+    cost delta is the fixed query-vector-fetch job. The exact-cosine
     re-rank inside the bucket stays the deterministic JVM left-fold.
+    (:func:`srp_bucketize` is the standalone loader-time variant that
+    materializes the bucket column as a partition key.)
     """
     import numpy as np
 
@@ -298,10 +303,26 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     q_vec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     qn = np.asarray(q_vec, dtype=np.float64)
     pm = np.asarray(planes, dtype=np.float64)
-    q_bucket = int(((pm @ qn) >= 0) @ (1 << np.arange(len(planes), dtype=np.int64)))
+    weights = 1 << np.arange(len(planes), dtype=np.int64)
+    q_bucket = int(((pm @ qn) >= 0) @ weights)
 
-    data = srp_bucketize(emb.select("vec_id", "embedding"), planes)
-    cand = data.where(F.col("bucket") == F.lit(q_bucket))
+    sc = spark.sparkContext
+    bpm = sc.broadcast(pm.T)  # dim × planes
+
+    # bucketize AND filter inside one Arrow-batched kernel: only the
+    # ~N/2^planes bucket-colliding candidates travel back to the JVM,
+    # where the deterministic left-fold cosine re-ranks them.
+    def colliders(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+            buckets = ((m @ bpm.value) >= 0) @ weights
+            yield pdf[buckets == q_bucket]
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        colliders, schema="vec_id long, embedding array<float>"
+    )
     qe = F.array(*[F.lit(float(v)) for v in q_vec])
     return (
         cand.select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))

@@ -23,8 +23,14 @@ SALT_COL = "__salt"
 
 def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
     """Deterministic pseudo-random salt per row (no rand(): keeps plans
-    replayable and results stable under task retries)."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    replayable and results stable under task retries).
+
+    The salt mixes a row-unique component (monotonically_increasing_id,
+    deterministic for a given input partitioning) with the row's value
+    hash: hashing values alone sends *identical* rows to one salt
+    bucket, which defeats salting exactly when a hot key's rows are
+    duplicates (e.g. counting repeated events)."""
+    h = F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns])
     return df.withColumn(SALT_COL, F.pmod(h, F.lit(n_salts)))
 
 

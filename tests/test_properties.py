@@ -117,3 +117,43 @@ def test_exact_dedup_keep_first_survivors(spark, texts):
     for i, t in data:
         expect.setdefault(t, []).append(i)
     assert out == {t: (min(ids), len(ids)) for t, ids in expect.items()}
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """approx_count_distinct must land within 3·rsd of the exact count —
+    the driver records this query rows-only, so the accuracy contract is
+    pinned here (VERDICT r01 item 6)."""
+    from .conftest import SF_ORACLE
+    from etl_github_spark.queries.registry import QUERIES
+
+    approx = QUERIES["agg_approx_distinct_users"].fn(spark, SF_ORACLE).first()[
+        "approx_users"
+    ]
+    from etl_github_spark.queries._util import T
+
+    exact = (
+        T(spark, SF_ORACLE, "events").agg(F.countDistinct("user_id").alias("n")).first()["n"]
+    )
+    assert abs(approx - exact) / exact <= 3 * 0.02
+
+
+def test_session_window_boundary_exact_gap_merges(spark):
+    """Pin Spark's session_window boundary semantics: touching windows
+    MERGE, so an event exactly `gap` after the previous one stays in
+    the SAME session, and only a strictly-greater gap splits. The
+    sessionize_events oracle encodes the same rule with strict `>`."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 2, 0, 0, 0)),  # exactly 1 day later: merges
+        (1, dt.datetime(2024, 1, 3, 0, 0, 1)),  # 1 day + 1s: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    sessions = (
+        df.groupBy(F.session_window("ts", "1 day"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r["n"] for r in sessions] == [2, 1]

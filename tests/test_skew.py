@@ -49,3 +49,14 @@ def test_salted_broadcast_join_matches_plain(spark):
     a = with_salt(fact).groupBy("__salt").count().collect()
     b = with_salt(fact).groupBy("__salt").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """Hot keys whose rows are exact duplicates must still spread across
+    salt buckets — a value-only salt hash puts them all in one (the
+    failure mode salting exists to fix)."""
+    from etl_github_spark.skew import with_salt
+
+    dups = spark.range(4096).select(F.lit("HOT").alias("k"), F.lit(1).alias("v"))
+    n_buckets = with_salt(dups, 16).select("__salt").distinct().count()
+    assert n_buckets == 16
