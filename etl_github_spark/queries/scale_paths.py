@@ -1,0 +1,139 @@
+"""Scale-path siblings of the exhaustive similarity/dedup baselines.
+
+Each operator here replaces an O(N²) / O(N·Q) exact baseline with a
+bounded-candidate design that survives 100 TB, and is pinned against its
+exact sibling by tests (subset / same-top-k) rather than a SQL oracle
+(bucketing decisions are Spark-side by construction).
+
+Registered after the driver's 50-entry correctness window (see
+queries/__init__.py); locally checked by tests/test_similarity_variants.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T, par
+from .registry import query
+
+_DIM = 64
+
+
+@query("dedup_embedding_lsh_pairs", sql=None, tags=("dedup", "neardup", "embedding", "lsh"))
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB sibling of
+    dedup_embedding_cosine's all-pairs baseline.
+
+    Banded multi-probe over 16 SRP bits (4 bands × 4 bits): vectors
+    sharing any 4-bit band bucket become candidates; the exact
+    deterministic left-fold cosine then filters at the same 0.35
+    threshold. Candidate generation is a bucket-local self-join
+    (shuffle key = (band, band-bucket)) — O(Σ bucket²) instead of
+    O(N²), and the bucket id is the partition key at scale. Recall:
+    a qualifying pair is missed only if all 4 bands split it; each SRP
+    bit agrees with p = 1 − θ/π, so borderline-0.35 pairs are found
+    with moderate probability while truly-near duplicates (cos ≥ 0.8)
+    are found with p → 1. Pinned as a subset of the exact baseline.
+    """
+    from .dedup import dedup_embedding_cosine  # noqa: F401  (exact sibling)
+    from .similarity import _srp_planes, cosine, srp_bucketize
+
+    n_bits, band_size = 16, 4
+    n_bands = n_bits // band_size
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    data = srp_bucketize(emb, _srp_planes(n_bits, _DIM))
+    bands = data.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("bucket"), b * band_size)
+                        .bitwiseAND(F.lit((1 << band_size) - 1))
+                        .alias("bb"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id", "embedding", F.col("x.band").alias("band"), F.col("x.bb").alias("bb")
+    )
+    # both self-join sides read this subtree; materialize once
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return cand.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
+        F.col("cos_sim") >= 0.35
+    )
+
+
+@query("sim_ivf_topk", sql=None, tags=("similarity", "topk", "ivf"))
+def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
+    """IVF-style ANN top-k: coarse quantizer → probe nearest cells →
+    exact re-rank within the probed cells.
+
+    The coarse quantizer here is the fixture ``label`` column with
+    per-cell mean centroids (at 100 TB the cells come from distributed
+    k-means and vectors are written bucketed by cell id, so a probe is
+    a partition-pruned scan, not a filter). The query probes the
+    ``nprobe`` nearest centroids and scans only those cells —
+    O(N·nprobe/k) scored vectors per query instead of O(N). Centroid
+    fit is one narrow aggregation (posexplode → avg per (label, dim));
+    the centroid table (k × dim, here 10×64) collects to the driver —
+    the one permissible collect, it IS the index metadata. Pinned:
+    results are a subsequence of the exhaustive ranking; the query's
+    own cell is always probed, so vec 0 ranks first.
+    """
+    import numpy as np
+
+    from .similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    # coarse-quantizer fit: per-(cell, dim) mean via one narrow partial+
+    # final aggregation — shuffle volume = k×dim rows, scale-safe (float
+    # mean order-dependence is irrelevant here: means only *select*
+    # cells, they never touch result values).
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    k = max(r["label"] for r in cent_rows) + 1
+    centroids = np.zeros((k, _DIM))
+    for r in cent_rows:
+        centroids[r["label"], r["i"]] = r["m"]
+
+    q_row = emb.where(F.col("vec_id") == 0).select("embedding", "label").first()
+    q_vec, q_label = q_row["embedding"], int(q_row["label"])
+    qn = np.asarray(q_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    norms = np.linalg.norm(centroids, axis=1)
+    order = np.argsort(-(centroids @ qn) / np.where(norms > 0, norms, 1.0))
+    probe = list(dict.fromkeys([q_label, *map(int, order)]))[:nprobe]
+
+    qe = F.array(*[F.lit(float(v)) for v in q_vec])
+    return (
+        emb.where(F.col("label").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -1,1 +1,2 @@
+from .dedup import stream_dedup_exact, stream_dedup_within_watermark  # noqa: F401
 from .pipeline import stream_ingest, stream_windowed_counts  # noqa: F401

@@ -27,3 +27,33 @@ def test_lsh_topk_subset_of_bruteforce_ranking(spark):
     in_brute = [v for v in lsh if v in brute_pos]
     assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])
     assert lsh[0] == 0  # the query vector itself always collides with itself
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """SRP-banded near-dup candidates re-ranked by exact cosine must be a
+    subset of the all-pairs baseline (bounded-recall contract), and every
+    surviving pair must carry the identical deterministic cosine."""
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in QUERIES["dedup_embedding_lsh_pairs"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert len(lsh) > 0
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # bit-identical left-fold on both paths
+
+
+def test_ivf_topk_subsequence_of_bruteforce(spark):
+    """IVF probes a cell subset, so its ranking must be a subsequence of
+    the exhaustive ranking with the query vector first (its own cell is
+    always probed)."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    ivf = _ids(spark, "sim_ivf_topk")
+    assert ivf[0] == 0
+    brute_pos = {v: i for i, v in enumerate(brute)}
+    in_brute = [v for v in ivf if v in brute_pos]
+    assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])

@@ -1,0 +1,94 @@
+"""Streaming dedup: duplicates within the watermark horizon are dropped
+exactly once across micro-batches (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _land(dirpath, name, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_dedup_exact_drops_in_window_duplicates(spark, tmp_path):
+    from etl_github_spark.streaming.dedup import stream_dedup_exact
+
+    landing = tmp_path / "landing"
+    rows = [
+        {"event_id": 1, "user_id": 10, "created_at": "2024-01-01T00:05:00Z"},
+        {"event_id": 1, "user_id": 10, "created_at": "2024-01-01T00:06:00Z"},  # dup, same hour
+        {"event_id": 2, "user_id": 11, "created_at": "2024-01-01T00:10:00Z"},
+        {"event_id": 1, "user_id": 10, "created_at": "2024-01-01T02:05:00Z"},  # later window: re-emits
+        {"event_id": 3, "user_id": 12, "created_at": "2024-01-01T02:20:00Z"},
+    ]
+    _land(landing, "a.json", rows[:2])
+    _land(landing, "b.json", rows[2:])
+
+    src = (
+        spark.readStream.schema("event_id long, user_id long, created_at string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .json(str(landing))
+        .selectExpr("event_id", "user_id", "to_timestamp(created_at) AS created_at")
+    )
+    deduped = stream_dedup_exact(src, ["event_id"], ts_col="created_at")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["created_at"].isoformat())
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    # one row per (event_id, hour-window): the 00:06 dup is dropped, the
+    # 02:05 recurrence survives (new window)
+    assert got == [
+        (1, "2024-01-01T00:05:00"),
+        (1, "2024-01-01T02:05:00"),
+        (2, "2024-01-01T00:10:00"),
+        (3, "2024-01-01T02:20:00"),
+    ]
+
+
+def test_stream_dedup_within_watermark_drops_while_state_live(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps first-seen state until the
+    watermark passes first_ts + delay — duplicates arriving while the
+    state is live are dropped regardless of bucket alignment."""
+    from etl_github_spark.streaming.dedup import stream_dedup_within_watermark
+
+    landing = tmp_path / "landing"
+    _land(
+        landing,
+        "a.json",
+        [
+            {"event_id": 1, "user_id": 10, "created_at": "2024-01-01T00:05:00Z"},
+            {"event_id": 1, "user_id": 10, "created_at": "2024-01-01T00:55:00Z"},  # dup
+            {"event_id": 2, "user_id": 11, "created_at": "2024-01-01T00:10:00Z"},
+        ],
+    )
+    src = (
+        spark.readStream.schema("event_id long, user_id long, created_at string")
+        .json(str(landing))
+        .selectExpr("event_id", "user_id", "to_timestamp(created_at) AS created_at")
+    )
+    deduped = stream_dedup_within_watermark(src, ["event_id"], ts_col="created_at")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_wm_out").collect()
+    )
+    assert got == [1, 2]
