@@ -93,3 +93,40 @@ def test_jaccard_hot_shingle_anti_join_is_broadcast(spark):
         dedup_jaccard_pairs(spark, SF_SMALL).explain("formatted")
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_tpch_ext_plans_no_accidental_cartesian(spark):
+    """Every extended TPC-H shape must plan equi-joins (broadcast or
+    shuffle), never a cartesian/nested-loop — except q22's deliberate
+    1-row scalar-threshold cross join."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q12_priority_by_status",
+        "q14_promo_effect",
+        "q16_supplier_part_cnt",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_q4_plans_semi_join(spark):
+    assert "LeftSemi" in plan_of(spark, "q4_order_priority")
+
+
+def test_q22_scalar_crossjoin_is_broadcast_single_row(spark):
+    """The threshold aggregate must arrive as a broadcast nested-loop of
+    a 1-row relation, and the no-recent-orders filter as an anti-join."""
+    p = plan_of(spark, "q22_idle_rich_customers")
+    # tree section: exactly one BroadcastNestedLoopJoin node (the 1-row
+    # threshold relation); formatted explain repeats nodes in the detail
+    # section, so count tree lines only.
+    tree = p.split("\n\n")[0]
+    assert sum("BroadcastNestedLoopJoin" in l for l in tree.splitlines()) == 1
+    assert "LeftAnti" in p
