@@ -85,6 +85,62 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     )
 
 
+def _multi_query_sql() -> str:
+    from .similarity import _fold_dot_sql
+
+    return """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    cos AS (
+      SELECT q.q_id, e.vec_id,
+             {dot} / (sqrt({n1}) * sqrt({n2})) AS cos_sim
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM cos
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """.format(
+        dot=_fold_dot_sql("e.embedding", "q.qe"),
+        n1=_fold_dot_sql("e.embedding", "e.embedding"),
+        n2=_fold_dot_sql("q.qe", "q.qe"),
+    )
+
+
+@query("sim_topk_multi_query", sql=_multi_query_sql(), tags=("similarity", "topk"))
+def sim_topk_multi_query(spark, sf_dir):
+    """Batched similarity search: top-5 neighbors for EACH of a set of
+    query vectors in one plan — the shape a real retrieval pipeline
+    runs (single-query top-k is the toy case).
+
+    Broadcast the query set, score every (vector, query) pair with the
+    deterministic left-fold cosine, rank per query with a window. One
+    scan of the corpus regardless of |Q|; the per-query partial top-k
+    runs map-side inside the window's rank filter. At 100 TB with large
+    |Q| the crossJoin becomes the bucketed-LSH candidate join and the
+    window keys on (query, bucket) — same plan skeleton.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
 @query("sim_ivf_topk", sql=None, tags=("similarity", "topk", "ivf"))
 def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
     """IVF-style ANN top-k: coarse quantizer → probe nearest cells →
