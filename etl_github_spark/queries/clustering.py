@@ -1,0 +1,157 @@
+"""Near-dup cluster formation: connected components over the pair graph.
+
+Pairwise near-dup detection (Jaccard / MinHash-LSH) yields EDGES; a real
+training-data dedup pipeline must then group transitively-linked docs
+into CLUSTERS and keep one canonical survivor per cluster (the step
+FineWeb/RefinedWeb-style pipelines run after LSH; reference analog:
+the dedup stage of preprocess.py's curation flow, preprocess.py:209-230,
+which stops at pairwise — clustering is the scale completion).
+
+Spark-first design: iterative min-label propagation on DataFrames.
+Each iteration is one shuffle (edges ⋈ labels, groupBy min); labels only
+decrease, so `sum(label)` is a monotone convergence witness — the loop
+stops when the sum stops changing. Iteration count = graph diameter
+(near-dup clusters are shallow; single digits in practice). Lineage is
+truncated per iteration with localCheckpoint so plans stay O(1) deep.
+This is the standard large-scale CC recipe (alternating small-star /
+large-star reduces to this on shallow graphs) — no GraphX dependency,
+pure DataFrame ops, executes anywhere Spark runs.
+
+Oracle: DuckDB WITH RECURSIVE transitive closure + min-over-reachable —
+exact same cluster ids (min doc_id in component) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ._util import T
+from .dedup import JACCARD_PAIRS_SQL, dedup_jaccard_pairs
+from .registry import query
+
+# closure over the symmetric edge set; cluster id = min reachable doc_id
+# (including self — every node in the edge list has >= 1 neighbor).
+_COMPONENTS_CTE = f"""
+WITH RECURSIVE jp AS ({JACCARD_PAIRS_SQL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+"""
+
+
+def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_a, doc_b) edge list → (id, label) with label = component min id.
+
+    Min-label propagation: label(v) ← min(label(v), min_{u∈N(v)} label(u))
+    until fixpoint. Converges in O(diameter) rounds; each round is a
+    single shuffle-join + partial/final min-agg. The per-round driver
+    `.first()` fetches ONE scalar (the convergence witness), not data —
+    the documented exception for iterative algorithms.
+    """
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()  # materialize the pair graph once; both the label
+    # init and every iteration re-scan it.
+    lab = (
+        sym.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    total = lab.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        nb = (
+            sym.join(lab, sym["doc_b"] == lab["id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        lab_new = (
+            lab.join(nb, lab["id"] == nb["doc_a"], "left")
+            .select(
+                lab["id"],
+                F.least(lab["label"], F.coalesce(nb["nb_min"], lab["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_total = lab_new.agg(F.sum("label")).first()[0]
+        lab = lab_new
+        if new_total == total:  # labels are monotone non-increasing:
+            break  # unchanged sum == fixpoint
+        total = new_total
+    return lab
+
+
+@query(
+    "dedup_cluster_components",
+    sql=_COMPONENTS_CTE
+    + """
+SELECT doc_id, cluster_id, CAST(cnt AS BIGINT) AS cluster_size
+FROM comp
+JOIN (SELECT cluster_id, count(*) AS cnt FROM comp GROUP BY cluster_id) USING (cluster_id)
+""",
+    tags=("dedup", "clustering"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    """doc_id → (cluster_id, cluster_size) for every doc in a near-dup
+    cluster (transitive closure of the Jaccard pair graph).
+
+    At 100 TB the edge list comes from the bounded MinHash-LSH candidate
+    join instead of the exhaustive pair query — the propagation loop is
+    identical, and its per-round shuffle is |edges|, already bounded by
+    the LSH band structure.
+    """
+    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = connected_components(edges)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@query(
+    "dedup_cluster_survivors",
+    sql=_COMPONENTS_CTE
+    + """
+SELECT d.doc_id, d.lang,
+       CASE WHEN comp.doc_id IS NULL THEN 'unique' ELSE 'canonical' END AS keep_reason
+FROM documents d
+LEFT JOIN comp ON d.doc_id = comp.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.cluster_id
+""",
+    tags=("dedup", "clustering"),
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    """The deduplicated corpus: docs in no cluster, plus the canonical
+    (min-id) member of each near-dup cluster — i.e. what a curation
+    pipeline actually writes out after clustering.
+
+    One broadcast join: the cluster membership table is |clustered docs|
+    (tiny relative to the corpus — near-dup rate, not corpus size), so
+    the survivor filter is map-side over the full documents scan.
+    """
+    comp = dedup_cluster_components(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = d.join(
+        F.broadcast(comp).withColumnRenamed("doc_id", "c_doc_id"),
+        d["doc_id"] == F.col("c_doc_id"),
+        "left",
+    )
+    return joined.where(
+        F.col("c_doc_id").isNull() | (F.col("c_doc_id") == F.col("cluster_id"))
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("c_doc_id").isNull(), F.lit("unique"))
+        .otherwise(F.lit("canonical"))
+        .alias("keep_reason"),
+    )

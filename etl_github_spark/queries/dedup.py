@@ -95,9 +95,9 @@ def _hashed_shingles(words_col, n: int = 3):
     )
 
 
-@query(
-    "dedup_jaccard_pairs",
-    sql="""
+# full-recall trigram-Jaccard pair query (DuckDB). Shared with the
+# clustering module, which wraps it as a CTE under WITH RECURSIVE.
+JACCARD_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -117,9 +117,10 @@ def _hashed_shingles(words_col, n: int = 3):
            CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
     FROM pairs
     WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.08
-    """,
-    tags=("dedup", "neardup"),
-)
+    """
+
+
+@query("dedup_jaccard_pairs", sql=JACCARD_PAIRS_SQL, tags=("dedup", "neardup"))
 def dedup_jaccard_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
     """Exhaustive-recall n-gram Jaccard near-dup.
 

@@ -1,0 +1,44 @@
+"""Connected-components label propagation tests (queries/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_github_spark.queries.clustering import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+
+
+def _labels(df):
+    return {r["id"]: r["label"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4 forces multiple propagation rounds.
+    df = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert _labels(df) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    df = connected_components(
+        _edges(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)])
+    )
+    lab = _labels(df)
+    assert lab == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_edge_direction_irrelevant(spark):
+    # min id appearing only on the right side still wins.
+    df = connected_components(_edges(spark, [(5, 1), (5, 9)]))
+    assert _labels(df) == {1: 1, 5: 1, 9: 1}
+
+
+def test_star_converges_fast(spark):
+    # hub-and-spoke: one round reaches the fixpoint for every spoke.
+    hub = [(100, s) for s in range(101, 120)]
+    df = connected_components(_edges(spark, hub))
+    lab = _labels(df)
+    assert set(lab.values()) == {100}
+    assert len(lab) == 20
