@@ -193,3 +193,176 @@ def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS max_abs FROM base
+),
+q AS (
+  SELECT vec_id, e, max_abs,
+         list_transform(e, v -> CASE WHEN max_abs = 0 THEN 0
+                                     ELSE CAST(trunc(v * 127.0 / max_abs) AS BIGINT) END) AS qv
+  FROM m
+)
+SELECT vec_id,
+       max_abs / 127.0 AS scale,
+       CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS BIGINT) AS q_l1,
+       list_reduce(
+         list_transform(range(1, 65),
+           i -> (e[CAST(i AS INT)] - CAST(qv[CAST(i AS INT)] AS DOUBLE) * max_abs / 127.0)
+              * (e[CAST(i AS INT)] - CAST(qv[CAST(i AS INT)] AS DOUBLE) * max_abs / 127.0)),
+         (acc, x) -> acc + x) / 64 AS mse
+FROM q
+"""
+
+
+@query("emb_quantize_int8", sql=_QUANT_SQL, tags=("similarity", "embedding", "quantization"))
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the compression step a training pipeline runs before shipping
+    embeddings to ANN index build or dataloader shards (4× smaller than
+    float32, 16× than float64).
+
+    Per row: scale = max|v|/127, q_i = trunc(v_i·127/max|v|) ∈ [-127,127].
+    Truncation-toward-zero is used instead of rounding because Spark
+    (ANSI cast) and DuckDB (trunc) agree on it bit-for-bit, while their
+    round() half-way modes differ. The reported mse is the dequantization
+    error under the same left-fold order both engines execute, so the
+    whole result is hash-stable. Everything is a single whole-stage-
+    codegen projection — no shuffle, no UDF; at 100 TB this runs at scan
+    speed and writes the (qv, scale) pair as the stored representation.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.array_max(F.transform("e", F.abs)).alias("max_abs"),
+    )
+    qv = F.transform(
+        "e",
+        lambda v: F.when(F.col("max_abs") == 0, F.lit(0).cast("long")).otherwise(
+            (v * F.lit(127.0) / F.col("max_abs")).cast("long")
+        ),
+    )
+    d = d.select("vec_id", "e", "max_abs", qv.alias("qv"))
+    recon_err_sq = F.zip_with(
+        "e",
+        "qv",
+        lambda v, qq: (v - qq.cast("double") * F.col("max_abs") / F.lit(127.0))
+        * (v - qq.cast("double") * F.col("max_abs") / F.lit(127.0)),
+    )
+    return d.select(
+        "vec_id",
+        (F.col("max_abs") / F.lit(127.0)).alias("scale"),
+        F.aggregate(
+            F.transform("qv", F.abs), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("q_l1"),
+        (
+            F.aggregate(recon_err_sq, F.lit(0.0), lambda a, b: a + b) / F.lit(64)
+        ).alias("mse"),
+    )
+
+
+def _kmeans_assign(centroids):
+    """argmin-L2 cell id as a pure column expression over ``embedding``.
+
+    One deterministic left-fold squared-distance per centroid; the
+    nearest cell is picked with least() + a first-match when-chain
+    (lowest cell id wins ties). All whole-stage-codegen — no UDF, no
+    shuffle.
+    """
+    dists = []
+    for vec in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    lit,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    min_d = F.least(*dists)
+    cell = F.when(dists[0] == min_d, F.lit(0))
+    for c in range(1, len(dists)):
+        cell = cell.when(dists[c] == min_d, F.lit(c))
+    return cell
+
+
+def lloyd_fit(emb, k: int = 8, iters: int = 3):
+    """Distributed k-means fit of the IVF coarse quantizer.
+
+    Deterministic init (first k vectors by vec_id), then ``iters`` Lloyd
+    rounds: assignment is a codegen projection (no shuffle), the update
+    is one narrow posexplode→avg aggregation whose shuffle volume is
+    k×dim rows — independent of corpus size, so the fit costs
+    iters × (scan + tiny shuffle) at any scale. Only the k×dim centroid
+    matrix ever reaches the driver (it IS the index metadata). Empty
+    cells keep their previous centroid. Returns a numpy (k, dim) array.
+    """
+    import numpy as np
+
+    init = emb.where(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    centroids = np.array(
+        [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        rows = (
+            emb.select(
+                _kmeans_assign(centroids).alias("cell"),
+                F.posexplode("embedding").alias("i", "x"),
+            )
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        for r in rows:
+            centroids[r["cell"], r["i"]] = r["m"]
+    return centroids
+
+
+@query("sim_ivf_kmeans_topk", sql=None, tags=("similarity", "topk", "ivf", "kmeans"))
+def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
+    """IVF top-k with a LEARNED coarse quantizer (k-means via lloyd_fit)
+    instead of sim_ivf_topk's fixture labels — the shape a real ANN
+    index build takes when no pre-existing partition key exists.
+
+    At 100 TB: fit on a sample, write vectors bucketed by cell id, and a
+    probe becomes a partition-pruned scan of nprobe buckets. Here the
+    probe is a filter over the assigned cells; scoring within probed
+    cells is the exact deterministic left-fold cosine, so results are a
+    subsequence of the exhaustive ranking (pinned by test).
+    """
+    import numpy as np
+
+    from .similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    centroids = lloyd_fit(emb, k=k, iters=3)
+
+    q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qn = np.asarray(q_vec, dtype=np.float64)
+    d2 = ((centroids - qn) ** 2).sum(axis=1)
+    q_cell = int(np.argmin(d2))  # query's own cell: always probed
+    probe = list(dict.fromkeys([q_cell, *map(int, np.argsort(d2))]))[:nprobe]
+
+    qe = F.array(*[F.lit(float(v)) for v in q_vec])
+    return (
+        emb.select("vec_id", "embedding", _kmeans_assign(centroids).alias("cell"))
+        .where(F.col("cell").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

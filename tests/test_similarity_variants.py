@@ -57,3 +57,16 @@ def test_ivf_topk_subsequence_of_bruteforce(spark):
     brute_pos = {v: i for i, v in enumerate(brute)}
     in_brute = [v for v in ivf if v in brute_pos]
     assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])
+
+
+def test_ivf_kmeans_topk_subsequence_of_bruteforce(spark):
+    """Learned-quantizer IVF must obey the same contract as the
+    label-cell variant: subsequence of the exhaustive ranking, query
+    vector first (its own cell is always probed)."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    ivf = _ids(spark, "sim_ivf_kmeans_topk")
+    assert ivf[0] == 0
+    assert len(ivf) == 10
+    brute_pos = {v: i for i, v in enumerate(brute)}
+    in_brute = [v for v in ivf if v in brute_pos]
+    assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])
