@@ -1,5 +1,7 @@
-"""Extended TPC-H-shaped coverage (q2/q4/q7/q8/q9/q12/q14/q16/q18/q19/q22
-analogs) over the fixture star schema.
+"""Extended TPC-H-shaped coverage (q2/q4/q7/q8/q9/q12/q13/q14/q15/q16/
+q17/q18/q19/q21/q22 analogs) over the fixture star schema — with
+queries/tpch.py's q1/q3/q5/q6/q10, 20 of the 22 TPC-H shapes (q11/q20
+are partsupp-only and the fixtures have no partsupp table).
 
 The fixtures have no ``partsupp`` table and lineitem carries no
 commit/receipt dates or ship modes, so the queries that need those
@@ -501,3 +503,191 @@ def q22_idle_rich_customers(spark, sf_dir):
             (F.sum(fxp("c_acctbal")) / 100.0).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q13_customer_distribution",
+    sql="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "histogram"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    """Q13: distribution of per-customer order counts (customers with
+    zero qualifying orders included via the left join's null-preserving
+    count).
+
+    Adapted: no o_comment in the fixtures, so the order filter is
+    o_orderpriority <> '1-URGENT'. Two aggregations, both key-partial:
+    the first shuffles |customers| rows, the second |distinct counts|.
+    """
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, CAST(sum({rev}) AS BIGINT) AS total_rev_i
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_rev_i / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_rev_i = (SELECT max(total_rev_i) FROM rev)
+    """.format(rev=_REV),
+    tags=("tpch", "scalar-subquery", "argmax"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """Q15: supplier(s) with the maximum revenue over one quarter
+    (the view + scalar-subquery-max shape).
+
+    Revenue totals stay exact scaled integers through the max
+    comparison, so ties and the argmax are engine-identical; the /1e4
+    happens only on output. The max is a 1-row broadcast, the rev CTE
+    is computed once and reused for both sides (Spark reuses the
+    exchange under AQE).
+    """
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(fxp("l_extendedprice") * (100 - fxp("l_discount"))).alias("total_rev_i")
+    )
+    mx = rev.agg(F.max("total_rev_i").alias("mx"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_i") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_i") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    sql="""
+    WITH pa AS (
+      SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qs,
+             CAST(count(*) AS BIGINT) AS qn
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT (CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.qn < pa.qs
+    """,
+    tags=("tpch", "correlated-avg"),
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """Q17: yearly revenue lost if small-quantity orders (< 20% of the
+    part's average quantity) were not taken, for one brand.
+
+    Adapted: no p_container, so the part filter is brand-only. The
+    threshold `qty < avg/5` is evaluated as `qty·5·n < sum` — pure
+    integer math, no float division, engine-identical ties. Scale shape:
+    lineitem is semi-joined to the (broadcast) brand part list BEFORE
+    the per-part stats aggregation, so the avg shuffle covers only the
+    brand's lineitems, not the whole fact table — result-identical
+    because the join would discard other parts anyway.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    lib = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"], "semi"
+    )
+    pa = lib.groupBy("l_partkey").agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("qs"),
+        F.count("*").alias("qn"),
+    )
+    j = lib.join(pa, "l_partkey").where(
+        F.round("l_quantity").cast("long") * 5 * F.col("qn") < F.col("qs")
+    )
+    return j.agg(
+        ((F.sum(fxp("l_extendedprice")) / 100.0) / 7.0).alias("avg_yearly")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    sql="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "exists", "anti"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the sole at-fault supplier on multi-supplier orders —
+    EXISTS (another supplier on the order) + NOT EXISTS (another
+    supplier also at fault), the classic semi+anti join pair.
+
+    Adapted: no commit/receipt dates, so "at fault" is l_returnflag='R'
+    on a finished ('F') order. The nation-filtered supplier dim is
+    broadcast and applied FIRST, so the semi/anti self-joins run over
+    one nation's lineitems only; both self-joins share the l_orderkey
+    shuffle key with the driving side.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sn = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "semi",
+    )
+    sole = cand.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return sole.groupBy("s_name").agg(F.count("*").alias("numwait"))
