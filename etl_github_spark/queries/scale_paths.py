@@ -233,8 +233,9 @@ def emb_quantize_int8(spark, sf_dir):
     (ANSI cast) and DuckDB (trunc) agree on it bit-for-bit, while their
     round() half-way modes differ. The reported mse is the dequantization
     error under the same left-fold order both engines execute, so the
-    whole result is hash-stable. Everything is a single whole-stage-
-    codegen projection — no shuffle, no UDF; at 100 TB this runs at scan
+    whole result is hash-stable. Everything is a shuffle-free chain of
+    per-row projections (higher-order array exprs run interpreted but
+    JVM-side — no Python, no exchange); at 100 TB this runs at scan
     speed and writes the (qv, scale) pair as the stored representation.
     """
     emb = T(spark, sf_dir, "embeddings")

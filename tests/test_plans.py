@@ -130,3 +130,34 @@ def test_q22_scalar_crossjoin_is_broadcast_single_row(spark):
     tree = p.split("\n\n")[0]
     assert sum("BroadcastNestedLoopJoin" in l for l in tree.splitlines()) == 1
     assert "LeftAnti" in p
+
+
+def test_quantize_is_pure_projection(spark):
+    """int8 quantization must compile to a single shuffle-free
+    whole-stage-codegen projection over the scan."""
+    p = plan_of(spark, "emb_quantize_int8")
+    assert "Exchange" not in p
+    assert "Join" not in p and "Aggregate" not in p
+
+
+def test_multi_query_topk_broadcasts_queries(spark):
+    """The query-vector set must broadcast (one corpus scan regardless
+    of |Q|), never shuffle the corpus against it."""
+    p = plan_of(spark, "sim_topk_multi_query")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q17_semi_join_is_broadcast(spark):
+    """The brand part-list semi-join must be broadcast and applied
+    before the per-part stats aggregation."""
+    p = plan_of(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" in p
+
+
+def test_q21_dim_join_is_broadcast(spark):
+    """The nation-filtered supplier dim must broadcast; the semi/anti
+    self-joins may shuffle on the order key only."""
+    p = plan_of(spark, "q21_waiting_suppliers")
+    assert "BroadcastHashJoin" in p
