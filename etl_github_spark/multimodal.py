@@ -79,6 +79,19 @@ class Codec:
         d = hashlib.sha256(payload).digest()
         return int.from_bytes(d[:2], "big"), int.from_bytes(d[2:4], "big")
 
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        """Re-encode payload at (w, h). The fake derives a deterministic
+        output whose size scales with the target area, so tests can
+        assert payload-shape behavior without a real image library."""
+        if not self.fake:
+            raise NotImplementedError(
+                "no media codec in this environment; use Codec(fake=True) "
+                "or plug a real decoder"
+            )
+        seed = hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+        out_len = max(1, (w * h) // 64)
+        return (seed * (out_len // len(seed) + 1))[:out_len]
+
 
 def extract_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
     """payload → per-item features via Arrow-batched mapInPandas.
@@ -109,6 +122,38 @@ def extract_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, codec: Codec | None = None
+) -> DataFrame:
+    """payload → payload re-encoded at (width, height), meta updated —
+    the resize stage of an image-preprocessing pipeline.
+
+    Same Arrow-batched ``mapInPandas`` shape as :func:`extract_features`
+    (bounded memory per task however large the partition); output schema
+    is MEDIA_SCHEMA again so resize composes with every other media
+    operator. Null payloads pass through as nulls.
+    """
+    codec = codec or Codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = [
+                None if p is None else codec.resize(bytes(p), width, height)
+                for p in pdf["payload"]
+            ]
+            meta = [
+                None
+                if m is None
+                else {"format": m["format"], "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": out_payload, "meta": meta}
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def meta_summary(media: DataFrame) -> DataFrame:

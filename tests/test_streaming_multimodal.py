@@ -11,6 +11,7 @@ from etl_github_spark.multimodal import (
     Codec,
     extract_features,
     meta_summary,
+    resize_media,
     sample_frames,
 )
 from etl_github_spark.streaming import stream_ingest, stream_windowed_counts
@@ -107,3 +108,23 @@ def test_multimodal_meta_only_prunes_payload(spark):
     )
     r0 = {r.media_id: r for r in extract_features(media2, Codec(fake=True)).collect()}[0]
     assert r0.n_bytes is None and r0.digest is None
+
+
+def test_multimodal_resize_updates_meta_and_payload(spark):
+    media = _media_df(spark, 6)
+    out = {r.media_id: r for r in resize_media(media, 32, 16, Codec(fake=True)).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert (r.meta.width, r.meta.height) == (32, 16)
+        assert len(r.payload) == (32 * 16) // 64
+    # deterministic re-encode, format preserved
+    again = {r.media_id: r for r in resize_media(media, 32, 16, Codec(fake=True)).collect()}
+    assert all(bytes(out[i].payload) == bytes(again[i].payload) for i in out)
+    assert out[1].meta.format == "png" and out[2].meta.format == "jpg"
+
+
+def test_multimodal_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_media(_media_df(spark, 2), 8, 8, Codec(fake=False)).collect()
