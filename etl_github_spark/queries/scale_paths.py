@@ -272,42 +272,53 @@ def emb_quantize_int8(spark, sf_dir):
     )
 
 
-def _kmeans_assign(centroids):
-    """argmin-L2 cell id as a pure column expression over ``embedding``.
+def assign_cells(emb, centroids):
+    """(vec_id, embedding) → (vec_id, embedding, cell): nearest-centroid
+    assignment as ONE Arrow-batched numpy kernel.
 
-    One deterministic left-fold squared-distance per centroid; the
-    nearest cell is picked with least() + a first-match when-chain
-    (lowest cell id wins ties). All whole-stage-codegen — no UDF, no
-    shuffle.
+    All k squared distances come from a single matmul per batch
+    (‖x−c‖² = −2·x·cᵀ + ‖c‖² up to the row-constant ‖x‖²), with argmin
+    ties broken toward the lowest cell id. The earlier pure-column
+    formulation (k interpreted fold-distances per row) was ~50× slower
+    at sf0.1 — the same toy-scale lesson as the SRP kernel fusion: k×dim
+    interpreted higher-order lambdas per row dominate everything. This
+    is the documented Arrow-kernel exception, identical in shape to
+    sim_topk_pandas_vectorized.
     """
-    dists = []
-    for vec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in vec])
-        dists.append(
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    lit,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm = (c_mat * c_mat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-        )
-    min_d = F.least(*dists)
-    cell = F.when(dists[0] == min_d, F.lit(0))
-    for c in range(1, len(dists)):
-        cell = cell.when(dists[c] == min_d, F.lit(c))
-    return cell
+            d2 = -2.0 * (x @ c_mat.T) + c_norm[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, embedding array<float>, cell int"
+    )
 
 
 def lloyd_fit(emb, k: int = 8, iters: int = 3):
     """Distributed k-means fit of the IVF coarse quantizer.
 
     Deterministic init (first k vectors by vec_id), then ``iters`` Lloyd
-    rounds: assignment is a codegen projection (no shuffle), the update
-    is one narrow posexplode→avg aggregation whose shuffle volume is
-    k×dim rows — independent of corpus size, so the fit costs
+    rounds: assignment is one Arrow matmul kernel pass (no shuffle), the
+    update is one narrow posexplode→avg aggregation whose shuffle volume
+    is k×dim rows — independent of corpus size, so the fit costs
     iters × (scan + tiny shuffle) at any scale. Only the k×dim centroid
     matrix ever reaches the driver (it IS the index metadata). Empty
     cells keep their previous centroid. Returns a numpy (k, dim) array.
@@ -321,10 +332,8 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3):
     )
     for _ in range(iters):
         rows = (
-            emb.select(
-                _kmeans_assign(centroids).alias("cell"),
-                F.posexplode("embedding").alias("i", "x"),
-            )
+            assign_cells(emb, centroids)
+            .select("cell", F.posexplode("embedding").alias("i", "x"))
             .groupBy("cell", "i")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
@@ -350,7 +359,7 @@ def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
 
     from .similarity import cosine
 
-    emb = T(spark, sf_dir, "embeddings")
+    emb = par(T(spark, sf_dir, "embeddings"))
     centroids = lloyd_fit(emb, k=k, iters=3)
 
     q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -361,7 +370,7 @@ def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
 
     qe = F.array(*[F.lit(float(v)) for v in q_vec])
     return (
-        emb.select("vec_id", "embedding", _kmeans_assign(centroids).alias("cell"))
+        assign_cells(emb, centroids)
         .where(F.col("cell").isin(probe))
         .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
