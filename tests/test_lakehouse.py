@@ -110,3 +110,69 @@ def test_streaming_windowed_agg_end_to_end(spark, tmp_path):
     # has advanced past them); the final 00:00 window stays open.
     assert rows[("2024-02-29T22:00:00", "org/tools")] == 3
     assert ("2024-03-01T00:00:00", "org/tools") not in rows
+
+
+def test_merge_table_upserts_only_affected_partitions(spark, tmp_path):
+    """merge_table replaces matched keys, inserts new ones, and leaves
+    partitions outside the update batch physically untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import merge_table
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01"),
+            (2, "b", "2024-01-01"),
+            (3, "c", "2024-01-02"),
+            (4, "d", "2024-01-03"),
+        ],
+        ["id", "val", "date"],
+    )
+    base.write.partitionBy("date").parquet(path)
+    d1_files = sorted(os.listdir(tmp_path / "tbl" / "date=2024-01-01"))
+
+    updates = spark.createDataFrame(
+        [
+            (3, "c2", "2024-01-02"),  # update existing key
+            (5, "e", "2024-01-02"),   # insert into existing partition
+            (6, "f", "2024-01-04"),   # insert into brand-new partition
+        ],
+        ["id", "val", "date"],
+    )
+    merge_table(spark, path, updates, key_cols=("id",))
+
+    got = {
+        r["id"]: (r["val"], str(r["date"]))  # partition col type-infers to date
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", "2024-01-01"),
+        2: ("b", "2024-01-01"),
+        3: ("c2", "2024-01-02"),
+        4: ("d", "2024-01-03"),
+        5: ("e", "2024-01-02"),
+        6: ("f", "2024-01-04"),
+    }
+    # untouched partition: identical file listing (never rewritten)
+    assert sorted(os.listdir(tmp_path / "tbl" / "date=2024-01-01")) == d1_files
+
+
+def test_merge_table_idempotent_reapply(spark, tmp_path):
+    """Re-applying the same update batch is a no-op on row content —
+    the retry-safety property the reference's append+retry lacks."""
+    from etl_github_spark.io.sink import merge_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01")], ["id", "val", "date"]
+    ).write.partitionBy("date").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a2", "2024-01-01")], ["id", "val", "date"]
+    )
+    merge_table(spark, path, updates, key_cols=("id",))
+    merge_table(spark, path, updates, key_cols=("id",))
+    rows = spark.read.parquet(path).collect()
+    assert [(r["id"], r["val"]) for r in rows] == [(1, "a2")]
