@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 
@@ -130,4 +130,105 @@ def curate_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("lang", "term", "tf", "df", "score", "rk")
+    )
+
+
+@query(
+    "curate_decontaminate",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id < 10
+    ),
+    train_ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / any_value(t.n_sh) AS overlap_frac
+    FROM train_ex t JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    HAVING CAST(count(*) AS DOUBLE) / any_value(t.n_sh) >= 0.05
+    """,
+    tags=("curation", "decontamination"),
+)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs whose trigram
+    shingles overlap an eval set (here: doc_id < 10 stands in for the
+    held-out benchmark) above a 5% fraction — the step that keeps eval
+    questions out of the training corpus. Distinct from dedup: the
+    comparison is one-sided against a SMALL fixed set, so the eval
+    shingle list broadcasts and the check is a map-side join over the
+    corpus scan, O(corpus) at any eval-set size that fits a broadcast.
+
+    Shingles are xxhash64-compressed on the Spark side (the oracle
+    joins the strings; counts agree short of a 64-bit collision —
+    same contract as dedup_jaccard_pairs).
+    """
+    from .dedup import _hashed_shingles, _words
+
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", _hashed_shingles(F.col("w")).alias("hs"))
+    )
+    eval_sh = (
+        d.where(F.col("doc_id") < 10)
+        .select(F.explode("hs").alias("sh"))
+        .distinct()
+    )
+    train = d.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"), F.first("n_sh").alias("n_sh"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_sh")
+    return hits.select(
+        "doc_id", "n_overlap", frac.alias("overlap_frac")
+    ).where(frac >= 0.05)
+
+
+@query(
+    "curate_length_outliers",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk * 100 <= n
+    """,
+    tags=("curation", "outliers"),
+)
+def curate_length_outliers(spark, sf_dir):
+    """The top-1% longest documents — the rank-based outlier cut a
+    cleaning pipeline applies before length-sensitive stages.
+
+    Rank thresholds beat percentile-interpolation thresholds for
+    engine parity (pure integer comparison, no interpolation
+    arithmetic) and for scale: k = N/100 comes from a metadata-cheap
+    count, and the selection is then a top-k
+    (TakeOrderedAndProject — per-partition heaps, no global sort).
+    The tiny window that numbers the k survivors runs on k rows only.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = d.count()  # scalar fetch, same class as the watermark read
+    k = n // 100
+    top = d.orderBy(F.desc("n_chars"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    return top.select(
+        "doc_id", "n_chars", F.row_number().over(w).alias("rk")
     )

@@ -376,3 +376,27 @@ def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "agg_salted_value_counts",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "skew"),
+)
+def agg_salted_value_counts(spark, sf_dir):
+    """Two-stage salted aggregation, oracle-proven equal to the plain
+    groupBy: stage 1 counts per (key, salt) — hot keys spread over 16
+    reducers — stage 2 sums the partials per key. The explicit fallback
+    for key skew AQE can't fix (a single hot VALUE inside one task);
+    sum-of-counts re-aggregation is exact, so the salted path is
+    drop-in for any count/sum shape.
+    """
+    from ..skew import salted_count
+
+    ev = T(spark, sf_dir, "events").select("event_type")
+    return salted_count(ev, ["event_type"]).select(
+        "event_type", F.col("count").alias("cnt")
+    )
