@@ -66,6 +66,32 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_table_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered writer: global range partitioning on
+    ``sort_cols`` + a sort within each output task, so every parquet
+    file (and row group) covers a narrow, disjoint key range.
+
+    Parquet footers store per-column min/max; a reader filtering on the
+    sort key then skips every file whose range misses the predicate —
+    at 100 TB this is the difference between scanning the lake and
+    scanning a handful of files (the Delta Z-ORDER intent, single-key
+    form, with no table format required). Cost: one range-exchange at
+    write time, amortized over every subsequent selective read.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def merge_table(
     spark: SparkSession,
     path: str,

@@ -176,3 +176,45 @@ def test_merge_table_idempotent_reapply(spark, tmp_path):
     merge_table(spark, path, updates, key_cols=("id",))
     rows = spark.read.parquet(path).collect()
     assert [(r["id"], r["val"]) for r in rows] == [(1, "a2")]
+
+
+def test_write_table_sorted_yields_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered files must carry narrow, non-overlapping min/max
+    footer stats on the sort key — the property that makes parquet
+    file skipping work on selective reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import write_table_sorted
+
+    df = spark.range(20000).select(
+        (F.xxhash64("id") % 10000).alias("user_id"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_table_sorted(df, path, ("user_id",), n_files=8)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "user_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # disjoint (boundary ties allowed): each file's min >= previous max
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1
+    # and collectively narrow: total covered span ~ key domain, not
+    # n_files * domain (the unsorted failure mode where every file
+    # spans the full key range)
+    spans = sum(hi - lo for lo, hi in ranges)
+    domain = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+    assert spans <= domain * 1.01
+    # content survives the rewrite
+    assert spark.read.parquet(path).count() == 20000
