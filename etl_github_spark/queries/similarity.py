@@ -285,47 +285,51 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     broadcasts and only bucket-colliding candidates are scored —
     O(N/2^bits) per query instead of O(N).
 
-    Bucketing + bucket filter are fused in one Arrow-batched numpy
-    kernel (all 8 plane projections = one matmul; only colliders cross
-    back to the JVM). The round-1 per-plane ``srp_bucket`` fold
-    expressions were 4.7× slower than brute force at sf0.1 — plan-size
-    and interpreted-fold overhead, not data volume; fused, LSH runs at
-    brute-force parity even at 500 vectors, where the only remaining
-    cost delta is the fixed query-vector-fetch job. The exact-cosine
-    re-rank inside the bucket stays the deterministic JVM left-fold.
-    (:func:`srp_bucketize` is the standalone loader-time variant that
-    materializes the bucket column as a partition key.)
+    Bucketing, bucket filter, AND cosine scoring are fused in one
+    Arrow-batched numpy kernel (all 8 plane projections + the candidate
+    cosines = two matmul-shaped ops per batch); only (vec_id, cos_sim)
+    scalars for the ~N/2^planes colliders cross back to the JVM for the
+    top-k. The round-1 per-plane ``srp_bucket`` fold expressions were
+    4.7× slower than brute force at sf0.1 — plan-size and
+    interpreted-fold overhead, not data volume. Scoring in-kernel (same
+    numpy pipeline as sim_topk_pandas_vectorized, whose ranking is
+    pinned equal to the fold baseline) also avoids shipping candidate
+    embeddings back through Arrow. (:func:`srp_bucketize` is the
+    standalone loader-time variant that materializes the bucket column
+    as a partition key; exact-value re-ranks that must bit-match the
+    fold oracle — dedup_embedding_lsh_pairs — keep the JVM fold.)
     """
     import numpy as np
+    import pandas as pd
 
     emb = T(spark, sf_dir, "embeddings")
     planes = _srp_planes(8, _DIM)
     q_vec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     qn = np.asarray(q_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
     pm = np.asarray(planes, dtype=np.float64)
     weights = 1 << np.arange(len(planes), dtype=np.int64)
-    q_bucket = int(((pm @ qn) >= 0) @ weights)
+    q_bucket = int(((pm @ np.asarray(q_vec, dtype=np.float64)) >= 0) @ weights)
 
     sc = spark.sparkContext
     bpm = sc.broadcast(pm.T)  # dim × planes
+    bq = sc.broadcast(qn)
 
-    # bucketize AND filter inside one Arrow-batched kernel: only the
-    # ~N/2^planes bucket-colliding candidates travel back to the JVM,
-    # where the deterministic left-fold cosine re-ranks them.
-    def colliders(batches):
+    def collide_and_score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-            buckets = ((m @ bpm.value) >= 0) @ weights
-            yield pdf[buckets == q_bucket]
+            hit = (((m @ bpm.value) >= 0) @ weights) == q_bucket
+            if not hit.any():
+                continue
+            mh = m[hit]
+            cos = (mh @ bq.value) / np.linalg.norm(mh, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[hit], "cos_sim": cos}
+            )
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
-        colliders, schema="vec_id long, embedding array<float>"
+        collide_and_score, schema="vec_id long, cos_sim double"
     )
-    qe = F.array(*[F.lit(float(v)) for v in q_vec])
-    return (
-        cand.select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
-    )
+    return cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
