@@ -232,3 +232,36 @@ def curate_length_outliers(spark, sf_dir):
     return top.select(
         "doc_id", "n_chars", F.row_number().over(w).alias("rk")
     )
+
+
+@query(
+    "curate_domain_cap",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+    tags=("curation", "sampling"),
+)
+def curate_domain_cap(spark, sf_dir):
+    """Per-source document cap (keep ≤ 20 docs per source) — the
+    per-domain cap web-corpus pipelines apply so one crawl-heavy domain
+    cannot dominate the training mixture.
+
+    Ordering by content hash (then doc_id) makes the kept subset a
+    deterministic pseudo-random draw per source — stable across runs
+    and engines, no seed state, and insensitive to input order. One
+    window per source partition; at 100 TB this is a rank-filter over
+    the (source)-shuffled scan, shuffle volume = |corpus| once.
+    """
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+    )
