@@ -161,3 +161,19 @@ def test_q21_dim_join_is_broadcast(spark):
     self-joins may shuffle on the order key only."""
     p = plan_of(spark, "q21_waiting_suppliers")
     assert "BroadcastHashJoin" in p
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval-set shingle list must broadcast so the contamination
+    check is a map-side join over the corpus scan."""
+    p = plan_of(spark, "curate_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sample_predicate_is_scan_side(spark):
+    """Content-hash sampling must stay a per-row filter (no shuffle,
+    no join)."""
+    p = plan_of(spark, "curate_sample_stratified")
+    assert "Exchange" not in p
+    assert "Join" not in p
