@@ -238,7 +238,12 @@ def emb_quantize_int8(spark, sf_dir):
     JVM-side — no Python, no exchange); at 100 TB this runs at scan
     speed and writes the (qv, scale) pair as the stored representation.
     """
-    emb = T(spark, sf_dir, "embeddings")
+    return quantize_int8(T(spark, sf_dir, "embeddings"))
+
+
+def quantize_int8(emb):
+    """The quantization expression chain over any (vec_id, embedding)
+    frame — shared by the registered query and the property tests."""
     d = emb.select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),

@@ -157,3 +157,70 @@ def test_session_window_boundary_exact_gap_merges(spark):
         .collect()
     )
     assert [r["n"] for r in sessions] == [2, 1]
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_labels(edges):
+    """Reference connected components: driver-side union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@SET
+@given(edges=edges_strategy)
+def test_label_propagation_matches_union_find(spark, edges):
+    """Distributed min-label propagation must produce exactly the
+    union-find component labels (min node id per component) on
+    arbitrary graphs — cycles, self-merging stars, long chains."""
+    from etl_github_spark.queries.clustering import connected_components
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["id"]: r["label"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find_labels(edges)
+
+
+@SET
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantization_error_bounded_by_scale(spark, vecs):
+    """Per-element dequantization error of truncation-mode int8 is
+    strictly below one quantization step, so mse < scale² — including
+    all-zero vectors (scale 0, error 0)."""
+    from etl_github_spark.queries.scale_paths import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id: long, embedding: array<float>"
+    )
+    out = quantize_int8(df).collect()
+    for r in out:
+        assert r["mse"] <= r["scale"] * r["scale"] + 1e-12
+        assert r["mse"] >= 0.0
