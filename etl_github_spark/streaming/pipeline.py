@@ -87,3 +87,57 @@ def stream_windowed_counts(
             "cnt",
         )
     )
+
+
+def stream_merge_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...],
+    partition_col: str = "date",
+) -> StreamingQuery:
+    """Streaming upsert: each micro-batch is MERGEd into the lakehouse
+    table (latest version per key wins) instead of blindly appended —
+    the CDC-shaped sink a mutable source needs, which plain
+    ``writeStream.format("parquet")`` cannot express.
+
+    ``foreachBatch`` hands every micro-batch to the batch
+    :func:`~etl_github_spark.io.sink.merge_table`, so the sink inherits
+    its partition-pruned copy-on-write cost model; the checkpoint makes
+    redelivered batches re-apply, and merge idempotence makes that
+    re-apply a no-op — exactly-once table state on at-least-once
+    delivery. A batch may contain several versions of a key; the merge
+    keeps the one with the highest event time.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    from ..io.sink import merge_table
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        # collapse intra-batch versions: latest ts per key
+        w = Window.partitionBy(*key_cols).orderBy(
+            FF.desc("created_at"), *key_cols
+        )
+        latest = (
+            batch_df.withColumn("__rn", FF.row_number().over(w))
+            .where(FF.col("__rn") == 1)
+            .drop("__rn")
+        )
+        import os
+
+        if os.path.isdir(path) and any(
+            not e.startswith("_") for e in os.listdir(path)
+        ):
+            merge_table(latest.sparkSession, path, latest, key_cols, partition_col)
+        else:  # first batch: plain partitioned write creates the table
+            latest.write.partitionBy(partition_col).parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

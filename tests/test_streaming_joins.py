@@ -106,3 +106,43 @@ def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
     )
     # left join: unmatched user 9 survives with null name
     assert got == [(7, "alice"), (8, None)]
+
+
+def test_stream_merge_sink_upserts_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the table ends with the
+    latest version per key, no duplicates (streaming CDC upsert)."""
+    from etl_github_spark.streaming.pipeline import stream_merge_sink
+
+    landing = tmp_path / "landing"
+    _land(
+        landing,
+        "b1.json",
+        [
+            {"id": 1, "val": "a", "created_at": "2024-01-01T00:00:00Z", "date": "2024-01-01"},
+            {"id": 2, "val": "b", "created_at": "2024-01-01T00:00:00Z", "date": "2024-01-01"},
+        ],
+    )
+    _land(
+        landing,
+        "b2.json",
+        [
+            # later version of key 2, plus a new key in a new partition
+            {"id": 2, "val": "b2", "created_at": "2024-01-01T01:00:00Z", "date": "2024-01-01"},
+            {"id": 3, "val": "c", "created_at": "2024-01-01T01:00:00Z", "date": "2024-01-02"},
+        ],
+    )
+    src = (
+        spark.readStream.schema("id long, val string, created_at string, date string")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(str(landing))
+        .selectExpr("id", "val", "to_timestamp(created_at) AS created_at", "date")
+    )
+    q = stream_merge_sink(
+        src, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), key_cols=("id",)
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["val"]
+        for r in spark.read.parquet(str(tmp_path / "tbl")).collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c"}
