@@ -218,3 +218,36 @@ def test_write_table_sorted_yields_disjoint_file_ranges(spark, tmp_path):
     assert spans <= domain * 1.01
     # content survives the rewrite
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_format_round_trips_preserve_rows_and_schema(spark, tmp_path):
+    """parquet/ORC/JSON/CSV round-trips must return the identical row
+    multiset and schema (CSV via simple-type projection)."""
+    import pytest
+
+    from etl_github_spark.io.formats import FORMATS, read_format, write_format
+    from etl_github_spark.io.tables import load_table
+
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .limit(200)
+    )
+    expect = sorted(tuple(r) for r in df.collect())
+    for fmt in FORMATS:
+        path = str(tmp_path / fmt)
+        write_format(df, path, fmt)
+        back = read_format(spark, path, fmt, schema=df.schema)
+        assert back.schema == df.schema, fmt
+        assert sorted(tuple(r) for r in back.collect()) == expect, fmt
+
+
+def test_text_format_reads_require_schema(spark, tmp_path):
+    import pytest
+
+    from etl_github_spark.io.formats import read_format
+
+    with pytest.raises(ValueError):
+        read_format(spark, str(tmp_path), "json")
+    with pytest.raises(ValueError):
+        read_format(spark, str(tmp_path), "avro")
