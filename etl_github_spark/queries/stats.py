@@ -1,0 +1,108 @@
+"""Grouped statistical modeling: per-group OLS fit, two execution
+strategies.
+
+``stat_ols_slope_per_lang`` computes a least-squares line per language
+from INTEGER moment sums (n, Σx, Σy, Σxy, Σx²) — every aggregation is
+exact int64, the slope/intercept are formed by a handful of IEEE ops on
+exactly-representable values, so the result is bit-identical across
+engines and partitionings (oracle-checked). The same trick generalizes
+to any moment-expressible statistic (variance, covariance, correlation).
+
+``stat_ols_pandas_grouped`` fits the identical model with grouped-map
+``applyInPandas`` — the API a user reaches for when the per-group logic
+outgrows SQL (scipy fits, per-group models). Pinned equal to the moment
+version in tests; the moments version remains the production path (one
+partial+final agg, no Python, no group materialization).
+
+Scale note: raw moments of an unbounded x overflow int64 around
+x ~ 3e9; at that scale center x per group first (two-pass) or switch the
+moment sums to DECIMAL — the fixture doc_id domain is far below the
+bound (asserted in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T
+from .registry import query
+
+_MOMENTS_SQL = """
+WITH m AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(doc_id) AS BIGINT) AS sx,
+         CAST(sum(n_chars) AS BIGINT) AS sy,
+         CAST(sum(doc_id * n_chars) AS BIGINT) AS sxy,
+         CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx
+       ) / n AS intercept
+FROM m
+"""
+
+
+@query("stat_ols_slope_per_lang", sql=_MOMENTS_SQL, tags=("stats", "regression"))
+def stat_ols_slope_per_lang(spark, sf_dir):
+    """Per-language OLS fit of n_chars against doc_id (does document
+    length drift across crawl order?) via exact integer moments.
+
+    One partial+final aggregation — shuffle volume is |langs| rows of
+    five int64s; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) formed on the
+    driver-free reduced values. No window, no sort, no Python.
+    """
+    d = T(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sx"),
+        F.sum("n_chars").alias("sy"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).alias("sxy"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.select("lang", "n", slope.alias("slope"), intercept.alias("intercept"))
+
+
+@query("stat_ols_pandas_grouped", sql=None, tags=("stats", "regression", "pandas"))
+def stat_ols_pandas_grouped(spark, sf_dir):
+    """The same per-language OLS via grouped-map ``applyInPandas`` —
+    each language's rows arrive as one pandas frame; int64 moment sums
+    inside the kernel keep it bit-equal to the aggregate version
+    (pinned in tests).
+
+    Grouped-map semantics: a full shuffle on the group key and the
+    whole group materialized per task — the right tool when per-group
+    logic needs a real library (scipy/sklearn), the wrong one when a
+    moment aggregation suffices. At 100 TB guard group sizes (a hot
+    group must fit one task's memory); here groups are |lang| ≈ 5.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["doc_id"].to_numpy("int64")
+        y = pdf["n_chars"].to_numpy("int64")
+        n = len(pdf)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    d = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        fit, schema="lang string, n long, slope double, intercept double"
+    )

@@ -70,3 +70,21 @@ def test_ivf_kmeans_topk_subsequence_of_bruteforce(spark):
     brute_pos = {v: i for i, v in enumerate(brute)}
     in_brute = [v for v in ivf if v in brute_pos]
     assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])
+
+
+def test_ols_pandas_grouped_matches_moment_aggregation(spark):
+    """Grouped-map applyInPandas OLS must be bit-equal to the integer-
+    moment aggregate version (same int64 sums, same IEEE ops)."""
+    from .conftest import SF_ORACLE
+
+    agg = {
+        r["lang"]: (r["n"], r["slope"], r["intercept"])
+        for r in QUERIES["stat_ols_slope_per_lang"].fn(spark, SF_ORACLE).collect()
+    }
+    pandas_ = {
+        r["lang"]: (r["n"], r["slope"], r["intercept"])
+        for r in QUERIES["stat_ols_pandas_grouped"].fn(spark, SF_ORACLE).collect()
+    }
+    assert agg == pandas_  # exact equality, not approx
+    # fixture domain safely inside the int64 moment-overflow bound
+    assert all(n < 3_000_000_000 for n, _, _ in agg.values())
