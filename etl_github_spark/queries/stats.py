@@ -106,3 +106,46 @@ def stat_ols_pandas_grouped(spark, sf_dir):
     return d.groupBy("lang").applyInPandas(
         fit, schema="lang string, n long, slope double, intercept double"
     )
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(doc_id) AS BIGINT) AS sx,
+         CAST(sum(n_chars) AS BIGINT) AS sy,
+         CAST(sum(doc_id * n_chars) AS BIGINT) AS sxy,
+         CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+  FROM documents GROUP BY lang
+)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         AS pearson_r
+FROM m
+"""
+
+
+@query("stat_corr_per_lang", sql=_CORR_SQL, tags=("stats", "correlation"))
+def stat_corr_per_lang(spark, sf_dir):
+    """Per-language Pearson correlation of (doc_id, n_chars) from the
+    same exact integer moments as the OLS fit — the numerator and both
+    variance terms are exact int64, so r is engine-identical (unlike
+    the built-in ``corr()``, whose incremental float update is
+    partitioning-dependent). Same one-aggregation plan.
+    """
+    d = T(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sx"),
+        F.sum("n_chars").alias("sy"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).alias("sxy"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("sxx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select("lang", "n", r.alias("pearson_r"))
