@@ -1,0 +1,377 @@
+"""Corpus quality filters — the document-scoring stage of an LLM
+training-data pipeline (Gopher/C4-style heuristics, repetition metrics,
+PII redaction, corpus-level boilerplate detection, global chunk dedup).
+
+Everything here is pure JVM column expressions + hash aggregation — zero
+Python UDFs; the per-document stats are single-pass projections (no
+shuffle), the corpus-level ops shuffle only aggregated n-gram/chunk keys.
+
+Determinism notes (see registry docstring): every fraction is a single
+int/int division in double (correctly rounded, bit-identical across
+engines); threshold literals parse to identical doubles in Spark and
+DuckDB, so comparisons agree. Spark regexp_replace replaces all matches
+by default; the DuckDB oracle needs the explicit 'g' flag.
+
+Registered after the round-2 driver window (first-50 rule); locally
+oracle-checked by tests/test_oracle_parity.py regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._util import T, par
+from .registry import query
+
+_STOP = ("the", "a", "of")
+
+# PII patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_LONGNUM = r"\b\d{13,16}\b"
+
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def _doc_stats(df):
+    """Single-projection per-document quality stats (no shuffle)."""
+    w = F.col("_w")
+    n = F.size(w).cast("double")
+    is_stop = lambda t: t.isin(*_STOP)  # noqa: E731
+    return df.select(
+        "doc_id",
+        w.alias("_w"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        ((F.length("text").cast("double") - n + 1) / n).alias("mean_word_len"),
+        (F.size(F.array_distinct(w)).cast("double") / n).alias("distinct_ratio"),
+        (F.size(F.filter(w, is_stop)).cast("double") / n).alias("stop_fraction"),
+        F.array_max(F.transform(w, F.length)).alias("max_word_len"),
+    ).drop("_w")
+
+
+_STATS_SQL = """
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_words,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           (CAST(length(text) AS DOUBLE) - len(toks) + 1) / len(toks) AS mean_word_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of'))) AS DOUBLE)
+             / len(toks) AS stop_fraction,
+           CAST(list_max(list_transform(toks, w -> length(w))) AS INTEGER) AS max_word_len
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@query("quality_gopher_stats", sql=_STATS_SQL, tags=("quality", "text"))
+def quality_gopher_stats(spark, sf_dir):
+    """Gopher-style per-document quality statistics (Rae et al. 2021
+    §A1.1 heuristics re-expressed as column math): word count, distinct
+    ratio, mean word length, stopword fraction, max word length.
+
+    One pass, one projection — at 100 TB this pipelines with the scan
+    (whole-stage codegen, no exchange); the token array is materialized
+    once per row (`_w`) because lambda subexpressions are not CSE'd.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", _words().alias("_w"))
+    return _doc_stats(d)
+
+
+@query(
+    "quality_gopher_filter",
+    sql=f"""
+    WITH s AS ({_STATS_SQL})
+    SELECT doc_id,
+           CASE WHEN n_words < 20 OR n_words > 400 THEN 'word_count'
+                WHEN mean_word_len < 2 OR mean_word_len > 8 THEN 'word_length'
+                WHEN stop_fraction < 0.03 THEN 'stopword'
+                WHEN distinct_ratio < 0.35 THEN 'repetition'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_words < 20 OR n_words > 400 THEN 'word_count'
+                WHEN mean_word_len < 2 OR mean_word_len > 8 THEN 'word_length'
+                WHEN stop_fraction < 0.03 THEN 'stopword'
+                WHEN distinct_ratio < 0.35 THEN 'repetition'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM s
+    """,
+    tags=("quality", "text"),
+)
+def quality_gopher_filter(spark, sf_dir):
+    """Rule-cascade document filter with per-document verdict + first
+    failing rule — the audit-friendly shape (you keep the reject reasons
+    for pipeline debugging, not just the survivors). Bounds chosen to
+    split the fixture corpus non-trivially; at 100 TB the same projection
+    filters in-scan with zero shuffle.
+    """
+    s = _doc_stats(
+        T(spark, sf_dir, "documents").select("doc_id", "text", _words().alias("_w"))
+    )
+    reason = (
+        F.when((F.col("n_words") < 20) | (F.col("n_words") > 400), "word_count")
+        .when((F.col("mean_word_len") < 2) | (F.col("mean_word_len") > 8), "word_length")
+        .when(F.col("stop_fraction") < 0.03, "stopword")
+        .when(F.col("distinct_ratio") < 0.35, "repetition")
+        .otherwise("ok")
+    )
+    return s.select("doc_id", reason.alias("reason"), (reason == "ok").alias("keep"))
+
+
+@query(
+    "quality_repetition_stats",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_frac
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, bigram, count(*) AS c, min(dup_frac) AS dup_frac
+      FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           min(dup_frac) AS dup_word_fraction,
+           CAST(max(c) AS INTEGER) AS top_bigram_count,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_fraction
+    FROM g GROUP BY doc_id
+    """,
+    tags=("quality", "text"),
+)
+def quality_repetition_stats(spark, sf_dir):
+    """Within-document repetition metrics (the Gopher "repetitious text"
+    family): duplicate-word fraction and most-frequent-bigram share.
+
+    Shape: explode bigrams → (doc, bigram) partial+final count → per-doc
+    max/sum. Shuffle volume is |distinct (doc, bigram)| — bounded by
+    corpus token count, key includes doc_id so it cannot hot-spot. The
+    per-row dup_frac rides the aggregation as min() (constant per doc)
+    instead of a join-back.
+    """
+    w = F.col("_w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 2)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    dup_frac = 1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    return (
+        d.select("doc_id", dup_frac.alias("dup_frac"), F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"), F.min("dup_frac").alias("dup_frac"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("dup_frac").alias("dup_word_fraction"),
+            F.max("c").cast("int").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_fraction"),
+        )
+    )
+
+
+@query(
+    "quality_pii_redact",
+    sql=rf"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL}', '<EMAIL>', 'g'),
+               '{_IPV4}', '<IP>', 'g'),
+               '{_LONGNUM}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_LONGNUM}')) AS INTEGER) AS n_longnums
+    FROM documents
+    """,
+    tags=("quality", "text", "pii"),
+)
+def quality_pii_redact(spark, sf_dir):
+    """PII scrubbing: emails, IPv4 addresses, 13-16-digit numbers
+    replaced by typed placeholders, with per-category match counts for
+    audit. Patterns are restricted to the Java-regex ∩ RE2 common subset
+    (no lookaround/backrefs) so Spark and the oracle agree; behavior on
+    live PII strings is pinned by tests/test_quality.py.
+
+    Pure projection — redaction happens in-scan at any scale.
+    """
+    t = F.col("text")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL, "<EMAIL>"), _IPV4, "<IP>"
+        ),
+        _LONGNUM,
+        "<NUM>",
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(t, F.lit(_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(_LONGNUM)).cast("int").alias("n_longnums"),
+    )
+
+
+@query(
+    "quality_boilerplate_ngrams",
+    sql="""
+    SELECT t3 AS ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t3
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 3)
+    )
+    GROUP BY t3 HAVING count(DISTINCT doc_id) >= 4
+    """,
+    tags=("quality", "text", "dedup"),
+)
+def quality_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate detection: trigrams appearing in >= 4
+    distinct documents (headers, footers, license blurbs at web scale).
+
+    Shape: explode trigrams → distinct (ngram, doc) → count per ngram —
+    both steps partial-aggregate map-side, so shuffle volume is the
+    distinct (ngram, doc) set, not the token stream. The df >= 4
+    threshold is the same document-frequency idea that caps the Jaccard
+    candidate join (dedup.py).
+    """
+    w = F.col("_w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 3)
+    )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(tris).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 4)
+    )
+
+
+_CHUNK = 10
+
+
+@query(
+    "dedup_chunks_global",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + {_CHUNK - 1}) // {_CHUNK})) AS pos,
+             (len(toks) + {_CHUNK - 1}) // {_CHUNK} AS n_chunks
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    k AS (
+      SELECT doc_id, pos, n_chunks,
+             array_to_string(toks[(pos * {_CHUNK} + 1):((pos + 1) * {_CHUNK})], ' ') AS chunk
+      FROM c
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+           CAST(count(*) AS INTEGER) AS n_chunks_kept,
+           CAST(min(n_chunks) AS INTEGER) AS n_chunks_orig
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM k
+    )
+    WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("quality", "dedup", "text"),
+)
+def dedup_chunks_global(spark, sf_dir):
+    """Global chunk-level exact dedup with document reassembly — the
+    paragraph-dedup stage of a training pipeline (only the FIRST corpus
+    occurrence of each {_CHUNK}-token chunk survives; documents are
+    rebuilt from their surviving chunks in order).
+
+    Shape: per-row chunk explode (no shuffle) → first-occurrence window
+    keyed by chunk content (one shuffle, key = chunk, volume = chunk
+    count) → per-doc ordered reassembly (second shuffle on doc_id). At
+    100 TB the chunk key would be xxhash64(chunk) to shrink shuffle
+    bytes; content is kept here so the oracle is string-exact. Documents
+    whose every chunk is seen earlier disappear entirely — matching C4's
+    drop-empty-docs behavior.
+    """
+    k = _CHUNK
+    d = par(T(spark, sf_dir, "documents")).select(
+        "doc_id", _words().alias("toks")
+    )
+    n_chunks = F.expr(f"(size(toks) + {k - 1}) div {k}")
+    chunks = (
+        d.select(
+            "doc_id",
+            "toks",
+            n_chunks.alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "n_chunks",
+            F.concat_ws(" ", F.slice("toks", F.col("pos") * k + 1, k)).alias("chunk"),
+        )
+    )
+    first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(first)).where(F.col("rn") == 1)
+    reassembled = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s.getField("chunk"),
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        reassembled.alias("clean_text"),
+        F.count("*").cast("int").alias("n_chunks_kept"),
+        F.min("n_chunks").cast("int").alias("n_chunks_orig"),
+    )
+
+
+@query(
+    "quality_length_histogram",
+    sql="""
+    SELECT least(n_chars // 50, 11) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("quality", "histogram"),
+)
+def quality_length_histogram(spark, sf_dir):
+    """Fixed-width document-length histogram (50-char buckets, clamped to
+    12 bins) — the distribution sketch a curation run reports before and
+    after filtering. Integer bucket math, exact in both engines; one
+    partial+final aggregation over at most 12 keys.
+    """
+    bucket = F.least(F.expr("n_chars div 50"), F.lit(11))
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

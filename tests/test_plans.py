@@ -177,3 +177,34 @@ def test_sample_predicate_is_scan_side(spark):
     p = plan_of(spark, "curate_sample_stratified")
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_quality_stats_pure_projection(spark):
+    """Per-doc quality stats must pipeline with the scan: no Exchange,
+    no Python evaluation anywhere in the plan."""
+    p = plan_of(spark, "quality_gopher_stats")
+    assert "Exchange" not in p
+    assert "Python" not in p  # BatchEvalPython / ArrowEvalPython
+
+
+def test_pii_redact_pure_projection(spark):
+    p = plan_of(spark, "quality_pii_redact")
+    assert "Exchange" not in p
+
+
+def test_boilerplate_ngrams_partial_agg(spark):
+    """df-count over exploded trigrams must partial-aggregate map-side so
+    shuffle volume is the distinct (ngram, doc) set."""
+    p = plan_of(spark, "quality_boilerplate_ngrams")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q11_broadcasts_dims_single_agg_shuffle(spark):
+    p = plan_of(spark, "q11_important_stock")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_pair_key_join_broadcast_part(spark):
+    p = plan_of(spark, "q20_potential_promotion")
+    assert "BroadcastHashJoin" in p
