@@ -11,5 +11,5 @@ string the driver diffs against at sf=0.01.
 # (text/dedup/similarity), TPC-H shapes, extra, reshape, and sets lead (50 entries —
 # all 48 queries unverified in round 1 plus two green canaries); the round-1-verified
 # core/joins/aggregates/windows follow.
-from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality  # noqa: F401,E402
+from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401

@@ -1,0 +1,283 @@
+"""Corpus/stream analytics extensions: collocation mining, moment-based
+outlier flags, gap-filled time series, equi-depth histograms, Zipf rank
+tables.
+
+Determinism strategy (registry docstring): libm transcendentals differ
+across engines, so there is no log() (collocations use *lift*, the
+monotone exp-free cousin of PMI) and no sqrt() (the z-score test
+compares squared integer moments). Every score is a single int64/int64 division
+in double — correctly rounded identically by Spark and DuckDB.
+
+Registered after the round-2 driver window (first-50 rule); locally
+oracle-checked by tests/test_oracle_parity.py regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._util import T, par
+from .registry import query
+
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "text_collocations_lift",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+            FROM t)
+      GROUP BY w1, w2
+    ),
+    n_big AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM big)
+    SELECT b.w1, b.w2, b.c12,
+           (b.c12 * nu * nu) / (u1.c * u2.c * nb) AS lift
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN n_uni CROSS JOIN n_big
+    WHERE b.c12 >= 10
+    """,
+    tags=("text", "analytics"),
+)
+def text_collocations_lift(spark, sf_dir):
+    """Collocation mining by lift — P(w1 w2) / (P(w1)·P(w2)), i.e. PMI
+    without the log (log is libm-dependent and lift orders pairs the
+    same way). lift = c12·Nu² / (c1·c2·Nb), one exact int64 product
+    ratio evaluated in double.
+
+    Shape: unigram and bigram count aggregations (shuffle = |vocab| and
+    |bigram vocab|), then the bigram table joins the two unigram counts —
+    vocabulary-sized sides, broadcast. Overflow bound: c12·Nu² needs
+    Nu ≤ ~3e9 tokens in int64; past that, promote the moment products to
+    DECIMAL(38,0) — the comparison stays exact.
+    """
+    w = F.col("_w")
+    t = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 2)
+    )
+    uni = t.select(F.explode(w).alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    big = (
+        t.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    n_big = big.agg(F.sum("c12").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.where(F.col("c12") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                (F.col("c12") * F.col("nu") * F.col("nu"))
+                / (F.col("c1") * F.col("c2") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "stat_outliers_zscore",
+    sql="""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           4 * (d.n_chars * m.n - m.s1) * (d.n_chars * m.n - m.s1)
+             > 9 * (m.n * m.s2 - m.s1 * m.s1) AS is_outlier
+    FROM documents d JOIN m USING (source)
+    """,
+    tags=("stats", "analytics"),
+)
+def stat_outliers_zscore(spark, sf_dir):
+    """Per-group z-score outlier flag (|z| > 3/2) with ZERO floating
+    point: |x − μ| > (3/2)σ is squared and scaled by n² into
+    4·(x·n − Σx)² > 9·(n·Σx² − (Σx)²) — pure int64 moment arithmetic,
+    and the threshold stays an exact rational. (A 3σ cut never fires on
+    near-uniform data — max |x − μ| is ~1.73σ — so 3/2 is the useful
+    default here; any rational k just rescales the two integer sides.)
+    Bit-exact in any engine and any reduction order — the same moment
+    trick as stats.py's OLS/correlation.
+
+    Shape: one grouped moment aggregation (|groups| rows) broadcast back
+    onto the scan — no second shuffle. Overflow: (x·n)² caps x·n at
+    ~3e9; for 100 TB groups promote moments to DECIMAL(38,0).
+    """
+    d = T(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    dev = F.col("n_chars") * F.col("n") - F.col("s1")
+    return d.join(F.broadcast(m), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            4 * dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("is_outlier"),
+    )
+
+
+@query(
+    "trend_gap_filled_hourly",
+    sql="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+    c AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT h.hour, COALESCE(c.cnt, 0) AS cnt
+    FROM h LEFT JOIN c ON c.hour = h.hour
+    """,
+    tags=("trend", "analytics"),
+)
+def trend_gap_filled_hourly(spark, sf_dir):
+    """Gap-filled hourly series: every hour between the stream's first
+    and last event appears, zero-filled where no 'purchase' occurred —
+    the resample/asfreq step dashboards and forecasting features need
+    (a missing hour and a zero hour are different facts).
+
+    Shape: bounds are a 1-row min/max aggregate; the dense hour spine is
+    a single sequence() explode of that row (span-sized, not data-sized);
+    counts aggregate once and broadcast under the spine-preserving join.
+    """
+    e = T(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    counts = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # Broadcast the aggregated counts (right side of the left join —
+    # Spark cannot build-left a left-outer broadcast join); the
+    # spine-preserving side streams.
+    return (
+        spine.join(F.broadcast(counts), "hour", "left")
+        .select("hour", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+@query(
+    "quality_equidepth_histogram",
+    sql="""
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS lo_chars,
+           CAST(max(n_chars) AS BIGINT) AS hi_chars
+    FROM (
+      SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    GROUP BY bucket
+    """,
+    tags=("quality", "histogram", "analytics"),
+)
+def quality_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (decile) length histogram: 10 buckets of equal row
+    count with their value ranges — the skew-revealing complement of the
+    fixed-width histogram. Tie-break by doc_id makes the decile
+    assignment total and engine-identical.
+
+    The global ntile window funnels rows through one task — exact-decile
+    semantics require it. This is the oracle contract; at 100 TB the
+    production path is approx_percentile bucket *bounds* (one pass,
+    partial-aggregated) with this exact variant reserved for samples.
+    """
+    d = T(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.select("n_chars", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("lo_chars"),
+            F.max("n_chars").alias("hi_chars"),
+        )
+    )
+
+
+@query(
+    "text_zipf_table",
+    sql="""
+    SELECT w AS word, c AS freq, rank FROM (
+      SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS INTEGER) AS rank
+      FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w)
+    ) WHERE rank <= 30
+    """,
+    tags=("text", "analytics"),
+)
+def text_zipf_table(spark, sf_dir):
+    """Zipf rank-frequency table (top 30): the corpus-health fingerprint
+    curation runs chart to spot vocabulary collapse or boilerplate
+    flooding. Rank ties break lexicographically so the table is total.
+
+    Shape: token explode → partial+final count (shuffle = |vocab|) →
+    rank window over the vocabulary-sized aggregate (tiny by then).
+    """
+    ranked = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "word"))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+    return ranked.where(F.col("rank") <= 30)

@@ -208,3 +208,22 @@ def test_q11_broadcasts_dims_single_agg_shuffle(spark):
 def test_q20_pair_key_join_broadcast_part(spark):
     p = plan_of(spark, "q20_potential_promotion")
     assert "BroadcastHashJoin" in p
+
+
+def test_outliers_single_shuffle_broadcast_moments(spark):
+    """Moment table must broadcast back onto the scan — exactly one
+    aggregation exchange, no sort-merge join."""
+    p = plan_of(spark, "stat_outliers_zscore")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_collocations_broadcast_unigram_sides(spark):
+    p = plan_of(spark, "text_collocations_lift")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_gap_fill_spine_broadcast(spark):
+    p = plan_of(spark, "trend_gap_filled_hourly")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
