@@ -53,6 +53,11 @@ EXTENDED = [
     "curate_tfidf_top_terms",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "dedup_chunks_global",
+    "quality_repetition_stats",
+    "text_collocations_lift",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 
 
