@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T, par
+from ._util import T, fxp, par
 from .registry import query
 
 _DIM = 64
@@ -404,4 +404,55 @@ def agg_salted_value_counts(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_type")
     return salted_count(ev, ["event_type"]).select(
         "event_type", F.col("count").alias("cnt")
+    )
+
+
+@query(
+    "join_salted_hotkey",
+    sql="""
+    SELECT o.o_orderstatus,
+           (CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0) AS revenue,
+           CAST(count(*) AS BIGINT) AS line_cnt
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_hotkey(spark, sf_dir):
+    """Salted equi-join, oracle-proven identical to the plain join: the
+    fact side (lineitem) gets a deterministic row-unique salt, the
+    filtered orders side is replicated once per salt, and the join key
+    becomes (orderkey, salt) — no single reducer ever owns all rows of a
+    hot key. This is the fallback for the skew case AQE's split can't
+    fix (one hot key inside a single *build*-side partition) when the
+    dim is replicable but too large for a clean broadcast.
+
+    The oracle is the PLAIN join SQL: salting must be a pure physical
+    rewrite with zero semantic footprint — that equality is the test.
+    Cost model: replication multiplies the small side by n_salts (16),
+    so it's worth it only while |dim|·16 ≪ |fact-side hot key traffic|.
+    """
+    from ..skew import salted_broadcast_join
+
+    fact = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), "l_extendedprice", "l_discount"
+    )
+    dim = (
+        T(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    rev = F.sum(fxp("l_extendedprice") * (100 - fxp("l_discount"))) / 10000.0
+    return (
+        salted_broadcast_join(fact, dim, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(rev.alias("revenue"), F.count("*").alias("line_cnt"))
     )

@@ -227,3 +227,10 @@ def test_collocations_broadcast_unigram_sides(spark):
 def test_gap_fill_spine_broadcast(spark):
     p = plan_of(spark, "trend_gap_filled_hourly")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_salted_join_partitions_on_salt(spark):
+    """The salted join must shuffle on (key, salt), not the bare key —
+    otherwise the rewrite silently degenerates to the plain hot-key join."""
+    p = plan_of(spark, "join_salted_hotkey")
+    assert "__salt" in p
