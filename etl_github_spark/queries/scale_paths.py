@@ -456,3 +456,91 @@ def join_salted_hotkey(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(rev.alias("revenue"), F.count("*").alias("line_cnt"))
     )
+
+
+@query(
+    "sim_label_centroids_quantized",
+    sql=f"""
+    WITH ex AS (
+      SELECT label, t.i AS dim,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, range(1, {_DIM + 1}) t(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+    tags=("similarity", "centroid", "scale-path"),
+)
+def sim_label_centroids_quantized(spark, sf_dir):
+    """The 100 TB centroid: fixed-point quantized mean — each component
+    floors to a 1e-6 grid (floor, not round: floor has no tie mode, so
+    engines can't disagree), int64 sums are exact and order-insensitive,
+    and the mean is one correctly-rounded division. Replaces
+    sim_label_centroids' sorted-fold (collect_list per group: unbounded
+    per-group memory) with a plain partial+final aggregate — bounded
+    state, shuffle volume |labels|·dim. Quantization error ≤ 1e-6 per
+    component (pinned against the exact fold in tests).
+
+    Overflow: |q| ≤ ~2²¹ for unit-scale float32 components, so int64
+    carries ~2⁴² rows per (label, dim) — beyond any corpus here.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "xf")).select(
+        "label",
+        (F.col("i") + 1).alias("dim"),
+        F.floor(F.col("xf").cast("double") * 1000000).alias("q"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        (F.sum("q") / (F.count("q") * 1000000.0)).alias("centroid")
+    )
+
+
+@query(
+    "text_fuzzy_join_qgram",
+    sql="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 1
+    """,
+    tags=("text", "similarity", "scale-path"),
+)
+def text_fuzzy_join_qgram(spark, sf_dir):
+    """Bounded-candidate fuzzy string join — the scale sibling of
+    text_levenshtein_pairs' all-pairs baseline. Candidates must (a)
+    share at least one 2-gram and (b) differ in length by ≤ 1; only
+    survivors pay the quadratic edit distance.
+
+    Recall contract: one edit destroys at most 2 of a string's n−1
+    2-grams, so any dist ≤ 1 pair with n ≥ 4 still shares a 2-gram —
+    full recall on the fixture domain (all source names ≥ 4 chars).
+    The ORACLE is the *unfiltered* all-pairs SQL: the prefilter must be
+    semantically invisible, and that equality is what the driver checks.
+    At 100 TB the 2-gram index gets the same document-frequency cap as
+    the Jaccard join (drop ubiquitous grams; recall is preserved when
+    the matching-gram count bound still holds).
+    """
+    s = T(spark, sf_dir, "documents").select("source").distinct()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("source") - 1),
+        lambda i: F.col("source").substr(i, F.lit(2)),
+    )
+    g = s.select("source", F.explode(grams).alias("gram")).distinct()
+    ga = g.select(F.col("source").alias("src_a"), "gram")
+    gb = g.select(F.col("source").alias("src_b"), "gram")
+    cand = (
+        ga.join(gb, "gram")
+        .where(
+            (F.col("src_a") < F.col("src_b"))
+            & (
+                F.abs(F.length("src_a") - F.length("src_b")) <= 1
+            )
+        )
+        .select("src_a", "src_b")
+        .distinct()
+    )
+    dist = F.levenshtein("src_a", "src_b")
+    return cand.select("src_a", "src_b", dist.alias("dist")).where(F.col("dist") <= 1)

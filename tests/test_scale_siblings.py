@@ -1,0 +1,36 @@
+"""Cross-variant pins: each scale-path sibling must agree with its exact
+baseline (the property that makes it a drop-in replacement)."""
+
+from __future__ import annotations
+
+from etl_github_spark.queries.registry import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def test_quantized_centroid_within_grid_error(spark):
+    """|quantized − exact| ≤ 1e-6 per (label, dim): floor-to-grid error
+    of the mean is bounded by the grid step."""
+    exact = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in QUERIES["sim_label_centroids"].fn(spark, SF_SMALL).collect()
+    }
+    quant = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in QUERIES["sim_label_centroids_quantized"].fn(spark, SF_SMALL).collect()
+    }
+    assert exact.keys() == quant.keys()
+    worst = max(abs(exact[k] - quant[k]) for k in exact)
+    assert worst <= 1.000001e-6, worst
+
+
+def test_fuzzy_qgram_join_equals_all_pairs(spark):
+    """The 2-gram + length prefilter must have full recall at dist<=1
+    over the fixture domain: result set identical to the baseline."""
+    base = {
+        tuple(r) for r in QUERIES["text_levenshtein_pairs"].fn(spark, SF_SMALL).collect()
+    }
+    fuzzy = {
+        tuple(r) for r in QUERIES["text_fuzzy_join_qgram"].fn(spark, SF_SMALL).collect()
+    }
+    assert base == fuzzy and len(base) > 0
