@@ -197,3 +197,57 @@ def vacuum_table(path: str) -> list[str]:
         removed.append(str(tmp_file))
         tmp_file.unlink()
     return removed
+
+
+def zorder_key(cols: tuple[str, ...], bits: int = 21):
+    """Morton (Z-order) key: interleaves the low ``bits`` of each
+    non-negative integer column into one long, so rows close in EVERY
+    key dimension land close in the one-dimensional sort order.
+
+    Pure bitwise column expression (whole-stage codegen; no UDF):
+    bit b of column j becomes bit b*ncols+j of the key. ``bits`` * ncols
+    must stay < 63; 21 bits × 2 cols resolves ~2M distinct values per
+    dimension — coarser high bits still cluster correctly when a domain
+    exceeds that (Z-order needs relative, not exact, locality).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert n * bits < 63, "interleaved key must fit a signed long"
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return z
+
+
+def write_table_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, ...],
+    n_files: int | None = None,
+    bits: int = 21,
+) -> None:
+    """Z-order clustered writer — the multi-column generalization of
+    :func:`write_table_sorted` (the Delta ``OPTIMIZE ZORDER BY`` intent,
+    no table format required).
+
+    Single-key range clustering gives perfect skipping on the sort key
+    and NONE on the others (every file spans the full secondary-key
+    range). Interleaving the key bits instead makes each file cover a
+    small hyper-rectangle of the key space, so parquet footer min/max
+    prune files for predicates on ANY clustered column — the property
+    that matters when a 100 TB table serves several access paths. Cost
+    is identical to the sorted writer: one range exchange at write time.
+    """
+    key = zorder_key(zorder_cols, bits).alias("__zkey")
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

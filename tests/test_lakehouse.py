@@ -251,3 +251,52 @@ def test_text_format_reads_require_schema(spark, tmp_path):
         read_format(spark, str(tmp_path), "json")
     with pytest.raises(ValueError):
         read_format(spark, str(tmp_path), "avro")
+
+
+def test_zorder_prunes_on_secondary_dimension(spark, tmp_path):
+    """Z-order clustering must yield footer-stat pruning on BOTH key
+    columns: for a predicate on y alone, the x-sorted layout leaves every
+    file a candidate while the z-ordered layout prunes most of them."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import write_table_sorted, write_table_zordered
+
+    df = spark.range(40000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("y"),
+        F.col("id").alias("v"),
+    )
+
+    def candidates(path, col_name, lo, hi):
+        total, cand = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == col_name
+            )
+            mins = [md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups)]
+            maxs = [md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups)]
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                cand += 1
+        return cand, total
+
+    xsorted = str(tmp_path / "xsorted")
+    zordered = str(tmp_path / "zordered")
+    write_table_sorted(df, xsorted, ("x", "y"), n_files=16)
+    write_table_zordered(df, zordered, ("x", "y"), n_files=16, bits=10)
+
+    # y-only box predicate: 1/8 of the y domain
+    cand_sorted, total_sorted = candidates(xsorted, "y", 0, 127)
+    cand_z, total_z = candidates(zordered, "y", 0, 127)
+    assert total_sorted >= 8 and total_z >= 8
+    assert cand_sorted == total_sorted  # x-major sort: y stats are full-range
+    assert cand_z <= total_z // 2  # z-order: most files miss the y box
+
+    # and the rewrite is lossless
+    assert spark.read.parquet(zordered).count() == 40000
