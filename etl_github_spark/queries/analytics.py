@@ -281,3 +281,155 @@ def text_zipf_table(spark, sf_dir):
         )
     )
     return ranked.where(F.col("rank") <= 30)
+
+
+@query(
+    "funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    tags=("analytics", "funnel"),
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (view → click after the first view →
+    purchase after that click): the strict-sequence semantics product
+    analytics needs — a later-stage event BEFORE the earlier stage does
+    not count, which a naive per-type count gets wrong.
+
+    Shape: three per-user min aggregations, each joined to the previous
+    stage on user_id — at scale all three shuffles share the user_id
+    partitioning (one exchange reused), and stage outputs shrink
+    monotonically. Final counts are 1-row aggregates.
+    """
+    e = T(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("tv")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("tc")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "cohort_retention",
+    sql="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT date_diff('day', DATE '2024-01-01', f.cohort_day) // 7 AS cohort_week,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort"),
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    counted distinct in each week offset since their cohort — the
+    retention-curve input. Week indexes are integer day arithmetic
+    (datediff // 7 against a fixed epoch), not date_trunc('week'):
+    engine-neutral and unambiguous about week starts.
+
+    Shape: first-seen is one user-keyed aggregation joined back on
+    user_id (co-partitioned with the event scan at scale); the retention
+    matrix is a count-distinct over |cohorts| × |offsets| keys.
+    """
+    e = T(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    epoch = F.lit("2024-01-01").cast("date")
+    return (
+        e.join(f, "user_id")
+        .groupBy(
+            F.floor(F.datediff(F.col("cohort_day"), epoch) / 7).alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "profile_documents",
+    sql="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_str,
+           max(CAST({c} AS VARCHAR)) AS max_str
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+    tags=("analytics", "profiling"),
+)
+def profile_documents(spark, sf_dir):
+    """Table profiler (ANALYZE-style): per-column row/null/distinct
+    counts and lexicographic min/max — the data-quality report a
+    pipeline emits on every new source drop. String min/max compare by
+    codepoint in both engines (ASCII fixtures), so the profile is
+    engine-exact.
+
+    Shape: one aggregation per column over a shared cached scan,
+    unioned; each is a partial+final agg. (A single-pass multi-column
+    agg + unpivot is the micro-optimized variant; per-column plans keep
+    count(DISTINCT) partial-aggregatable and prune the scan to one
+    column each.)
+    """
+    d = T(spark, sf_dir, "documents")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            d.agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count(c)).alias("n_nulls"),
+                F.count_distinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
