@@ -141,3 +141,34 @@ def stream_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_counts(
+    events: DataFrame,
+    gap: str = "20 minutes",
+    watermark: str = "1 hour",
+    group_col: str = "repo",
+) -> DataFrame:
+    """Event-time session windows on a stream: activity bursts separated
+    by ``gap`` of silence become one row per (session, group) — the
+    streaming twin of the batch ``sessionize_events`` operator, built on
+    the same ``session_window`` primitive so batch and streaming agree
+    on boundary semantics ([start, last+gap), half-open).
+
+    State is bounded by the watermark: a session closes (and emits, in
+    append mode) once event time passes its end + watermark; dangling
+    sessions never accumulate. Session merging across micro-batches is
+    handled by Spark's session-window state store — exactly the logic a
+    hand-rolled lag()-based sessionizer cannot express incrementally.
+    """
+    return (
+        events.withWatermark("created_at", watermark)
+        .groupBy(F.session_window("created_at", gap).alias("w"), group_col)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            group_col,
+            "cnt",
+        )
+    )

@@ -300,3 +300,33 @@ def test_zorder_prunes_on_secondary_dimension(spark, tmp_path):
 
     # and the rewrite is lossless
     assert spark.read.parquet(zordered).count() == 40000
+
+
+def test_streaming_session_windows_end_to_end(spark, tmp_path):
+    """Session windows over a real file-source stream: the 22:10-22:20
+    commit burst merges into one session per repo; sessions still open
+    at the watermark (the 23:59 and 00:05 events) are withheld in
+    append mode."""
+    from etl_github_spark.gha.extract import extract_commits, parse_raw_lines
+    from etl_github_spark.streaming import stream_session_counts
+    from etl_github_spark.streaming.pipeline import read_raw_stream
+
+    write_fixture(tmp_path / "landing", gz=False)
+    commits = extract_commits(parse_raw_lines(read_raw_stream(spark, str(tmp_path / "landing"))))
+    agg = stream_session_counts(commits, gap="20 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["repo"], r["session_start"].isoformat()): (r["cnt"], r["session_end"].isoformat())
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    # alice's 2 commits (22:10) and the bot commit (22:20) merge: one
+    # session [22:10, 22:40) with 3 commits.
+    assert rows == {("org/tools", "2024-02-29T22:10:00"): (3, "2024-02-29T22:40:00")}
