@@ -433,3 +433,39 @@ def profile_documents(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "trend_rolling_7d_users",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT days.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM days JOIN e ON e.d BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day
+    """,
+    tags=("trend", "analytics"),
+)
+def trend_rolling_7d_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (rolling WAU) —
+    count distinct does NOT decompose over a sliding frame, so the
+    window-function route is unavailable; the correct shape is a
+    day-spine range join over the deduplicated (day, user) set.
+
+    Scale: (day, user) dedup shrinks the fact side first (shuffle =
+    |active pairs|, not |events|); the day spine is tiny and broadcasts,
+    so the range join is a broadcast nested-loop over ≤7-day matches.
+    Approximate twin at extreme scale: per-day HLL sketches merged over
+    the trailing window.
+    """
+    e = T(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    return (
+        pairs.join(
+            F.broadcast(days),
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

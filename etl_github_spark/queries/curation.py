@@ -265,3 +265,31 @@ def curate_domain_cap(spark, sf_dir):
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+@query(
+    "curate_sample_weighted",
+    sql="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(text), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' ELSE '2000' END
+    """,
+    tags=("curation", "sampling"),
+)
+def curate_sample_weighted(spark, sf_dir):
+    """Per-stratum weighted sampling: each language keeps a different
+    deterministic content-hash fraction (en 50%, others 12.5%) — the
+    downsampling half of a mixture recipe (curate_source_mixing is the
+    upsampling half). Same md5-prefix draw as curate_sample_stratified,
+    so the keep-decision is reproducible across runs/engines and exact
+    duplicates never straddle the boundary; the per-row predicate
+    pipelines with the scan. At 100 TB the rate map is a broadcast
+    recipe table instead of a literal CASE.
+    """
+    thresh = F.when(F.col("lang") == "en", "8000").otherwise("2000")
+    return (
+        T(spark, sf_dir, "documents")
+        .where(F.substring(F.md5("text"), 1, 4) < thresh)
+        .select("doc_id", "lang", "source")
+    )
