@@ -330,3 +330,35 @@ def test_streaming_session_windows_end_to_end(spark, tmp_path):
     # alice's 2 commits (22:10) and the bot commit (22:20) merge: one
     # session [22:10, 22:40) with 3 commits.
     assert rows == {("org/tools", "2024-02-29T22:10:00"): (3, "2024-02-29T22:40:00")}
+
+
+def test_diff_snapshots_classifies_changes(spark):
+    from etl_github_spark.io.sink import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: r["change"] for r in diff_snapshots(old, new, ("k",)).collect()}
+    assert got == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged → absent
+
+
+def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
+    """Appending files with an extended schema must stay readable:
+    mergeSchema unions the schemas and back-fills nulls — the contract
+    an evolving 100 TB table depends on."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id").alias("k"), F.lit("v1").alias("a")).write.parquet(
+        path
+    )
+    spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("v2").alias("a"), F.lit(7).alias("b")
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"k", "a", "b"}
+    rows = {r["k"]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows[0] == ("v1", None) and rows[4] == ("v2", 7)
