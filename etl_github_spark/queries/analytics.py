@@ -469,3 +469,42 @@ def trend_rolling_7d_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "dedup_events_hourly",
+    sql="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("dedup", "events", "analytics"),
+)
+def dedup_events_hourly(spark, sf_dir):
+    """Batch event dedup: keep the first (user, event_type) occurrence
+    per clock hour — the at-least-once-delivery cleanup every event
+    pipeline runs before metrics (its streaming twin is
+    ``dropDuplicatesWithinWatermark`` in streaming/dedup.py). ts is
+    tie-broken by event_id so "first" is total.
+
+    Shape: one window shuffle keyed by (user, type, hour) — high
+    cardinality, skew-free; at 100 TB the hour bucket keeps any single
+    partition's state to one user-type-hour of events.
+    """
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

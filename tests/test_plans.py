@@ -234,3 +234,22 @@ def test_salted_join_partitions_on_salt(spark):
     otherwise the rewrite silently degenerates to the plain hot-key join."""
     p = plan_of(spark, "join_salted_hotkey")
     assert "__salt" in p
+
+
+def test_rolling_wau_broadcasts_day_spine(spark):
+    """The trailing-window distinct must be a broadcast range join over
+    the deduped (day, user) set — never a shuffled cartesian."""
+    p = plan_of(spark, "trend_rolling_7d_users")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_event_dedup_single_window_shuffle(spark):
+    import re
+
+    p = plan_of(spark, "dedup_events_hourly")
+    # exactly one exchange node (formatted plans print each node twice:
+    # tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # and the rn=1 filter must push a partial top-1 below the shuffle
+    assert "WindowGroupLimit" in p
