@@ -270,32 +270,76 @@ def quality_boilerplate_ngrams(spark, sf_dir):
 
 _CHUNK = 10
 
-
-@query(
-    "dedup_chunks_global",
-    sql=f"""
-    WITH c AS (
+# Chunk-dedup SQL, parameterized by the source relation so the capstone
+# pipeline can run it over a filtered CTE instead of the raw table.
+_CHUNK_DEDUP_SQL = """
+    c AS (
       SELECT doc_id, toks,
-             unnest(range(0, (len(toks) + {_CHUNK - 1}) // {_CHUNK})) AS pos,
-             (len(toks) + {_CHUNK - 1}) // {_CHUNK} AS n_chunks
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             unnest(range(0, (len(toks) + {pad}) // {k})) AS pos,
+             (len(toks) + {pad}) // {k} AS n_chunks
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
     ),
-    k AS (
+    ch AS (
       SELECT doc_id, pos, n_chunks,
-             array_to_string(toks[(pos * {_CHUNK} + 1):((pos + 1) * {_CHUNK})], ' ') AS chunk
+             array_to_string(toks[(pos * {k} + 1):((pos + 1) * {k})], ' ') AS chunk
       FROM c
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM ch
+      ) WHERE rn = 1
     )
+"""
+
+_CHUNK_DEDUP_FINAL_SQL = """
     SELECT doc_id,
            string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
            CAST(count(*) AS INTEGER) AS n_chunks_kept,
            CAST(min(n_chunks) AS INTEGER) AS n_chunks_orig
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
-      FROM k
-    )
-    WHERE rn = 1
+    FROM kept
     GROUP BY doc_id
-    """,
+"""
+
+
+def _chunk_dedup(d):
+    """Global first-occurrence chunk dedup + per-doc reassembly over any
+    (doc_id, text) DataFrame — see dedup_chunks_global for semantics."""
+    k = _CHUNK
+    d = d.select("doc_id", _words().alias("toks"))
+    n_chunks = F.expr(f"(size(toks) + {k - 1}) div {k}")
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        "n_chunks",
+        F.concat_ws(" ", F.slice("toks", F.col("pos") * k + 1, k)).alias("chunk"),
+    )
+    first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(first)).where(F.col("rn") == 1)
+    reassembled = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s.getField("chunk"),
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        reassembled.alias("clean_text"),
+        F.count("*").cast("int").alias("n_chunks_kept"),
+        F.min("n_chunks").cast("int").alias("n_chunks_orig"),
+    )
+
+
+@query(
+    "dedup_chunks_global",
+    sql="WITH "
+    + _CHUNK_DEDUP_SQL.format(src="documents", k=_CHUNK, pad=_CHUNK - 1)
+    + _CHUNK_DEDUP_FINAL_SQL,
     tags=("quality", "dedup", "text"),
 )
 def dedup_chunks_global(spark, sf_dir):
@@ -312,39 +356,7 @@ def dedup_chunks_global(spark, sf_dir):
     whose every chunk is seen earlier disappear entirely — matching C4's
     drop-empty-docs behavior.
     """
-    k = _CHUNK
-    d = par(T(spark, sf_dir, "documents")).select(
-        "doc_id", _words().alias("toks")
-    )
-    n_chunks = F.expr(f"(size(toks) + {k - 1}) div {k}")
-    chunks = (
-        d.select(
-            "doc_id",
-            "toks",
-            n_chunks.alias("n_chunks"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            "n_chunks",
-            F.concat_ws(" ", F.slice("toks", F.col("pos") * k + 1, k)).alias("chunk"),
-        )
-    )
-    first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    kept = chunks.withColumn("rn", F.row_number().over(first)).where(F.col("rn") == 1)
-    reassembled = F.concat_ws(
-        " ",
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-            lambda s: s.getField("chunk"),
-        ),
-    )
-    return kept.groupBy("doc_id").agg(
-        reassembled.alias("clean_text"),
-        F.count("*").cast("int").alias("n_chunks_kept"),
-        F.min("n_chunks").cast("int").alias("n_chunks_orig"),
-    )
+    return _chunk_dedup(par(T(spark, sf_dir, "documents")))
 
 
 @query(
@@ -375,3 +387,96 @@ def quality_length_histogram(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "curate_pipeline_full",
+    sql=f"""
+    WITH s AS ({_STATS_SQL}),
+    keep AS (
+      SELECT doc_id FROM s
+      WHERE n_words BETWEEN 20 AND 400
+        AND mean_word_len BETWEEN 2 AND 8
+        AND stop_fraction >= 0.03
+        AND distinct_ratio >= 0.35
+    ),
+    d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM d1 GROUP BY source
+    ),
+    d2 AS (
+      SELECT d1.* FROM d1 JOIN m USING (source)
+      WHERE NOT (4 * (d1.n_chars * m.n - m.s1) * (d1.n_chars * m.n - m.s1)
+                 > 9 * (m.n * m.s2 - m.s1 * m.s1))
+    ),
+    d3 AS (
+      SELECT * FROM d2
+      WHERE substr(md5(text), 1, 4) <
+            CASE lang WHEN 'en' THEN '8000' ELSE '2000' END
+    ),
+    {_CHUNK_DEDUP_SQL.format(src="d3", k=_CHUNK, pad=_CHUNK - 1)}
+    {_CHUNK_DEDUP_FINAL_SQL}
+    """,
+    tags=("quality", "curation", "capstone"),
+)
+def curate_pipeline_full(spark, sf_dir):
+    """Capstone curation pipeline v2, chaining this round's operators in
+    production order: Gopher rule filter (thresholds identical to
+    quality_gopher_filter) → per-source z-score outlier cut (moments
+    computed over the FILTERED corpus) → per-language weighted
+    content-hash sample → global chunk dedup with reassembly.
+
+    Order is the cost argument: the per-row filters and the hash sample
+    are scan-fused projections that shrink the corpus BEFORE the only
+    expensive stage (the global chunk shuffle); the outlier moments are
+    a |sources|-row broadcast. Oracle = the same four stages as one
+    DuckDB CTE chain — the whole pipeline is value-checked end-to-end,
+    not just its pieces.
+    """
+    docs = T(spark, sf_dir, "documents")
+    w = F.col("_w")
+    n = F.size(w).cast("double")
+    is_stop = lambda t: t.isin(*_STOP)  # noqa: E731
+    st = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        _words().alias("_w"),
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        ((F.length("text").cast("double") - n + 1) / n).alias("mean_word_len"),
+        (F.size(F.filter(w, is_stop)).cast("double") / n).alias("stop_fraction"),
+        (F.size(F.array_distinct(w)).cast("double") / n).alias("distinct_ratio"),
+    )
+    d1 = st.where(
+        F.col("n_words").between(20, 400)
+        & F.col("mean_word_len").between(2, 8)
+        & (F.col("stop_fraction") >= 0.03)
+        & (F.col("distinct_ratio") >= 0.35)
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    m = d1.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    dev = F.col("n_chars") * F.col("n") - F.col("s1")
+    d2 = (
+        d1.join(F.broadcast(m), "source")
+        .where(
+            ~(4 * dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        )
+        .select("doc_id", "text", "lang")
+    )
+    thresh = F.when(F.col("lang") == "en", "8000").otherwise("2000")
+    d3 = d2.where(F.substring(F.md5("text"), 1, 4) < thresh)
+    return _chunk_dedup(par(d3))
