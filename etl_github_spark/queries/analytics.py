@@ -508,3 +508,28 @@ def dedup_events_hourly(spark, sf_dir):
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query("trend_rolling_7d_users_approx", sql=None, tags=("trend", "analytics", "approx"))
+def trend_rolling_7d_users_approx(spark, sf_dir):
+    """Sketch-merge twin of trend_rolling_7d_users: one HLL sketch per
+    day (|days| rows of state, each a few KB), then the trailing window
+    is a UNION of 7 sketches — mergeability is the property exact
+    count-distinct lacks, and is what makes rolling uniques tractable
+    when the per-window user set no longer fits a shuffle. Same
+    day-spine broadcast range join as the exact twin; accuracy pinned
+    against it in tests (default lgConfigK=12 → rsd ≈ 1.6%).
+    """
+    e = T(spark, sf_dir, "events")
+    sketches = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        sketches.join(
+            F.broadcast(days),
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+    )

@@ -34,3 +34,19 @@ def test_fuzzy_qgram_join_equals_all_pairs(spark):
         tuple(r) for r in QUERIES["text_fuzzy_join_qgram"].fn(spark, SF_SMALL).collect()
     }
     assert base == fuzzy and len(base) > 0
+
+
+def test_rolling_wau_sketch_within_hll_tolerance(spark):
+    """HLL-merged rolling uniques must track the exact join-based WAU
+    within ~3x the sketch's relative standard deviation."""
+    exact = {
+        r["day"]: r["wau"]
+        for r in QUERIES["trend_rolling_7d_users"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        r["day"]: r["wau_approx"]
+        for r in QUERIES["trend_rolling_7d_users_approx"].fn(spark, SF_SMALL).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, n, approx[day])
