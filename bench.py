@@ -58,6 +58,8 @@ EXTENDED = [
     "text_collocations_lift",
     "q11_important_stock",
     "q20_potential_promotion",
+    "curate_pipeline_full",
+    "trend_rolling_7d_users",
 ]
 
 
