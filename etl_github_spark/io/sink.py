@@ -134,6 +134,7 @@ def compact_table(
     spark: SparkSession,
     path: str,
     max_records_per_file: int = 50_000_000,
+    zorder_cols: tuple[str, ...] = (),
 ) -> None:
     """Small-file compaction (S7, preprocess.py:199-206).
 
@@ -151,13 +152,23 @@ def compact_table(
     old): the table path is missing only between two metadata renames,
     not for the whole rewrite. A crash mid-swap leaves a ``__old`` /
     ``__compacting`` staging dir that :func:`vacuum_table` reaps.
+
+    ``zorder_cols`` re-clusters rows within each date partition by the
+    Morton key while compacting (the Delta ``OPTIMIZE ZORDER BY`` combo:
+    one rewrite buys both fewer files and multi-column footer-stat
+    pruning) — the write already rewrites every row, so the clustering
+    sort is marginal cost.
     """
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__old"
+    w = df.repartition("date")
+    if zorder_cols:
+        w = w.withColumn("__zkey", zorder_key(zorder_cols)).sortWithinPartitions(
+            "date", "__zkey"
+        ).drop("__zkey")
     (
-        df.repartition("date")
-        .write.mode("overwrite")
+        w.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("date")
         .parquet(tmp)

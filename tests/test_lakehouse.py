@@ -362,3 +362,38 @@ def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
     assert set(df.columns) == {"k", "a", "b"}
     rows = {r["k"]: (r["a"], r["b"]) for r in df.collect()}
     assert rows[0] == ("v1", None) and rows[4] == ("v2", 7)
+
+
+def test_compact_with_zorder_clusters_within_partition(spark, tmp_path):
+    """compact_table(zorder_cols=...) must leave each date partition's
+    row groups clustered on the z-key columns (narrow per-group ranges),
+    while preserving every row."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(20000).select(
+        F.lit("2024-01-01").alias("date"),
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("y"),
+    )
+    # 8 small unclustered files to compact
+    df.repartition(8).write.partitionBy("date").parquet(path)
+    compact_table(spark, path, max_records_per_file=2500, zorder_cols=("x", "y"))
+
+    spans = []
+    for f in glob.glob(path + "/date=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for i in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(i)
+                if col.path_in_schema in ("x", "y"):
+                    spans.append(col.statistics.max - col.statistics.min)
+    # unclustered row groups would span ~the full 0..255 domain on both
+    # columns; z-ordered groups must be materially narrower on average
+    assert spans and sum(spans) / len(spans) < 200
+    assert spark.read.parquet(path).count() == 20000
