@@ -253,3 +253,12 @@ def test_event_dedup_single_window_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     # and the rn=1 filter must push a partial top-1 below the shuffle
     assert "WindowGroupLimit" in p
+
+
+def test_capstone_pipeline_no_python_broadcast_moments(spark):
+    """The composed curation pipeline must stay JVM-only, broadcast the
+    per-source moment table, and never sort-merge join."""
+    p = plan_of(spark, "curate_pipeline_full")
+    assert "Python" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -103,3 +103,25 @@ def test_gopher_filter_cascade_order(spark):
     finally:
         q.T = orig_T
     assert rows[0]["reason"] == "word_count" and rows[0]["keep"] is False
+
+
+def test_event_dedup_breaks_ts_ties_by_event_id(spark):
+    """Two events with the same (user, type, hour) and identical ts must
+    deterministically keep the lower event_id."""
+    from etl_github_spark.queries import analytics as qa
+
+    df = spark.createDataFrame(
+        [
+            (7, 1, "click", "2024-01-01 10:00:00"),
+            (3, 1, "click", "2024-01-01 10:00:00"),  # same ts, lower id wins
+            (9, 1, "click", "2024-01-01 11:30:00"),  # next hour: kept
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    orig_T = qa.T
+    qa.T = lambda s, d, n: df  # noqa: E731
+    try:
+        kept = sorted(r["event_id"] for r in qa.dedup_events_hourly(spark, "x").collect())
+    finally:
+        qa.T = orig_T
+    assert kept == [3, 9]
