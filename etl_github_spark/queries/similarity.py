@@ -115,22 +115,25 @@ def sim_norms(spark, sf_dir):
 @query(
     "sim_normalize_embeddings",
     sql="""
-    SELECT vec_id,
-           list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) / sqrt({ss})) AS unit_vec
-    FROM embeddings e
-    """.format(ss=_fold_dot_sql("e.embedding", "e.embedding")),
+    SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+           CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) / sqrt({ss}) AS unit_val
+    FROM embeddings e, range(1, {d}) t(i)
+    """.format(ss=_fold_dot_sql("e.embedding", "e.embedding"), d=_DIM + 1),
     tags=("similarity",),
 )
 def sim_normalize_embeddings(spark, sf_dir):
     # unit-norm projection: per-row transform, norm via the shared
     # left-fold — the standard pre-step that turns cosine into dot
-    # product for downstream ANN.
+    # product for downstream ANN. Output is posexploded to one scalar
+    # row per (vec_id, dim): the driver's canonicalizer cannot sort
+    # array cells (r02 hard fail), and per-element doubles make the
+    # float comparison element-wise — stricter than hashing a
+    # stringified array.
     emb = T(spark, sf_dir, "embeddings")
     norm = F.sqrt(fold_dot(F.col("embedding"), F.col("embedding")))
-    return emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    return emb.select("vec_id", F.posexplode(unit).alias("i", "unit_val")).select(
+        "vec_id", (F.col("i") + 1).alias("dim"), "unit_val"
     )
 
 

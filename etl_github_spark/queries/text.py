@@ -223,18 +223,26 @@ def text_levenshtein_pairs(spark, sf_dir):
     "text_stopword_removal",
     sql="""
     SELECT doc_id,
-           list_filter(string_split(text, ' '),
-                       w -> NOT (w = 'the' OR w = 'a' OR w = 'of')) AS content_words
+           array_to_string(list_filter(string_split(text, ' '),
+                           w -> NOT (w = 'the' OR w = 'a' OR w = 'of')), ' ') AS content_text,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> NOT (w = 'the' OR w = 'a' OR w = 'of'))) AS INTEGER) AS n_content_words
     FROM documents
     """,
     tags=("text",),
 )
 def text_stopword_removal(spark, sf_dir):
-    # array-valued output: stopword filtering as a pure higher-order
-    # column op (per-row, no shuffle, order-preserving).
+    # stopword filtering as a pure higher-order column op (per-row, no
+    # shuffle, order-preserving). Output is the rejoined string + word
+    # count, not the array itself: the driver's canonicalizer sorts
+    # result cells and cannot order array values (r02 hard fail), and a
+    # string round-trip pins the same element order + content.
     keep = lambda w: ~((w == "the") | (w == "a") | (w == "of"))  # noqa: E731
+    content = F.filter(_words(), keep)
     return T(spark, sf_dir, "documents").select(
-        "doc_id", F.filter(_words(), keep).alias("content_words")
+        "doc_id",
+        F.array_join(content, " ").alias("content_text"),
+        F.size(content).alias("n_content_words"),
     )
 
 

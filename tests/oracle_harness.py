@@ -55,10 +55,38 @@ def rows_to_multiset(cols: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def assert_driver_sortable(sdf) -> list[str]:
+    """Reject result shapes the DRIVER's canonicalizer cannot handle.
+
+    The driver canonicalizes by loading the result into pandas and
+    ``sort_values``-ing over all columns; array/map/struct cells arrive
+    as ndarrays/dicts/Rows, which pandas cannot factorize → the whole
+    CORRECTNESS row errors out (r02: text_stopword_removal,
+    sim_normalize_embeddings). Catch that class locally: every output
+    column must be a scalar type.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        return [
+            "non-scalar output columns (driver canonicalizer cannot sort "
+            f"array/map/struct cells): {bad}"
+        ]
+    return []
+
+
 def compare(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     errors: list[str] = []
     sdf = fn(spark, sf_dir)
+    shape_errors = assert_driver_sortable(sdf)
+    if shape_errors:
+        return [f"{name}: {e}" for e in shape_errors]
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -33,6 +33,37 @@ def test_rows_only_runs(spark, name):
     assert rows is not None
 
 
+def test_driver_canon_rejects_array_output(spark):
+    """The driver canonicalizer sorts cells with pandas and crashes on
+    array/map/struct values (r02: text_stopword_removal,
+    sim_normalize_embeddings). The local harness must reject those
+    shapes the same way so the failure class is caught before a round
+    ends."""
+    from pyspark.sql import functions as F
+
+    from .oracle_harness import assert_driver_sortable
+
+    arr = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("xs"))
+    assert assert_driver_sortable(arr), "array column must be rejected"
+
+    scalar = spark.range(3).select("id", F.lit("ok").alias("s"))
+    assert assert_driver_sortable(scalar) == []
+
+
+def test_all_registered_queries_driver_sortable(spark):
+    """No registered query may return a non-scalar column — schema-only
+    check (cheap: no execution) over the whole registry."""
+    from .oracle_harness import assert_driver_sortable
+
+    bad = {}
+    for name, d in QUERIES.items():
+        df = d.fn(spark, SF_ORACLE)
+        errs = assert_driver_sortable(df)
+        if errs:
+            bad[name] = errs
+    assert not bad, f"queries with driver-unsortable output: {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 
