@@ -5,11 +5,97 @@ a PySpark implementation and (when SQL-expressible) a DuckDB oracle SQL
 string the driver diffs against at sf=0.01.
 """
 
-# Registration order matters: the driver's correctness gate verifies queries in
-# registration order (bounded window), so the highest-value / least-recently-verified
-# modules register first. Round 2 rotation: the LLM-pipeline surface
-# (text/dedup/similarity), TPC-H shapes, extra, reshape, and sets lead (50 entries —
-# all 48 queries unverified in round 1 plus two green canaries); the round-1-verified
-# core/joins/aggregates/windows follow.
+# The driver's correctness gate verifies the FIRST 50 registered queries, so
+# registration order is rotated each round onto the least-recently-verified
+# surface. Round 3 window (explicit list below — module import order no longer
+# determines it): the 45 queries that have never had a driver CORRECTNESS row
+# (tpch_ext, tpch_ps, quality, curation, clustering, stats, text_ext, and the
+# highest-value analytics) plus the five changed-this-round queries that must
+# be re-verified: the two r02 array-output fixes, the two new-oracle upgrades,
+# and the new LSH recall pin. Still never checked after this round (→ round 4):
+# scale_paths (9) and five low-risk analytics queries.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
+
+_R3_WINDOW = [
+    # changed this round — must land driver-green (VERDICT r02 items 2/4/6)
+    "text_stopword_removal",
+    "sim_normalize_embeddings",
+    "sim_topk_pandas_vectorized",
+    "agg_approx_percentile",
+    "dedup_lsh_recall",
+    # tpch_ext (15) — never driver-checked
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # tpch_ps (2)
+    "q11_important_stock",
+    "q20_potential_promotion",
+    # quality (8)
+    "quality_gopher_stats",
+    "quality_gopher_filter",
+    "quality_repetition_stats",
+    "quality_pii_redact",
+    "quality_boilerplate_ngrams",
+    "dedup_chunks_global",
+    "quality_length_histogram",
+    "curate_pipeline_full",
+    # curation (7)
+    "curate_sample_stratified",
+    "curate_source_mixing",
+    "curate_tfidf_top_terms",
+    "curate_decontaminate",
+    "curate_length_outliers",
+    "curate_domain_cap",
+    "curate_sample_weighted",
+    # clustering (2)
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    # stats (3)
+    "stat_ols_slope_per_lang",
+    "stat_ols_pandas_grouped",
+    "stat_corr_per_lang",
+    # text_ext (2)
+    "text_chunk_tokens",
+    "text_train_val_split",
+    # analytics (6 highest-value; 5 remain for round 4)
+    "funnel_conversion",
+    "cohort_retention",
+    "trend_rolling_7d_users",
+    "profile_documents",
+    "dedup_events_hourly",
+    "stat_outliers_zscore",
+]
+
+
+def _apply_rotation(window: list[str]) -> None:
+    """Reorder the registry dict so `window` occupies the first slots.
+
+    dicts preserve insertion order, and the driver iterates
+    ``queries()`` in that order — this is the rotation mechanism.
+    Unknown names fail loudly (a typo here would silently shrink the
+    verified window).
+    """
+    missing = [n for n in window if n not in QUERIES]
+    if missing:
+        raise ValueError(f"rotation window names not registered: {missing}")
+    rest = {n: d for n, d in QUERIES.items() if n not in set(window)}
+    ordered = {n: QUERIES[n] for n in window}
+    ordered.update(rest)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_rotation(_R3_WINDOW)

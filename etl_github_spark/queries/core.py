@@ -62,10 +62,15 @@ def flagship_popular_user_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.get_json_object("props", "$.k").try_cast("int") >= 10)
         & (F.col("user_id") % 7 != 0)
     )
+    # Sink-side clustering, not a global sort: the reference's sorted sink
+    # (preprocess.py:225) needs rows *grouped* for consumers, which
+    # sortWithinPartitions gives without the rangepartitioning exchange +
+    # global barrier a no-limit orderBy pays (the r02 flagship regression).
+    # Row SET is identical; consumers needing a total order add it at read.
     return (
         clicks.join(F.broadcast(popular), "user_id", "inner")
         .select("event_id", "user_id", "value", "view_cnt")
-        .orderBy(F.desc("view_cnt"), "event_id")
+        .sortWithinPartitions(F.desc("view_cnt"), "event_id")
     )
 
 

@@ -307,6 +307,198 @@ def dedup_minhash_lsh(spark, sf_dir):
     return cand.where(F.col("est_jaccard") >= 0.5)
 
 
+# --- driver-visible LSH recall pin -----------------------------------------
+#
+# The production MinHash family above uses xxhash64, which DuckDB cannot
+# evaluate — hence the rows-only check. For a *driver-verified* recall
+# contract we run the same banded-LSH algorithm over an
+# oracle-expressible hash family:
+#
+#   shingle id  x  = first 60 bits of md5(shingle)   (both engines)
+#   h_i(x)         = (a_i * (x mod p) + b_i) mod p,  p = 2^31 - 1
+#
+# a_i/b_i are fixed splitmix-derived constants, so Spark and DuckDB
+# compute bit-identical signatures, bands, and candidate sets. The
+# recall query below joins the exact-Jaccard truth set against these
+# candidates, making the recall number itself (including any banding
+# misses) a hash-checked driver row rather than a claim.
+
+_MERSENNE_P = 2**31 - 1
+
+
+def _affine_coeffs(n: int = _N_HASHES, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs via splitmix64 — shared literal
+    constants for the Spark and DuckDB sides."""
+    out = []
+    x = seed & (2**64 - 1)
+    for _ in range(n):
+        pair = []
+        for _ in range(2):
+            x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+            z ^= z >> 31
+            pair.append(z % _MERSENNE_P)
+        a, b = pair
+        out.append((a if a > 0 else 1, b))
+    return out
+
+
+_AFFINE = _affine_coeffs()
+
+
+def _shingle_strings(words_col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> column (same
+    zip-of-slices construction as :func:`_hashed_shingles`, but keeping
+    the string so md5 can be applied engine-portably)."""
+    m = F.size(words_col) - (n - 1)
+    z = F.arrays_zip(*[F.slice(words_col, 1 + k, m) for k in range(n)])
+    return F.array_distinct(
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]))
+    )
+
+
+def _md5_minhash_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family."""
+    p = F.lit(_MERSENNE_P).cast("long")
+    xm = F.transform(
+        _shingle_strings(F.col("w")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % p,
+    )
+    def _h(a: int, b: int):
+        # closure (not default-arg lambda: Spark reads lambda arity)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % p
+
+    sig = F.array(*[F.array_min(F.transform("xs", _h(a, b))) for a, b in _AFFINE])
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = (
+        docs.select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", xm.alias("xs"))
+        .select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[b * _BAND_SIZE + r] for r in range(_BAND_SIZE)],
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    bands = bands.localCheckpoint(eager=False)  # signature subtree: compute once
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _md5_minhash_sql() -> str:
+    """DuckDB twin of :func:`_md5_minhash_candidates` + the recall join."""
+    p = _MERSENNE_P
+    sig_cols = ",\n             ".join(
+        f"min(({a} * xm + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(_AFFINE)
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(','{cols}) AS bucket FROM sig".format(
+            b=b,
+            cols="".join(f", s{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
+             len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh),
+    xm AS (
+      SELECT doc_id, n_sh,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p} AS xm
+      FROM ex
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM xm GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+      FROM pairs
+      WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard,
+           (c.doc_a IS NOT NULL) AS recalled
+    FROM truth t LEFT JOIN cand c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    """
+
+
+@query("dedup_lsh_recall", sql=_md5_minhash_sql(), tags=("dedup", "neardup", "lsh"))
+def dedup_lsh_recall(spark, sf_dir):
+    """Recall of banded MinHash-LSH against the exact Jaccard truth set.
+
+    One row per true near-dup pair (exact trigram Jaccard >= 0.5) with a
+    ``recalled`` flag: whether the banded-LSH candidate generation (8
+    bands x 4 rows, md5-derived hash family — identical constants in
+    both engines) surfaced the pair. The oracle recomputes the ENTIRE
+    pipeline (shingles → signatures → bands → candidates → recall join)
+    in DuckDB, so the driver hash pins the recall behavior itself —
+    including genuine banding misses — not just row counts. The
+    xxhash64 family in :func:`dedup_minhash_lsh` is the production
+    path; this family exists to make the contract falsifiable
+    cross-engine.
+    """
+    docs = par(T(spark, sf_dir, "documents"))
+    truth = dedup_jaccard_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.5)
+    cand = _md5_minhash_candidates(docs).withColumn("hit", F.lit(True))
+    return truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce("hit", F.lit(False)).alias("recalled"),
+    )
+
+
 @query("dedup_simhash", sql=None, tags=("dedup", "neardup"))
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document from word-level xxhash64 features.

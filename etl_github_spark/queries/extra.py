@@ -284,11 +284,33 @@ def agg_median_exact(spark, sf_dir):
     )
 
 
-@query("agg_approx_percentile", sql=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_percentile",
+    sql="""
+    SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS approx_median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_percentile(spark, sf_dir):
+    """Grouped approximate median (GK sketch) with an EXACT oracle.
+
+    ``percentile_approx(x, p, accuracy)`` is exact whenever the group
+    cardinality stays below ``accuracy`` (the GK summary never
+    compresses), and Spark's exact-mode rank rule at p=0.5
+    (element at ``ceil(n/2)``) coincides with DuckDB's
+    ``quantile_disc`` (``floor(p*(n-1))+1``) for every n — verified for
+    both parities. Largest fixture group is ~200k rows at sf0.1, so
+    accuracy=1e6 keeps the sketch exact at every test SF while
+    remaining a true bounded-memory sketch (the point of the operator)
+    at 100 TB, where the oracle contract degrades to rank-error
+    n/accuracy.
+    """
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
+        F.percentile_approx("l_extendedprice", 0.5, 1_000_000).alias(
+            "approx_median_price"
+        )
     )
 
 

@@ -248,15 +248,27 @@ def srp_bucketize(df: DataFrame, planes: list[list[float]]) -> DataFrame:
     return df.mapInPandas(kernel, schema=schema)
 
 
-@query("sim_topk_pandas_vectorized", sql=None, tags=("similarity", "topk", "pandas"))
+@query(
+    "sim_topk_pandas_vectorized",
+    sql=_COS_SQL
+    + """
+    SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk,
+           vec_id
+    FROM cos ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "topk", "pandas"),
+)
 def sim_topk_pandas_vectorized(spark, sf_dir):
     """Brute-force top-k via an Arrow-batched pandas/numpy kernel.
 
     The documented exception to "UDFs are the slow path": for dense
     numeric kernels a vectorized numpy matmul over Arrow batches beats
-    per-element JVM folds as dimensionality grows. Rows-only check
-    (numpy's reduction order differs from the left-fold oracle); ranked
-    ids match sim_topk_bruteforce, pinned in tests.
+    per-element JVM folds as dimensionality grows. Output is
+    (rank, vec_id) only — float-free, so the exact left-fold oracle
+    applies verbatim: numpy's pairwise-reduction cosines differ from
+    the fold in the last ulps but the fixture margins between ranked
+    neighbors are orders of magnitude wider (equality of the full
+    ranking vs the fold baseline is additionally pinned in pytest).
     """
     import numpy as np
     import pandas as pd
@@ -277,7 +289,13 @@ def sim_topk_pandas_vectorized(spark, sf_dir):
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score, schema="vec_id long, cos_sim double"
     )
-    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    top = scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"), "vec_id"
+    )
 
 
 @query("sim_lsh_bucketed_topk", sql=None, tags=("similarity", "lsh"))
