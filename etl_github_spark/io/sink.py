@@ -116,6 +116,23 @@ def merge_table(
     """
     from pyspark.sql import functions as F
 
+    # MERGE semantics: multiple update rows for one key is ambiguous
+    # (Delta's MERGE errors on multiple matches; silently inserting every
+    # copy would duplicate keys). Callers with versioned batches collapse
+    # to latest-per-key first (stream_merge_sink does).
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_table: updates batch has multiple rows for key "
+            f"{dict(zip(key_cols, dup[0][:-1]))}; collapse to one row per "
+            f"key (e.g. latest version) before merging"
+        )
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     current = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
     keep = current.join(
@@ -159,9 +176,15 @@ def compact_table(
     pruning) — the write already rewrites every row, so the clustering
     sort is marginal cost.
     """
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__old"
+    # Recover from a prior crashed compaction BEFORE starting: a stale
+    # __old would make shutil.move(path, old) nest the live table INSIDE
+    # it (shutil.move into an existing dir is a move-into, not a
+    # replace), corrupting the layout; a stale __compacting is an
+    # incomplete rewrite and is always safe to discard.
+    recover_table(path)
+    df = spark.read.parquet(path)
     w = df.repartition("date")
     if zorder_cols:
         w = w.withColumn("__zkey", zorder_key(zorder_cols)).sortWithinPartitions(
@@ -180,6 +203,39 @@ def compact_table(
     shutil.rmtree(old)
 
 
+def recover_table(path: str) -> str | None:
+    """Repair the layout after a crashed :func:`compact_table` swap.
+
+    Crash states and their repair (the swap is: write tmp → move live
+    aside to ``__old`` → move tmp to live → reap ``__old``):
+
+    * live missing + ``__old`` present → the crash hit between the two
+      renames; ``__old`` holds the ONLY copy of committed data, so it is
+      **restored** to the table path (never deleted).
+    * live present + ``__old`` present → crash after the swap, before
+      the reap; ``__old`` is a superseded copy and is removed.
+    * ``__compacting`` present → an incomplete rewrite (never became
+      live); always safe to discard.
+
+    Returns a description of the recovery action taken, or None.
+    """
+    root = Path(path)
+    old = root.with_name(root.name + "__old")
+    tmp = root.with_name(root.name + "__compacting")
+    action = None
+    if old.exists():
+        if not root.exists():
+            shutil.move(str(old), str(root))
+            action = f"restored {old} -> {root}"
+        else:
+            shutil.rmtree(old)
+            action = f"reaped superseded {old}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+        action = (action + "; " if action else "") + f"discarded incomplete {tmp}"
+    return action
+
+
 def vacuum_table(path: str) -> list[str]:
     """Reap orphaned write artifacts (the ``vacuum(retention_hours=0)``
     analog for the Parquet layout; preprocess.py:205).
@@ -189,20 +245,24 @@ def vacuum_table(path: str) -> list[str]:
     ``<table>__compacting`` / ``<table>__old`` siblings. None are
     referenced by a successful read, but at 100 TB they are real storage
     cost and confuse recursive listings. Returns the paths removed.
+
+    Safety (Delta's VACUUM never deletes committed data, neither does
+    this): staging siblings go through :func:`recover_table` first, so a
+    ``__old`` that holds the only copy of the table (crash between the
+    swap renames) is restored to the table path, never reaped.
     """
     root = Path(path)
     removed: list[str] = []
+    # repair a half-finished compaction swap before touching siblings:
+    # reaps superseded copies, restores an orphaned-live __old
+    action = recover_table(path)
+    if action:
+        removed.append(action)
     # committer staging trees anywhere under the table
     for tmp_dir in root.rglob("_temporary"):
         if tmp_dir.is_dir():
             removed.append(str(tmp_dir))
             shutil.rmtree(tmp_dir)
-    # half-finished compaction siblings
-    for suffix in _STAGING_SUFFIXES:
-        sibling = root.with_name(root.name + suffix)
-        if sibling.exists():
-            removed.append(str(sibling))
-            shutil.rmtree(sibling)
     # stray in-flight task files (never committed, so not part of any read)
     for tmp_file in root.rglob("*.tmp"):
         removed.append(str(tmp_file))

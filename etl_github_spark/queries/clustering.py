@@ -63,6 +63,7 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     total = lab.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         nb = (
             sym.join(lab, sym["doc_b"] == lab["id"])
@@ -82,8 +83,19 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         new_total = lab_new.agg(F.sum("label")).first()[0]
         lab = lab_new
         if new_total == total:  # labels are monotone non-increasing:
-            break  # unchanged sum == fixpoint
+            converged = True  # unchanged sum == fixpoint
+            break
         total = new_total
+    if not converged:
+        # Falling through silently would hand back WRONG labels on a
+        # graph whose diameter exceeds the budget (deep chains). Raise:
+        # callers choose a bigger budget (rounds are O(diameter), so the
+        # retry cost is bounded), never consume bad clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "component diameter exceeds the iteration budget — rerun with "
+            "a larger max_iters"
+        )
     return lab
 
 

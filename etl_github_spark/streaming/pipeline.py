@@ -132,8 +132,16 @@ def stream_merge_sink(
             not e.startswith("_") for e in os.listdir(path)
         ):
             merge_table(latest.sparkSession, path, latest, key_cols, partition_col)
-        else:  # first batch: plain partitioned write creates the table
-            latest.write.partitionBy(partition_col).parquet(path)
+        else:
+            # First batch: plain partitioned write creates the table.
+            # Explicit overwrite, NOT the default errorifexists: if a
+            # prior attempt crashed after creating the dir with only
+            # underscore-prefixed entries (_temporary, _SUCCESS), the
+            # existence check above routes the checkpoint-redelivered
+            # batch back here, and a default-mode write would throw
+            # path-already-exists and wedge the stream. Overwriting an
+            # empty/artifact-only dir is the idempotent re-apply.
+            latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
     return (
         stream.writeStream.foreachBatch(upsert)

@@ -397,3 +397,98 @@ def test_compact_with_zorder_clusters_within_partition(spark, tmp_path):
     # columns; z-ordered groups must be materially narrower on average
     assert spans and sum(spans) / len(spans) < 200
     assert spark.read.parquet(path).count() == 20000
+
+
+def _mini_table(spark, path: str, n: int = 100):
+    from pyspark.sql import functions as F
+
+    spark.range(n).select(
+        F.lit("2024-01-01").alias("date"), F.col("id").alias("v")
+    ).write.partitionBy("date").parquet(path)
+
+
+def test_recover_table_restores_orphaned_old(spark, tmp_path):
+    """Crash between compact_table's two swap renames leaves __old as the
+    ONLY copy; vacuum must RESTORE it, never delete it (ADVICE r02)."""
+    import shutil
+
+    from etl_github_spark.io.sink import vacuum_table
+
+    path = str(tmp_path / "t")
+    _mini_table(spark, path)
+    rows_before = spark.read.parquet(path).count()
+    # simulate: live moved aside, crash before tmp -> live rename
+    shutil.move(path, path + "__old")
+    assert not (tmp_path / "t").exists()
+
+    actions = vacuum_table(path)
+    assert (tmp_path / "t").exists() and not (tmp_path / "t__old").exists()
+    assert any("restored" in a for a in actions)
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_recover_table_reaps_superseded_old_and_tmp(spark, tmp_path):
+    """Crash after the swap (live present) leaves a superseded __old and/or
+    an incomplete __compacting: both are reaped, live data untouched."""
+    from etl_github_spark.io.sink import recover_table
+
+    path = str(tmp_path / "t")
+    _mini_table(spark, path)
+    _mini_table(spark, path + "__old", n=7)
+    _mini_table(spark, path + "__compacting", n=3)
+
+    recover_table(path)
+    assert (tmp_path / "t").exists()
+    assert not (tmp_path / "t__old").exists()
+    assert not (tmp_path / "t__compacting").exists()
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_table_survives_stale_staging_dirs(spark, tmp_path):
+    """A stale __old from a prior crash must not make compact_table nest
+    the live table inside it (shutil.move into an existing dir is a
+    move-INTO); compaction clears staging state first (ADVICE r02)."""
+    from etl_github_spark.io.sink import compact_table
+
+    path = str(tmp_path / "t")
+    _mini_table(spark, path)
+    _mini_table(spark, path + "__old", n=7)
+
+    compact_table(spark, path)
+    assert spark.read.parquet(path).count() == 100
+    assert not (tmp_path / "t__old").exists()
+
+
+def test_merge_table_rejects_duplicate_update_keys(spark, tmp_path):
+    """MERGE with multiple update rows per key is ambiguous (Delta errors
+    on multiple matches); merge_table must raise, not silently insert
+    every copy (ADVICE r02)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import merge_table
+
+    path = str(tmp_path / "t")
+    _mini_table(spark, path)
+    dup_updates = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 1)], "date string, v long"
+    ).select(F.col("date"), F.col("v"))
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_table(spark, path, dup_updates, key_cols=("v",))
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """A chain graph deeper than max_iters must raise, not silently
+    return wrong labels (ADVICE r02)."""
+    import pytest
+
+    from etl_github_spark.queries.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and a sufficient budget converges on the same graph
+    lab = connected_components(chain, max_iters=10)
+    assert {r["label"] for r in lab.collect()} == {0}

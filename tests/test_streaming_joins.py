@@ -146,3 +146,30 @@ def test_stream_merge_sink_upserts_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "tbl")).collect()
     }
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_stream_merge_sink_first_batch_redelivery_idempotent(spark, tmp_path):
+    """If a prior first-batch attempt died after creating the table dir
+    with only underscore artifacts (_temporary), the redelivered batch
+    must still create the table instead of throwing path-already-exists
+    (ADVICE r02: explicit overwrite on the creation write)."""
+    from etl_github_spark.streaming.pipeline import stream_merge_sink
+
+    landing = tmp_path / "landing"
+    _land(
+        landing,
+        "b1.json",
+        [{"id": 1, "val": "a", "created_at": "2024-01-01T00:00:00Z", "date": "2024-01-01"}],
+    )
+    # simulate the crashed first attempt: dir exists, only artifacts inside
+    tbl = tmp_path / "tbl"
+    (tbl / "_temporary").mkdir(parents=True)
+    src = (
+        spark.readStream.schema("id long, val string, created_at string, date string")
+        .json(str(landing))
+        .selectExpr("id", "val", "to_timestamp(created_at) AS created_at", "date")
+    )
+    q = stream_merge_sink(src, str(tbl), str(tmp_path / "ckpt"), key_cols=("id",))
+    q.awaitTermination(120)
+    got = {r["id"]: r["val"] for r in spark.read.parquet(str(tbl)).collect()}
+    assert got == {1: "a"}
