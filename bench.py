@@ -46,6 +46,14 @@ HEADLINE = [
 #: total stays composition-identical to the round-1 baseline (the
 #: round-over-round comparison would otherwise be apples-to-oranges).
 EXTENDED = [
+    # join-heaviest TPC-H ext shapes (VERDICT r02 #9: bench them so
+    # regressions on the multiway-join surface are attributable)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "dedup_lsh_recall",
+    "profile_documents",
     "dedup_cluster_components",
     "sim_topk_multi_query",
     "sim_ivf_kmeans_topk",

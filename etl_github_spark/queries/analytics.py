@@ -411,12 +411,41 @@ def profile_documents(spark, sf_dir):
     codepoint in both engines (ASCII fixtures), so the profile is
     engine-exact.
 
-    Shape: one aggregation per column over a shared cached scan,
-    unioned; each is a partial+final agg. (A single-pass multi-column
-    agg + unpivot is the micro-optimized variant; per-column plans keep
-    count(DISTINCT) partial-aggregatable and prune the scan to one
-    column each.)
+    Shape: ONE aggregation pass computing all columns' stats, then a
+    ``stack`` unpivot of the single result row. The table is scanned
+    once — at 100 TB the scan dominates, so this beats the per-column
+    union (kept as :func:`profile_documents_per_column`, pinned equal in
+    pytest) by ~|cols|×. The multiple ``count(DISTINCT)``s plan as one
+    scan + an Expand (|cols|-way row replication into partial aggs):
+    more agg input than a per-column pass, but only one trip through
+    storage, and still fully partial-aggregatable.
     """
+    d = T(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    one = d.agg(F.count("*").alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def profile_documents_per_column(spark, sf_dir):
+    """Per-column variant of :func:`profile_documents` (not registered):
+    one aggregation per column over the shared scan, unioned. Trades
+    |cols| scans for per-column pruning and no Expand replication —
+    preferable when only a narrow column subset is profiled on a wide
+    table. Output contract is identical (pinned in pytest)."""
     d = T(spark, sf_dir, "documents")
     parts = []
     for c in _PROFILE_COLS:

@@ -175,3 +175,65 @@ def test_commit_messages_nonnull_filter_semantics(spark, tmp_path):
     assert {r["sha"] for r in kept} == {"a1", "b1", "c1"}
     dropped = df.where(~F.lower(F.col("message")).contains(" dask")).collect()
     assert "a2" not in {r["sha"] for r in dropped}
+
+
+def test_ingest_urls_end_to_end_resume_and_retry(spark, tmp_path):
+    """ingest_urls driven through file:// URLs (VERDICT r02 #7):
+
+    * a stale ``.part`` from a killed fetch is overwritten and published
+      atomically (no ``.part`` survives a successful run);
+    * an already-landed file is skipped (idempotent resume — mtime
+      unchanged), and the landing dir ends byte-identical to the source;
+    * a URL that keeps failing raises after max_retries.
+    """
+    import os
+    import time
+
+    from etl_github_spark.gha.pipeline import fetch_to_landing, ingest_urls
+    from etl_github_spark.io.sink import read_table
+
+    from .gha_fixture import write_fixture
+
+    src = tmp_path / "remote"
+    paths = write_fixture(src, gz=True)
+    urls = [f"file://{p}" for p in paths]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    # simulate a killed mid-fetch: truncated .part for file 0
+    name0 = os.path.basename(paths[0])
+    (landing / (name0 + ".part")).write_bytes(b"\x1f\x8b-truncated")
+    # simulate a previously-landed complete file 1 (resume must skip it)
+    name1 = os.path.basename(paths[1])
+    import shutil
+
+    shutil.copyfile(paths[1], landing / name1)
+    old_mtime = os.path.getmtime(landing / name1)
+    time.sleep(0.05)
+
+    out = ingest_urls(spark, urls, str(landing), str(tmp_path / "lake"), fmt="parquet")
+
+    # landing dir byte-identical to source, no .part leftovers
+    assert sorted(os.listdir(landing)) == sorted(os.path.basename(p) for p in paths)
+    for p in paths:
+        landed = landing / os.path.basename(p)
+        assert landed.read_bytes() == open(p, "rb").read()
+    # pre-landed file skipped, not re-fetched
+    assert os.path.getmtime(landing / name1) == old_mtime
+
+    # the lake holds the same tables ingest_files produces
+    assert read_table(spark, out["commit"], fmt="parquet").count() > 0
+    assert read_table(spark, out["watch"], fmt="parquet").count() > 0
+
+    # second run over the same landing dir is a pure no-op fetch
+    landed_again = fetch_to_landing(spark, urls, str(landing))
+    assert sorted(os.path.basename(p) for p in landed_again) == sorted(
+        os.path.basename(p) for p in paths
+    )
+
+    # a URL that never succeeds raises after retries
+    import pytest
+
+    bad = f"file://{tmp_path}/remote/does-not-exist.json.gz"
+    with pytest.raises(Exception, match="fetch failed"):
+        fetch_to_landing(spark, [bad], str(landing), max_retries=1)

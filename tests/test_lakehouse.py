@@ -69,7 +69,10 @@ def test_vacuum_reaps_orphans_preserves_rows(spark, tmp_path):
     (watch / "date=2024-02-29" / ".part-inflight.tmp").write_bytes(b"junk")
 
     removed = vacuum_table(str(watch))
-    assert len(removed) == 4
+    # one combined recovery action (superseded __old + incomplete
+    # __compacting) + the _temporary tree + the stray .tmp file
+    assert len(removed) == 3
+    assert any("reaped superseded" in r and "discarded incomplete" in r for r in removed)
     assert not (watch / "_temporary").exists()
     assert not (tmp_path / "lake" / "watch__compacting").exists()
     assert not (tmp_path / "lake" / "watch__old").exists()

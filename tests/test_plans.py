@@ -262,3 +262,30 @@ def test_capstone_pipeline_no_python_broadcast_moments(spark):
     assert "Python" not in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_profile_documents_single_scan(spark):
+    """The profiler must read the table ONCE (multi-distinct planned as
+    one Scan + Expand), not once per profiled column — at 100 TB the
+    scan dominates the profile cost."""
+    import re
+
+    p = plan_of(spark, "profile_documents")
+    # each scan node prints one "(N) Scan parquet" detail header
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Expand" in p
+
+
+def test_lsh_recall_truth_join_no_cartesian(spark):
+    """The recall pin joins truth pairs to LSH candidates on (doc_a,
+    doc_b) — an equi-join, never a cartesian."""
+    p = plan_of(spark, "dedup_lsh_recall")
+    assert "CartesianProduct" not in p
+
+
+def test_flagship_no_global_sort_exchange(spark):
+    """Sink-side clustering (sortWithinPartitions) must not reintroduce
+    the rangepartitioning exchange of a global orderBy (the r02 flagship
+    regression)."""
+    p = plan_of(spark, "flagship_popular_user_clicks")
+    assert "rangepartitioning" not in p.lower()
