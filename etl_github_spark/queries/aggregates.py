@@ -236,12 +236,35 @@ def agg_variance_deterministic(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct_users", sql=None, tags=("approx",))
+@query(
+    "agg_approx_distinct_users",
+    sql="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events
+    """,
+    tags=("approx",),
+)
 def agg_approx_distinct_users(spark, sf_dir):
-    # HLL sketch — approximate by construction, no SQL oracle (rows-only).
-    return (
-        T(spark, sf_dir, "events")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    """HLL approximate distinct with a driver-checked tolerance PIN.
+
+    The sketch estimate itself is engine-specific (DuckDB cannot replay
+    Spark's HLL), so the query emits the exact count plus ``approx_ok``
+    = |approx − exact| ≤ 3·rsd·exact; the oracle computes the exact
+    count and asserts TRUE. A hash match therefore verifies BOTH the
+    exact cardinality AND that the sketch met its error contract — if
+    the estimate drifted out of tolerance the row would flip to false
+    and the driver row goes red (same pin pattern as dedup_lsh_recall).
+    """
+    rsd = 0.02
+    agg = T(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    tol = F.ceil(F.lit(3 * rsd) * F.col("n_exact"))
+    return agg.select(
+        "n_exact",
+        (F.abs(F.col("approx_users") - F.col("n_exact")) <= tol).alias("approx_ok"),
     )
 
 

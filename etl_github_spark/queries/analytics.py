@@ -539,26 +539,55 @@ def dedup_events_hourly(spark, sf_dir):
     )
 
 
-@query("trend_rolling_7d_users_approx", sql=None, tags=("trend", "analytics", "approx"))
+@query(
+    "trend_rolling_7d_users_approx",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT days.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau_exact,
+           TRUE AS approx_ok
+    FROM days JOIN e ON e.d BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day
+    """,
+    tags=("trend", "analytics", "approx"),
+)
 def trend_rolling_7d_users_approx(spark, sf_dir):
     """Sketch-merge twin of trend_rolling_7d_users: one HLL sketch per
     day (|days| rows of state, each a few KB), then the trailing window
     is a UNION of 7 sketches — mergeability is the property exact
     count-distinct lacks, and is what makes rolling uniques tractable
     when the per-window user set no longer fits a shuffle. Same
-    day-spine broadcast range join as the exact twin; accuracy pinned
-    against it in tests (default lgConfigK=12 → rsd ≈ 1.6%).
+    day-spine broadcast range join as the exact twin.
+
+    Driver-checked tolerance PIN (the sketch estimate is
+    engine-specific): each day emits the exact WAU plus ``approx_ok`` =
+    |sketch − exact| ≤ 3·rsd·exact (lgConfigK=12 → rsd ≈ 1.6%); the
+    oracle recomputes the exact WAU and asserts TRUE, so a hash match
+    verifies the rolling cardinalities AND the per-day sketch error
+    contract.
     """
+    rsd = 0.016
     e = T(spark, sf_dir, "events")
     sketches = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     days = e.select(F.to_date("ts").alias("day")).distinct()
-    return (
-        sketches.join(
-            F.broadcast(days),
-            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
-        )
+    rng = (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day"))
+    approx = (
+        sketches.join(F.broadcast(days), rng)
         .groupBy("day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+    )
+    exact = (
+        e.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .join(F.broadcast(days), rng)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    tol = F.ceil(F.lit(3 * rsd) * F.col("wau_exact"))
+    return exact.join(approx, "day").select(
+        "day",
+        "wau_exact",
+        (F.abs(F.col("wau_approx") - F.col("wau_exact")) <= tol).alias("approx_ok"),
     )

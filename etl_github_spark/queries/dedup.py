@@ -499,24 +499,74 @@ def dedup_lsh_recall(spark, sf_dir):
     )
 
 
-@query("dedup_simhash", sql=None, tags=("dedup", "neardup"))
+_SIMHASH_BITS = 60  # md5-derived word ids carry 60 bits (15 hex chars)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of :func:`dedup_simhash` over the md5 word-id family."""
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM w
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {assemble} AS simhash FROM bits),
+    buckets AS (
+      SELECT simhash, CAST(count(*) AS BIGINT) AS bucket_size
+      FROM sim GROUP BY simhash HAVING count(*) > 1
+    )
+    SELECT s.doc_id, s.simhash,
+           CAST(coalesce(b.bucket_size, 1) AS BIGINT) AS bucket_size
+    FROM sim s LEFT JOIN buckets b USING (simhash)
+    """
+
+
+@query("dedup_simhash", sql=_simhash_sql(), tags=("dedup", "neardup"))
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document from word-level xxhash64 features.
+    """60-bit SimHash per document from word-level md5 features.
 
     sign-sum per bit position, fully vectorized: explode words → per-bit
     ±1 contributions via bit tests → groupBy doc sum → reassemble bits.
     Near-dup candidates = identical simhash (Hamming-0 buckets); wider
     Hamming radii come from multi-table probing of bit-rotations.
+
+    Hash family: word id = first 60 bits of md5(word) — chosen so the
+    ENTIRE pipeline (word ids → bit sign-sums → reassembled fingerprint
+    → bucket sizes) replays bit-identically in the DuckDB oracle
+    (same pattern as dedup_lsh_recall; integer arithmetic throughout,
+    no float anywhere). At 100 TB swap xxhash64 in for the word id —
+    one changed expression; the md5 family exists to keep the operator
+    falsifiable cross-engine.
     """
     docs = par(T(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.explode(F.array_distinct(_words())).alias("word"))
-    h = w.select("doc_id", F.xxhash64("word").alias("h"))
+    h = w.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     import functools
@@ -525,7 +575,7 @@ def dedup_simhash(spark, sf_dir):
         F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     sim = bit_sums.select(
         "doc_id",

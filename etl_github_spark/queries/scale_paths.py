@@ -19,7 +19,64 @@ from .registry import query
 _DIM = 64
 
 
-@query("dedup_embedding_lsh_pairs", sql=None, tags=("dedup", "neardup", "embedding", "lsh"))
+def _srp_pairs_sql(n_bits: int = 16, band_size: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_embedding_lsh_pairs`: the SRP planes
+    are embedded as double literals (repr round-trips exactly), each
+    plane dot is the same CAST-to-double product left-fold the cosine
+    oracle uses, and the bucket/band arithmetic is integer — so the
+    candidate set replays exactly. Sign robustness: the Spark side sums
+    plane products with numpy (pairwise order); order error ~1e-13
+    relative vs a minimum fixture |plane dot| of 3e-5 — eight orders of
+    magnitude of margin, asserted in tests/test_scale_siblings.py.
+    """
+    from .dedup import _EMB_DOT
+    from .similarity import _srp_planes
+
+    planes = _srp_planes(n_bits, _DIM)
+    n_bands = n_bits // band_size
+    plane_dots = []
+    for vals in planes:
+        lits = ", ".join(repr(v) for v in vals)
+        plane_dots.append(
+            f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * ([{lits}][CAST(i AS INT)])), "
+            "(acc, x) -> acc + x)"
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN ({d}) >= 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        for p, d in enumerate(plane_dots)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (bucket >> {b * band_size}) & {(1 << band_size) - 1} AS bb FROM bk"
+        for b in range(n_bands)
+    )
+    ab = _EMB_DOT.format(a="ea.embedding", b="eb.embedding")
+    aa = _EMB_DOT.format(a="ea.embedding", b="ea.embedding")
+    bb = _EMB_DOT.format(a="eb.embedding", b="eb.embedding")
+    return f"""
+    WITH bk AS (SELECT e.vec_id, {bucket} AS bucket FROM embeddings e),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bb = b.bb AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {ab} / (sqrt({aa}) * sqrt({bb})) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.35
+    """
+
+
+@query(
+    "dedup_embedding_lsh_pairs",
+    sql=_srp_pairs_sql(),
+    tags=("dedup", "neardup", "embedding", "lsh"),
+)
 def dedup_embedding_lsh_pairs(spark, sf_dir):
     """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB sibling of
     dedup_embedding_cosine's all-pairs baseline.

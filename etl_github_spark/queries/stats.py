@@ -70,12 +70,14 @@ def stat_ols_slope_per_lang(spark, sf_dir):
     return m.select("lang", "n", slope.alias("slope"), intercept.alias("intercept"))
 
 
-@query("stat_ols_pandas_grouped", sql=None, tags=("stats", "regression", "pandas"))
+@query("stat_ols_pandas_grouped", sql=_MOMENTS_SQL, tags=("stats", "regression", "pandas"))
 def stat_ols_pandas_grouped(spark, sf_dir):
     """The same per-language OLS via grouped-map ``applyInPandas`` —
     each language's rows arrive as one pandas frame; int64 moment sums
     inside the kernel keep it bit-equal to the aggregate version
-    (pinned in tests).
+    (pinned in tests), so it shares the moments ORACLE verbatim: the
+    kernel's ``float(int)/float(int)`` is the same correctly-rounded
+    int64→double conversion + one IEEE divide the SQL formula performs.
 
     Grouped-map semantics: a full shuffle on the group key and the
     whole group materialized per task — the right tool when per-group
