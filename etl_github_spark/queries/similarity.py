@@ -298,7 +298,45 @@ def sim_topk_pandas_vectorized(spark, sf_dir):
     )
 
 
-@query("sim_lsh_bucketed_topk", sql=None, tags=("similarity", "lsh"))
+def _srp_bucket_sql(table_alias: str, planes: list[list[float]]) -> str:
+    """SRP bucket id of ``<alias>.embedding`` as a DuckDB expression with
+    the planes embedded as double literals (repr round-trips exactly);
+    each plane dot is the same CAST-to-double left-fold the cosine
+    oracle uses, so bucket bits replay exactly (sign margin asserted in
+    tests/test_scale_siblings.py)."""
+    terms = []
+    for p, vals in enumerate(planes):
+        lits = ", ".join(repr(v) for v in vals)
+        dot = (
+            f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST({table_alias}.embedding[CAST(i AS INT)] AS DOUBLE) * "
+            f"([{lits}][CAST(i AS INT)])), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) >= 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_bucketed_topk_sql() -> str:
+    bucket = _srp_bucket_sql("e", _srp_planes(8, _DIM))
+    return f"""
+    WITH bk AS (SELECT e.vec_id, e.embedding, {bucket} AS bucket FROM embeddings e),
+    qb AS (SELECT bucket AS qbucket, embedding AS qe FROM bk WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id,
+             {_fold_dot_sql('b.embedding', 'qb.qe')}
+               / (sqrt({_fold_dot_sql('b.embedding', 'b.embedding')})
+                  * sqrt({_fold_dot_sql('qb.qe', 'qb.qe')})) AS cos_sim
+      FROM bk b, qb WHERE b.bucket = qb.qbucket
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk,
+           vec_id
+    FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("sim_lsh_bucketed_topk", sql=_lsh_bucketed_topk_sql(), tags=("similarity", "lsh"))
 def sim_lsh_bucketed_topk(spark, sf_dir):
     """ANN top-k: SRP-LSH bucket join, exact cosine re-rank inside bucket.
 
@@ -353,4 +391,12 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
     cand = emb.select("vec_id", "embedding").mapInPandas(
         collide_and_score, schema="vec_id long, cos_sim double"
     )
-    return cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    top = cand.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    # float-free (rnk, vec_id) output: the literal-plane oracle replays
+    # the bucketing exactly and ranks by the fold cosine — numpy's
+    # kernel cosines differ only in final ulps, far inside the ranking
+    # margins (same contract as sim_topk_pandas_vectorized).
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return top.select(F.row_number().over(w).cast("int").alias("rnk"), "vec_id")
