@@ -198,7 +198,51 @@ def sim_topk_multi_query(spark, sf_dir):
     )
 
 
-@query("sim_ivf_topk", sql=None, tags=("similarity", "topk", "ivf"))
+def _ivf_topk_sql(nprobe: int = 3) -> str:
+    """DuckDB twin of :func:`sim_ivf_topk`. The probe-cell choice uses
+    per-cell mean centroids whose float sums are aggregation-order
+    dependent — but they only SELECT cells, and the fixture cell-score
+    gaps (≥ 2.4e-4) dwarf summation-order error (~1e-15), so both
+    engines pick identical probes (margin asserted in
+    tests/test_scale_siblings.py). Scoring inside probed cells is the
+    deterministic left-fold cosine → bit-identical cos_sim values.
+    """
+    from .dedup import _EMB_DOT
+
+    cos = "{dot} / (sqrt({na}) * sqrt({nb}))".format(
+        dot=_EMB_DOT.format(a="e.embedding", b="q.qe"),
+        na=_EMB_DOT.format(a="e.embedding", b="e.embedding"),
+        nb=_EMB_DOT.format(a="q.qe", b="q.qe"),
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT label, t.i AS i, CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {_DIM + 1}) t(i)
+    ),
+    cent AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+    qd AS (
+      SELECT t.i AS i, CAST(qe[CAST(t.i AS INT)] AS DOUBLE) AS qx
+      FROM q, range(1, {_DIM + 1}) t(i)
+    ),
+    cs AS (
+      SELECT c.label,
+             sum(c.m * qd.qx) / (sqrt(sum(c.m * c.m)) * sqrt(sum(qd.qx * qd.qx))) AS score
+      FROM cent c JOIN qd ON c.i = qd.i
+      GROUP BY c.label
+    ),
+    probe AS (
+      SELECT cs.label FROM cs, q
+      ORDER BY (cs.label = q.qlabel) DESC, cs.score DESC, cs.label
+      LIMIT {nprobe}
+    )
+    SELECT e.vec_id, {cos} AS cos_sim
+    FROM embeddings e JOIN probe p ON e.label = p.label, q
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """
+
+
+@query("sim_ivf_topk", sql=_ivf_topk_sql(), tags=("similarity", "topk", "ivf"))
 def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
     """IVF-style ANN top-k: coarse quantizer → probe nearest cells →
     exact re-rank within the probed cells.

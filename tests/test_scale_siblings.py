@@ -73,3 +73,24 @@ def test_srp_plane_dot_sign_margin():
         )
         pm = np.asarray(_srp_planes(16, 64), dtype=np.float64).T
         assert np.abs(m @ pm).min() > 1e-8
+
+
+def test_ivf_probe_cell_score_margin():
+    """sim_ivf_topk's oracle assumes both engines pick the same probe
+    cells even though centroid means are float-order-dependent: assert
+    the fixture gap between adjacent cell scores around the probe
+    cutoff dwarfs summation-order error (~1e-15 rel)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        emb = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+        lab = np.asarray(t["label"].to_pylist())
+        vid = np.asarray(t["vec_id"].to_pylist())
+        cents = np.stack([emb[lab == c].mean(axis=0) for c in range(lab.max() + 1)])
+        q = emb[vid == 0][0]
+        qn = q / np.linalg.norm(q)
+        norms = np.linalg.norm(cents, axis=1)
+        scores = np.sort((cents @ qn) / np.where(norms > 0, norms, 1))[::-1]
+        assert np.abs(np.diff(scores[:4])).min() > 1e-7
