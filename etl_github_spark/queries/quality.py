@@ -480,3 +480,56 @@ def curate_pipeline_full(spark, sf_dir):
     thresh = F.when(F.col("lang") == "en", "8000").otherwise("2000")
     d3 = d2.where(F.substring(F.md5("text"), 1, 4) < thresh)
     return _chunk_dedup(par(d3))
+
+
+@query(
+    "quality_token_rarity",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(df.doc_freq) AS BIGINT) AS sum_doc_freq,
+           CAST(min(df.doc_freq) AS BIGINT) AS min_doc_freq,
+           CAST(count(*) FILTER (WHERE df.doc_freq <= 5) AS BIGINT) AS n_rare
+    FROM toks t JOIN df ON t.tok = df.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("quality", "text"),
+)
+def quality_token_rarity(spark, sf_dir):
+    """Per-document token rarity against the corpus document-frequency
+    table — the integer-exact surrogate for unigram-LM quality scoring
+    (a doc whose tokens are all corpus-common reads as boilerplate; one
+    dominated by df≤5 tokens reads as noise/garble). Downstream filters
+    threshold on n_rare/n_tokens or sum_doc_freq/n_tokens without any
+    float reduction entering the result.
+
+    Scale shape: the doc-frequency table is VOCAB-sized (millions of
+    rows at 100 TB, not corpus-sized) and aggregates with map-side
+    partials; it then broadcasts to the token stream, so the per-doc
+    re-aggregation is the only corpus-sized shuffle (keyed by doc_id,
+    uniform). Tokenization happens once per side off the same scan.
+    """
+    toks = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("doc_freq")
+    )
+    return (
+        toks.join(F.broadcast(df), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("doc_freq").cast("long").alias("sum_doc_freq"),
+            F.min("doc_freq").cast("long").alias("min_doc_freq"),
+            F.count(F.when(F.col("doc_freq") <= 5, 1)).cast("long").alias("n_rare"),
+        )
+    )

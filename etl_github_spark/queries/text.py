@@ -267,3 +267,47 @@ def multimodal_binary_meta(spark, sf_dir):
         F.length(payload).alias("n_bytes"),
         F.length("text").alias("n_chars_measured"),
     )
+
+
+@query(
+    "text_normalize_clean",
+    sql=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             '  +', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             '  +', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """,
+    tags=("text", "normalization"),
+)
+def text_normalize_clean(spark, sf_dir):
+    """CCNet-style text normalization — the canonical-form step run
+    before fingerprinting/MinHash so near-dup detection is insensitive
+    to case, punctuation, and whitespace variance: lowercase, map every
+    non-alphanumeric to space, collapse runs of spaces, trim. Emits the
+    cleaned text plus before/after lengths (the shrinkage ratio is
+    itself a quality signal — markup-heavy docs collapse hard).
+
+    Pure per-row projection chain (whole-stage codegen, no shuffle, no
+    Python) — runs at scan speed at any scale. The character classes
+    are in the Java-regex ∩ RE2 common subset, so the oracle replays
+    them exactly (Spark replaces all matches by default; DuckDB needs
+    the explicit 'g' flag).
+    """
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )

@@ -99,3 +99,72 @@ def text_train_val_split(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_CTX = 128  # tokens per packed training sequence
+_N_SHARDS = 8
+
+
+@query(
+    "pack_sequences",
+    sql=f"""
+    SELECT shard, doc_id, n_tokens,
+           CAST(floor(start_off / {_CTX}) AS BIGINT) AS pack_id,
+           CAST(start_off % {_CTX} AS BIGINT) AS offset_in_pack,
+           (floor(start_off / {_CTX})
+              <> floor((start_off + n_tokens - 1) / {_CTX})) AS spans_boundary
+    FROM (
+      SELECT shard, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_off
+      FROM (
+        SELECT CAST(doc_id % {_N_SHARDS} AS BIGINT) AS shard, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    tags=("text", "training-prep"),
+)
+def pack_sequences(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing — the layout step that
+    turns a deduped corpus into fixed-length training sequences: docs
+    are laid end-to-end in a deterministic order and the byte stream is
+    cut every CTX tokens. Emits, per doc, which pack it starts in, at
+    what offset, and whether it straddles a pack boundary (the rows a
+    loss-masking dataloader needs).
+
+    Scale shape: packing is per output SHARD (here doc_id % 8; at 100 TB
+    the shard count matches writer parallelism), so the running-offset
+    window partitions by shard — N independent window computations, one
+    shuffle on shard, no single-partition global sort. Doc order within
+    a shard is doc_id (deterministic, engine-independent).
+    """
+    d = T(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_SHARDS).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    d = d.select("shard", "doc_id", "n_tokens", start.alias("start_off"))
+    pack = F.floor(F.col("start_off") / _CTX).cast("long")
+    end_pack = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / _CTX).cast(
+        "long"
+    )
+    return d.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("start_off") % _CTX).cast("long").alias("offset_in_pack"),
+        (pack != end_pack).alias("spans_boundary"),
+    )

@@ -289,3 +289,30 @@ def test_flagship_no_global_sort_exchange(spark):
     regression)."""
     p = plan_of(spark, "flagship_popular_user_clicks")
     assert "rangepartitioning" not in p.lower()
+
+
+def test_pack_sequences_windows_per_shard(spark):
+    """The packing cumsum must partition by shard — a single-partition
+    global window would serialize the whole corpus through one task."""
+    p = plan_of(spark, "pack_sequences")
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(shard" in p
+
+
+def test_token_rarity_df_join_is_broadcast(spark):
+    # vocab-sized doc-frequency table broadcasts; the token stream is
+    # never sort-merge shuffled against it.
+    p = plan_of(spark, "quality_token_rarity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_normalize_clean_shuffle_free(spark):
+    p = plan_of(spark, "text_normalize_clean")
+    assert "Exchange" not in p
+
+
+def test_int8_topk_plan(spark):
+    p = plan_of(spark, "sim_topk_int8")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p

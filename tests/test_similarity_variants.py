@@ -88,3 +88,15 @@ def test_ols_pandas_grouped_matches_moment_aggregation(spark):
     assert agg == pandas_  # exact equality, not approx
     # fixture domain safely inside the int64 moment-overflow bound
     assert all(n < 3_000_000_000 for n, _, _ in agg.values())
+
+
+def test_int8_topk_recall_vs_bruteforce(spark):
+    """Quantized retrieval searches the compressed codes, so the tail of
+    the ranking may swap under quantization noise — but the head must
+    hold: the query matches itself, and ≥8/10 of the exact top-10
+    survive (9/10 on the fixture, pinned loosely so an unrelated
+    refactor that nukes recall fails loudly)."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    q8 = _ids(spark, "sim_topk_int8")
+    assert q8[0] == 0
+    assert len(set(q8) & set(brute)) >= 8
