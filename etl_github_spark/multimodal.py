@@ -175,3 +175,39 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     the partition/plumbing shape of video frame sampling with the codec
     factored out."""
     return media.where(F.col("media_id") % every_n == 0)
+
+
+def ingest_media_files(
+    spark, path: str, glob: str = "*", recursive: bool = True
+) -> DataFrame:
+    """Directory of raw media files → MEDIA_SCHEMA frame, via Spark's
+    built-in ``binaryFile`` source — the ingestion step that feeds every
+    operator above when payloads arrive as files (image crawls, audio
+    dumps) rather than as a parquet column.
+
+    The source yields (path, modificationTime, length, content) with
+    the payload read lazily per matched file; filtering happens at
+    LISTING time via pathGlobFilter (no payload bytes are read for
+    skipped files), and partition parallelism follows the file list, so
+    a million-file crawl fans out across the cluster with no driver
+    materialization. media_id is xxhash64 of the file path — stable
+    across re-runs and independent of listing order; format is the
+    lowercased file extension; width/height stay null until a real
+    decode (Codec) fills them.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            ext.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )

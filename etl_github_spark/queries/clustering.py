@@ -167,3 +167,47 @@ def dedup_cluster_survivors(spark, sf_dir):
         .otherwise(F.lit("canonical"))
         .alias("keep_reason"),
     )
+
+
+@query(
+    "split_by_cluster",
+    sql=_COMPONENTS_CTE
+    + """
+SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN substr(md5(CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND 'b' THEN 'train' ELSE 'val' END AS split
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+) s
+GROUP BY s.split
+""",
+    tags=("clustering", "training-prep"),
+)
+def split_by_cluster(spark, sf_dir):
+    """Near-dup-aware train/val split: the split key is the CLUSTER id
+    (component min doc_id), not the document, so transitively-linked
+    near-duplicates land on the same side — closing the leakage channel
+    `text_train_val_split`'s content hash closes only for EXACT dups
+    (a paraphrased copy hashes differently but still leaks the answer).
+
+    One broadcast join: cluster membership is |clustered docs| (near-dup
+    rate × corpus, tiny), so the split assignment is map-side over the
+    full corpus scan; the hash input is the cluster id rendered as a
+    string, bit-identical in both engines.
+    """
+    comp = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    joined = d.join(
+        F.broadcast(comp).withColumnRenamed("doc_id", "c_doc_id"),
+        d["doc_id"] == F.col("c_doc_id"),
+        "left",
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string")
+    split = F.when(
+        F.substring(F.md5(key), 1, 1).between("0", "b"), F.lit("train")
+    ).otherwise(F.lit("val"))
+    return (
+        joined.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -58,3 +58,43 @@ def stream_dedup_within_watermark(
     """Window-alignment-free dedup: any duplicate arriving within the
     watermark delay of the first-seen row is dropped."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_dedup_against_corpus(
+    docs: DataFrame,
+    corpus_fp: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental corpus building: drop arriving documents whose
+    content fingerprint already exists in the landed corpus, AND dedup
+    the stream against itself, so a batch-built corpus stays
+    exact-duplicate-free as new crawls stream in.
+
+    Two-layer design, both layers bounded:
+
+    - corpus layer: stream-static LEFT ANTI against the fingerprint
+      table (one md5 per landed doc — fingerprint-sized, not
+      corpus-sized; broadcast when it fits, shuffle-hash keyed by fp
+      otherwise). The static side is re-resolved per micro-batch, so a
+      compaction that refreshes the fingerprint table is picked up
+      without restarting the stream.
+    - in-stream layer: ``dropDuplicates`` on the fingerprint (under the
+      caller's watermark when an event-time column exists — bounded
+      state; global state otherwise, the documented batch-backfill
+      mode).
+
+    The fingerprint is md5 of the raw text — the same key
+    `queries/dedup.py::dedup_exact_*` and the batch fingerprint ops use,
+    so batch corpus and stream agree on what "duplicate" means.
+    """
+    fp = docs.withColumn("__fp", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        fp = fp.withWatermark(ts_col, watermark)
+    fresh = fp.join(
+        F.broadcast(corpus_fp.select(F.col("fp").alias("__fp"))),
+        "__fp",
+        "left_anti",
+    )
+    return fresh.dropDuplicates(["__fp"]).drop("__fp")

@@ -92,3 +92,45 @@ def test_stream_dedup_within_watermark_drops_while_state_live(spark, tmp_path):
         r["event_id"] for r in spark.sql("SELECT * FROM dedup_wm_out").collect()
     )
     assert got == [1, 2]
+
+
+def test_stream_dedup_against_corpus_drops_landed_and_in_stream_dups(spark, tmp_path):
+    """Corpus-known fingerprints never re-emit; in-stream duplicates emit
+    once (first micro-batch occurrence wins); genuinely new docs pass."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.streaming.dedup import stream_dedup_against_corpus
+
+    landing = tmp_path / "landing"
+    _land(landing, "a.json", [
+        {"doc_id": 101, "text": "already landed"},   # in corpus → dropped
+        {"doc_id": 102, "text": "fresh doc one"},
+    ])
+    _land(landing, "b.json", [
+        {"doc_id": 103, "text": "fresh doc one"},    # in-stream dup → dropped
+        {"doc_id": 104, "text": "fresh doc two"},
+    ])
+    corpus_fp = spark.createDataFrame(
+        [("already landed",), ("other old doc",)], "text string"
+    ).select(F.md5("text").alias("fp"))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out = stream_dedup_against_corpus(src, corpus_fp)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT * FROM corpus_dedup_out").collect()
+    )
+    assert got == [(102, "fresh doc one"), (104, "fresh doc two")]

@@ -128,3 +128,30 @@ def test_multimodal_resize_stub_raises(spark):
 
     with _pytest.raises(Exception):
         resize_media(_media_df(spark, 2), 8, 8, Codec(fake=False)).collect()
+
+
+def test_multimodal_binaryfile_ingest_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: payload bytes survive exactly, media_id is
+    path-stable across re-reads, glob filters at listing time, and the
+    ingested frame composes with the Arrow feature extractor."""
+    from etl_github_spark.multimodal import Codec, extract_features, ingest_media_files
+
+    media_dir = tmp_path / "media" / "nested"
+    media_dir.mkdir(parents=True)
+    payloads = {"a.jpg": b"\xff\xd8fakejpegbytes", "b.png": b"\x89PNGfake", "c.txt": b"not media"}
+    for name, data in payloads.items():
+        (media_dir / name).write_bytes(data)
+
+    m = ingest_media_files(spark, str(tmp_path / "media"), glob="*.{jpg,png}")
+    rows = {r["meta"]["format"]: bytes(r["payload"]) for r in m.collect()}
+    assert rows == {"jpg": payloads["a.jpg"], "png": payloads["b.png"]}  # txt excluded
+
+    ids1 = sorted(r["media_id"] for r in m.collect())
+    ids2 = sorted(
+        r["media_id"]
+        for r in ingest_media_files(spark, str(tmp_path / "media"), glob="*.{jpg,png}").collect()
+    )
+    assert ids1 == ids2 and len(set(ids1)) == 2
+
+    feats = extract_features(m, Codec(fake=True)).collect()
+    assert {f["n_bytes"] for f in feats} == {len(payloads["a.jpg"]), len(payloads["b.png"])}
