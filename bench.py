@@ -68,6 +68,13 @@ EXTENDED = [
     "q20_potential_promotion",
     "curate_pipeline_full",
     "trend_rolling_7d_users",
+    # round-3 late additions
+    "pack_sequences",
+    "quality_token_rarity",
+    "sim_topk_int8",
+    "sim_knn_classify",
+    "text_inverted_index",
+    "split_by_cluster",
 ]
 
 

@@ -591,3 +591,57 @@ def trend_rolling_7d_users_approx(spark, sf_dir):
         "wau_exact",
         (F.abs(F.col("wau_approx") - F.col("wau_exact")) <= tol).alias("approx_ok"),
     )
+
+
+@query(
+    "trend_anomaly_days",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT day, n_events,
+           4 * (n_events * m.n - m.s1) * (n_events * m.n - m.s1)
+             > 9 * (m.n * m.s2 - m.s1 * m.s1) AS is_anomaly
+    FROM daily, m
+    """,
+    tags=("trend", "anomaly"),
+)
+def trend_anomaly_days(spark, sf_dir):
+    """Time-series anomaly flags on the daily event volume — the traffic
+    monitor a pipeline runs over its own ingest: a day whose count
+    deviates from the corpus mean by more than 3/2·σ is flagged
+    (crawler outage, bot flood, duplicated feed).
+
+    Same zero-float moment trick as `stat_outliers_zscore`, applied to
+    the time axis: one daily aggregation (partial map-side), a 1-row
+    moment summary broadcast back over it, and an integer inequality —
+    bit-exact in any engine and reduction order. Daily-count rows are
+    |days| regardless of corpus size, so everything after the first
+    aggregation is driver-trivial at 100 TB.
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    dev = F.col("n_events") * F.col("n") - F.col("s1")
+    return daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_events",
+        (
+            4 * dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("is_anomaly"),
+    )

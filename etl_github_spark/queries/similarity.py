@@ -400,3 +400,103 @@ def sim_lsh_bucketed_topk(spark, sf_dir):
 
     w = Window.orderBy(F.desc("cos_sim"), "vec_id")
     return top.select(F.row_number().over(w).cast("int").alias("rnk"), "vec_id")
+
+
+_KNN_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS true_label, embedding AS qe
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cid, label AS clabel, embedding
+      FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    scored AS (
+      SELECT qid, true_label, cid, clabel,
+             {dot} / (sqrt({nc}) * sqrt({nq})) AS cos_sim
+      FROM c, q
+    ),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, true_label, clabel, count(*) AS cnt
+      FROM top WHERE rnk <= 5 GROUP BY qid, true_label, clabel
+    )
+    SELECT qid AS query_vec_id, true_label,
+           clabel AS pred_label, CAST(cnt AS BIGINT) AS votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, clabel) AS r
+          FROM votes)
+    WHERE r = 1
+""".format(
+    dot=_fold_dot_sql("c.embedding", "q.qe"),
+    nc=_fold_dot_sql("c.embedding", "c.embedding"),
+    nq=_fold_dot_sql("q.qe", "q.qe"),
+)
+
+
+@query("sim_knn_classify", sql=_KNN_SQL, tags=("similarity", "classify"))
+def sim_knn_classify(spark, sf_dir):
+    """k-NN label prediction over the embedding corpus — the
+    weak-labeling / label-QA primitive of a training-data pipeline
+    (impute labels for unlabeled docs from their nearest labeled
+    neighbors; disagreements between true_label and pred_label surface
+    mislabeled rows). Holdout contract: every 50th vector is a query,
+    classified by majority vote of its 5 nearest non-query neighbors
+    (cosine); vote ties break deterministically by (votes desc, label).
+
+    Scale shape: broadcast the query set over one corpus scan (the
+    O(N·Q) exact baseline — same contract as `sim_topk_multi_query`),
+    per-query top-k via a rank window partitioned by query id, then a
+    query-sized vote aggregation. For web-scale Q the scored join is
+    replaced by the SRP/IVF bucketed candidates; the vote logic is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        "embedding",
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "cid",
+        "clabel",
+        cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+    )
+    top = (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+            ),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+    votes = top.groupBy("qid", "true_label", "clabel").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        votes.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cnt"), "clabel")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "true_label",
+            F.col("clabel").alias("pred_label"),
+            F.col("cnt").cast("long").alias("votes"),
+        )
+    )

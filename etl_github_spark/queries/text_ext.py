@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 _CHUNK = 32  # tokens per training chunk
@@ -168,3 +168,57 @@ def pack_sequences(spark, sf_dir):
         (F.col("start_off") % _CTX).cast("long").alias("offset_in_pack"),
         (pack != end_pack).alias("spans_boundary"),
     )
+
+
+@query(
+    "text_inverted_index",
+    sql="""
+    WITH pairs AS (
+      SELECT DISTINCT tok, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    ranked AS (
+      SELECT tok, doc_id,
+             row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rnk
+      FROM pairs
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM pairs GROUP BY tok)
+    SELECT df.tok, df.doc_freq,
+           array_to_string(list(ranked.doc_id ORDER BY ranked.doc_id), ',')
+             AS postings_head
+    FROM ranked JOIN df USING (tok)
+    WHERE ranked.rnk <= 10
+    GROUP BY df.tok, df.doc_freq
+    """,
+    tags=("text", "retrieval"),
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build: token → document frequency + the first 10
+    postings (ascending doc_id) rendered as a comma string — the
+    retrieval-side structure a corpus search / decontamination service
+    is built on, with the posting head capped BEFORE any per-group
+    collection so state stays bounded on stopword-grade tokens whose
+    full posting list is corpus-sized.
+
+    Shape: distinct (token, doc_id) pairs (one shuffle, map-side
+    partial), a rank window per token to cut each list to 10, then a
+    vocab-sized aggregation; doc_freq comes from the same pairs frame.
+    No collect_list ever sees an uncapped group.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    df = pairs.groupBy("tok").agg(F.count("*").cast("long").alias("doc_freq"))
+    ranked = pairs.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("tok").orderBy("doc_id"))
+    ).where(F.col("rnk") <= 10)
+    head = ranked.groupBy("tok").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+            "postings_head"
+        )
+    )
+    return df.join(head, "tok").select("tok", "doc_freq", "postings_head")

@@ -316,3 +316,22 @@ def test_int8_topk_plan(spark):
     p = plan_of(spark, "sim_topk_int8")
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_anomaly_days_broadcasts_moments(spark):
+    # 1-row moment summary joins back as a broadcast nested loop, never
+    # a shuffle join or raw cartesian.
+    p = plan_of(spark, "trend_anomaly_days")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_knn_classify_broadcasts_query_set(spark):
+    p = plan_of(spark, "sim_knn_classify")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_inverted_index_no_cartesian(spark):
+    p = plan_of(spark, "text_inverted_index")
+    assert "CartesianProduct" not in p
