@@ -519,6 +519,10 @@ def quality_token_rarity(spark, sf_dir):
     toks = (
         par(T(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        # both the df aggregation and the join side consume this subtree
+        # and Spark does not reuse the exchange across them — materialize
+        # the token stream once instead of re-exploding the corpus twice.
+        .localCheckpoint(eager=False)
     )
     df = toks.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("long").alias("doc_freq")

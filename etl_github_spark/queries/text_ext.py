@@ -211,6 +211,10 @@ def text_inverted_index(spark, sf_dir):
         par(T(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
+        # consumed by both the df aggregation and the rank window —
+        # materialize the deduped pairs once rather than re-exploding
+        # and re-shuffling the corpus per consumer.
+        .localCheckpoint(eager=False)
     )
     df = pairs.groupBy("tok").agg(F.count("*").cast("long").alias("doc_freq"))
     ranked = pairs.withColumn(
