@@ -72,6 +72,7 @@ EXTENDED = [
     "pack_sequences",
     "quality_token_rarity",
     "sim_topk_int8",
+    "sim_topk_pq",
     "sim_knn_classify",
     "text_inverted_index",
     "split_by_cluster",

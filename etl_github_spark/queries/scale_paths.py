@@ -750,3 +750,151 @@ def sim_topk_int8(spark, sf_dir):
         .orderBy(F.desc("approx_cos"), "vec_id")
         .limit(10)
     )
+
+
+def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3):
+    """Product-quantization codebook fit: split the 64-dim space into
+    ``m`` 8-dim subspaces and k-means each with ``ksub`` centroids — all
+    subspaces trained together: assignment is one Arrow kernel pass per
+    round (an einsum over (batch, m, dsub) × (m, ksub, dsub)), and the
+    update aggregation shuffles m·ksub·dsub ≈ 1k rows regardless of
+    corpus size (same scale shape as `lloyd_fit`). Deterministic init:
+    subvectors of the first ``ksub`` vectors by vec_id. Returns a numpy
+    (m, ksub, dsub) array — the entire index metadata.
+    """
+    import numpy as np
+
+    dsub = _DIM // m
+    # deterministic init: the ksub lowest vec_ids of the (possibly
+    # sampled) fit frame — a top-k, not a scan-order head.
+    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(ksub).collect()
+    first = np.array(
+        [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    books = first.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    for _ in range(iters):
+        rows = (
+            pq_encode(emb, books)
+            .select(F.posexplode("codes").alias("s", "code"), "embedding")
+            .select(
+                "s",
+                "code",
+                F.posexplode("embedding").alias("i", "x"),
+            )
+            .where((F.col("i") >= F.col("s") * dsub) & (F.col("i") < (F.col("s") + 1) * dsub))
+            .groupBy("s", "code", (F.col("i") % dsub).alias("j"))
+            # deterministic mean: exact scaled-integer sum / count, so the
+            # codebooks (and every downstream code assignment and recall
+            # number) are identical across runs and partitionings —
+            # unlike lloyd_fit's documented order-dependent averages.
+            # 1e7 scaling keeps 7 decimals of a unit-vector component;
+            # |x|≤1 ⇒ the long sum is exact for any corpus < 9e11 rows.
+            .agg(
+                (
+                    F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
+                    / (F.count("*") * 1e7)
+                ).alias("mval")
+            )
+            .collect()
+        )
+        for r in rows:
+            books[r["s"], r["code"], r["j"]] = r["mval"]
+    return books
+
+
+def pq_encode(emb, books):
+    """(vec_id, embedding) → (vec_id, embedding, codes array<int>): per
+    subspace, the id of the nearest codebook centroid — one Arrow numpy
+    kernel, all subspaces per batch, no shuffle. The stored form is m
+    small ints per vector: 8 bytes instead of 256 for float32×64."""
+    import numpy as np
+    import pandas as pd
+
+    b = np.ascontiguousarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = b.shape
+    b_norm = (b * b).sum(axis=2)  # (m, ksub)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ).reshape(len(pdf), m, dsub)
+            # ‖x_s − c_sk‖² up to row-constant: −2·x_s·c_sk + ‖c_sk‖²
+            d2 = -2.0 * np.einsum("bsd,skd->bsk", x, b) + b_norm[None, :, :]
+            codes = d2.argmin(axis=2).astype("int32")  # (batch, m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, embedding array<float>, codes array<int>"
+    )
+
+
+@query("sim_topk_pq", sql=None, tags=("similarity", "topk", "quantization", "pq"))
+def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
+    """Top-k via product quantization + asymmetric distance computation
+    (ADC) — the third rung of the quantization ladder after int8
+    (`sim_topk_int8`) and IVF (`sim_ivf_kmeans_topk`): vectors live as m
+    sub-codes (8 bytes here vs 256 float32), and the query scores a
+    candidate WITHOUT reconstructing it, by summing m table lookups.
+
+    The query's dot-product table (tab[s][c] = q_s · codebook[s][c],
+    m×ksub floats) is computed driver-side and embedded as a literal 2-D
+    array, so scoring is a per-row JVM fold over the code array — no
+    Python in the scan path, no shuffle, TakeOrderedAndProject on top.
+    At 100 TB the codes column is what's stored and scanned (32× less
+    IO), and the same literal-table trick composes with the IVF cell
+    pruning. Rows-only by the documented grade (c): the Lloyd averages
+    are aggregation-order-dependent across runs; recall vs the exact
+    brute force is pinned in pytest.
+    """
+    import numpy as np
+
+    from .similarity import fold_dot
+
+    # cosine retrieval under PQ = unit-normalize first, then ADC over raw
+    # dots (dot of unit vectors IS the cosine) — otherwise high-norm
+    # vectors dominate the dot table and recall collapses.
+    raw = par(T(spark, sf_dir, "embeddings"))
+    norm = F.sqrt(fold_dot(F.col("embedding"), F.col("embedding")))
+    emb = raw.select(
+        "vec_id",
+        F.transform("embedding", lambda v: (v.cast("double") / norm).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    # codebooks are trained on a deterministic 25% hash-sample (standard
+    # PQ practice — the fit needs distributional coverage, not the full
+    # corpus) and then every vector is encoded; at 100 TB the fit cost
+    # is a fixed fraction of one scan however large the corpus grows.
+    books = pq_fit(emb.where(F.col("vec_id") % 4 == 0), m=m, ksub=ksub)
+
+    q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dsub = _DIM // m
+    q = np.asarray(q_vec, dtype=np.float64).reshape(m, dsub)
+    q = q / np.linalg.norm(q.ravel())
+    tab = np.einsum("sd,skd->sk", q, books)  # (m, ksub) dot tables
+
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in tab[s]]) for s in range(m)]
+    )
+    coded = pq_encode(emb, books).select("vec_id", "codes", tab_lit.alias("tab"))
+    approx_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at("tab", s + 1), F.element_at("codes", s + 1) + 1),
+    )
+    return (
+        coded.select("vec_id", approx_dot.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(10)
+    )

@@ -100,3 +100,18 @@ def test_int8_topk_recall_vs_bruteforce(spark):
     q8 = _ids(spark, "sim_topk_int8")
     assert q8[0] == 0
     assert len(set(q8) & set(brute)) >= 8
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """ADC over 16-byte PQ codes (16× compression): the query always
+    retrieves itself, the fit is bit-deterministic (codebook means go
+    through the exact scaled-integer path, so two runs return the
+    identical ranking — no partitioning/run-order wobble), and recall
+    holds its SF-dependent floor: 9/10 at sf0.01, 5/10 at the sf0.001
+    fixture where 64 codes per subspace over ~100 vectors overfit."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    pq = _ids(spark, "sim_topk_pq")
+    assert pq == _ids(spark, "sim_topk_pq")  # bit-deterministic re-run
+    assert pq[0] == 0
+    floor = 8 if "0.001" not in SF_ORACLE else 5
+    assert len(set(pq) & set(brute)) >= floor
