@@ -617,6 +617,34 @@ def dedup_against_corpus(
     ).drop("fp")
 
 
+def _dup_span_positions(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, tok_idx) token positions covered by a 4-gram
+    occurring in >= 2 distinct documents. ``d`` must be
+    (doc_id, _w: array<string>) pre-filtered to ``size(_w) >= 4``
+    (positive slice lengths under ANSI mode). tok_idx is 1-based."""
+    w = F.col("_w")
+    m = F.size(w) - 3
+    z = F.arrays_zip(*[F.slice(w, 1 + k, m) for k in range(4)])
+    grams = F.transform(
+        z, lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(4)]))
+    )
+    g = d.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= 2)
+        .select("gram")
+    )
+    return (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + 4)).alias("tok_idx"),
+        )
+        .distinct()
+    )
+
+
 _SPAN_SQL = """
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -680,29 +708,8 @@ def dedup_span_coverage(spark, sf_dir):
         .select("doc_id", _words().alias("_w"))
         .where(F.size(w) >= 4)
     )
-    m = F.size(w) - 3
-    z = F.arrays_zip(*[F.slice(w, 1 + k, m) for k in range(4)])
-    grams = F.transform(
-        z, lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(4)]))
-    )
-    g = d.select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.posexplode(grams).alias("pos", "gram"),
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("dfreq"))
-        .where(F.col("dfreq") >= 2)
-        .select("gram")
-    )
     cov = (
-        g.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + 4)).alias("tok_idx"),
-        )
-        .distinct()
+        _dup_span_positions(d)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup"))
     )
@@ -713,4 +720,83 @@ def dedup_span_coverage(spark, sf_dir):
         "n_tokens",
         n_dup.alias("n_dup_tokens"),
         (n_dup.cast("double") / F.col("n_tokens")).alias("dup_span_frac"),
+    )
+
+
+_TRIM_SQL = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    g2 AS (
+      SELECT doc_id, i,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM tok)
+    ),
+    dup AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g2.doc_id, u.tok_idx
+      FROM g2 JOIN dup USING (gram),
+           unnest(range(g2.i, g2.i + 4)) AS u(tok_idx)
+    ),
+    pos AS (
+      SELECT doc_id, toks[i] AS word, i
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok)
+    ),
+    kept AS (
+      SELECT p.doc_id, count(*) AS n_kept,
+             string_agg(p.word, ' ' ORDER BY p.i) AS trimmed
+      FROM pos p
+      ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.tok_idx
+      GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.trimmed, '') AS trimmed_text
+    FROM tok t LEFT JOIN kept k USING (doc_id)
+    """
+
+
+@query("dedup_span_trim", sql=_TRIM_SQL, tags=("dedup", "neardup", "quality"))
+def dedup_span_trim(spark, sf_dir):
+    """Exact-substring dedup, trim flavor: REMOVE every token that sits
+    inside a cross-document duplicated 4-gram and emit the residual
+    text (per Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", which cuts the duplicated span rather than
+    the whole doc). Complements dedup_span_coverage (the statistic) with
+    the actual rewrite a curation pipeline applies.
+
+    Shape: duplicated positions from the shared gram-df kernel
+    (:func:`_dup_span_positions`), collapsed to one sorted position
+    array per doc (bounded by doc length), then a single doc_id-keyed
+    left join back to the token arrays; the trim itself is a JVM-side
+    higher-order ``filter`` over the token array using the positional
+    lambda index — no explode of the corpus tokens, no Python. Linear
+    in corpus size; the only shuffles are the gram agg/join inside the
+    kernel and the doc_id join.
+    """
+    w = F.col("_w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 4)
+    )
+    dup_idx = (
+        _dup_span_positions(d)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok_idx")).alias("_dup"))
+    )
+    dup = F.coalesce(F.col("_dup"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(dup, i + F.lit(1)))
+    return (
+        d.join(dup_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("trimmed_text"),
+        )
     )

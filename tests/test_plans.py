@@ -345,6 +345,14 @@ def test_span_coverage_no_cartesian(spark):
     assert "TakeOrderedAndProject" not in p  # full per-doc output, no sort
 
 
+def test_span_trim_no_cartesian_no_token_explode_join(spark):
+    """The trim reuses the gram-df kernel, then joins positions back to
+    docs ONCE on doc_id — the corpus token arrays are never exploded
+    into the join, so plan cost stays linear in the corpus."""
+    p = plan_of(spark, "dedup_span_trim")
+    assert "CartesianProduct" not in p
+
+
 def test_matryoshka_rerank_topk_plan(spark):
     """Both passes must plan as TakeOrderedAndProject (no global sort);
     the single-row query vector joins as a broadcast."""
