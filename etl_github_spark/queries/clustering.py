@@ -99,6 +99,15 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     return lab
 
 
+def _cluster_membership(spark, sf_dir) -> DataFrame:
+    """(id, label) for every doc in a near-dup cluster — the propagation
+    output shared by components/survivors/split (the latter two don't
+    need cluster sizes, so they take this directly and skip the size
+    agg + join)."""
+    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges)
+
+
 @query(
     "dedup_cluster_components",
     sql=_COMPONENTS_CTE
@@ -118,8 +127,7 @@ def dedup_cluster_components(spark, sf_dir):
     identical, and its per-round shuffle is |edges|, already bounded by
     the LSH band structure.
     """
-    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    lab = connected_components(edges)
+    lab = _cluster_membership(spark, sf_dir)
     sizes = lab.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return lab.join(sizes, "label").select(
         F.col("id").alias("doc_id"),
@@ -147,10 +155,11 @@ def dedup_cluster_survivors(spark, sf_dir):
 
     One broadcast join: the cluster membership table is |clustered docs|
     (tiny relative to the corpus — near-dup rate, not corpus size), so
-    the survivor filter is map-side over the full documents scan.
+    the survivor filter is map-side over the full documents scan. Uses
+    the raw propagation labels (no cluster-size agg — not needed here).
     """
-    comp = dedup_cluster_components(spark, sf_dir).select(
-        "doc_id", "cluster_id"
+    comp = _cluster_membership(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     joined = d.join(
@@ -193,9 +202,12 @@ def split_by_cluster(spark, sf_dir):
     One broadcast join: cluster membership is |clustered docs| (near-dup
     rate × corpus, tiny), so the split assignment is map-side over the
     full corpus scan; the hash input is the cluster id rendered as a
-    string, bit-identical in both engines.
+    string, bit-identical in both engines. Uses the raw propagation
+    labels (no cluster-size agg — not needed here).
     """
-    comp = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    comp = _cluster_membership(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     d = T(spark, sf_dir, "documents").select("doc_id")
     joined = d.join(
         F.broadcast(comp).withColumnRenamed("doc_id", "c_doc_id"),

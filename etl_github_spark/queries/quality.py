@@ -151,11 +151,15 @@ def quality_repetition_stats(spark, sf_dir):
     """Within-document repetition metrics (the Gopher "repetitious text"
     family): duplicate-word fraction and most-frequent-bigram share.
 
-    Shape: explode bigrams → (doc, bigram) partial+final count → per-doc
-    max/sum. Shuffle volume is |distinct (doc, bigram)| — bounded by
-    corpus token count, key includes doc_id so it cannot hot-spot. The
-    per-row dup_frac rides the aggregation as min() (constant per doc)
-    instead of a join-back.
+    Shape: ZERO-shuffle scan-fused projection. All four metrics are
+    within-document, so nothing needs to leave the row: bigrams come
+    from the shifted-slice zip (one pass, no per-element element_at),
+    and the top-bigram count is the maximum run length in the SORTED
+    bigram array, computed by a JVM-side ``aggregate`` fold (max group
+    count == max run length after sort). The earlier explode →
+    (doc, bigram) groupBy → doc groupBy formulation shuffled every
+    corpus token twice; at 100 TB that is the difference between a
+    map-only scan and a full-corpus shuffle.
     """
     w = F.col("_w")
     d = (
@@ -163,21 +167,39 @@ def quality_repetition_stats(spark, sf_dir):
         .select("doc_id", _words().alias("_w"))
         .where(F.size(w) >= 2)
     )
+    m = F.size(w) - 1
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    # max run length over the sorted bigrams; every bigram contains the
+    # " " separator so the "" initial sentinel can never match a value.
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    st = F.aggregate(
+        F.sort_array(F.col("_b")),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
     )
     dup_frac = 1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    top = F.col("_top")
     return (
-        d.select("doc_id", dup_frac.alias("dup_frac"), F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"), F.min("dup_frac").alias("dup_frac"))
-        .groupBy("doc_id")
-        .agg(
-            F.min("dup_frac").alias("dup_word_fraction"),
-            F.max("c").cast("int").alias("top_bigram_count"),
-            F.sum("c").alias("n_bigrams"),
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_fraction"),
+        d.select("doc_id", "_w", bigrams.alias("_b"))
+        .select("doc_id", "_w", "_b", st["best"].alias("_top"))
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_word_fraction"),
+            top.cast("int").alias("top_bigram_count"),
+            F.size(F.col("_b")).cast("long").alias("n_bigrams"),
+            (top.cast("double") / F.size(F.col("_b"))).alias("top_bigram_fraction"),
         )
     )
 
