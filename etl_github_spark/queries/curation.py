@@ -293,3 +293,97 @@ def curate_sample_weighted(spark, sf_dir):
         .where(F.substring(F.md5("text"), 1, 4) < thresh)
         .select("doc_id", "lang", "source")
     )
+
+
+_DSIR_TGT = ("src1", "src2", "src3")  # the "target domain" sources
+
+_DSIR_SQL = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    stats AS (
+      SELECT word,
+             sum(CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END) AS tgt,
+             count(*) AS tot
+      FROM tok GROUP BY word
+    ),
+    tot AS (
+      SELECT sum(tgt) AS t_tot, sum(tot - tgt) AS r_tot, count(*) AS v
+      FROM stats
+    ),
+    lift AS (
+      SELECT word,
+             CAST((tgt + 1) * (r_tot + v) AS DOUBLE)
+               / CAST((tot - tgt + 1) * (t_tot + v) AS DOUBLE) AS lift
+      FROM stats, tot
+    ),
+    per AS (
+      SELECT t.doc_id, list_sort(list(l.lift)) AS ls, count(*) AS n
+      FROM tok t JOIN lift l USING (word) GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           list_reduce(ls, (a, x) -> a + x) / n AS dsir_lift
+    FROM per
+    """
+
+
+@query("curate_importance_weights", sql=_DSIR_SQL, tags=("curation", "sampling"))
+def curate_importance_weights(spark, sf_dir):
+    """DSIR-style data-selection importance score (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each document by how much its unigram distribution looks like
+    a target domain (sources src1-3) versus the raw rest, using
+    add-one-smoothed per-word probability ratios. DSIR proper uses
+    hashed-ngram log-likelihood ratios; this engine's cross-engine
+    determinism rule forbids log() (last-ulp divergence between
+    engines), so the score is the per-token mean probability *lift* —
+    monotone-equivalent as a ranking signal within a document length
+    class, and exactly reproducible: integer counts, exact integer
+    products, one correctly-rounded division per word, and a sorted
+    left-fold for the per-doc sum.
+
+    Scale shape: word-stats agg is a partial-aggregated shuffle keyed
+    on the word; the lift table (|vocab| rows) joins back to the token
+    stream on the word key; the per-doc fold shuffles |docs| rows. No
+    all-pairs anywhere; per-group state is bounded by document length.
+    """
+    tok = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+    stats = tok.groupBy("word").agg(
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TGT), 1).otherwise(0)
+        ).alias("tgt"),
+        F.count("*").alias("tot"),
+    )
+    totals = stats.agg(
+        F.sum("tgt").alias("t_tot"),
+        F.sum(F.col("tot") - F.col("tgt")).alias("r_tot"),
+        F.count("*").alias("v"),
+    )
+    lift = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            (
+                ((F.col("tgt") + 1) * (F.col("r_tot") + F.col("v"))).cast("double")
+                / ((F.col("tot") - F.col("tgt") + 1) * (F.col("t_tot") + F.col("v"))).cast("double")
+            ).alias("lift"),
+        )
+    )
+    per = (
+        tok.join(lift, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("lift")).alias("ls"),
+            F.count("*").alias("n"),
+        )
+    )
+    fold = F.aggregate(F.col("ls"), F.lit(0.0), lambda a, x: a + x)
+    return per.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (fold / F.col("n")).alias("dsir_lift"),
+    )

@@ -800,3 +800,75 @@ def dedup_span_trim(spark, sf_dir):
             F.array_join(kept, " ").alias("trimmed_text"),
         )
     )
+
+
+_SEMDEDUP_TAU = 0.30  # within-label cos >= tau → near-semantic duplicate
+# (fixture embeddings top out at ~0.475 within-label; 0.30 keeps the
+# prune non-trivial at every SF)
+
+_SEMDEDUP_SQL = f"""
+    WITH hit AS (
+      SELECT b.vec_id, max({{ab}} / (sqrt({{aa}}) * sqrt({{bb}}))) AS max_cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {{ab}} / (sqrt({{aa}}) * sqrt({{bb}})) >= {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(h.max_cos, -1.0) AS max_cos_to_earlier,
+           h.vec_id IS NULL AS keep
+    FROM embeddings e LEFT JOIN hit h USING (vec_id)
+    """.format(
+    ab=_EMB_DOT.format(a="a.embedding", b="b.embedding"),
+    aa=_EMB_DOT.format(a="a.embedding", b="a.embedding"),
+    bb=_EMB_DOT.format(a="b.embedding", b="b.embedding"),
+)
+
+
+@query("dedup_semantic_prune", sql=_SEMDEDUP_SQL, tags=("dedup", "embedding", "semantic"))
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): partition
+    the embedding space into cells, then inside each cell drop every
+    vector that is near-duplicate (cos >= tau) of a LOWER-id vector.
+    The fixture's ``label`` column stands in for the k-means cell id
+    (sim_ivf_kmeans_topk holds the learned-quantizer machinery; using
+    the given label keeps this query fully oracle-checkable). The
+    earlier-id rule is the deterministic keep-first variant of
+    SemDeDup's per-cell prune.
+
+    Scale shape: the pairwise join is CELL-LOCAL — both sides hash-
+    partition on label, so candidate volume is sum(|cell|^2), never
+    corpus^2; cell size is capped by the quantizer's k at 100 TB (same
+    bound SemDeDup relies on). Cosines use the deterministic left-fold
+    so the oracle is bit-identical.
+    """
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
+    a = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    hit = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        emb.join(hit, emb["vec_id"] == hit["vec_b"], "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos_to_earlier"),
+            F.col("vec_b").isNull().alias("keep"),
+        )
+    )

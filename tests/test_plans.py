@@ -353,6 +353,20 @@ def test_span_trim_no_cartesian_no_token_explode_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_semantic_prune_cell_local_join(spark):
+    """SemDeDup prune must join cell-local (label equi-join), never
+    all-pairs: candidate volume is sum(|cell|^2), not corpus^2."""
+    p = plan_of(spark, "dedup_semantic_prune")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # label key makes it an equi-join
+
+
+def test_importance_weights_broadcast_totals(spark):
+    """The 1-row totals aggregate must broadcast; no cartesian of data."""
+    p = plan_of(spark, "curate_importance_weights")
+    assert "CartesianProduct" not in p
+
+
 def test_matryoshka_rerank_topk_plan(spark):
     """Both passes must plan as TakeOrderedAndProject (no global sort);
     the single-row query vector joins as a broadcast."""
