@@ -76,6 +76,11 @@ EXTENDED = [
     "sim_knn_classify",
     "text_inverted_index",
     "split_by_cluster",
+    "dedup_span_coverage",
+    "dedup_span_trim",
+    "dedup_semantic_prune",
+    "curate_importance_weights",
+    "sim_topk_binary_hamming",
 ]
 
 

@@ -568,3 +568,93 @@ def sim_matryoshka_rerank(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+def _sign_word(col, lo: int) -> Column:
+    """Pack the sign bits of dims lo..lo+31 (1-based) of an array<float>
+    column into one non-negative long. Shift constants are Python-side
+    literals, so no runtime shift (and no bit-63 overflow — 32 bits per
+    word keeps both engines in-range)."""
+    word = F.lit(0).cast("long")
+    for i in range(32):
+        word = word + F.when(
+            F.element_at(col, lo + i) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return word
+
+
+def _sign_word_sql(col: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{lo + i}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return f"({terms})"
+
+
+_HAMMING_SQL = """
+    WITH qs AS (
+      SELECT embedding AS qe, {qlo} AS qlo, {qhi} AS qhi
+      FROM embeddings WHERE vec_id = 0
+    ),
+    short AS (
+      SELECT e.vec_id, e.embedding, qs.qe,
+             bit_count(xor({lo}, qs.qlo)) + bit_count(xor({hi}, qs.qhi)) AS hamming
+      FROM embeddings e, qs
+      ORDER BY hamming, e.vec_id LIMIT 64
+    )
+    SELECT vec_id, CAST(hamming AS INTEGER) AS hamming, {cos} AS cos_sim
+    FROM short ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """.format(
+    qlo=_sign_word_sql("embedding", 1),
+    qhi=_sign_word_sql("embedding", 33),
+    lo=_sign_word_sql("e.embedding", 1),
+    hi=_sign_word_sql("e.embedding", 33),
+    cos="{d} / (sqrt({n1}) * sqrt({n2}))".format(
+        d=_fold_dot_sql("embedding", "qe"),
+        n1=_fold_dot_sql("embedding", "embedding"),
+        n2=_fold_dot_sql("qe", "qe"),
+    ),
+)
+
+
+@query("sim_topk_binary_hamming", sql=_HAMMING_SQL, tags=("similarity", "topk", "ann"))
+def sim_topk_binary_hamming(spark, sf_dir):
+    """Binary-quantization ANN: 1-bit sign quantization packs each
+    64-dim float vector into two 32-bit sign words (32x compression);
+    retrieval shortlists top-64 by Hamming distance (two XOR+popcount
+    per candidate — the cheapest distance there is), then reranks the
+    shortlist by exact full-precision cosine and keeps top-10. The
+    binary-quantize + rescore recipe used by production vector stores.
+
+    100 TB shape: the scan reads 8 bytes of signature per vector
+    instead of 256 bytes of floats (signatures can be materialized as
+    their own column); both passes plan as TakeOrderedAndProject (no
+    global sort) and the exact rerank touches only the 64-row
+    shortlist. Integer Hamming is exact cross-engine; the rerank
+    cosine uses the shared left-fold — full-value oracle.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        _sign_word(F.col("embedding"), 1).alias("qlo"),
+        _sign_word(F.col("embedding"), 33).alias("qhi"),
+    )
+    ham = (
+        F.bit_count(_sign_word(F.col("embedding"), 1).bitwiseXOR(F.col("qlo")))
+        + F.bit_count(_sign_word(F.col("embedding"), 33).bitwiseXOR(F.col("qhi")))
+    )
+    shortlist = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "qe", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(64)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

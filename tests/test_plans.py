@@ -374,3 +374,12 @@ def test_matryoshka_rerank_topk_plan(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row query side, broadcast
     assert "CartesianProduct" not in p
+
+
+def test_binary_hamming_topk_plan(spark):
+    """Both passes plan as TakeOrderedAndProject (no global sort); the
+    1-row query signature joins as a broadcast."""
+    p = plan_of(spark, "sim_topk_binary_hamming")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

@@ -129,3 +129,14 @@ def test_matryoshka_rerank_recall_vs_bruteforce(spark):
     mat = _ids(spark, "sim_matryoshka_rerank")
     assert mat[0] == 0
     assert len(set(mat) & set(brute)) >= 6
+
+
+def test_binary_hamming_recall_vs_bruteforce(spark):
+    """Two 32-bit sign words (32x compression) + Hamming shortlist-64 +
+    exact rerank: the query retrieves itself and >= 8/10 of the exact
+    top-10 survive (observed 9/10 at sf0.001 and sf0.01). Oracle parity
+    pins the exact row set; this pins the semantic floor."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    ham = _ids(spark, "sim_topk_binary_hamming")
+    assert ham[0] == 0
+    assert len(set(ham) & set(brute)) >= 8
