@@ -81,6 +81,8 @@ EXTENDED = [
     "dedup_semantic_prune",
     "curate_importance_weights",
     "sim_topk_binary_hamming",
+    "text_bpe_merge_step",
+    "quality_ngram_diversity",
 ]
 
 

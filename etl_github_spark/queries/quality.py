@@ -559,3 +559,55 @@ def quality_token_rarity(spark, sf_dir):
             F.count(F.when(F.col("doc_freq") <= 5, 1)).cast("long").alias("n_rare"),
         )
     )
+
+
+_DIVERSITY_SQL = """
+    WITH tri AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+      FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(DISTINCT tg) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT tg) AS DOUBLE) / count(*) AS diversity
+    FROM tri GROUP BY source
+    """
+
+
+@query("quality_ngram_diversity", sql=_DIVERSITY_SQL, tags=("quality", "text"))
+def quality_ngram_diversity(spark, sf_dir):
+    """Per-source trigram diversity (distinct/total — the self-BLEU-
+    style corpus-health signal): a source whose ratio collapses is
+    template spam or a scraper loop, the thing you want flagged before
+    it floods a training mix.
+
+    Scale shape: trigrams via the shifted-slice zip (no per-element
+    element_at), then ONE aggregation keyed on (source): count(*) is a
+    plain partial agg and count(DISTINCT tg) expands to the standard
+    two-phase distinct-aggregate — shuffle volume is the distinct
+    (source, trigram) set, never all-pairs. Source count is small but
+    the key includes the trigram during dedup, so no hot-key collapse.
+    """
+    w = F.col("_w")
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("source", _words().alias("_w"))
+        .where(F.size(w) >= 3)
+    )
+    m = F.size(w) - 2
+    tri = F.transform(
+        F.arrays_zip(*[F.slice(w, 1 + k, m) for k in range(3)]),
+        lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]),
+    )
+    return (
+        d.select("source", F.explode(tri).alias("tg"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.count_distinct("tg").alias("n_distinct"),
+            (F.count_distinct("tg").cast("double") / F.count("*")).alias("diversity"),
+        )
+    )

@@ -226,3 +226,60 @@ def text_inverted_index(spark, sf_dir):
         )
     )
     return df.join(head, "tok").select("tok", "doc_freq", "postings_head")
+
+
+_BPE_SQL = """
+    WITH wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wcount
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wcount
+      FROM wc, unnest(range(1, len(word))) AS u(i)
+    )
+    SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """
+
+
+@query("text_bpe_merge_step", sql=_BPE_SQL, tags=("text", "tokenizer"))
+def text_bpe_merge_step(spark, sf_dir):
+    """One BPE-training merge iteration (Sennrich et al. 2016): the
+    most frequent adjacent symbol pairs over the corpus vocabulary,
+    weighted by word frequency — the statistic a tokenizer trainer
+    computes to pick its next merge. Top-20 by count (pair string
+    breaks ties) so the output is a stable LIMIT.
+
+    Scale shape: the corpus tokens collapse to the VOCABULARY first
+    (word-keyed partial-agg count — the |corpus| → |vocab| reduction a
+    BPE trainer always starts with), so the pair explosion runs over
+    distinct words only; pair counting is a second partial-agg keyed
+    on a 2-char string; top-20 plans as TakeOrderedAndProject.
+    Adjacent character pair == 2-char substring, so no per-character
+    array materialization at all.
+    """
+    wc = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wcount",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcount").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
