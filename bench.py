@@ -83,6 +83,7 @@ EXTENDED = [
     "sim_topk_binary_hamming",
     "text_bpe_merge_step",
     "quality_ngram_diversity",
+    "quality_word_concentration",
 ]
 
 

@@ -611,3 +611,62 @@ def quality_ngram_diversity(spark, sf_dir):
             (F.count_distinct("tg").cast("double") / F.count("*")).alias("diversity"),
         )
     )
+
+
+_HHI_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+    s AS (SELECT doc_id, sum(cnt * cnt) AS ss, sum(cnt) AS n FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(ss AS DOUBLE) / (n * n) AS hhi,
+           1 - CAST(ss AS DOUBLE) / (n * n) AS word_gini
+    FROM s
+    """
+
+
+@query("quality_word_concentration", sql=_HHI_SQL, tags=("quality", "text"))
+def quality_word_concentration(spark, sf_dir):
+    """Per-document word-distribution concentration: the Herfindahl-
+    Hirschman index sum((count_w / n)^2) and its Gini-impurity
+    complement — the entropy surrogate this engine can verify
+    cross-engine (Shannon entropy needs log(), which diverges in the
+    last ulp between engines; HHI is integer counts + ONE division).
+    High HHI == the doc is dominated by few repeated words (spam/
+    keyword-stuffing); complements distinct_ratio (which ignores the
+    shape of the distribution) and top-bigram share.
+
+    Shape: ZERO-shuffle per-row projection. sum(count^2) falls out of
+    one fold over the SORTED word array without ever materializing the
+    counts: extending a run from r-1 to r adds r^2-(r-1)^2 = 2r-1, so
+    the accumulator adds 2*run-1 at every element and no end-of-run
+    flush is needed. The oracle states the same quantity relationally
+    (groupBy word -> sum cnt^2). Initial `prev` sentinel is " " —
+    impossible as a word since words are produced by splitting ON
+    spaces (and "" IS a possible word for empty/doubled-space text).
+    """
+    w = F.col("_w")
+    d = par(T(spark, sf_dir, "documents")).select("doc_id", _words().alias("_w"))
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    st = F.aggregate(
+        F.sort_array(w),
+        F.struct(F.lit(" ").alias("prev"), zero.alias("run"), zero.alias("acc")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            (acc["acc"] + 2 * run_of(acc, x) - 1).alias("acc"),
+        ),
+    )
+    n = F.size(w).cast("long")
+    hhi = st["acc"].cast("double") / (n * n)
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        hhi.alias("hhi"),
+        (1 - hhi).alias("word_gini"),
+    )

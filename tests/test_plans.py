@@ -383,3 +383,13 @@ def test_binary_hamming_topk_plan(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_word_concentration_pure_projection(spark):
+    """HHI must pipeline with the scan — the sorted-run fold keeps the
+    whole computation per-row: no key-based shuffle, no join, no
+    aggregate (the only Exchange is par()'s round-robin spread of the
+    single-row-group fixture)."""
+    p = plan_of(spark, "quality_word_concentration")
+    assert "hashpartitioning" not in p
+    assert "Join" not in p and "HashAggregate" not in p
