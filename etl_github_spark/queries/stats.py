@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 _MOMENTS_SQL = """
@@ -151,3 +151,61 @@ def stat_corr_per_lang(spark, sf_dir):
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     r = num / (F.sqrt(vx) * F.sqrt(vy))
     return m.select("lang", "n", r.alias("pearson_r"))
+
+
+_SEP_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+_SEPARATION_SQL = """
+    SELECT a.label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(sum(CASE WHEN {ab} / (sqrt({aa}) * sqrt({bb})) >= 0.2
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_close
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """.format(
+    ab=_SEP_DOT.format(a="a.embedding", b="b.embedding"),
+    aa=_SEP_DOT.format(a="a.embedding", b="a.embedding"),
+    bb=_SEP_DOT.format(a="b.embedding", b="b.embedding"),
+)
+
+
+@query("stat_embedding_separation", sql=_SEPARATION_SQL, tags=("stats", "embedding"))
+def stat_embedding_separation(spark, sf_dir):
+    """Per-label embedding cohesion QA: of all intra-label vector
+    pairs, how many are close (cos >= 0.2)? A label whose frac_close
+    collapses toward the random-pair rate marks a noisy cluster /
+    mislabeled slice — the check run before trusting labels for kNN
+    voting or per-cell semantic pruning. Counts, not mean-cosine, so
+    the statistic is exactly reproducible (a float mean over a shuffle
+    is partition-order-dependent; a threshold count is not).
+
+    Shape: cell-local equi-join on label (sum(|cell|^2) candidates,
+    never corpus^2) feeding one partial+final count agg per label.
+    """
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
+    a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    close = (cosine(F.col("ea"), F.col("eb")) >= 0.2).cast("long")
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .select("label", close.alias("c"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("c").alias("n_close"),
+            (F.sum("c").cast("double") / F.count("*")).alias("frac_close"),
+        )
+    )

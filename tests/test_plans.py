@@ -393,3 +393,11 @@ def test_word_concentration_pure_projection(spark):
     p = plan_of(spark, "quality_word_concentration")
     assert "hashpartitioning" not in p
     assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_embedding_separation_cell_local_join(spark):
+    """Cohesion QA joins cell-local on label (equi-join), never
+    all-pairs."""
+    p = plan_of(spark, "stat_embedding_separation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
