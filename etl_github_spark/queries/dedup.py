@@ -1,10 +1,10 @@
 """Deduplication operators (north-star §2.9): exact, normalized,
 n-gram-Jaccard near-dup (exhaustive-recall), MinHash-LSH (scale path),
-SimHash.
+SimHash, duplicated-span coverage/trim, SemDeDup-style semantic prune.
 
-Exact/normalized/Jaccard variants are SQL-expressible and oracle-checked;
-MinHash/SimHash use Spark-only hash primitives (xxhash64) and get
-rows-only checks.
+Everything is oracle-checked except `dedup_minhash_lsh` (xxhash64 hash
+family has no DuckDB twin; its md5-family sibling `dedup_lsh_recall`
+oracle-replays the full banding pipeline and pins recall).
 """
 
 from __future__ import annotations
