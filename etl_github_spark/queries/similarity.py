@@ -574,13 +574,19 @@ def _sign_word(col, lo: int) -> Column:
     """Pack the sign bits of dims lo..lo+31 (1-based) of an array<float>
     column into one non-negative long. Shift constants are Python-side
     literals, so no runtime shift (and no bit-63 overflow — 32 bits per
-    word keeps both engines in-range)."""
-    word = F.lit(0).cast("long")
-    for i in range(32):
-        word = word + F.when(
-            F.element_at(col, lo + i) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return word
+    word keeps both engines in-range). One zip_with+fold, not 32
+    element_at lookups: the 64-term expression chain evaluated ~2×
+    slower at sf0.1."""
+    bits = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(col, lo, 32),
+            bits,
+            lambda v, b: F.when(v > 0, b).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def _sign_word_sql(col: str, lo: int) -> str:
