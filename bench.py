@@ -84,6 +84,7 @@ EXTENDED = [
     "text_bpe_merge_step",
     "quality_ngram_diversity",
     "quality_word_concentration",
+    "analytics_event_transitions",
 ]
 
 

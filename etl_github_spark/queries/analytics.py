@@ -645,3 +645,63 @@ def trend_anomaly_days(spark, sf_dir):
             4 * dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
         ).alias("is_anomaly"),
     )
+
+
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pair AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p_next
+    FROM pair
+    """
+
+
+@query("analytics_event_transitions", sql=_TRANSITIONS_SQL, tags=("analytics", "events"))
+def analytics_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type), the transition count and
+    conditional probability P(next | current) — the model behind
+    next-action prediction, funnel-drop attribution, and bot detection
+    (bots have near-deterministic transition rows).
+
+    Shape: one window (lead over user sessions — partition by user_id,
+    order by (ts, event_id) so same-timestamp events have a stable
+    order), one pair-count agg, one per-from_type normalization window
+    over the TINY |types|^2 matrix. The only corpus-sized shuffle is
+    the user partition; probability = int/int division, exact both
+    engines.
+    """
+    seq = (
+        par(T(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.lead("event_type")
+            .over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            .alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("from_type")
+    return pair.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("p_next"),
+    )

@@ -401,3 +401,12 @@ def test_embedding_separation_cell_local_join(spark):
     p = plan_of(spark, "stat_embedding_separation")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_transitions_single_corpus_shuffle(spark):
+    """The only corpus-sized exchange is the user-id window partition;
+    the pair agg and the normalization window run on the tiny
+    |types|^2 matrix."""
+    p = plan_of(spark, "analytics_event_transitions")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # pure window + agg pipeline, no join at all
