@@ -120,6 +120,48 @@ def quality_gopher_filter(spark, sf_dir):
     return s.select("doc_id", reason.alias("reason"), (reason == "ok").alias("keep"))
 
 
+def _max_bigram_stats(df):
+    """Per-row bigram stats via the sorted-run fold: max group count ==
+    max run length after sort. Input (doc_id, text); rows with < 2
+    tokens are dropped (positive slice length under ANSI). Keeps the
+    internal ``_w``/``_b``/``_top`` columns for composition alongside
+    the friendly ``top_bigram_count``/``n_bigrams``. The "" initial
+    ``prev`` sentinel is safe: every bigram contains the " " separator.
+    """
+    w = F.col("_w")
+    d = df.select("doc_id", _words().alias("_w")).where(F.size(w) >= 2)
+    m = F.size(w) - 1
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    st = F.aggregate(
+        F.sort_array(F.col("_b")),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
+    )
+    return (
+        d.select("doc_id", "_w", bigrams.alias("_b"))
+        .select("doc_id", "_w", "_b", st["best"].alias("_top"))
+        .select(
+            "doc_id",
+            "_w",
+            "_b",
+            "_top",
+            F.col("_top").cast("int").alias("top_bigram_count"),
+            F.size("_b").cast("long").alias("n_bigrams"),
+        )
+    )
+
+
 @query(
     "quality_repetition_stats",
     sql="""
@@ -162,38 +204,11 @@ def quality_repetition_stats(spark, sf_dir):
     map-only scan and a full-corpus shuffle.
     """
     w = F.col("_w")
-    d = (
-        par(T(spark, sf_dir, "documents"))
-        .select("doc_id", _words().alias("_w"))
-        .where(F.size(w) >= 2)
-    )
-    m = F.size(w) - 1
-    bigrams = F.transform(
-        F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m)),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
-    )
-    # max run length over the sorted bigrams; every bigram contains the
-    # " " separator so the "" initial sentinel can never match a value.
-    zero = F.lit(0).cast("long")
-    run_of = lambda acc, x: (  # noqa: E731
-        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-    )
-    st = F.aggregate(
-        F.sort_array(F.col("_b")),
-        F.struct(
-            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run_of(acc, x).alias("run"),
-            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
-        ),
-    )
+    d = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
     dup_frac = 1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w)
     top = F.col("_top")
     return (
-        d.select("doc_id", "_w", bigrams.alias("_b"))
-        .select("doc_id", "_w", "_b", st["best"].alias("_top"))
+        _max_bigram_stats(d)
         .select(
             "doc_id",
             dup_frac.alias("dup_word_fraction"),
@@ -647,8 +662,20 @@ def quality_word_concentration(spark, sf_dir):
     impossible as a word since words are produced by splitting ON
     spaces (and "" IS a possible word for empty/doubled-space text).
     """
+    d = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
+    return _doc_hhi(d).select(
+        "doc_id",
+        "n_words",
+        "hhi",
+        (1 - F.col("hhi")).alias("word_gini"),
+    )
+
+
+def _doc_hhi(df):
+    """(doc_id, text) → (doc_id, n_words, hhi) via the sorted-run fold
+    (see :func:`quality_word_concentration` for the 2r-1 identity)."""
     w = F.col("_w")
-    d = par(T(spark, sf_dir, "documents")).select("doc_id", _words().alias("_w"))
+    d = df.select("doc_id", _words().alias("_w"))
     zero = F.lit(0).cast("long")
     run_of = lambda acc, x: (  # noqa: E731
         F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
@@ -663,10 +690,8 @@ def quality_word_concentration(spark, sf_dir):
         ),
     )
     n = F.size(w).cast("long")
-    hhi = st["acc"].cast("double") / (n * n)
     return d.select(
         "doc_id",
         n.alias("n_words"),
-        hhi.alias("hhi"),
-        (1 - hhi).alias("word_gini"),
+        (st["acc"].cast("double") / (n * n)).alias("hhi"),
     )

@@ -225,3 +225,59 @@ def test_quantization_error_bounded_by_scale(spark, vecs):
     for r in out:
         assert r["mse"] <= r["scale"] * r["scale"] + 1e-12
         assert r["mse"] >= 0.0
+
+
+texts_strategy = st.lists(
+    st.lists(st.text("ab ", min_size=0, max_size=3), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(docs=texts_strategy)
+def test_hhi_fold_matches_counter(spark, docs):
+    """The sorted-run HHI fold (2r-1 increments) must equal the naive
+    sum(count^2)/n^2 from a Python Counter for arbitrary token arrays —
+    including empty strings as tokens and all-identical docs."""
+    from collections import Counter
+
+    from etl_github_spark.queries.quality import quality_word_concentration
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_hhi_docs")
+    import etl_github_spark.queries.quality as q
+
+    got = {
+        r.doc_id: (r.n_words, r.hhi)
+        for r in q._doc_hhi(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        words = " ".join(toks).split(" ")
+        c = Counter(words)
+        n = len(words)
+        expect = sum(v * v for v in c.values()) / (n * n)
+        assert got[i][0] == n
+        assert abs(got[i][1] - expect) < 1e-12, (i, words)
+
+
+@SET
+@given(docs=texts_strategy)
+def test_max_run_fold_matches_counter(spark, docs):
+    """The sorted-bigram max-run fold must equal the naive
+    max-bigram-count from a Python Counter (docs with >= 2 tokens)."""
+    from collections import Counter
+
+    from etl_github_spark.queries.quality import _max_bigram_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if len(toks) >= 2]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top_bigram_count, r.n_bigrams) for r in _max_bigram_stats(df).collect()}
+    for i, text in rows:
+        words = text.split(" ")
+        bg = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        c = Counter(bg)
+        assert got[i] == (max(c.values()), len(bg)), (i, words)
