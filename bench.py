@@ -85,6 +85,7 @@ EXTENDED = [
     "quality_ngram_diversity",
     "quality_word_concentration",
     "analytics_event_transitions",
+    "curate_semantic_pipeline",
 ]
 
 

@@ -695,3 +695,112 @@ def _doc_hhi(df):
         n.alias("n_words"),
         (st["acc"].cast("double") / (n * n)).alias("hhi"),
     )
+
+
+_SEM_PIPE_SQL = f"""
+    WITH s AS ({_STATS_SQL}),
+    keep1 AS (
+      SELECT doc_id FROM s
+      WHERE n_words BETWEEN 20 AND 400
+        AND mean_word_len BETWEEN 2 AND 8
+        AND stop_fraction >= 0.03 AND distinct_ratio >= 0.35
+    ),
+    tok AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN keep1 USING (doc_id)
+      WHERE len(string_split(d.text, ' ')) >= 4
+    ),
+    g2 AS (
+      SELECT doc_id, i,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM tok)
+    ),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT g2.doc_id, u.tok_idx
+      FROM g2 JOIN dup USING (gram), unnest(range(g2.i, g2.i + 4)) AS u(tok_idx)
+    ),
+    pos AS (
+      SELECT doc_id, toks[i] AS word, i
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok)
+    ),
+    kept AS (
+      SELECT p.doc_id, count(*) AS n_kept,
+             string_agg(p.word, ' ' ORDER BY p.i) AS trimmed
+      FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.tok_idx
+      GROUP BY p.doc_id
+    ),
+    trimmed AS (
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(k.trimmed, '') AS ttext
+      FROM tok t LEFT JOIN kept k USING (doc_id)
+    ),
+    h AS (
+      SELECT doc_id, sum(cnt * cnt) AS ss, sum(cnt) AS n
+      FROM (SELECT doc_id, word, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(ttext, ' ')) AS word
+                  FROM trimmed) GROUP BY doc_id, word)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.n_kept,
+           CAST(h.ss AS DOUBLE) / (h.n * h.n) AS hhi
+    FROM trimmed t JOIN h USING (doc_id)
+    WHERE CAST(h.ss AS DOUBLE) / (h.n * h.n) <= 0.08
+      AND substr(md5(t.ttext), 1, 4) < '8000'
+    """
+
+
+@query("curate_semantic_pipeline", sql=_SEM_PIPE_SQL, tags=("quality", "curation", "capstone"))
+def curate_semantic_pipeline(spark, sf_dir):
+    """Capstone #2 — the round-3 operators composed end-to-end the way
+    a curation run chains them: Gopher rule filter -> cross-document
+    duplicated-SPAN TRIM (rewrite, not just drop) -> word-concentration
+    (HHI <= 0.08, ~p90) cut on the TRIMMED text -> deterministic ~50%
+    content-hash sample of the trimmed text. Output: survivors with
+    their token accounting (n_tokens pre-trim, n_kept post-trim, hhi).
+
+    One composed plan, one oracle CTE chain. Every stage is the shape
+    already proven individually (scan-fused stats, gram-df kernel +
+    one doc join, per-row HHI fold, per-row hash sample); composition
+    adds only the keep1 semi-join. Gram df is computed on the FILTERED
+    corpus (filter-then-dedup, the standard order).
+    """
+    from .dedup import _dup_span_positions
+
+    docs = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
+    s = _doc_stats(docs.select("doc_id", "text", _words().alias("_w")))
+    keep1 = s.where(
+        F.col("n_words").between(20, 400)
+        & F.col("mean_word_len").between(2, 8)
+        & (F.col("stop_fraction") >= 0.03)
+        & (F.col("distinct_ratio") >= 0.35)
+    ).select("doc_id")
+    w = F.col("_w")
+    d = (
+        docs.join(keep1, "doc_id", "semi")
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= 4)
+    )
+    dup_idx = (
+        _dup_span_positions(d)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok_idx")).alias("_dup"))
+    )
+    dup = F.coalesce(F.col("_dup"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(dup, i + F.lit(1)))
+    trimmed = d.join(dup_idx, "doc_id", "left").select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("ttext"),
+    )
+    h = _doc_hhi(trimmed.select("doc_id", F.col("ttext").alias("text")))
+    return (
+        trimmed.join(h.select("doc_id", "hhi"), "doc_id")
+        .where(
+            (F.col("hhi") <= 0.08)
+            & (F.substring(F.md5("ttext"), 1, 4) < "8000")
+        )
+        .select("doc_id", "n_tokens", "n_kept", "hhi")
+    )

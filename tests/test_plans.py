@@ -410,3 +410,12 @@ def test_event_transitions_single_corpus_shuffle(spark):
     p = plan_of(spark, "analytics_event_transitions")
     assert "CartesianProduct" not in p
     assert "Join" not in p  # pure window + agg pipeline, no join at all
+
+
+def test_semantic_pipeline_composition_shape(spark):
+    """Capstone #2 composes filter -> trim -> HHI -> sample in one plan:
+    semi-join for the rule filter, gram-keyed joins from the span
+    kernel, and no cartesian anywhere."""
+    p = plan_of(spark, "curate_semantic_pipeline")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
