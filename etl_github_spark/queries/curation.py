@@ -387,3 +387,42 @@ def curate_importance_weights(spark, sf_dir):
         F.col("n").cast("long").alias("n_tokens"),
         (fold / F.col("n")).alias("dsir_lift"),
     )
+
+
+_QUOTA = 15  # max docs kept per (lang, source) stratum
+
+_QUOTA_SQL = f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_QUOTA}
+    """
+
+
+@query("curate_sample_quota", sql=_QUOTA_SQL, tags=("curation", "sampling"))
+def curate_sample_quota(spark, sf_dir):
+    """Balanced dataset construction: keep at most {quota} documents
+    per (lang, source) stratum, chosen by content-hash order — the
+    exact-quota counterpart of the rate-based stratified sample
+    (`curate_sample_stratified`). Hash order makes the draw
+    reproducible across runs/engines/partitionings and independent of
+    storage order; the doc_id tie-break handles exact-duplicate texts.
+
+    Shape: one window keyed on the stratum — partial sort within each
+    hash partition, no global sort; Spark plans a WindowGroupLimit
+    (rank pushdown) so each partition retains only {quota} rows before
+    the final filter. Strata counts are corpus-size-independent, so at
+    100 TB the shuffle is the stratum repartition and nothing else.
+    """
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _QUOTA)
+        .select("doc_id", "lang", "source")
+    )

@@ -419,3 +419,12 @@ def test_semantic_pipeline_composition_shape(spark):
     p = plan_of(spark, "curate_semantic_pipeline")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_sample_quota_window_group_limit(spark):
+    """The per-stratum quota must push into the window as a group limit
+    (each partition retains only quota rows pre-filter), and there must
+    be no global sort."""
+    p = plan_of(spark, "curate_sample_quota")
+    assert "WindowGroupLimit" in p
+    assert "Exchange rangepartitioning" not in p
