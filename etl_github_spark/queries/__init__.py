@@ -12,8 +12,24 @@ string the driver diffs against at sf=0.01.
 # (tpch_ext, tpch_ps, quality, curation, clustering, stats, text_ext, and the
 # highest-value analytics) plus the five changed-this-round queries that must
 # be re-verified: the two r02 array-output fixes, the two new-oracle upgrades,
-# and the new LSH recall pin. Still never checked after this round (→ round 4):
-# scale_paths (9) and five low-risk analytics queries.
+# and the new LSH recall pin.
+#
+# ROUND-4 ROTATION CANDIDATES — the 36 queries with no driver CORRECTNESS row
+# in r01/r02 and outside the r3 window (scale_paths siblings, late analytics,
+# and every operator added during round 3). All are green in the local oracle
+# replica; put them first next round:
+#   text_normalize_clean dedup_span_coverage dedup_span_trim
+#   dedup_semantic_prune sim_knn_classify sim_matryoshka_rerank
+#   sim_topk_binary_hamming dedup_embedding_lsh_pairs sim_topk_multi_query
+#   sim_ivf_topk emb_quantize_int8 sim_ivf_kmeans_topk
+#   agg_salted_value_counts join_salted_hotkey sim_label_centroids_quantized
+#   text_fuzzy_join_qgram sim_topk_int8 sim_topk_pq pack_sequences
+#   text_inverted_index text_bpe_merge_step split_by_cluster
+#   curate_importance_weights curate_sample_quota stat_embedding_separation
+#   quality_token_rarity quality_ngram_diversity quality_word_concentration
+#   curate_semantic_pipeline text_collocations_lift trend_gap_filled_hourly
+#   quality_equidepth_histogram text_zipf_table trend_rolling_7d_users_approx
+#   trend_anomaly_days analytics_event_transitions
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
