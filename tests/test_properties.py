@@ -281,3 +281,42 @@ def test_max_run_fold_matches_counter(spark, docs):
         bg = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
         c = Counter(bg)
         assert got[i] == (max(c.values()), len(bg)), (i, words)
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=4, max_size=10),
+    min_size=2,
+    max_size=6,
+)
+
+
+@SET
+@given(docs=corpus_strategy)
+def test_dup_span_positions_match_naive(spark, docs):
+    """The shifted-slice gram kernel must mark exactly the token
+    positions a naive Python scan marks: positions covered by any
+    4-gram appearing in >= 2 distinct docs."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.queries.dedup import _dup_span_positions
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("_w")
+    )
+    got = {
+        (r.doc_id, r.tok_idx) for r in _dup_span_positions(df).collect()
+    }
+    # naive reference
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for j in range(len(toks) - 3):
+            gram_docs[tuple(toks[j : j + 4])].add(i)
+    expect = set()
+    for i, toks in enumerate(docs):
+        for j in range(len(toks) - 3):
+            if len(gram_docs[tuple(toks[j : j + 4])]) >= 2:
+                expect.update((i, j + k + 1) for k in range(4))
+    assert got == expect
