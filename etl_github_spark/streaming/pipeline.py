@@ -180,3 +180,40 @@ def stream_session_counts(
             "cnt",
         )
     )
+
+
+def stream_quality_gate(docs: DataFrame) -> DataFrame:
+    """Streaming document quality gate with OBSERVED per-batch metrics.
+
+    Applies the Gopher rule cascade (same column expressions as the
+    batch `quality_gopher_filter` — pure projections work unchanged on
+    a stream) and attaches Spark observed metrics so every micro-batch
+    reports (n_seen, n_kept) through `StreamingQueryProgress.
+    observedMetrics["quality_gate"]` without a second aggregation pass
+    or a side output — the production way to watch a curation stream's
+    reject rate drift (a scraper change shows up as a falling keep
+    ratio long before anyone reads the output table).
+
+    The observation is attached BEFORE the filter so n_seen counts the
+    raw stream; both metrics are plain counts (exact, mergeable across
+    partitions).
+    """
+    from ..queries.quality import _doc_stats, _words
+
+    s = _doc_stats(docs.select("doc_id", "text", _words().alias("_w")))
+    keep = (
+        F.col("n_words").between(20, 400)
+        & F.col("mean_word_len").between(2, 8)
+        & (F.col("stop_fraction") >= 0.03)
+        & (F.col("distinct_ratio") >= 0.35)
+    )
+    return (
+        s.withColumn("keep", keep)
+        .observe(
+            "quality_gate",
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .where("keep")
+        .drop("keep")
+    )
