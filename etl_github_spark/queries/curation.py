@@ -426,3 +426,46 @@ def curate_sample_quota(spark, sf_dir):
         .where(F.col("rn") <= _QUOTA)
         .select("doc_id", "lang", "source")
     )
+
+
+_DEDUP_AUDIT_SQL = """
+    WITH g AS (
+      SELECT source, md5(text) AS fp, count(*) AS copies
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(copies) - count(*) AS BIGINT) AS n_redundant,
+           CAST(sum(copies) - count(*) AS DOUBLE) / sum(copies) AS dup_rate,
+           CAST(max(copies) AS BIGINT) AS max_copies
+    FROM g GROUP BY source
+    """
+
+
+@query("curate_dedup_audit", sql=_DEDUP_AUDIT_SQL, tags=("curation", "dedup", "audit"))
+def curate_dedup_audit(spark, sf_dir):
+    """Per-source exact-duplication audit: docs, unique texts, redundant
+    copies, duplication rate, and the largest copy group — the report a
+    curation team reads to decide WHERE dedup effort goes (a source
+    with dup_rate 0.4 needs its scraper fixed, not more corpus-wide
+    LSH).
+
+    Shape: two stacked hash aggs — (source, text-fingerprint) partial
+    + final, then per-source rollup of the tiny group table. Shuffle
+    volume is |distinct (source, text)| via the md5 fingerprint (16
+    bytes, not the document body). No joins.
+    """
+    g = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("copies"))
+    )
+    red = F.sum("copies") - F.count("*")
+    return g.groupBy("source").agg(
+        F.sum("copies").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        red.alias("n_redundant"),
+        (red.cast("double") / F.sum("copies")).alias("dup_rate"),
+        F.max("copies").alias("max_copies"),
+    )
