@@ -705,3 +705,55 @@ def analytics_event_transitions(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("p_next"),
     )
+
+
+_RFM_SQL = """
+    WITH agg AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n_valued,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS monetary_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS INTEGER) AS recency_q,
+           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INTEGER) AS frequency_q,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS INTEGER) AS monetary_q
+    FROM agg
+    """
+
+
+@query("analytics_rfm_segments", sql=_RFM_SQL, tags=("analytics", "events"))
+def analytics_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: per-user recency (last event time),
+    frequency (event count), monetary (value sum), each bucketed into
+    deterministic quartiles — the classic marketing/product
+    segmentation grid. Monetary sums go through exact integer cents
+    (round(value*100)) so the aggregation is order-independent and the
+    quartile ORDER BY keys are exact; every ntile orders by
+    (metric, user_id) so ties split identically in both engines.
+
+    Shape: one partial+final agg keyed on user_id, then three window
+    passes over the |users| aggregate (corpus-size-independent — users,
+    not events). At 100 TB the ntile global sort runs on the small
+    per-user table; if users themselves are huge, swap ntile for
+    percent-rank thresholds on the same ordering.
+    """
+    e = par(T(spark, sf_dir, "events"))
+    agg = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0).cast("long")
+        ).alias("monetary_cents"),
+    )
+    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))  # noqa: E731
+    return agg.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        q("last_ts").cast("int").alias("recency_q"),
+        q("frequency").cast("int").alias("frequency_q"),
+        q("monetary_cents").cast("int").alias("monetary_q"),
+    )
