@@ -283,3 +283,71 @@ def text_bpe_merge_step(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+_KEYWORDS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, score, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """
+
+
+@query("text_doc_keywords", sql=_KEYWORDS_SQL, tags=("text", "tfidf"))
+def text_doc_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf·N/df — the
+    log-free tf-idf this engine's determinism rule allows (same
+    ranking as tf·idf with log for any fixed document, since log is
+    monotone in df). The per-doc complement of the per-language
+    `curate_tfidf_top_terms` corpus view; this is what you show next
+    to a document in a curation UI.
+
+    Shape: (doc, word) tf agg and word df agg — both partial-agg
+    shuffles on bounded keys; the vocabulary-sized df table broadcasts
+    back onto tf; the top-3 window plans a WindowGroupLimit per doc
+    (no global sort). Score = exact int64 product over one division.
+    """
+    tok = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = T(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "score", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -428,3 +428,11 @@ def test_sample_quota_window_group_limit(spark):
     p = plan_of(spark, "curate_sample_quota")
     assert "WindowGroupLimit" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_doc_keywords_window_group_limit(spark):
+    """Top-3 keywords per doc must plan a WindowGroupLimit (per-group
+    rank pushdown) and broadcast the vocabulary-sized df table."""
+    p = plan_of(spark, "text_doc_keywords")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
