@@ -757,3 +757,51 @@ def analytics_rfm_segments(spark, sf_dir):
         q("frequency").cast("int").alias("frequency_q"),
         q("monetary_cents").cast("int").alias("monetary_q"),
     )
+
+
+_PATHS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """
+
+
+@query("analytics_user_paths_topk", sql=_PATHS_SQL, tags=("analytics", "events"))
+def analytics_user_paths_topk(spark, sf_dir):
+    """Top-20 three-step user paths (event-type trigrams over per-user
+    time-ordered sequences) — the order-2 companion of the transition
+    matrix: where `analytics_event_transitions` models one step, this
+    surfaces the full journeys product teams read ("view > view >
+    purchase" vs "view > view > view").
+
+    Shape: ONE user-window pass computes both leads (same partition +
+    ordering, so Spark plans a single Window node), then a path-keyed
+    partial+final count and a top-20 TakeOrderedAndProject. The
+    (ts, event_id) ordering makes same-timestamp sequences stable
+    cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        par(T(spark, sf_dir, "events"))
+        .select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+    )
+    return (
+        seq.select(F.concat_ws(" > ", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -436,3 +436,12 @@ def test_doc_keywords_window_group_limit(spark):
     p = plan_of(spark, "text_doc_keywords")
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_user_paths_single_window_pass(spark):
+    """Both leads share one Window node (same partition/order), and the
+    top-20 plans as TakeOrderedAndProject."""
+    p = plan_of(spark, "analytics_user_paths_topk")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window (") + tree.count("Window(") <= 1
+    assert "TakeOrderedAndProject" in p
