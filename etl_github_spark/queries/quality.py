@@ -804,3 +804,49 @@ def curate_semantic_pipeline(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", "n_kept", "hhi")
     )
+
+
+_LANG_CONFUSION_SQL = """
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          w -> w = 'the' OR w = 'a')) * 20
+                       >= len(string_split(text, ' '))
+                  THEN 'en_like' ELSE 'other' END AS predicted
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY lang, predicted
+    )
+    SELECT lang, predicted, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS frac
+    FROM c
+    """
+
+
+@query("quality_lang_confusion", sql=_LANG_CONFUSION_SQL, tags=("quality", "text", "audit"))
+def quality_lang_confusion(spark, sf_dir):
+    """Language-metadata audit: the confusion matrix of the DECLARED
+    lang column against the stopword-hit language-id heuristic — the
+    check that catches mislabeled-language slices before they poison a
+    per-language training mix (a 'de' slice that predicts en_like at
+    40% is mislabeled or code-mixed). Per-lang row fractions are exact
+    int/int divisions over the tiny |langs|x2 matrix.
+
+    Shape: the heuristic is the same scan-fused projection as
+    `text_lang_id_heuristic`; one (lang, predicted) partial+final
+    count; the normalization window runs on the matrix, not the corpus.
+    """
+    en_hits = F.size(F.filter(_words(), lambda w: (w == "the") | (w == "a")))
+    n_tokens = F.size(_words())
+    t = par(T(spark, sf_dir, "documents")).select(
+        "lang",
+        F.when(en_hits * 20 >= n_tokens, "en_like").otherwise("other").alias("predicted"),
+    )
+    c = t.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang", "predicted", "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("frac"),
+    )
