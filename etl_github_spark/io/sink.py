@@ -49,6 +49,20 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
     return spark.read.format(fmt or _FORMAT).load(path)
 
 
+def read_table_evolved(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Schema-evolution-aware scan: `mergeSchema` unions the columns of
+    every file footer so a table whose later appends ADDED columns reads
+    as one frame (missing values null) — the Delta `mergeSchema=true`
+    behavior on the parquet layout. Costs a footer read per file at
+    planning time; use the plain scan when the schema is known-stable.
+    Column REMOVAL/retyping still needs a rewrite (compact_table) —
+    same as Delta, which only auto-merges additive changes.
+    """
+    return (
+        spark.read.option("mergeSchema", "true").format(fmt or _FORMAT).load(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

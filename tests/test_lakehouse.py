@@ -495,3 +495,26 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
     # and a sufficient budget converges on the same graph
     lab = connected_components(chain, max_iters=10)
     assert {r["label"] for r in lab.collect()} == {0}
+
+
+def test_read_table_evolved_merges_added_column(spark, tmp_path):
+    """An append that ADDS a column must read back as one frame with
+    nulls for pre-evolution rows (Delta mergeSchema analog)."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import read_table, read_table_evolved, write_table
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(3).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    write_table(base, path, mode="overwrite", partition_by=())
+    evolved = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"), F.lit(1).alias("extra")
+    )
+    write_table(evolved, path, mode="append", partition_by=())
+
+    got = read_table_evolved(spark, path)
+    assert set(got.columns) == {"k", "v", "extra"}
+    rows = {r.k: r.extra for r in got.collect()}
+    assert rows[0] is None and rows[4] == 1
+    # plain scan still works (schema from a sampled footer, no crash)
+    assert read_table(spark, path).count() == 5
