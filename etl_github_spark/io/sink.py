@@ -370,3 +370,75 @@ def diff_snapshots(
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def analyze_table(path: str) -> dict:
+    """ANALYZE analog: collect per-file row counts and per-column
+    min/max from the parquet FOOTERS (no data read) and persist them to
+    ``<path>/_stats.json`` (underscore prefix: invisible to Spark
+    scans). This is the add-action statistics side of the Delta
+    transaction log rebuilt from the open footer metadata — the input
+    `prune_files` (and any manifest-building incremental job) needs for
+    file skipping without touching data pages.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    stats: dict[str, dict] = {}
+    for f in sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        md = _pq.ParquetFile(f).metadata
+        cols: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = c.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = [mn, mx]
+                else:
+                    cols[name] = [min(prev[0], mn), max(prev[1], mx)]
+        stats[_os.path.relpath(f, path)] = {"rows": md.num_rows, "columns": cols}
+    out = {"files": stats, "n_files": len(stats),
+           "n_rows": sum(v["rows"] for v in stats.values())}
+    with open(_os.path.join(path, "_stats.json"), "w") as fh:
+        _json.dump(out, fh, indent=1, default=str)
+    return out
+
+
+def prune_files(path: str, col: str, lo, hi) -> list[str]:
+    """Manifest-level file skipping: return the table files whose
+    footer [min, max] for ``col`` intersects [lo, hi] (files without
+    stats for the column are conservatively kept). Reads
+    ``_stats.json`` if `analyze_table` ran, else the footers directly.
+    The 100 TB move this enables: an incremental job plans its file
+    list from statistics alone — zero data IO for fully-pruned files,
+    independent of (and composable with) Spark's own row-group
+    pushdown.
+    """
+    import json as _json
+    import os as _os
+
+    stats_path = _os.path.join(path, "_stats.json")
+    if _os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            stats = _json.load(fh)["files"]
+    else:
+        stats = analyze_table(path)["files"]
+    keep = []
+    for rel, meta in stats.items():
+        rng = meta["columns"].get(col)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            keep.append(_os.path.join(path, rel))
+    return sorted(keep)

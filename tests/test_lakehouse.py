@@ -518,3 +518,31 @@ def test_read_table_evolved_merges_added_column(spark, tmp_path):
     assert rows[0] is None and rows[4] == 1
     # plain scan still works (schema from a sampled footer, no crash)
     assert read_table(spark, path).count() == 5
+
+
+def test_analyze_and_prune_files_skip_disjoint_ranges(spark, tmp_path):
+    """Footer-stats pruning: a range-clustered table prunes files whose
+    [min,max] is disjoint from the predicate, and reading the kept
+    files returns exactly the matching rows."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import analyze_table, prune_files, write_table_sorted
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_table_sorted(df, path, sort_cols=("k",), n_files=8)
+
+    stats = analyze_table(path)
+    assert stats["n_rows"] == 1000 and stats["n_files"] >= 4
+
+    keep = prune_files(path, "k", 100, 150)
+    assert 0 < len(keep) < stats["n_files"]  # genuinely pruned
+    got = spark.read.parquet(*keep).where(F.col("k").between(100, 150)).count()
+    assert got == 51
+    # pruned-out files really contain no matching rows
+    import glob, os
+    all_files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    dropped = [f for f in all_files if f not in set(keep)]
+    if dropped:
+        n = spark.read.parquet(*dropped).where(F.col("k").between(100, 150)).count()
+        assert n == 0
