@@ -396,3 +396,61 @@ def join_range_predicate(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("late_lines"))
     )
+
+
+@query(
+    "join_asof_next_purchase",
+    sql="""
+    WITH j AS (
+      SELECT v.event_id, v.user_id, p.event_id AS p_id,
+             date_diff('us', v.ts, p.ts) AS latency_us,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM events v
+      JOIN events p ON p.user_id = v.user_id AND p.ts >= v.ts
+                    AND p.event_type = 'purchase'
+      WHERE v.event_type = 'view'
+    )
+    SELECT event_id, user_id, p_id AS next_purchase_id,
+           CAST(latency_us AS BIGINT) AS latency_us
+    FROM j WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join: for each view, the user's next purchase
+    at-or-after it plus the conversion latency — the time-to-convert
+    measurement behind attribution windows and funnel latency SLAs
+    (the backward twin `join_asof_last_view` answers "which view
+    caused this purchase"; this answers "how long did conversion
+    take"). Latency in exact integer microseconds (`unix_micros` ↔
+    `epoch_us`), no float time arithmetic.
+
+    Same scale shape as the backward twin: user-key equi-join +
+    struct-MIN reduction (partial-aggregatable, no per-key sort); at
+    100 TB the range condition gets time-bucketed to bound fan-out.
+    """
+    e = T(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    best = F.min(F.struct("p_ts", "p_id")).alias("best")
+    return (
+        v.join(p, (v.user_id == p.p_user) & (p.p_ts >= v.ts))
+        .groupBy("event_id", "user_id", "ts")
+        .agg(best)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.p_id").alias("next_purchase_id"),
+            # timestampdiff handles TIMESTAMP_NTZ (events.ts is ns-parquet
+            # loaded as NTZ micros); microsecond granularity is exact in
+            # both engines.
+            F.expr("timestampdiff(MICROSECOND, ts, best.p_ts)").alias("latency_us"),
+        )
+    )
