@@ -86,6 +86,7 @@ EXTENDED = [
     "quality_word_concentration",
     "analytics_event_transitions",
     "curate_semantic_pipeline",
+    "dedup_fuzzy_corpus",
 ]
 
 

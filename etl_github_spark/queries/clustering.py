@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ._util import T
+from ._util import T, par
 from .dedup import JACCARD_PAIRS_SQL, dedup_jaccard_pairs
 from .registry import query
 
@@ -222,4 +222,96 @@ def split_by_cluster(spark, sf_dir):
         joined.select(split.alias("split"))
         .groupBy("split")
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _fuzzy_corpus_sql() -> str:
+    """Oracle for the end-to-end fuzzy-dedup capstone: md5-family LSH
+    candidates -> exact Jaccard verification on candidates only ->
+    recursive-CTE components -> min-id survivors."""
+    from .dedup import _md5_minhash_sql
+
+    base = _md5_minhash_sql()
+    # reuse the md5 pipeline's CTE chain up to `cand` (drop its
+    # recall-specific tail after the cand block).
+    head = base.split("    pairs AS (")[0].rstrip().rstrip(",")
+    return f"""
+    WITH RECURSIVE {head.split("WITH", 1)[1]},
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+           (comp.doc_id IS NULL OR comp.doc_id = comp.cluster_id) AS is_survivor
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """
+
+
+@query("dedup_fuzzy_corpus", sql=_fuzzy_corpus_sql(), tags=("dedup", "clustering", "capstone"))
+def dedup_fuzzy_corpus(spark, sf_dir):
+    """The dedup capstone — the full FineWeb-style fuzzy-dedup pipeline
+    as ONE query: banded MinHash-LSH candidate generation (md5 family,
+    oracle-replayable) -> exact Jaccard VERIFICATION computed only on
+    the candidate pairs (array_intersect on the two shingle sets — the
+    step that kills LSH false positives) -> connected components over
+    verified edges -> min-id survivor per cluster. Every doc comes
+    back with its cluster id and a survivor flag: the exact frame a
+    curation run writes out.
+
+    Scale shape: candidates are band-bucket-bounded (never all-pairs);
+    verification touches |candidates| pairs with doc-keyed joins; the
+    propagation loop shuffles |edges| per round. The oracle replays
+    the ENTIRE pipeline in DuckDB including the recursive closure, so
+    the driver hash pins candidate generation, verification, and
+    clustering together.
+    """
+    from .dedup import _md5_minhash_candidates, _shingle_strings, _words
+
+    docs = par(T(spark, sf_dir, "documents"))
+    cand = _md5_minhash_candidates(docs)
+    sh = (
+        docs.select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", _shingle_strings(F.col("w")).alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n_sh"))
+        .localCheckpoint(eager=False)  # verification joins it twice
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    edges = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    lab = connected_components(edges)
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    j = d.join(
+        F.broadcast(lab).withColumnRenamed("id", "c_doc_id"), d["doc_id"] == F.col("c_doc_id"), "left"
+    )
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("c_doc_id").isNull() | (F.col("c_doc_id") == F.col("label"))).alias(
+            "is_survivor"
+        ),
     )

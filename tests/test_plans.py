@@ -445,3 +445,10 @@ def test_user_paths_single_window_pass(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("Window (") + tree.count("Window(") <= 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_fuzzy_corpus_no_cartesian(spark):
+    """The dedup capstone must stay candidate-bounded: band-bucket
+    equi-joins and doc-keyed verification joins only."""
+    p = plan_of(spark, "dedup_fuzzy_corpus")
+    assert "CartesianProduct" not in p
