@@ -30,7 +30,8 @@ string the driver diffs against at sf=0.01.
 #   curate_semantic_pipeline text_collocations_lift trend_gap_filled_hourly
 #   quality_equidepth_histogram text_zipf_table trend_rolling_7d_users_approx
 #   trend_anomaly_days analytics_event_transitions curate_dedup_audit
-#   analytics_rfm_segments text_doc_keywords
+#   analytics_rfm_segments text_doc_keywords analytics_user_paths_topk
+#   quality_lang_confusion join_asof_next_purchase dedup_fuzzy_corpus
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
