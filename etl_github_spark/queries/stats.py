@@ -209,3 +209,61 @@ def stat_embedding_separation(spark, sf_dir):
             (F.sum("c").cast("double") / F.count("*")).alias("frac_close"),
         )
     )
+
+
+_CHI2_SQL = """
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, sum(observed) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, sum(observed) AS ct FROM o GROUP BY source),
+    n AS (SELECT sum(observed) AS n FROM o)
+    SELECT o.lang, o.source, o.observed,
+           CAST(r.rt * c.ct AS DOUBLE) / n.n AS expected,
+           CAST((o.observed * n.n - r.rt * c.ct) * (o.observed * n.n - r.rt * c.ct)
+                AS DOUBLE) / (r.rt * c.ct * n.n) AS contribution
+    FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+    """
+
+
+@query("stat_chi2_lang_source", sql=_CHI2_SQL, tags=("stats", "audit"))
+def stat_chi2_lang_source(spark, sf_dir):
+    """Chi-square independence cells for the (lang, source) contingency
+    table — the corpus-audit test for "does language depend on source?"
+    (a source that only contributes one language is a scraper quirk a
+    mixing plan must know about). Emits per-cell observed, expected,
+    and the chi-square contribution (O·N − r·c)²/(r·c·N): summing the
+    contribution column gives the statistic, and leaving the sum to
+    the consumer keeps the query free of ANY float reduction — each
+    row is exact int64 products and one correctly-rounded division.
+    Overflow bound: (O·N)² needs O·N below ~3e9 (same int64 envelope
+    as the moment ops; promote to DECIMAL beyond).
+
+    Shape: one (lang, source) count agg; row/col/N totals are tiny
+    aggregates of the matrix, broadcast back onto it.
+    """
+    o = (
+        par(T(spark, sf_dir, "documents"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("observed"))
+    )
+    r = o.groupBy("lang").agg(F.sum("observed").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("observed").alias("ct"))
+    n = o.agg(F.sum("observed").alias("n"))
+    dev = F.col("observed") * F.col("n") - F.col("rt") * F.col("ct")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("n")).alias("expected"),
+            (
+                (dev * dev).cast("double")
+                / (F.col("rt") * F.col("ct") * F.col("n"))
+            ).alias("contribution"),
+        )
+    )
