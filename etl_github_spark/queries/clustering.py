@@ -229,14 +229,10 @@ def _fuzzy_corpus_sql() -> str:
     """Oracle for the end-to-end fuzzy-dedup capstone: md5-family LSH
     candidates -> exact Jaccard verification on candidates only ->
     recursive-CTE components -> min-id survivors."""
-    from .dedup import _md5_minhash_sql
+    from .dedup import _md5_lsh_cte
 
-    base = _md5_minhash_sql()
-    # reuse the md5 pipeline's CTE chain up to `cand` (drop its
-    # recall-specific tail after the cand block).
-    head = base.split("    pairs AS (")[0].rstrip().rstrip(",")
     return f"""
-    WITH RECURSIVE {head.split("WITH", 1)[1]},
+    WITH RECURSIVE {_md5_lsh_cte()},
     ver AS (
       SELECT c.doc_a, c.doc_b
       FROM cand c

@@ -410,8 +410,11 @@ def _md5_minhash_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _md5_minhash_sql() -> str:
-    """DuckDB twin of :func:`_md5_minhash_candidates` + the recall join."""
+def _md5_lsh_cte() -> str:
+    """Shared DuckDB CTE chain for the md5-family LSH pipeline, through
+    the `cand` candidate-pair block (shingles -> md5 min-hash signatures
+    -> bands -> bucket-join candidates). Callers append their own tail
+    (recall join, verification, clustering)."""
     p = _MERSENNE_P
     sig_cols = ",\n             ".join(
         f"min(({a} * xm + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(_AFFINE)
@@ -425,7 +428,7 @@ def _md5_minhash_sql() -> str:
         for b in range(n_bands)
     )
     return f"""
-    WITH sh AS (
+    sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
@@ -452,7 +455,13 @@ def _md5_minhash_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _md5_minhash_sql() -> str:
+    """DuckDB twin of :func:`_md5_minhash_candidates` + the recall join."""
+    return f"""
+    WITH {_md5_lsh_cte()},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS shared,
