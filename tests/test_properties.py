@@ -320,3 +320,30 @@ def test_dup_span_positions_match_naive(spark, docs):
             if len(gram_docs[tuple(toks[j : j + 4])]) >= 2:
                 expect.update((i, j + k + 1) for k in range(4))
     assert got == expect
+
+
+def test_fold_cosine_invariant_under_partitioning(spark):
+    """The left-fold cosine must produce bit-identical results under
+    any physical partitioning (the determinism claim the oracle
+    pairing rests on): rank/score rows of the brute-force top-k are
+    equal across 1, 3, and 16 input partitions."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.queries.similarity import cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def topk(df):
+        return tuple(
+            (r.vec_id, repr(r.cos))
+            for r in df.crossJoin(F.broadcast(q))
+            .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos"))
+            .orderBy(F.desc("cos"), "vec_id")
+            .limit(10)
+            .collect()
+        )
+
+    base = topk(emb.coalesce(1))
+    assert topk(emb.repartition(3)) == base
+    assert topk(emb.repartition(16)) == base
