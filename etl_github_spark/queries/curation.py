@@ -469,3 +469,54 @@ def curate_dedup_audit(spark, sf_dir):
         (red.cast("double") / F.sum("copies")).alias("dup_rate"),
         F.max("copies").alias("max_copies"),
     )
+
+
+_TOKEN_BUDGET = 2000  # tokens admitted per source
+
+_BUDGET_SQL = f"""
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5(text), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, source, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents)
+    )
+    WHERE cum <= {_TOKEN_BUDGET}
+    """
+
+
+@query("curate_token_budget", sql=_BUDGET_SQL, tags=("curation", "sampling"))
+def curate_token_budget(spark, sf_dir):
+    """Token-budget selection: admit documents per source, in
+    deterministic content-hash order, until the source's cumulative
+    token count reaches the budget — how real dataset builders express
+    "N tokens per source" (a count quota over variable-length docs
+    overshoots; the running token sum is the actual contract).
+    Boundary rule: a doc is admitted only if it fits entirely
+    (cum <= budget).
+
+    Shape: one projection for token counts, one per-source window
+    cumulative sum in hash order (partial sort per partition, no
+    global sort), one filter. The window is the same single shuffle a
+    groupBy would need; hash order makes the admitted set independent
+    of storage order and engine.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
