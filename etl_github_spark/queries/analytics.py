@@ -805,3 +805,55 @@ def analytics_user_paths_topk(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+_GAP_BIN_US = 600_000_000  # 10-minute histogram bins
+
+_GAPS_SQL = f"""
+    WITH g AS (
+      SELECT date_diff('us', lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id), ts) AS gap_us
+      FROM events
+    )
+    SELECT CAST(gap_us // {_GAP_BIN_US} AS BIGINT) AS bin,
+           CAST(gap_us // {_GAP_BIN_US} AS BIGINT) * {_GAP_BIN_US} AS bin_lo_us,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+@query("analytics_event_gaps_histogram", sql=_GAPS_SQL, tags=("analytics", "events"))
+def analytics_event_gaps_histogram(spark, sf_dir):
+    """Histogram of per-user inter-event gaps in 10-minute bins — the
+    distribution that JUSTIFIES a sessionization gap threshold (the
+    30-minute convention should sit in the valley between within-
+    session and between-session modes; this query shows whether it
+    does for a given corpus). Gaps in exact integer microseconds;
+    bins by integer floor-division, so both engines bucket
+    identically with zero float arithmetic.
+
+    Shape: one user-window lag over the events scan, then a
+    partial+final count keyed on the bin — |bins| output rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    g = (
+        par(T(spark, sf_dir, "events"))
+        .select(gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    bin_col = F.floor(F.col("gap_us") / F.lit(_GAP_BIN_US)).cast("long")
+    return (
+        g.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_gaps"))
+        .select(
+            "bin",
+            (F.col("bin") * _GAP_BIN_US).alias("bin_lo_us"),
+            "n_gaps",
+        )
+    )
