@@ -881,3 +881,83 @@ def dedup_semantic_prune(spark, sf_dir):
             F.col("vec_b").isNull().alias("keep"),
         )
     )
+
+
+_CONTAINMENT_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a AS contained_id, doc_b AS container_id,
+           CAST(n_a AS BIGINT) AS n_sh_contained,
+           CAST(n_b AS BIGINT) AS n_sh_container
+    FROM pairs
+    WHERE shared = n_a AND n_b > n_a
+    """
+
+
+@query("dedup_containment_pairs", sql=_CONTAINMENT_SQL, tags=("dedup", "neardup"))
+def dedup_containment_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
+    """Containment dedup: pairs where one document's trigram-shingle
+    set is FULLY contained in a strictly larger document's — the
+    quote-expansion / boilerplate-wrapper duplication class that
+    symmetric Jaccard under-scores (a 20-token doc quoted inside a
+    400-token doc has Jaccard ~0.05 but containment 1.0; near-dup
+    thresholds never catch it).
+
+    Shape: the same bounded inverted-index join as
+    :func:`dedup_jaccard_pairs` (xxhash64 keys, df-capped hot
+    shingles, one materialized shingle subtree) but DIRECTED
+    (doc_a != doc_b, not <) because containment is asymmetric;
+    containment holds iff shared == |A|. Same recall contract under
+    the df cap.
+    """
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+    )
+    sh = d.select("doc_id", _hashed_shingles(F.col("w")).alias("hs")).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
+    sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > df_cap)
+    ).select("sh")
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    return pairs.where(
+        (F.col("shared") == F.col("n_a")) & (F.col("n_b") > F.col("n_a"))
+    ).select(
+        "contained_id",
+        "container_id",
+        F.col("n_a").alias("n_sh_contained"),
+        F.col("n_b").alias("n_sh_container"),
+    )
