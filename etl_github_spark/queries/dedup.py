@@ -961,3 +961,67 @@ def dedup_containment_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
         F.col("n_a").alias("n_sh_contained"),
         F.col("n_b").alias("n_sh_container"),
     )
+
+
+_PREFIX_K = 8  # tokens of shared prefix that define a truncation group
+
+_PREFIX_SQL = f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(array_to_string(string_split(text, ' ')[1:{_PREFIX_K}], ' ')) AS pfx
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_PREFIX_K}
+    )
+    SELECT doc_id, group_size, rn = 1 AS is_longest, n_tokens
+    FROM (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY pfx
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY pfx) AS BIGINT) AS group_size
+      FROM p
+    )
+    WHERE group_size > 1
+    """
+
+
+@query("dedup_prefix_groups", sql=_PREFIX_SQL, tags=("dedup", "neardup"))
+def dedup_prefix_groups(spark, sf_dir):
+    """Prefix-truncation duplicate groups: documents sharing their
+    first {K} tokens verbatim — the crawl-artifact class where the
+    same page is captured at different truncation lengths (pagination,
+    fetch limits). Survivor = the LONGEST member (max tokens, min
+    doc_id tie-break): the opposite of exact dedup's keep-first,
+    because truncation means the longest capture is the most complete.
+
+    Shape: one md5-of-prefix projection, one group agg with a
+    deterministic max_by/struct-max survivor, one hash-keyed join
+    back. Shuffle volume is |docs with a shared prefix|.
+    """
+    w = F.col("_w")
+    p = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("_w"))
+        .where(F.size(w) >= _PREFIX_K)
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(F.slice(w, 1, _PREFIX_K), " ")).alias("pfx"),
+        )
+    )
+    g = (
+        p.groupBy("pfx")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg"), F.col("doc_id"))
+            )["doc_id"].alias("keep_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+    return p.join(g, "pfx").select(
+        "doc_id",
+        "group_size",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_longest"),
+        "n_tokens",
+    )
