@@ -87,6 +87,10 @@ EXTENDED = [
     "analytics_event_transitions",
     "curate_semantic_pipeline",
     "dedup_fuzzy_corpus",
+    "dedup_containment_pairs",
+    "dedup_prefix_groups",
+    "curate_token_budget",
+    "analytics_event_gaps_histogram",
 ]
 
 

@@ -33,6 +33,7 @@ string the driver diffs against at sf=0.01.
 #   analytics_rfm_segments text_doc_keywords analytics_user_paths_topk
 #   quality_lang_confusion join_asof_next_purchase dedup_fuzzy_corpus
 #   stat_chi2_lang_source curate_token_budget analytics_event_gaps_histogram
+#   dedup_containment_pairs dedup_prefix_groups
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
