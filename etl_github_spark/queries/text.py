@@ -7,6 +7,7 @@ fingerprinting, n-gram frequencies — all as built-in column expressions
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._util import T, par
@@ -310,4 +311,57 @@ def text_normalize_clean(spark, sf_dir):
         clean.alias("clean_text"),
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+_CHAR_PROFILE_SQL = """
+    WITH tri AS (
+      SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS tg
+      FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
+            FROM documents WHERE length(text) >= 3)
+    ),
+    c AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY lang, tg)
+    SELECT lang, tg, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT lang, tg, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rnk
+      FROM c
+    )
+    WHERE rnk <= 10
+    """
+
+
+@query("text_char_trigram_profiles", sql=_CHAR_PROFILE_SQL, tags=("text", "langid"))
+def text_char_trigram_profiles(spark, sf_dir):
+    """Per-language character-trigram profiles: the top-10 char
+    trigrams per language — the Cavnar-Trenkle (textcat) language-ID
+    building block (real language ID compares a doc's char-ngram rank
+    profile to these per-language references; the word-stopword
+    heuristic is the cheap tier, this is the robust one).
+
+    Shape: char trigrams via a per-row substring transform (one pass
+    per character), (lang, trigram) partial+final count, then a top-10
+    rank window per language that plans a WindowGroupLimit — the
+    |langs|x10 output never materializes the full trigram table
+    anywhere past the count agg.
+    """
+    t = (
+        par(T(spark, sf_dir, "documents"))
+        .where(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            ).alias("tg"),
+        )
+    )
+    c = t.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tg")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("lang", "tg", "n", F.col("rnk").cast("int").alias("rnk"))
     )
