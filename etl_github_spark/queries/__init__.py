@@ -7,96 +7,83 @@ string the driver diffs against at sf=0.01.
 
 # The driver's correctness gate verifies the FIRST 50 registered queries, so
 # registration order is rotated each round onto the least-recently-verified
-# surface. Round 3 window (explicit list below — module import order no longer
-# determines it): the 45 queries that have never had a driver CORRECTNESS row
-# (tpch_ext, tpch_ps, quality, curation, clustering, stats, text_ext, and the
-# highest-value analytics) plus the five changed-this-round queries that must
-# be re-verified: the two r02 array-output fixes, the two new-oracle upgrades,
-# and the new LSH recall pin.
+# surface. Round 4 window (explicit list below): the 47 queries that have
+# never had a driver CORRECTNESS row in r01-r03 (the full round-3 ANN/dedup/
+# analytics batch), plus three re-verifies whose DuckDB oracles were attached
+# AFTER their last driver row (their only driver rows say `no_oracle`):
+# dedup_simhash, sim_lsh_bucketed_topk, agg_approx_distinct_users.
 #
-# ROUND-4 ROTATION CANDIDATES — the 36 queries with no driver CORRECTNESS row
-# in r01/r02 and outside the r3 window (scale_paths siblings, late analytics,
-# and every operator added during round 3). All are green in the local oracle
-# replica; put them first next round:
-#   text_normalize_clean dedup_span_coverage dedup_span_trim
-#   dedup_semantic_prune sim_knn_classify sim_matryoshka_rerank
-#   sim_topk_binary_hamming dedup_embedding_lsh_pairs sim_topk_multi_query
-#   sim_ivf_topk emb_quantize_int8 sim_ivf_kmeans_topk
-#   agg_salted_value_counts join_salted_hotkey sim_label_centroids_quantized
-#   text_fuzzy_join_qgram sim_topk_int8 sim_topk_pq pack_sequences
-#   text_inverted_index text_bpe_merge_step split_by_cluster
-#   curate_importance_weights curate_sample_quota stat_embedding_separation
-#   quality_token_rarity quality_ngram_diversity quality_word_concentration
-#   curate_semantic_pipeline text_collocations_lift trend_gap_filled_hourly
-#   quality_equidepth_histogram text_zipf_table trend_rolling_7d_users_approx
-#   trend_anomaly_days analytics_event_transitions curate_dedup_audit
-#   analytics_rfm_segments text_doc_keywords analytics_user_paths_topk
-#   quality_lang_confusion join_asof_next_purchase dedup_fuzzy_corpus
-#   stat_chi2_lang_source curate_token_budget analytics_event_gaps_histogram
-#   dedup_containment_pairs dedup_prefix_groups
+# ROUND-5 ROTATION CANDIDATES — the two never-checked queries that did not
+# fit the 50-slot r4 window; both were dropped because an exact driver-green
+# sibling already pins the shared plan shape. Put them FIRST next round:
+#   trend_rolling_7d_users_approx  (sibling trend_rolling_7d_users green r03)
+#   sim_topk_multi_query           (sibling sim_topk_bruteforce green r01-r02)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R3_WINDOW = [
-    # changed this round — must land driver-green (VERDICT r02 items 2/4/6)
-    "text_stopword_removal",
-    "sim_normalize_embeddings",
-    "sim_topk_pandas_vectorized",
-    "agg_approx_percentile",
-    "dedup_lsh_recall",
-    # tpch_ext (15) — never driver-checked
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # tpch_ps (2)
-    "q11_important_stock",
-    "q20_potential_promotion",
-    # quality (8)
-    "quality_gopher_stats",
-    "quality_gopher_filter",
-    "quality_repetition_stats",
-    "quality_pii_redact",
-    "quality_boilerplate_ngrams",
-    "dedup_chunks_global",
-    "quality_length_histogram",
-    "curate_pipeline_full",
-    # curation (7)
-    "curate_sample_stratified",
-    "curate_source_mixing",
-    "curate_tfidf_top_terms",
-    "curate_decontaminate",
-    "curate_length_outliers",
-    "curate_domain_cap",
-    "curate_sample_weighted",
-    # clustering (2)
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    # stats (3)
-    "stat_ols_slope_per_lang",
-    "stat_ols_pandas_grouped",
-    "stat_corr_per_lang",
-    # text_ext (2)
-    "text_chunk_tokens",
-    "text_train_val_split",
-    # analytics (6 highest-value; 5 remain for round 4)
-    "funnel_conversion",
-    "cohort_retention",
-    "trend_rolling_7d_users",
-    "profile_documents",
-    "dedup_events_hourly",
-    "stat_outliers_zscore",
+_R4_WINDOW = [
+    # stale re-verifies — oracles attached after their last driver row
+    "dedup_simhash",
+    "sim_lsh_bucketed_topk",
+    "agg_approx_distinct_users",
+    # text (3)
+    "text_normalize_clean",
+    "text_char_trigram_profiles",
+    "text_fuzzy_join_qgram",
+    # dedup (8)
+    "dedup_span_coverage",
+    "dedup_span_trim",
+    "dedup_semantic_prune",
+    "dedup_containment_pairs",
+    "dedup_prefix_groups",
+    "dedup_embedding_lsh_pairs",
+    "dedup_fuzzy_corpus",
+    "curate_dedup_audit",
+    # similarity / ANN scale paths (10)
+    "sim_knn_classify",
+    "sim_matryoshka_rerank",
+    "sim_topk_binary_hamming",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "emb_quantize_int8",
+    "sim_topk_int8",
+    "sim_topk_pq",
+    "sim_label_centroids_quantized",
+    "stat_embedding_separation",
+    # skew paths (2)
+    "agg_salted_value_counts",
+    "join_salted_hotkey",
+    # joins (1)
+    "join_asof_next_purchase",
+    # packing / splits (2)
+    "pack_sequences",
+    "split_by_cluster",
+    # text analytics (5)
+    "text_inverted_index",
+    "text_bpe_merge_step",
+    "text_doc_keywords",
+    "text_collocations_lift",
+    "text_zipf_table",
+    # curation (3)
+    "curate_importance_weights",
+    "curate_sample_quota",
+    "curate_token_budget",
+    "curate_semantic_pipeline",
+    # quality (5)
+    "quality_token_rarity",
+    "quality_ngram_diversity",
+    "quality_word_concentration",
+    "quality_lang_confusion",
+    "quality_equidepth_histogram",
+    # stats (1)
+    "stat_chi2_lang_source",
+    # trends / analytics (6)
+    "trend_gap_filled_hourly",
+    "trend_anomaly_days",
+    "analytics_event_transitions",
+    "analytics_rfm_segments",
+    "analytics_user_paths_topk",
+    "analytics_event_gaps_histogram",
 ]
 
 
@@ -118,4 +105,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R3_WINDOW)
+_apply_rotation(_R4_WINDOW)
