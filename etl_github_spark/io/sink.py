@@ -380,12 +380,30 @@ def analyze_table(path: str) -> dict:
     transaction log rebuilt from the open footer metadata — the input
     `prune_files` (and any manifest-building incremental job) needs for
     file skipping without touching data pages.
+
+    Stat values are canonicalized before persisting: JSON-native scalars
+    stay as-is, everything else (timestamps/dates/decimals) becomes its
+    ``str()`` form — identical to the JSON round-trip — so pruning
+    behaves the same whether the manifest exists or not. Note Spark's
+    default INT96 timestamp encoding carries no footer min/max; write
+    with ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` to
+    make time columns prunable.
     """
     import glob as _glob
     import json as _json
     import os as _os
 
     import pyarrow.parquet as _pq
+
+    def _canon(v):
+        # Canonical comparable form for footer min/max values: JSON-native
+        # scalars pass through; timestamps/dates/decimals become str(v) —
+        # exactly what json.dump(default=str) would emit — so the manifest
+        # path (JSON round-trip) and the direct in-memory path compare
+        # identically in prune_files.
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        return str(v)
 
     stats: dict[str, dict] = {}
     for f in sorted(
@@ -404,6 +422,7 @@ def analyze_table(path: str) -> dict:
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                mn, mx = _canon(mn), _canon(mx)
                 prev = cols.get(name)
                 if prev is None:
                     cols[name] = [mn, mx]
@@ -419,14 +438,21 @@ def analyze_table(path: str) -> dict:
 
 def prune_files(path: str, col: str, lo, hi) -> list[str]:
     """Manifest-level file skipping: return the table files whose
-    footer [min, max] for ``col`` intersects [lo, hi] (files without
-    stats for the column are conservatively kept). Reads
-    ``_stats.json`` if `analyze_table` ran, else the footers directly.
-    The 100 TB move this enables: an incremental job plans its file
-    list from statistics alone — zero data IO for fully-pruned files,
-    independent of (and composable with) Spark's own row-group
-    pushdown.
+    footer [min, max] for ``col`` intersects [lo, hi]. Conservative by
+    construction: files without stats for the column, files appended to
+    the table AFTER ``analyze_table`` wrote the manifest (present on
+    disk but absent from ``_stats.json``), and files whose stats are
+    not comparable with [lo, hi] are all KEPT. Reads ``_stats.json`` if
+    `analyze_table` ran, else the footers directly. Stat values are
+    canonicalized (timestamps/dates/decimals → their ``str()`` form) so
+    both paths compare identically; pass ``lo``/``hi`` in the same form
+    (numbers for numeric columns, strings — e.g. ISO dates — for
+    everything else). The 100 TB move this enables: an incremental job
+    plans its file list from statistics alone — zero data IO for
+    fully-pruned files, independent of (and composable with) Spark's
+    own row-group pushdown.
     """
+    import glob as _glob
     import json as _json
     import os as _os
 
@@ -439,6 +465,19 @@ def prune_files(path: str, col: str, lo, hi) -> list[str]:
     keep = []
     for rel, meta in stats.items():
         rng = meta["columns"].get(col)
-        if rng is None or not (rng[1] < lo or rng[0] > hi):
+        try:
+            prunable = rng is not None and (rng[1] < lo or rng[0] > hi)
+        except TypeError:
+            # stats and bounds are of incomparable types (e.g. string
+            # stats vs numeric bounds) — never drop a file on a type
+            # mismatch.
+            prunable = False
+        if not prunable:
             keep.append(_os.path.join(path, rel))
+    # Reconcile against the on-disk listing: a file appended after the
+    # manifest was written has no stats row, and silently excluding it
+    # would drop rows from any plan built on this list.
+    for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
+        if _os.path.relpath(f, path) not in stats:
+            keep.append(f)
     return sorted(keep)

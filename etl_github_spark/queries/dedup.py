@@ -883,7 +883,7 @@ def dedup_semantic_prune(spark, sf_dir):
     )
 
 
-_CONTAINMENT_SQL = """
+_CONTAINMENT_SQL = f"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -891,19 +891,28 @@ _CONTAINMENT_SQL = """
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    -- replicate the Spark plan's document-frequency cap: shingles hotter
+    -- than df_cap are ignorable on BOTH sides (dropped before sizes are
+    -- counted), so containment is judged over the capped shingle sets
+    ex AS (
+      SELECT * FROM ex0
+      WHERE sh NOT IN (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) > {_DF_CAP})
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS BIGINT) AS shared,
-             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+             CAST(count(*) AS BIGINT) AS shared
       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a AS contained_id, doc_b AS container_id,
-           CAST(n_a AS BIGINT) AS n_sh_contained,
-           CAST(n_b AS BIGINT) AS n_sh_container
+           ca.n_sh AS n_sh_contained,
+           cb.n_sh AS n_sh_container
     FROM pairs
-    WHERE shared = n_a AND n_b > n_a
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE shared = ca.n_sh AND cb.n_sh > ca.n_sh
     """
 
 
@@ -920,22 +929,34 @@ def dedup_containment_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
     :func:`dedup_jaccard_pairs` (xxhash64 keys, df-capped hot
     shingles, one materialized shingle subtree) but DIRECTED
     (doc_a != doc_b, not <) because containment is asymmetric;
-    containment holds iff shared == |A|. Same recall contract under
-    the df cap.
+    containment holds iff shared == |A|.
+
+    Cap semantics: shingles hotter than ``df_cap`` are treated as
+    ignorable on BOTH sides — per-doc sizes are counted AFTER the hot
+    filter, so containment is judged over the capped shingle sets (the
+    oracle applies the same cap). Counting sizes before the filter
+    would make any contained doc holding one hot shingle unable to
+    reach ``shared == |A|`` — silently dropping exactly the
+    boilerplate-wrapper pairs this op targets. False-negative mode
+    under the cap: a pair is missed only if the contained doc's capped
+    set coincidentally matches inside an unrelated container; a pair
+    is *gained* only when the docs differ solely in shingles hotter
+    than ``df_cap`` (df > 1000 ≈ boilerplate by definition).
     """
     d = (
         par(T(spark, sf_dir, "documents"))
         .select("doc_id", _words().alias("w"))
         .where(F.size("w") >= 3)
     )
-    sh = d.select("doc_id", _hashed_shingles(F.col("w")).alias("hs")).select(
-        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
-    )
+    sh = d.select("doc_id", F.explode(_hashed_shingles(F.col("w"))).alias("sh"))
     sh = sh.localCheckpoint(eager=False)
     hot = (
         sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > df_cap)
     ).select("sh")
     sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # per-doc shingle counts over the CAPPED sets (one small agg keyed on
+    # doc_id; joined back post-pair-agg so the self-join carries no size col)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -947,19 +968,18 @@ def dedup_containment_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
             F.col("a.doc_id").alias("contained_id"),
             F.col("b.doc_id").alias("container_id"),
         )
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .agg(F.count("*").alias("shared"))
     )
-    return pairs.where(
-        (F.col("shared") == F.col("n_a")) & (F.col("n_b") > F.col("n_a"))
-    ).select(
-        "contained_id",
-        "container_id",
-        F.col("n_a").alias("n_sh_contained"),
-        F.col("n_b").alias("n_sh_container"),
+    return (
+        pairs.join(cnt.withColumnsRenamed({"doc_id": "contained_id", "n_sh": "n_a"}), "contained_id")
+        .join(cnt.withColumnsRenamed({"doc_id": "container_id", "n_sh": "n_b"}), "container_id")
+        .where((F.col("shared") == F.col("n_a")) & (F.col("n_b") > F.col("n_a")))
+        .select(
+            "contained_id",
+            "container_id",
+            F.col("n_a").alias("n_sh_contained"),
+            F.col("n_b").alias("n_sh_container"),
+        )
     )
 
 

@@ -542,7 +542,7 @@ def sim_matryoshka_rerank(spark, sf_dir):
     The 100 TB shape: the shortlist pass reads a 4x-narrower vector
     (prefix dims can be stored as their own column/file for a 4x scan
     + FLOP cut), plans as TakeOrderedAndProject (no global sort), and
-    the exact rerank touches only the 30-row shortlist. Both cosines
+    the exact rerank touches only the 100-row shortlist. Both cosines
     use the shared left-fold — bit-identical to the DuckDB oracle; the
     prefix slice is positional so both engines fold dims 1..16 in the
     same order. Recall vs full brute force is pinned in pytest.

@@ -546,3 +546,63 @@ def test_analyze_and_prune_files_skip_disjoint_ranges(spark, tmp_path):
     if dropped:
         n = spark.read.parquet(*dropped).where(F.col("k").between(100, 150)).count()
         assert n == 0
+
+
+def test_prune_files_keeps_files_appended_after_analyze(spark, tmp_path):
+    """A file appended after analyze_table wrote the manifest has no
+    stats row; the plan list must still include it (conservative keep),
+    otherwise an incremental job silently drops its rows."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import analyze_table, prune_files, write_table, write_table_sorted
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_table_sorted(df, path, sort_cols=("k",), n_files=8)
+    analyze_table(path)
+
+    late = spark.range(5000, 5010).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    write_table(late, path, mode="append", partition_by=())
+
+    # predicate range matches ONLY the late rows — pruning on the stale
+    # manifest must still return the unanalyzed file(s)
+    keep = prune_files(path, "k", 5000, 6000)
+    got = spark.read.parquet(*keep).where(F.col("k").between(5000, 6000)).count()
+    assert got == 10
+
+
+def test_prune_files_timestamp_stats_match_across_paths(spark, tmp_path):
+    """Timestamp min/max stats must prune identically whether they come
+    from the JSON manifest (string round-trip) or straight from the
+    footers — the canonical form is str(v) on both paths."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import analyze_table, prune_files, write_table_sorted
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    # Spark's default INT96 timestamps carry no footer min/max; stats-based
+    # pruning of time columns requires the annotated INT64 form.
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        write_table_sorted(df, path, sort_cols=("ts",), n_files=4)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    direct = prune_files(path, "ts", lo, hi)      # no manifest yet: footer path
+    analyze_table(path)
+    via_manifest = prune_files(path, "ts", lo, hi)
+    assert direct == via_manifest
+    assert 0 < len(direct) < 4
+
+    # incomparable bounds (numeric vs string stats) never drop a file
+    import glob
+    n_all = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert len(prune_files(path, "ts", 0, 10)) == n_all

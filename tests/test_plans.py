@@ -80,6 +80,37 @@ def test_jaccard_df_cap_contract(spark):
     assert dedup_jaccard_pairs(spark, sf, df_cap=1).count() == 0
 
 
+def test_containment_cap_ignores_hot_shingles_both_sides(spark, tmp_path):
+    """A contained doc holding one hot (df > cap) shingle must still be
+    caught: per-doc sizes are counted AFTER the hot filter, so the cap
+    treats boilerplate shingles as ignorable on both sides rather than
+    making shared == |A| unreachable."""
+    from etl_github_spark.queries.dedup import dedup_containment_pairs
+
+    # 12 filler docs share the boilerplate prefix "x y z q1 q2", so every
+    # trigram bridging it into the contained doc's core ("x y z", "y z q1",
+    # "z q1 q2") has df = 13 > cap = 10 — all hot.
+    filler = [(100 + i, f"x y z q1 q2 t{i} u{i}") for i in range(12)]
+    # contained doc = hot prefix + a quoted core; container = the same
+    # core wrapped in unique text WITHOUT the hot prefix. After the cap,
+    # contained's set is {"q1 q2 q3", "q2 q3 q4"} ⊂ container's set.
+    contained = (1, "x y z q1 q2 q3 q4")
+    container = (2, "w1 w2 q1 q2 q3 q4 w3 w4")
+    df = spark.createDataFrame(filler + [contained, container], "doc_id long, text string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r.contained_id, r.container_id)
+        for r in dedup_containment_pairs(spark, sf, df_cap=10).collect()
+    }
+    # pre-fix behavior: n_a counted "x y z*" shingles, shared could not
+    # reach it, and (1, 2) was silently dropped
+    assert (1, 2) in got
+    # no filler doc is contained in anything once the hot shingle is ignored
+    assert all(a not in range(100, 112) for a, _ in got)
+
+
 def test_jaccard_hot_shingle_anti_join_is_broadcast(spark):
     """The df-cap anti-join must broadcast the hot-shingle set, not
     shuffle the inverted index a second time."""
