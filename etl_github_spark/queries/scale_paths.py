@@ -418,30 +418,59 @@ def assign_cells(emb, centroids):
     )
 
 
-def lloyd_fit(emb, k: int = 8, iters: int = 3):
+def fit_sample(emb, fit_fraction: float):
+    """Deterministic bounded sample for codebook training: keep
+    ``vec_id % round(1/fit_fraction) == 0``. A modulus on the id (not
+    ``DataFrame.sample``) so the fit set is identical across runs,
+    partitionings, AND engines — the property every oracle-checked fit
+    below rests on. At 100 TB with non-uniform ids, swap the modulus
+    for ``xxhash64(vec_id) % mod`` (same shape, engine-local)."""
+    if fit_fraction >= 1.0:
+        return emb
+    mod = max(1, int(round(1.0 / fit_fraction)))
+    return emb.where(F.col("vec_id") % mod == 0)
+
+
+def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
     """Distributed k-means fit of the IVF coarse quantizer.
 
-    Deterministic init (first k vectors by vec_id), then ``iters`` Lloyd
-    rounds: assignment is one Arrow matmul kernel pass (no shuffle), the
-    update is one narrow posexplode→avg aggregation whose shuffle volume
-    is k×dim rows — independent of corpus size, so the fit costs
-    iters × (scan + tiny shuffle) at any scale. Only the k×dim centroid
-    matrix ever reaches the driver (it IS the index metadata). Empty
-    cells keep their previous centroid. Returns a numpy (k, dim) array.
+    Trains on a deterministic ``fit_fraction`` sample (`fit_sample`):
+    k-means needs distributional coverage, not the full corpus, so at
+    100 TB the fit cost is a bounded fraction of one scan no matter how
+    large the corpus grows. Deterministic init (the k lowest vec_ids of
+    the sample), then ``iters`` Lloyd rounds: assignment is one Arrow
+    matmul kernel pass (no shuffle), the update is one narrow
+    posexplode aggregation whose shuffle volume is k×dim rows —
+    independent of corpus size. Only the k×dim centroid matrix ever
+    reaches the driver (it IS the index metadata). Empty cells keep
+    their previous centroid. Returns a numpy (k, dim) array.
+
+    The update is an exact scaled-integer mean (the `pq_fit` trick):
+    sum(round(x·1e7)) is an exact int64 fold, so the centroids — and
+    every downstream assignment, probe choice, and recall number — are
+    bit-identical across runs, partitionings, and engines (|x| ≤ ~1 ⇒
+    exact for any corpus < ~1e12 rows). This is what makes
+    `sim_ivf_kmeans_topk` DuckDB-oracle-checkable.
     """
     import numpy as np
 
-    init = emb.where(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    fit = fit_sample(emb, fit_fraction)
+    init = fit.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     centroids = np.array(
         [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
     for _ in range(iters):
         rows = (
-            assign_cells(emb, centroids)
+            assign_cells(fit, centroids)
             .select("cell", F.posexplode("embedding").alias("i", "x"))
             .groupBy("cell", "i")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
+                    / (F.count("*") * 1e7)
+                ).alias("m")
+            )
             .collect()
         )
         for r in rows:
@@ -449,17 +478,105 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3):
     return centroids
 
 
-@query("sim_ivf_kmeans_topk", sql=None, tags=("similarity", "topk", "ivf", "kmeans"))
+def _sqdist_sql(a: str, b: str, dim: int = _DIM) -> str:
+    # left-fold squared distance over two DOUBLE[] lists, index order —
+    # the same fold the Python probe-selection loop runs
+    t = f"({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])"
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> {t} * {t}), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]), (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
+                    dim: int = _DIM) -> str:
+    """Unrolled k-means replica of `lloyd_fit` + IVF probe as one DuckDB
+    CTE chain. Assignment = argmin over full squared distance with
+    (dist, cell) tie-break — the Spark side's numpy kernel computes the
+    same argmin up to a row-constant (‖x‖²), so the decisions agree;
+    centroid updates are the identical exact scaled-integer mean."""
+    dist_ec = _sqdist_sql("e", "c")
+    parts = [
+        f"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    fit AS (SELECT * FROM x WHERE vec_id % {mod} = 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, e AS c
+      FROM (SELECT vec_id, e FROM fit ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    a{r} AS (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM fit, c{r - 1}
+      GROUP BY vec_id, e
+    ),
+    u{r} AS (
+      SELECT cell, i,
+             CAST(sum(CAST(round(e[CAST(i AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS m
+      FROM a{r}, range(1, {dim + 1}) t(i)
+      GROUP BY cell, i
+    ),
+    cu{r} AS (SELECT cell, list(m ORDER BY i) AS c FROM u{r} GROUP BY cell),
+    c{r} AS (
+      SELECT p.cell, coalesce(n.c, p.c) AS c
+      FROM c{r - 1} p LEFT JOIN cu{r} n USING (cell)
+    )""")
+    parts.append(f"""
+    q AS (SELECT e AS qe FROM x WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (SELECT cell, {_sqdist_sql("qe", "c")} AS d FROM c{iters}, q)
+      ORDER BY d, cell LIMIT {nprobe}
+    ),
+    af AS (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM x, c{iters}
+      GROUP BY vec_id, e
+    )
+    SELECT af.vec_id,
+           ({_dot_sql("e", "qe")})
+             / (sqrt({_dot_sql("e", "e")}) * sqrt({_dot_sql("qe", "qe")})) AS cos_sim
+    FROM af, q
+    WHERE cell IN (SELECT cell FROM probe)
+    ORDER BY cos_sim DESC, af.vec_id
+    LIMIT 10""")
+    return ",".join(parts)
+
+
+@query("sim_ivf_kmeans_topk", sql=_ivf_kmeans_sql(), tags=("similarity", "topk", "ivf", "kmeans"))
 def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
     """IVF top-k with a LEARNED coarse quantizer (k-means via lloyd_fit)
     instead of sim_ivf_topk's fixture labels — the shape a real ANN
     index build takes when no pre-existing partition key exists.
 
-    At 100 TB: fit on a sample, write vectors bucketed by cell id, and a
+    At 100 TB: fit on a sample (lloyd_fit's default 25% here; far
+    smaller in production), write vectors bucketed by cell id, and a
     probe becomes a partition-pruned scan of nprobe buckets. Here the
     probe is a filter over the assigned cells; scoring within probed
     cells is the exact deterministic left-fold cosine, so results are a
     subsequence of the exhaustive ranking (pinned by test).
+
+    Oracle-checked end to end: the deterministic sample + init +
+    scaled-integer means make the centroids bit-reproducible, so the
+    DuckDB oracle replays the whole fit (3 unrolled Lloyd rounds), the
+    probe choice, and the probed-cell rescore. Assignment argmins are
+    computed by different kernels (numpy matmul vs SQL fold) whose
+    distances agree to ~1e-12 relative — a flip would need two
+    centroids equidistant to a vector at that precision.
     """
     import numpy as np
 
@@ -469,10 +586,16 @@ def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
     centroids = lloyd_fit(emb, k=k, iters=3)
 
     q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    qn = np.asarray(q_vec, dtype=np.float64)
-    d2 = ((centroids - qn) ** 2).sum(axis=1)
-    q_cell = int(np.argmin(d2))  # query's own cell: always probed
-    probe = list(dict.fromkeys([q_cell, *map(int, np.argsort(d2))]))[:nprobe]
+    # probe choice mirrors the oracle exactly: left-fold distances in
+    # index order, (dist, cell) sort — no numpy reductions here
+    dq = []
+    for cell in range(len(centroids)):
+        d = 0.0
+        for qi, ci in zip(q_vec, centroids[cell]):
+            t = float(qi) - float(ci)
+            d += t * t
+        dq.append((d, cell))
+    probe = [cell for _, cell in sorted(dq)[:nprobe]]
 
     qe = F.array(*[F.lit(float(v)) for v in q_vec])
     return (
@@ -752,18 +875,24 @@ def sim_topk_int8(spark, sf_dir):
     )
 
 
-def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3):
+def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
+           fit_fraction: float = 0.25):
     """Product-quantization codebook fit: split the 64-dim space into
     ``m`` 8-dim subspaces and k-means each with ``ksub`` centroids — all
     subspaces trained together: assignment is one Arrow kernel pass per
     round (an einsum over (batch, m, dsub) × (m, ksub, dsub)), and the
     update aggregation shuffles m·ksub·dsub ≈ 1k rows regardless of
-    corpus size (same scale shape as `lloyd_fit`). Deterministic init:
-    subvectors of the first ``ksub`` vectors by vec_id. Returns a numpy
-    (m, ksub, dsub) array — the entire index metadata.
+    corpus size (same scale shape as `lloyd_fit`). Trains on a
+    deterministic ``fit_fraction`` sample (`fit_sample`) — standard PQ
+    practice: the codebooks need distributional coverage, not the full
+    corpus, so at 100 TB the fit is a bounded fraction of one scan.
+    Deterministic init: subvectors of the first ``ksub`` vectors of the
+    sample by vec_id. Returns a numpy (m, ksub, dsub) array — the
+    entire index metadata.
     """
     import numpy as np
 
+    emb = fit_sample(emb, fit_fraction)
     dsub = _DIM // m
     # deterministic init: the ksub lowest vec_ids of the (possibly
     # sampled) fit frame — a top-k, not a scan-order head.
@@ -786,8 +915,8 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3):
             .groupBy("s", "code", (F.col("i") % dsub).alias("j"))
             # deterministic mean: exact scaled-integer sum / count, so the
             # codebooks (and every downstream code assignment and recall
-            # number) are identical across runs and partitionings —
-            # unlike lloyd_fit's documented order-dependent averages.
+            # number) are identical across runs and partitionings (the
+            # same trick lloyd_fit uses).
             # 1e7 scaling keeps 7 decimals of a unit-vector component;
             # |x|≤1 ⇒ the long sum is exact for any corpus < 9e11 rows.
             .agg(
@@ -852,9 +981,11 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
     Python in the scan path, no shuffle, TakeOrderedAndProject on top.
     At 100 TB the codes column is what's stored and scanned (32× less
     IO), and the same literal-table trick composes with the IVF cell
-    pruning. Rows-only by the documented grade (c): the Lloyd averages
-    are aggregation-order-dependent across runs; recall vs the exact
-    brute force is pinned in pytest.
+    pruning. Rows-only: the fit is deterministic (sampled init +
+    scaled-integer means, same as lloyd_fit), but a faithful SQL
+    replica would unroll m=16 subspaces × ksub=64 codes × 3 rounds of
+    argmin — an oracle orders of magnitude larger than the query;
+    recall vs the exact brute force is pinned in pytest instead.
     """
     import numpy as np
 
@@ -871,11 +1002,10 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
             "embedding"
         ),
     )
-    # codebooks are trained on a deterministic 25% hash-sample (standard
-    # PQ practice — the fit needs distributional coverage, not the full
-    # corpus) and then every vector is encoded; at 100 TB the fit cost
-    # is a fixed fraction of one scan however large the corpus grows.
-    books = pq_fit(emb.where(F.col("vec_id") % 4 == 0), m=m, ksub=ksub)
+    # codebooks train on pq_fit's deterministic 25% sample; every vector
+    # is then encoded — at 100 TB the fit cost is a fixed fraction of
+    # one scan however large the corpus grows.
+    books = pq_fit(emb, m=m, ksub=ksub)
 
     q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     dsub = _DIM // m

@@ -67,6 +67,33 @@ def test_minhash_signatures_no_shuffle(spark):
     assert "Exchange" not in buf.getvalue()
 
 
+def test_ann_codebook_fit_frames_are_sampled(spark):
+    """lloyd_fit / pq_fit must train on a bounded deterministic sample,
+    not the full corpus: the fit frame filters vec_id by modulus (the
+    100 TB contract their docstrings make), and the sampled fit still
+    yields the oracle-pinned results (covered by parity/recall tests)."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import fit_sample
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    fit = fit_sample(emb, 0.25)
+    # the sample is exactly the mod-4 ids — deterministic, engine-portable
+    ids = [r.vec_id for r in fit.select("vec_id").collect()]
+    assert ids and all(i % 4 == 0 for i in ids)
+    n_all = emb.count()
+    assert len(ids) <= n_all // 4 + 1
+    # and the filter sits in the plan (a fit over the corpus would not
+    # have it), so a refactor can't silently drop the sampling
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fit.explain("formatted")
+    assert "% 4" in buf.getvalue()
+    # fraction >= 1 short-circuits to the corpus
+    assert fit_sample(emb, 1.0) is emb
+
+
 def test_jaccard_df_cap_contract(spark):
     """The shingle df-cap must not bind on fixture data (results identical
     to uncapped), and a cap of 1 must kill every candidate pair (any
