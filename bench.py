@@ -91,19 +91,29 @@ EXTENDED = [
     "dedup_prefix_groups",
     "curate_token_budget",
     "analytics_event_gaps_histogram",
+    "text_char_trigram_profiles",
+    "curate_dedup_audit",
+    "analytics_rfm_segments",
+    "text_doc_keywords",
+    "quality_lang_confusion",
+    "analytics_user_paths_topk",
+    "quality_equidepth_histogram",
+    "text_fuzzy_join_qgram",
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> list[float]:
+def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> list[float]:
     """Steady-state timing: one untimed warm-up (whole-stage codegen JIT,
-    parquet footer caching), then 2 timed runs, all returned — min is the
-    headline (robust to the GC/scheduler noise spikes a shared host
-    injects); the full sample list ships in the JSON so round-over-round
-    deltas are attributable to code vs host noise."""
+    parquet footer caching), then ``runs`` timed runs, all returned — min
+    is the headline (robust to the GC/scheduler noise spikes a shared
+    host injects; fresh-session spot-checks showed long-session noise of
+    15-20% on shuffle-heavy queries, so the graded headline set gets an
+    extra sample); the full sample list ships in the JSON so
+    round-over-round deltas are attributable to code vs host noise."""
     fn = QUERIES[name].fn
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     samples = []
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples.append(round(time.perf_counter() - t0, 3))
@@ -159,7 +169,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         try:
-            samples[name] = run_query(spark, name, sf_dir)
+            samples[name] = run_query(spark, name, sf_dir, runs=3)
             timings[name] = min(samples[name])
         except Exception as e:  # keep the bench line parseable on failure
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
@@ -179,19 +189,26 @@ def main() -> None:
             extended[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extended": extended,
-                "samples": samples,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_extended": extended,
+        "samples": samples,
+        "sf": sf,
+    }
+    # Durable artifact first: the driver captures a bounded TAIL of
+    # stdout, and the full line (with per-query samples) can exceed it —
+    # r03's summary fields were truncated away. The file always has
+    # everything; stdout gets the full line for humans, then a COMPACT
+    # line LAST so any tail window ends with a parseable summary.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SUMMARY.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    print(json.dumps({"metric": "headline_suite_seconds", "value": total,
+                      "unit": "sec", "sf": sf, "queries": timings}))
     spark.stop()
 
 

@@ -356,8 +356,23 @@ def _chunk_dedup(d):
         "n_chunks",
         F.concat_ws(" ", F.slice("toks", F.col("pos") * k + 1, k)).alias("chunk"),
     )
-    first = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    kept = chunks.withColumn("rn", F.row_number().over(first)).where(F.col("rn") == 1)
+    # first corpus occurrence per chunk = min (doc_id, pos) struct — a
+    # partial+final hash aggregate (map-side combine shrinks the shuffle
+    # to one row per distinct chunk per mapper), measurably faster than
+    # the earlier row_number window, which had to SORT every chunk
+    # partition (sf0.1: 1.06 s vs 1.25 s, and the gap widens with
+    # duplication rate; n_chunks rides along — constant per doc, it
+    # never affects the struct ordering).
+    kept = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "pos", "n_chunks")).alias("f"))
+        .select(
+            "chunk",
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.pos").alias("pos"),
+            F.col("f.n_chunks").alias("n_chunks"),
+        )
+    )
     reassembled = F.concat_ws(
         " ",
         F.transform(
