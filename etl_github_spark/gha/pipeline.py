@@ -102,6 +102,74 @@ def fetch_to_landing(
     return sc.parallelize(urls, max(1, len(urls))).map(_fetch_one).collect()
 
 
+def read_raw_direct(
+    spark: SparkSession,
+    urls: list[str],
+    timeout: float = 60.0,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Single-pass remote NDJSON(.gz) scan — the reference's direct
+    streaming read (``dd.read_json("https://...json.gz")``,
+    preprocess.py:144-147) re-expressed as one Arrow-batched
+    ``mapInPandas`` over the URL manifest: each task streams its URL
+    through gunzip straight into rows, never touching local disk, so
+    every byte is read exactly once.
+
+    Contract: row-identical to ``read_raw`` over the same files landed
+    by :func:`fetch_to_landing` (pinned by e2e test over ``file://``).
+    One task per URL (gzip is unsplittable, so this matches the landed
+    path's parallelism). Connection-open failures retry with backoff
+    inside the task; a MID-STREAM failure raises after rows were
+    yielded, and correctness then rests on Spark's task retry (the
+    failed attempt's output is discarded) — which is exactly why
+    fetch-to-landing (atomic publish + resume + re-readable bytes)
+    stays the resilient default and this path is opt-in
+    (``ingest_urls(..., direct=True)``).
+    """
+
+    def gen(batches):
+        import gzip
+        import io
+        import time
+        import urllib.request
+
+        import pandas as pd
+
+        for pdf in batches:
+            for url in pdf["url"]:
+                resp = None
+                last: Exception | None = None
+                for attempt in range(max_retries):
+                    try:
+                        resp = urllib.request.urlopen(url, timeout=timeout)
+                        break
+                    except Exception as exc:  # noqa: BLE001 - retry transport errors
+                        last = exc
+                        time.sleep(min(2**attempt, 30))
+                if resp is None:
+                    raise RuntimeError(
+                        f"open failed after {max_retries} tries: {url}"
+                    ) from last
+                stream = (
+                    gzip.GzipFile(fileobj=resp) if url.endswith(".gz") else resp
+                )
+                text = io.TextIOWrapper(stream, encoding="utf-8")
+                buf: list[str] = []
+                for line in text:
+                    buf.append(line.rstrip("\r\n"))
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame({"value": buf})
+                        buf = []
+                if buf:
+                    yield pd.DataFrame({"value": buf})
+                resp.close()
+
+    urls_df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
+        max(1, len(urls)), "url"
+    )
+    return urls_df.mapInPandas(gen, schema="value string")
+
+
 def read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:
     """NDJSON(.gz) scan (S1/S2): gzip decoded by extension; one partition
     per gz file (gzip is not splittable — same per-file parallelism the
@@ -128,7 +196,20 @@ def ingest_files(
     mode: str = "append",
     fmt: str | None = None,
 ) -> dict[str, str]:
-    """Read hourly NDJSON files and append all six tables to ``outdir``.
+    """Read hourly NDJSON files and append all six tables to ``outdir``
+    (the landed-file ingest: :func:`read_raw` → :func:`ingest_raw`)."""
+    return ingest_raw(spark, read_raw(spark, paths), outdir, mode=mode, fmt=fmt)
+
+
+def ingest_raw(
+    spark: SparkSession,
+    raw: DataFrame,
+    outdir: str,
+    mode: str = "append",
+    fmt: str | None = None,
+) -> dict[str, str]:
+    """Ingest a raw-lines frame (from :func:`read_raw` or
+    :func:`read_raw_direct`) and append all six tables to ``outdir``.
 
     One cached parse feeds six partitioned writes — the Spark shape of
     process_file + write_delta (preprocess.py:143-175). The cache is
@@ -137,13 +218,13 @@ def ingest_files(
     over the same cached blocks, so the scheduler interleaves their
     tasks and write/commit latencies overlap (~2× faster than serial
     locally; on a cluster it keeps executors saturated while per-table
-    commits run).
+    commits run). For the direct path the cache also means the remote
+    bytes are streamed exactly once, not once per table.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import StorageLevel
 
-    raw = read_raw(spark, paths)
     events = parse_raw_lines(raw).persist(StorageLevel.MEMORY_AND_DISK)
     events.count()  # materialize once; the six jobs below read cached blocks
     try:
@@ -167,10 +248,17 @@ def ingest_urls(
     outdir: str,
     mode: str = "append",
     fmt: str | None = None,
+    direct: bool = False,
 ) -> dict[str, str]:
     """Production entry point for the real GH Archive source:
     manifest URLs → :func:`fetch_to_landing` → :func:`ingest_files`.
     Compose with :func:`list_files` / ``incremental.parse_start_stop``
-    for the steady-state hourly loop (preprocess.py:247-266)."""
+    for the steady-state hourly loop (preprocess.py:247-266).
+
+    ``direct=True`` opts into the reference's single-pass semantics
+    (:func:`read_raw_direct`): no landing copy, each byte touched once;
+    trade-off documented on that function."""
+    if direct:
+        return ingest_raw(spark, read_raw_direct(spark, urls), outdir, mode=mode, fmt=fmt)
     paths = fetch_to_landing(spark, urls, landing_dir)
     return ingest_files(spark, paths, outdir, mode=mode, fmt=fmt)

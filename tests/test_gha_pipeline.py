@@ -150,6 +150,55 @@ def test_fetch_to_landing_and_ingest(spark, tmp_path):
     assert read_table(spark, out["watch"], fmt="parquet").count() == 7
 
 
+def test_direct_stream_read_matches_landed(spark, tmp_path):
+    """Opt-in single-pass path (reference parity, preprocess.py:144-147):
+    read_raw_direct over file:// URLs must be ROW-IDENTICAL to
+    fetch_to_landing + read_raw over the same files, and the direct
+    ingest must produce the same lake tables."""
+    from etl_github_spark.gha.pipeline import (
+        fetch_to_landing,
+        ingest_urls,
+        read_raw,
+        read_raw_direct,
+    )
+
+    src_paths = write_fixture(tmp_path / "src", gz=True)
+    urls = [f"file://{p}" for p in src_paths]
+
+    landed = fetch_to_landing(spark, urls, str(tmp_path / "landing"))
+    landed_rows = sorted(r.value for r in read_raw(spark, landed).collect())
+    direct_rows = sorted(r.value for r in read_raw_direct(spark, urls).collect())
+    assert direct_rows == landed_rows  # byte-identical lines
+
+    out = ingest_urls(
+        spark, urls, str(tmp_path / "unused_landing"), str(tmp_path / "lake"),
+        direct=True,
+    )
+    from etl_github_spark.io.sink import read_table
+
+    assert read_table(spark, out["watch"], fmt="parquet").count() == 7
+    # the landing dir was never created — truly single-pass
+    assert not (tmp_path / "unused_landing").exists()
+
+
+def test_direct_stream_read_plain_text_and_open_failure(spark, tmp_path):
+    """Non-gz URLs pass through undecompressed; an unopenable URL fails
+    the job after bounded retries."""
+    import pytest
+
+    from etl_github_spark.gha.pipeline import read_raw_direct
+
+    p = tmp_path / "plain.json"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    rows = read_raw_direct(spark, [f"file://{p}"]).collect()
+    assert sorted(r.value for r in rows) == ['{"a": 1}', '{"a": 2}']
+
+    with pytest.raises(Exception, match="open failed|nosuchfile"):
+        read_raw_direct(
+            spark, [f"file://{tmp_path}/nosuchfile.json.gz"], max_retries=1
+        ).count()
+
+
 def test_fetch_to_landing_failure_raises(spark, tmp_path):
     from etl_github_spark.gha.pipeline import fetch_to_landing
 
