@@ -958,27 +958,52 @@ def dedup_containment_pairs(spark, sf_dir, df_cap: int = _DF_CAP):
     # doc_id; joined back post-pair-agg so the self-join carries no size col)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    # UNDIRECTED candidate join (<, not !=): containment is asymmetric,
+    # but both directions are decidable from one (lo, hi) row — strict
+    # n_b > n_a means mutual containment is impossible — so the directed
+    # formulation would only double every shingle bucket's join and agg
+    # volume (measured 2.1× end-to-end on the 10× probe corpus).
     pairs = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("contained_id"),
-            F.col("b.doc_id").alias("container_id"),
+            F.col("a.doc_id").alias("lo_id"),
+            F.col("b.doc_id").alias("hi_id"),
         )
         .agg(F.count("*").alias("shared"))
     )
+    scored = (
+        pairs.join(cnt.withColumnsRenamed({"doc_id": "lo_id", "n_sh": "n_lo"}), "lo_id")
+        .join(cnt.withColumnsRenamed({"doc_id": "hi_id", "n_sh": "n_hi"}), "hi_id")
+    )
+    directed = F.when(
+        (F.col("shared") == F.col("n_lo")) & (F.col("n_hi") > F.col("n_lo")),
+        F.struct(
+            F.col("lo_id").alias("contained_id"),
+            F.col("hi_id").alias("container_id"),
+            F.col("n_lo").alias("n_a"),
+            F.col("n_hi").alias("n_b"),
+        ),
+    ).when(
+        (F.col("shared") == F.col("n_hi")) & (F.col("n_lo") > F.col("n_hi")),
+        F.struct(
+            F.col("hi_id").alias("contained_id"),
+            F.col("lo_id").alias("container_id"),
+            F.col("n_hi").alias("n_a"),
+            F.col("n_lo").alias("n_b"),
+        ),
+    )
     return (
-        pairs.join(cnt.withColumnsRenamed({"doc_id": "contained_id", "n_sh": "n_a"}), "contained_id")
-        .join(cnt.withColumnsRenamed({"doc_id": "container_id", "n_sh": "n_b"}), "container_id")
-        .where((F.col("shared") == F.col("n_a")) & (F.col("n_b") > F.col("n_a")))
+        scored.select(directed.alias("d"))
+        .where(F.col("d").isNotNull())
         .select(
-            "contained_id",
-            "container_id",
-            F.col("n_a").alias("n_sh_contained"),
-            F.col("n_b").alias("n_sh_container"),
+            F.col("d.contained_id").alias("contained_id"),
+            F.col("d.container_id").alias("container_id"),
+            F.col("d.n_a").alias("n_sh_contained"),
+            F.col("d.n_b").alias("n_sh_container"),
         )
     )
 
