@@ -967,7 +967,94 @@ def pq_encode(emb, books):
     )
 
 
-@query("sim_topk_pq", sql=None, tags=("similarity", "topk", "quantization", "pq"))
+def _pq_sql(m: int = 16, ksub: int = 64, iters: int = 3, mod: int = 4,
+            dim: int = _DIM, topk: int = 10) -> str:
+    """DuckDB replica of sim_topk_pq: normalize → pq_fit (round-unrolled
+    k-means per subspace, join-based argmin — no m×ksub literal
+    explosion) → encode → ADC scoring via an s-ordered list_reduce fold
+    (matching the Spark side's literal-table fold element for element).
+    Same determinism contract as `_ivf_kmeans_sql`: exact scaled-integer
+    means make the codebooks bit-identical; assignment argmins are
+    cross-kernel comparisons only."""
+    from .similarity import _fold_dot_sql
+
+    dsub = dim // m
+    t = "(dv[CAST(i AS INT)] - bv[CAST(i AS INT)])"
+    dist = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> {t} * {t}), "
+        f"(a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH xn AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(CAST(v AS DOUBLE) / norm AS REAL)) AS ne
+      FROM (SELECT vec_id, embedding,
+                   sqrt({_fold_dot_sql("embedding", "embedding")}) AS norm
+            FROM embeddings)
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS INT) AS s,
+             list_transform(ne[(CAST(s AS INT) * {dsub} + 1):(CAST(s AS INT) * {dsub} + {dsub})],
+                            v -> CAST(v AS DOUBLE)) AS dv
+      FROM xn, range(0, {m}) t(s)
+    ),
+    fsub AS (SELECT * FROM sub WHERE vec_id % {mod} = 0),
+    finit AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+      FROM (SELECT DISTINCT vec_id FROM fsub ORDER BY vec_id LIMIT {ksub})
+    ),
+    b0 AS (SELECT s, code, dv AS bv FROM finit JOIN fsub USING (vec_id))"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    a{r} AS (
+      SELECT f.vec_id, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM fsub f JOIN b{r - 1} b ON f.s = b.s
+      GROUP BY f.vec_id, f.s
+    ),
+    u{r} AS (
+      SELECT a.s, a.code, j,
+             CAST(sum(CAST(round(dv[CAST(j AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS mv
+      FROM a{r} a JOIN fsub f ON a.vec_id = f.vec_id AND a.s = f.s,
+           range(1, {dsub + 1}) t(j)
+      GROUP BY a.s, a.code, j
+    ),
+    bu{r} AS (SELECT s, code, list(mv ORDER BY j) AS bv FROM u{r} GROUP BY s, code),
+    b{r} AS (
+      SELECT p.s, p.code, coalesce(n.bv, p.bv) AS bv
+      FROM b{r - 1} p LEFT JOIN bu{r} n USING (s, code)
+    )""")
+    parts.append(f"""
+    qn AS (
+      SELECT list_transform(ne, v -> CAST(v AS DOUBLE)
+               / sqrt({_fold_dot_sql("ne", "ne")})) AS qv
+      FROM xn WHERE vec_id = 0
+    ),
+    tabt AS (
+      SELECT b.s, b.code,
+             list_reduce(list_transform(range(1, {dsub + 1}),
+               i -> qv[CAST(b.s * {dsub} + i AS INT)] * bv[CAST(i AS INT)]),
+               (a, b) -> a + b) AS val
+      FROM b{iters} b, qn
+    ),
+    ae AS (
+      SELECT f.vec_id, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM sub f JOIN b{iters} b ON f.s = b.s
+      GROUP BY f.vec_id, f.s
+    )
+    SELECT vec_id,
+           list_reduce(list(val ORDER BY s), (a, b) -> a + b) AS approx_dot
+    FROM ae JOIN tabt USING (s, code)
+    GROUP BY vec_id
+    ORDER BY approx_dot DESC, vec_id
+    LIMIT {topk}""")
+    return ",".join(parts)
+
+
+@query("sim_topk_pq", sql=_pq_sql(), tags=("similarity", "topk", "quantization", "pq"))
 def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
     """Top-k via product quantization + asymmetric distance computation
     (ADC) — the third rung of the quantization ladder after int8
@@ -981,14 +1068,14 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
     Python in the scan path, no shuffle, TakeOrderedAndProject on top.
     At 100 TB the codes column is what's stored and scanned (32× less
     IO), and the same literal-table trick composes with the IVF cell
-    pruning. Rows-only: the fit is deterministic (sampled init +
-    scaled-integer means, same as lloyd_fit), but a faithful SQL
-    replica would unroll m=16 subspaces × ksub=64 codes × 3 rounds of
-    argmin — an oracle orders of magnitude larger than the query;
-    recall vs the exact brute force is pinned in pytest instead.
+    pruning. Oracle-checked end to end (same contract as
+    sim_ivf_kmeans_topk): deterministic sampled fit + scaled-integer
+    means ⇒ bit-identical codebooks, and every driver-side reduction
+    here (q normalization, dot tables) is an explicit left fold so the
+    oracle reproduces the scores exactly; assignment argmins remain
+    cross-kernel comparisons. Recall vs the exact brute force is also
+    pinned in pytest.
     """
-    import numpy as np
-
     from .similarity import fold_dot
 
     # cosine retrieval under PQ = unit-normalize first, then ADC over raw
@@ -1009,9 +1096,21 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
 
     q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     dsub = _DIM // m
-    q = np.asarray(q_vec, dtype=np.float64).reshape(m, dsub)
-    q = q / np.linalg.norm(q.ravel())
-    tab = np.einsum("sd,skd->sk", q, books)  # (m, ksub) dot tables
+    # explicit left folds (not numpy reductions): these land in the
+    # OUTPUT values, so they must reproduce bit-exactly in the oracle
+    import math
+
+    qs = 0.0
+    for v in q_vec:
+        qs += float(v) * float(v)
+    qn = [float(v) / math.sqrt(qs) for v in q_vec]
+    tab = [
+        [
+            sum((qn[s * dsub + j] * books[s][c][j] for j in range(dsub)), 0.0)
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
 
     tab_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in tab[s]]) for s in range(m)]
