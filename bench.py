@@ -99,6 +99,10 @@ EXTENDED = [
     "analytics_user_paths_topk",
     "quality_equidepth_histogram",
     "text_fuzzy_join_qgram",
+    # round-4 additions
+    "curate_kcenter_diversity",
+    "trend_ewma_spikes",
+    "curate_decontaminate_bloom",
 ]
 
 

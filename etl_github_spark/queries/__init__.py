@@ -13,11 +13,17 @@ string the driver diffs against at sf=0.01.
 # AFTER their last driver row (their only driver rows say `no_oracle`):
 # dedup_simhash, sim_lsh_bucketed_topk, agg_approx_distinct_users.
 #
-# ROUND-5 ROTATION CANDIDATES — the two never-checked queries that did not
-# fit the 50-slot r4 window; both were dropped because an exact driver-green
-# sibling already pins the shared plan shape. Put them FIRST next round:
-#   trend_rolling_7d_users_approx  (sibling trend_rolling_7d_users green r03)
-#   sim_topk_multi_query           (sibling sim_topk_bruteforce green r01-r02)
+# ROUND-5 ROTATION CANDIDATES — put these FIRST next round:
+#   trend_rolling_7d_users_approx  (sibling trend_rolling_7d_users green r03;
+#                                   dropped from the full r4 window)
+#   sim_topk_multi_query           (sibling sim_topk_bruteforce green r01-r02;
+#                                   dropped from the full r4 window)
+#   curate_kcenter_diversity       (new in r4 — greedy k-center selection)
+#   trend_ewma_spikes              (new in r4 — EWMA spike flags)
+#   curate_decontaminate_bloom     (new in r4 — bloom decontamination)
+#   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
+#                                   its r4 row is from the same round)
+#   sim_topk_pq                    (same — oracle attached in r4)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

@@ -857,3 +857,105 @@ def analytics_event_gaps_histogram(spark, sf_dir):
             "n_gaps",
         )
     )
+
+
+_EWMA_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    packed AS (
+      SELECT list(day ORDER BY day) AS days,
+             list(CAST(n_events AS DOUBLE) ORDER BY day) AS c,
+             list(n_events ORDER BY day) AS cn
+      FROM daily
+    ),
+    sm AS (
+      SELECT days, cn,
+             list_transform(range(1, len(c) + 1),
+               t -> list_reduce(c[1:CAST(t AS INT)],
+                    (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                              + CAST(0.7 AS DOUBLE) * acc)) AS s
+      FROM packed
+    ),
+    rws AS (
+      SELECT unnest(list_transform(range(1, len(days) + 1),
+               t -> struct_pack(
+                 day := days[CAST(t AS INT)],
+                 n_events := cn[CAST(t AS INT)],
+                 ewma := s[CAST(t AS INT)],
+                 is_spike := t >= 2 AND CAST(cn[CAST(t AS INT)] AS DOUBLE)
+                   > CAST(2.0 AS DOUBLE) * s[CAST(t AS INT) - 1]))) AS r
+      FROM sm
+    )
+    SELECT r.day AS day, r.n_events AS n_events,
+           r.ewma AS ewma, r.is_spike AS is_spike
+    FROM rws
+    """
+
+
+@query("trend_ewma_spikes", sql=_EWMA_SQL, tags=("trend", "anomaly"))
+def trend_ewma_spikes(spark, sf_dir, alpha: float = 0.3):
+    """EWMA-smoothed daily event volume with spike flags — the
+    level-shift-tolerant sibling of `trend_anomaly_days` (a global
+    z-score flags every day of a ramp; an exponentially-weighted
+    moving average adapts, so only days jumping >2x ABOVE their own
+    recent level fire). s_1 = c_1; s_t = α·c_t + (1−α)·s_{t−1}.
+
+    Scale shape: one partial+final daily aggregation (|days| rows out
+    of any corpus size), then the recurrence runs on a SINGLE packed
+    row: sort_array(collect_list) → per-t left folds (O(|days|²) ≈ 900
+    scalar ops — driver-trivial, no window, no second shuffle).
+
+    Determinism: the fold multiplies/adds doubles in the same order in
+    both engines (DuckDB's list_reduce over c[1:t] ≡ Spark's aggregate
+    over slice 2..t seeded with c_1), with α cast to DOUBLE on both
+    sides — bit-exact ewma values in the output hash.
+    """
+    a, b = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "n_events"))).alias("sd")
+    ).select(
+        F.transform("sd", lambda r: r.getField("day")).alias("days"),
+        F.transform("sd", lambda r: r.getField("n_events").cast("double")).alias("c"),
+        F.transform("sd", lambda r: r.getField("n_events")).alias("cn"),
+    )
+    sm = packed.select(
+        "days",
+        "cn",
+        F.transform(
+            F.sequence(F.lit(1), F.size("c")),
+            lambda t: F.aggregate(
+                F.slice("c", F.lit(2), t - 1),
+                F.element_at("c", F.lit(1)),
+                lambda acc, x: a * x + b * acc,
+            ),
+        ).alias("s"),
+    )
+    t = F.col("t")
+    return (
+        sm.select(
+            F.posexplode(F.sequence(F.lit(1), F.size("days"))).alias("_i", "t"),
+            "days",
+            "cn",
+            "s",
+        )
+        .select(
+            F.element_at("days", t).alias("day"),
+            F.element_at("cn", t).alias("n_events"),
+            F.element_at("s", t).alias("ewma"),
+            (
+                (t >= 2)
+                & (
+                    F.element_at("cn", t).cast("double")
+                    > F.lit(2.0) * F.element_at("s", t - 1)
+                )
+            ).alias("is_spike"),
+        )
+    )

@@ -520,3 +520,157 @@ def curate_token_budget(spark, sf_dir):
         .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+_BLOOM_BITS = 1 << 16   # 64 Kbit filter = 2048 x 32-bit words (8 KB)
+_BLOOM_K = 4            # hash functions; fp ~1e-5 at ~1k eval shingles
+
+
+def _bloom_affine():
+    """Fixed (a_i, b_i) affine coefficients for the bloom positions —
+    the same splitmix-derived md5 family the LSH recall pin uses, with
+    its own seed so the two sketches are independent."""
+    from .dedup import _affine_coeffs
+
+    return _affine_coeffs(_BLOOM_K, seed=11)
+
+
+def _bloom_sql() -> str:
+    from .dedup import _MERSENNE_P as p
+
+    m = _BLOOM_BITS
+    pos_list = ", ".join(
+        f"(({a} * x + {b}) % {p}) % {m}" for a, b in _bloom_affine()
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    xm AS (
+      SELECT doc_id, n_sh, s,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p} AS x
+      FROM ex
+    ),
+    flat AS (
+      SELECT doc_id, n_sh, s, unnest([{pos_list}]) AS pos FROM xm
+    ),
+    filt AS (
+      SELECT pos // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+      FROM (SELECT DISTINCT pos FROM flat WHERE doc_id < 10)
+      GROUP BY 1
+    ),
+    hit AS (
+      SELECT f.doc_id, f.n_sh, f.s
+      FROM flat f JOIN filt
+        ON f.pos // 32 = filt.w
+       AND (filt.mask & (CAST(1 AS BIGINT) << CAST(f.pos % 32 AS INT))) != 0
+      WHERE f.doc_id >= 10
+      GROUP BY f.doc_id, f.n_sh, f.s
+      HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / any_value(n_sh) AS overlap_frac
+    FROM hit
+    GROUP BY doc_id
+    HAVING CAST(count(*) AS DOUBLE) / any_value(n_sh) >= 0.05
+    """
+
+
+@query(
+    "curate_decontaminate_bloom",
+    sql=_bloom_sql(),
+    tags=("curation", "decontamination", "sketch"),
+)
+def curate_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the sketch sibling of
+    `curate_decontaminate`: the eval set's trigram shingles are folded
+    into a 64 Kbit Bloom filter (2048-word literal, 8 KB), and the
+    corpus probe becomes a PURE per-row fold — no join, no broadcast
+    exchange, no shuffle at all on the corpus side. At 100 TB this is
+    the shape that wins: the filter rides inside the task binary
+    regardless of eval-set cardinality, where the exact variant must
+    broadcast-hash-join every shingle.
+
+    Trade-off: Bloom false positives can only OVER-count overlap
+    (conservative for decontamination — a clean doc may be flagged at
+    ~1e-5 per probe; a contaminated doc can never be missed). The
+    oracle builds the IDENTICAL filter (md5-family shingle ids, fixed
+    affine positions, 32-bit word packing — DuckDB errors on BIGINT
+    1<<63, so words are 32-bit on both sides) and therefore matches
+    hash-exactly, false positives included.
+    """
+    from .dedup import _MERSENNE_P, _shingle_strings, _words
+
+    p = F.lit(_MERSENNE_P).cast("long")
+    coeffs = _bloom_affine()
+
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.transform(
+                _shingle_strings(F.col("w")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % p,
+            ).alias("xs"),
+        )
+    )
+
+    def positions(x):
+        return [((F.lit(a) * x + F.lit(b)) % p) % F.lit(_BLOOM_BITS) for a, b in coeffs]
+
+    # build: eval-doc positions -> driver-side 2048-word bit array
+    # (DISTINCT positions of a handful of eval docs — index metadata,
+    # same legitimacy class as the centroid collects)
+    eval_pos = (
+        d.where(F.col("doc_id") < 10)
+        .select(F.explode("xs").alias("x"))
+        .select(F.explode(F.array(*positions(F.col("x")))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 32)
+    for r in eval_pos:
+        words[r["pos"] // 32] |= 1 << (r["pos"] % 32)
+    filt = F.array(*[F.lit(w).cast("long") for w in words])
+
+    # shiftleft() takes only a literal shift amount, so dynamic bit
+    # masks come from a 32-entry literal lookup instead
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+
+    def bloom_hit(x):
+        t = F.lit(True)
+        for pos in positions(x):
+            mask = F.element_at("_masks", (pos % 32).cast("int") + 1)
+            t = t & (
+                (F.element_at("_filt", (pos / 32).cast("int") + 1).bitwiseAND(mask))
+                != 0
+            )
+        return t
+
+    probe = (
+        d.where(F.col("doc_id") >= 10)
+        .select(
+            "doc_id", "xs", F.size("xs").alias("n_sh"),
+            filt.alias("_filt"), masks.alias("_masks"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.size(F.filter("xs", bloom_hit)).cast("long").alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_sh")
+    return probe.select(
+        "doc_id", "n_overlap", frac.alias("overlap_frac")
+    ).where(frac >= 0.05)

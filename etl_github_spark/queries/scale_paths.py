@@ -1127,3 +1127,128 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
         .orderBy(F.desc("approx_dot"), "vec_id")
         .limit(10)
     )
+
+
+def _min_dist_to(emb, centers):
+    """(vec_id, embedding) → (vec_id, embedding, dmin): full squared
+    distance to the NEAREST of ``centers`` — one Arrow numpy kernel
+    (same shape as `assign_cells`, but keeping the true ‖x‖² term:
+    unlike argmin-per-row, the k-center ARGMAX compares across rows, so
+    the row "constant" matters)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.ascontiguousarray(centers, dtype=np.float64)  # (r, dim)
+    c_norm = (c * c).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + c_norm[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "dmin": d2.min(axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, embedding array<float>, dmin double"
+    )
+
+
+def _kcenter_sql(k: int = 8, dim: int = _DIM) -> str:
+    """Round-unrolled DuckDB replica of the greedy k-center selection:
+    per round, LEAST-accumulated fold distances to the selected set and
+    an (dmin DESC, vec_id) argmax. Only ids reach the output, so the
+    numpy-vs-fold distance kernels need only agree on comparisons —
+    the same cross-kernel contract as the k-means oracles."""
+
+    # DuckDB forbids subqueries inside lambdas, so each round CROSS
+    # JOINs its 1-row selected vector in as a plain column (`se`)
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (e[CAST(i AS INT)] - se[CAST(i AS INT)]) "
+        f"* (e[CAST(i AS INT)] - se[CAST(i AS INT)])), (a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s0 AS (SELECT vec_id, e FROM x WHERE vec_id = 0),
+    p1 AS (
+      SELECT vec_id, e, {dist} AS dmin
+      FROM x, (SELECT e AS se FROM s0)
+    )"""]
+    for r in range(1, k):
+        parts.append(
+            f"""
+    s{r} AS (SELECT vec_id, e FROM p{r} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f"""
+    p{r + 1} AS (
+      SELECT vec_id, e, LEAST(dmin, {dist}) AS dmin
+      FROM p{r}, (SELECT e AS se FROM s{r})
+    )"""
+            )
+    sels = " UNION ALL ".join(
+        f"SELECT {r} AS sel_round, vec_id FROM s{r}" for r in range(k)
+    )
+    parts.append(f"""
+    sel AS ({sels})
+    SELECT CAST(sel_round AS INT) AS sel_round, vec_id
+    FROM sel ORDER BY sel_round""")
+    return ",".join(parts)
+
+
+@query(
+    "curate_kcenter_diversity",
+    sql=_kcenter_sql(),
+    tags=("curation", "similarity", "diversity"),
+)
+def curate_kcenter_diversity(spark, sf_dir, k: int = 8):
+    """Greedy k-center coreset selection: pick k maximally-spread
+    documents by embedding — the diversity-sampling counterpart of
+    `dedup_semantic_prune` (that op REMOVES redundant neighbors; this
+    one SELECTS a spread skeleton, e.g. seed examples or eval-set
+    anchors from each region of embedding space). Greedy farthest-point
+    is the classic 2-approximation of the k-center objective.
+
+    Iterative like `lloyd_fit`: k−1 rounds of (one Arrow kernel scan
+    computing min distance to the selected set + one
+    TakeOrderedAndProject argmax). Driver state is the k×dim selected
+    matrix — index metadata, same as the centroid collects. At 100 TB
+    the scan cost dominates and is bounded by k scans of the corpus
+    (or of a pre-sampled pool, composing with `fit_sample`).
+
+    Oracle-checked: the DuckDB replica unrolls the rounds with
+    LEAST-accumulated fold distances; only (sel_round, vec_id) reach
+    the output, so cross-kernel distance agreement is needed only for
+    comparisons (the k-means oracle contract).
+    """
+    emb = par(T(spark, sf_dir, "embeddings"))
+    seed = emb.where(F.col("vec_id") == 0).select("vec_id", "embedding").first()
+    sel = [(0, int(seed["vec_id"]), [float(v) for v in seed["embedding"]])]
+    for r in range(1, k):
+        far = (
+            _min_dist_to(emb, [s[2] for s in sel])
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .first()
+        )
+        sel.append((r, int(far["vec_id"]), [float(v) for v in far["embedding"]]))
+    return spark.createDataFrame(
+        [(r, vid) for r, vid, _ in sel], "sel_round int, vec_id long"
+    ).orderBy("sel_round")

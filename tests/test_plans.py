@@ -510,3 +510,19 @@ def test_fuzzy_corpus_no_cartesian(spark):
     equi-joins and doc-keyed verification joins only."""
     p = plan_of(spark, "dedup_fuzzy_corpus")
     assert "CartesianProduct" not in p
+
+
+def test_bloom_decontaminate_probe_is_joinless(spark):
+    """The bloom probe must be a pure per-row fold over the corpus scan:
+    the 8 KB filter rides as a literal, so the plan contains NO join —
+    the whole point vs the exact variant's broadcast-hash-join."""
+    p = plan_of(spark, "curate_decontaminate_bloom")
+    assert "Join" not in p
+    # and the flagged set can only GROW vs the exact variant (bloom
+    # false positives over-count; false negatives are impossible)
+    from etl_github_spark.queries.curation import curate_decontaminate_bloom
+    from etl_github_spark.queries.registry import QUERIES
+
+    exact = {r.doc_id for r in QUERIES["curate_decontaminate"].fn(spark, SF_SMALL).collect()}
+    bloom = {r.doc_id for r in curate_decontaminate_bloom(spark, SF_SMALL).collect()}
+    assert exact <= bloom

@@ -140,3 +140,32 @@ def test_binary_hamming_recall_vs_bruteforce(spark):
     ham = _ids(spark, "sim_topk_binary_hamming")
     assert ham[0] == 0
     assert len(set(ham) & set(brute)) >= 8
+
+
+def test_kcenter_selection_is_spread_and_deterministic(spark):
+    """Greedy k-center: k distinct ids, seed first, and each selected
+    point is farther from the already-selected set than ANY point is
+    after the next round (non-increasing selection radius — the
+    farthest-point invariant)."""
+    import numpy as np
+
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import curate_kcenter_diversity
+
+    from .conftest import SF_SMALL
+
+    sel = curate_kcenter_diversity(spark, SF_SMALL).collect()
+    ids = [r.vec_id for r in sel]
+    assert len(ids) == 8 and len(set(ids)) == 8
+    assert sel[0].sel_round == 0 and sel[0].vec_id == 0
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    radii = []
+    for r in range(1, 8):
+        prior = [emb[i] for i in ids[:r]]
+        d = min(((emb[ids[r]] - p) ** 2).sum() for p in prior)
+        radii.append(d)
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
