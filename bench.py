@@ -103,6 +103,7 @@ EXTENDED = [
     "curate_kcenter_diversity",
     "trend_ewma_spikes",
     "curate_decontaminate_bloom",
+    "stat_embedding_gram",
 ]
 
 

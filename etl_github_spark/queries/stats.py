@@ -267,3 +267,84 @@ def stat_chi2_lang_source(spark, sf_dir):
             ).alias("contribution"),
         )
     )
+
+
+_GRAM_SQL = """
+    WITH x AS (
+      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(round(e[CAST(i AS INT)] * e[CAST(j AS INT)] * 1e9) AS BIGINT) AS p
+      FROM x, range(1, 65) a(i), range(1, 65) b(j)
+    )
+    SELECT i, j,
+           CAST(sum(p) AS BIGINT) / (count(*) * 1e9) AS m2
+    FROM pr
+    GROUP BY i, j
+    """
+
+
+@query("stat_embedding_gram", sql=_GRAM_SQL, tags=("stats", "embedding", "linalg"))
+def stat_embedding_gram(spark, sf_dir):
+    """Distributed Gram / second-moment matrix of the embedding corpus:
+    m2[i,j] = mean(x_i·x_j) — the input to PCA (eigh of this 64x64
+    matrix on the driver), whitening, and covariance-based drift
+    monitors. The canonical all-reduce linear-algebra shape at 100 TB:
+    each partition folds its rows into ONE 64x64 integer partial (an
+    Arrow kernel pass, nothing leaves the executor but 4096 numbers),
+    and the final aggregation sums partials — shuffle volume is
+    4096 x n_partitions rows, independent of corpus size.
+
+    Exactness: per-element products are rounded to scaled int64
+    HALF-AWAY (matching both engines' round(); numpy's own np.round is
+    half-EVEN and is deliberately avoided), so partial sums commute and
+    the result is bit-identical across engines, partitionings, and
+    batch sizes. |x| <= ~1 => |p| <= 1e9, exact for corpora to ~9e9
+    rows; beyond that drop to 1e6 scaling (still 6 decimals) for 9e12.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = 64
+
+    def partial_gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            for c in range(0, len(x), 256):
+                chunk = x[c : c + 256]
+                p = chunk[:, :, None] * chunk[:, None, :] * 1e9
+                # half-away rounding (np.round would be half-even)
+                acc += (
+                    (np.floor(np.abs(p) + 0.5) * np.sign(p))
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+            n += len(x)
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": (ii + 1).ravel().astype("int32"),
+                "j": (jj + 1).ravel().astype("int32"),
+                "s": acc.ravel(),
+                "n": np.full(dim * dim, n, dtype="int64"),
+            }
+        )
+
+    partials = (
+        par(T(spark, sf_dir, "embeddings"))
+        .select("embedding")
+        .mapInPandas(partial_gram, schema="i int, j int, s long, n long")
+    )
+    return partials.groupBy("i", "j").agg(
+        (F.sum("s") / (F.sum("n") * F.lit(1e9))).alias("m2")
+    )
