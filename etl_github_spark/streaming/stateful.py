@@ -20,8 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -70,6 +72,66 @@ def user_activity_profile(events: DataFrame) -> DataFrame:
         _update_profile,
         outputStructType=PROFILE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SPIKE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("batch_count", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("is_spike", BooleanType()),
+    ]
+)
+
+_SPIKE_STATE_SCHEMA = "ewma DOUBLE, n_batches LONG"
+
+_EWMA_ALPHA = 0.3
+_SPIKE_RATIO = 2.0
+
+
+def _update_spike(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (event_type,) = key
+    ewma, n_batches = state.get if state.exists else (None, 0)
+    c = 0
+    for pdf in pdfs:
+        c += len(pdf)
+    # flag against the PRE-update level (a spike must not mask itself by
+    # first inflating the average it is compared to)
+    is_spike = n_batches >= 1 and float(c) > _SPIKE_RATIO * ewma
+    ewma = float(c) if ewma is None else _EWMA_ALPHA * c + (1.0 - _EWMA_ALPHA) * ewma
+    state.update((ewma, n_batches + 1))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "batch_count": [c],
+            "ewma": [ewma],
+            "is_spike": [is_spike],
+        }
+    )
+
+
+def volume_spike_gate(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `trend_ewma_spikes` query: per
+    event_type, each micro-batch's row count is compared against the
+    EWMA of previous batches (spike = >2x the pre-update level), then
+    folded into the state — s_1 = c_1; s_t = α·c_t + (1−α)·s_{t−1},
+    the identical recurrence, evolved incrementally in GroupState
+    instead of re-folded over history. The monitor a pipeline points
+    at its own ingest to catch crawler outages / bot floods / feed
+    duplication within one micro-batch of onset.
+
+    At scale: state is one (double, long) pair per event_type in the
+    state store; each batch shuffles only its own rows by type.
+    """
+    return events.select("event_type").groupBy("event_type").applyInPandasWithState(
+        _update_spike,
+        outputStructType=SPIKE_SCHEMA,
+        stateStructType=_SPIKE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -103,3 +103,43 @@ def test_state_survives_restart(spark, tmp_path):
         (1, 1.0),
         (2, 3.0),
     ]
+
+
+def test_volume_spike_gate_flags_burst_not_ramp(spark, tmp_path):
+    """EWMA spike gate: steady batches never flag; a 10x burst flags in
+    ITS OWN batch (compared against the pre-update level); the batch
+    after the burst doesn't re-flag if volume returns to normal."""
+    from etl_github_spark.streaming.stateful import volume_spike_gate
+
+    indir = tmp_path / "in"
+    mk = lambda n: [  # noqa: E731
+        {"event_type": "click", "ts": "2024-01-01T00:00:00"} for _ in range(n)
+    ]
+    _write_batch(indir, "b1.json", mk(10))
+    _write_batch(indir, "b2.json", mk(12))
+    _write_batch(indir, "b3.json", mk(110))  # burst
+    _write_batch(indir, "b4.json", mk(11))
+
+    stream = (
+        spark.readStream.schema("event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        volume_spike_gate(stream)
+        .writeStream.format("memory")
+        .queryName("spikes")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM spikes").collect()
+    flags = {r.batch_count: r.is_spike for r in rows}
+    assert flags == {10: False, 12: False, 110: True, 11: False}
+    # the EWMA recurrence matches the batch query's: s1=10, s2=.3*12+.7*10
+    by_count = {r.batch_count: r.ewma for r in rows}
+    assert by_count[10] == 10.0
+    assert by_count[12] == 0.3 * 12 + 0.7 * 10.0
