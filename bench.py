@@ -104,6 +104,7 @@ EXTENDED = [
     "trend_ewma_spikes",
     "curate_decontaminate_bloom",
     "stat_embedding_gram",
+    "analytics_concurrent_sessions",
 ]
 
 

@@ -22,6 +22,7 @@ string the driver diffs against at sf=0.01.
 #   trend_ewma_spikes              (new in r4 — EWMA spike flags)
 #   curate_decontaminate_bloom     (new in r4 — bloom decontamination)
 #   stat_embedding_gram            (new in r4 — distributed Gram matrix)
+#   analytics_concurrent_sessions  (new in r4 — distributed sweep-line)
 #   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
 #                                   its r4 row is from the same round)
 #   sim_topk_pq                    (same — oracle attached in r4)

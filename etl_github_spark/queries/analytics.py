@@ -959,3 +959,103 @@ def trend_ewma_spikes(spark, sf_dir, alpha: float = 0.3):
             ).alias("is_spike"),
         )
     )
+
+
+_CONCURRENCY_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, sid
+    ),
+    points AS (
+      SELECT user_id, session_start AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT user_id, session_end AS ts, -1 AS delta FROM sess
+    ),
+    swept AS (
+      SELECT user_id, ts, delta,
+             CAST(sum(delta) OVER (ORDER BY ts, delta DESC, user_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+      FROM points
+    )
+    SELECT user_id, ts AS session_start, concurrency
+    FROM swept WHERE delta = 1
+    """
+
+
+@query(
+    "analytics_concurrent_sessions",
+    sql=_CONCURRENCY_SQL,
+    tags=("analytics", "session", "sweep"),
+)
+def analytics_concurrent_sessions(spark, sf_dir):
+    """Per-session concurrency: how many sessions (its own included,
+    and sessions ending exactly then — end >= start is active) are
+    open at each session's start — the load-curve measurement behind
+    capacity planning and "peak concurrent users" reporting.
+
+    The naive formulation is an interval self-join (start <= t <= end:
+    a BroadcastNestedLoopJoin, O(n²)); the classic fix is a sweep:
+    +1/−1 points and a running sum in one total order. A single global
+    window would serialize onto one partition, so this runs the sweep
+    DISTRIBUTED, two-level: per-day-bucket partial sums are collected
+    (|days| numbers — index metadata), exclusive prefix offsets are
+    broadcast-joined back, and the within-bucket running sum is a
+    window PARTITIONED BY bucket — every bucket sweeps in parallel and
+    integer addition makes the two-level composition exactly the
+    global cumsum. Tie order (ts, delta DESC, user_id) is total (a
+    user's sessions are gap-separated) and processes starts before
+    ends at the same instant, keeping just-ending sessions counted.
+    """
+    e = T(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        .select("user_id", "session_start", "session_end")
+    )
+    points = sess.select(
+        "user_id", F.col("session_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id", F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("bucket", F.to_date("ts"))
+    bsums = {
+        r["bucket"]: r["s"]
+        for r in points.groupBy("bucket").agg(F.sum("delta").alias("s")).collect()
+    }
+    off, acc = {}, 0
+    for b in sorted(bsums):
+        off[b] = acc
+        acc += bsums[b]
+    offsets = points.sparkSession.createDataFrame(
+        list(off.items()), "bucket date, offset long"
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", F.desc("delta"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.join(F.broadcast(offsets), "bucket")
+        .select(
+            "user_id",
+            "ts",
+            "delta",
+            (F.sum("delta").over(w) + F.col("offset")).alias("concurrency"),
+        )
+        .where(F.col("delta") == 1)
+        .select("user_id", F.col("ts").alias("session_start"), "concurrency")
+    )

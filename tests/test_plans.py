@@ -526,3 +526,16 @@ def test_bloom_decontaminate_probe_is_joinless(spark):
     exact = {r.doc_id for r in QUERIES["curate_decontaminate"].fn(spark, SF_SMALL).collect()}
     bloom = {r.doc_id for r in curate_decontaminate_bloom(spark, SF_SMALL).collect()}
     assert exact <= bloom
+
+
+def test_concurrent_sessions_sweep_is_distributed(spark):
+    """The sweep must be a bucket-partitioned window + broadcast offset
+    join — never an interval self-join (no nested-loop) and never a
+    single-partition global window."""
+    p = plan_of(spark, "analytics_concurrent_sessions")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the running-sum window is partitioned on the sweep bucket (its
+    # exchange hashes on bucket — NOT a SinglePartition global sort)
+    assert "windowspecdefinition(bucket" in p
+    assert "hashpartitioning(bucket" in p
+    assert "SinglePartition" not in p
