@@ -105,6 +105,7 @@ EXTENDED = [
     "curate_decontaminate_bloom",
     "stat_embedding_gram",
     "analytics_concurrent_sessions",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -9,7 +9,7 @@ oracle-replays the full banding pipeline and pins recall).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ._util import T, par
 from .registry import query
@@ -1069,4 +1069,112 @@ def dedup_prefix_groups(spark, sf_dir):
         "group_size",
         (F.col("doc_id") == F.col("keep_id")).alias("is_longest"),
         "n_tokens",
+    )
+
+
+_PREFIX_JACCARD_SQL = """
+    WITH sh0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    docs AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh0),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS sh FROM docs),
+    dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY sh),
+    ranked AS (
+      SELECT e.doc_id, e.n_sh, e.sh,
+             row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
+      FROM ex e JOIN dfreq d USING (sh)
+    ),
+    pref AS (SELECT doc_id, sh FROM ranked WHERE rn <= n_sh - ((n_sh + 1) // 2) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.shingles, db.shingles)) AS BIGINT) AS shared,
+             da.n_sh AS n_a, db.n_sh AS n_b
+      FROM cand c
+      JOIN docs da ON c.doc_a = da.doc_id
+      JOIN docs db ON c.doc_b = db.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+    FROM v WHERE 3 * shared >= n_a + n_b
+    """
+
+
+@query("dedup_jaccard_prefix", sql=_PREFIX_JACCARD_SQL, tags=("dedup", "neardup", "scale"))
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard at t = 1/2 (PPJoin-style): the
+    candidate-bounded EXACT path between the exhaustive inverted index
+    (`dedup_jaccard_pairs`, every shared shingle generates candidates)
+    and MinHash-LSH (bounded but probabilistic). Theorem: order each
+    doc's shingles by ANY global total order; if J(A,B) >= t, the first
+    |A| - ceil(t·|A|) + 1 shingles of A and the first such prefix of B
+    must intersect — so indexing only prefixes (about half of each doc
+    at t = 1/2, and the RAREST half, since the order used is document
+    frequency ascending) keeps exact recall while hot shingles fall out
+    of the index unless they are somebody's rarest half. Survivors are
+    verified with an exact set intersection, and the t-test is integer
+    (3·shared >= n_a + n_b) — no float in any decision.
+
+    Because recall holds for ANY order, the Spark side (xxhash64 ids,
+    (df, hash) order) and the oracle (strings, (df, string) order) may
+    build DIFFERENT candidate sets yet must verify to the SAME pairs —
+    the parity check covers the theorem, not just the arithmetic.
+
+    Scale shape: df table (one hash agg) joins the exploded index once
+    (shuffle by shingle), per-doc prefix rank is a doc-partitioned
+    window, the self-join runs on the halved rare-shingle index, and
+    only candidate pairs ever move full shingle arrays.
+    """
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+    )
+    docs = d.select(
+        "doc_id", F.array_sort(_hashed_shingles(F.col("w"))).alias("hs")
+    ).select("doc_id", "hs", F.size("hs").alias("n_sh"))
+    docs = docs.localCheckpoint(eager=False)  # reused by index + both verify sides
+    ex = docs.select("doc_id", "n_sh", F.explode("hs").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    wnd = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref = (
+        ex.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= F.expr("n_sh - ((n_sh + 1) div 2) + 1"))
+        .select("doc_id", "sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    va = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    vb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
+    v = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("shared"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        v.where(3 * F.col("shared") >= F.col("n_a") + F.col("n_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

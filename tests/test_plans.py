@@ -539,3 +539,62 @@ def test_concurrent_sessions_sweep_is_distributed(spark):
     assert "windowspecdefinition(bucket" in p
     assert "hashpartitioning(bucket" in p
     assert "SinglePartition" not in p
+
+
+def test_prefix_jaccard_equals_exhaustive_above_threshold(spark):
+    """Prefix filtering must lose NOTHING at its threshold: results equal
+    the exhaustive inverted-index op filtered to jaccard >= 1/2, while
+    generating strictly fewer candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.queries.dedup import dedup_jaccard_pairs, dedup_jaccard_prefix
+
+    exhaustive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_pairs(spark, SF_SMALL).collect()
+        if r.jaccard >= 0.5
+    }
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(spark, SF_SMALL).collect()
+    }
+    assert prefix == exhaustive
+
+    # candidate reduction: rebuild both indexes and count distinct
+    # candidate pairs — the prefix index (rarest ~half of each doc)
+    # must generate strictly fewer than the full inverted index
+    from pyspark.sql import Window
+
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.dedup import _hashed_shingles, _words
+
+    def cands(idx):
+        a, b = idx.alias("a"), idx.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    full = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.explode(_hashed_shingles(F.col("w"))).alias("sh"))
+    )
+    ex = full.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    dfreq = full.groupBy("sh").agg(F.count("*").alias("df"))
+    pref_idx = (
+        ex.join(dfreq, "sh")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+        )
+        .where(F.col("rn") <= F.expr("n_sh - ((n_sh + 1) div 2) + 1"))
+        .select("doc_id", "sh")
+    )
+    assert cands(pref_idx) < cands(full)
