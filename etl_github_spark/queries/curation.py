@@ -639,36 +639,48 @@ def curate_decontaminate_bloom(spark, sf_dir):
         .distinct()
         .collect()
     )
-    words = [0] * (_BLOOM_BITS // 32)
+    import numpy as np
+
+    words = np.zeros(_BLOOM_BITS // 32, dtype=np.int64)
     for r in eval_pos:
         words[r["pos"] // 32] |= 1 << (r["pos"] % 32)
-    filt = F.array(*[F.lit(w).cast("long") for w in words])
 
-    # shiftleft() takes only a literal shift amount, so dynamic bit
-    # masks come from a 32-entry literal lookup instead
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    # probe: one vectorized Arrow kernel — the column-expression
+    # formulation (higher-order filter with 4 hashes + 2 array lookups
+    # per shingle) ran ~10x slower because lambda bodies are
+    # interpreted, the same lesson as assign_cells. Pure int64 numpy
+    # arithmetic is bit-free of float concerns, so oracle parity is
+    # unaffected. No join, no shuffle: the filter words ride in the
+    # task closure.
+    pp, mm = _MERSENNE_P, _BLOOM_BITS
 
-    def bloom_hit(x):
-        t = F.lit(True)
-        for pos in positions(x):
-            mask = F.element_at("_masks", (pos % 32).cast("int") + 1)
-            t = t & (
-                (F.element_at("_filt", (pos / 32).cast("int") + 1).bitwiseAND(mask))
-                != 0
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["xs"].map(len).to_numpy()
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in pdf["xs"]]
+            ) if lens.sum() else np.empty(0, dtype=np.int64)
+            hit = np.ones(len(flat), dtype=bool)
+            for a, b in coeffs:
+                pos = ((a * flat + b) % pp) % mm
+                hit &= (words[pos >> 5] >> (pos & 31)) & 1 != 0
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            n_overlap = np.array(
+                [hit[s:e].sum() for s, e in zip(starts, ends)], dtype=np.int64
             )
-        return t
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_sh": lens, "n_overlap": n_overlap}
+            )
 
     probe = (
         d.where(F.col("doc_id") >= 10)
-        .select(
-            "doc_id", "xs", F.size("xs").alias("n_sh"),
-            filt.alias("_filt"), masks.alias("_masks"),
-        )
-        .select(
-            "doc_id",
-            "n_sh",
-            F.size(F.filter("xs", bloom_hit)).cast("long").alias("n_overlap"),
-        )
+        .select("doc_id", "xs")
+        .mapInPandas(run, schema="doc_id long, n_sh long, n_overlap long")
     )
     frac = F.col("n_overlap").cast("double") / F.col("n_sh")
     return probe.select(
