@@ -106,6 +106,7 @@ EXTENDED = [
     "stat_embedding_gram",
     "analytics_concurrent_sessions",
     "dedup_jaccard_prefix",
+    "dedup_simhash_hamming",
 ]
 
 

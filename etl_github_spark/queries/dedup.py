@@ -511,8 +511,9 @@ def dedup_lsh_recall(spark, sf_dir):
 _SIMHASH_BITS = 60  # md5-derived word ids carry 60 bits (15 hex chars)
 
 
-def _simhash_sql() -> str:
-    """DuckDB twin of :func:`dedup_simhash` over the md5 word-id family."""
+def _simhash_cte() -> str:
+    """Shared DuckDB CTE chain computing `sim(doc_id, simhash)` —
+    reused by the bucket audit and the Hamming-radius pair oracles."""
     bit_sums = ",\n             ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(_SIMHASH_BITS)
@@ -536,7 +537,12 @@ def _simhash_sql() -> str:
              {bit_sums}
       FROM h GROUP BY doc_id
     ),
-    sim AS (SELECT doc_id, {assemble} AS simhash FROM bits),
+    sim AS (SELECT doc_id, {assemble} AS simhash FROM bits)"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of :func:`dedup_simhash` over the md5 word-id family."""
+    return f"""{_simhash_cte()},
     buckets AS (
       SELECT simhash, CAST(count(*) AS BIGINT) AS bucket_size
       FROM sim GROUP BY simhash HAVING count(*) > 1
@@ -547,23 +553,9 @@ def _simhash_sql() -> str:
     """
 
 
-@query("dedup_simhash", sql=_simhash_sql(), tags=("dedup", "neardup"))
-def dedup_simhash(spark, sf_dir):
-    """60-bit SimHash per document from word-level md5 features.
-
-    sign-sum per bit position, fully vectorized: explode words → per-bit
-    ±1 contributions via bit tests → groupBy doc sum → reassemble bits.
-    Near-dup candidates = identical simhash (Hamming-0 buckets); wider
-    Hamming radii come from multi-table probing of bit-rotations.
-
-    Hash family: word id = first 60 bits of md5(word) — chosen so the
-    ENTIRE pipeline (word ids → bit sign-sums → reassembled fingerprint
-    → bucket sizes) replays bit-identically in the DuckDB oracle
-    (same pattern as dedup_lsh_recall; integer arithmetic throughout,
-    no float anywhere). At 100 TB swap xxhash64 in for the word id —
-    one changed expression; the md5 family exists to keep the operator
-    falsifiable cross-engine.
-    """
+def _simhash_frame(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash): the shared 60-bit SimHash computation behind
+    the bucket audit and the Hamming-radius pair ops."""
     docs = par(T(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.explode(F.array_distinct(_words())).alias("word"))
     h = w.select(
@@ -586,10 +578,30 @@ def dedup_simhash(spark, sf_dir):
         )
         for i in range(_SIMHASH_BITS)
     ]
-    sim = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms).alias("simhash"),
     )
+
+
+@query("dedup_simhash", sql=_simhash_sql(), tags=("dedup", "neardup"))
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash per document from word-level md5 features.
+
+    sign-sum per bit position, fully vectorized: explode words → per-bit
+    ±1 contributions via bit tests → groupBy doc sum → reassemble bits.
+    Near-dup candidates = identical simhash (Hamming-0 buckets); wider
+    Hamming radii are `dedup_simhash_hamming`'s banded pigeonhole join.
+
+    Hash family: word id = first 60 bits of md5(word) — chosen so the
+    ENTIRE pipeline (word ids → bit sign-sums → reassembled fingerprint
+    → bucket sizes) replays bit-identically in the DuckDB oracle
+    (same pattern as dedup_lsh_recall; integer arithmetic throughout,
+    no float anywhere). At 100 TB swap xxhash64 in for the word id —
+    one changed expression; the md5 family exists to keep the operator
+    falsifiable cross-engine.
+    """
+    sim = _simhash_frame(spark, sf_dir)
     dup_buckets = (
         sim.groupBy("simhash")
         .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("keep_id"))
@@ -1177,4 +1189,90 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return (
         v.where(3 * F.col("shared") >= F.col("n_a") + F.col("n_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+_HAMMING_RADIUS = 3     # pigeonhole: d <= 3 with 4 bands => one band equal
+_HAMMING_BANDS = 4
+_HAMMING_BAND_BITS = _SIMHASH_BITS // _HAMMING_BANDS  # 15
+
+
+def _simhash_hamming_sql() -> str:
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * _HAMMING_BAND_BITS}) & {(1 << _HAMMING_BAND_BITS) - 1} AS bv"
+        f" FROM sim"
+        for b in range(_HAMMING_BANDS)
+    )
+    return f"""{_simhash_cte()},
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_RADIUS}
+    """
+
+
+@query(
+    "dedup_simhash_hamming",
+    sql=_simhash_hamming_sql(),
+    tags=("dedup", "neardup", "scale"),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """Near-dup pairs at SimHash Hamming distance <= 3 — the wider-radius
+    companion of `dedup_simhash` (whose buckets catch only distance 0).
+    Pigeonhole banding: split the 60-bit fingerprint into 4 x 15-bit
+    bands; two hashes within distance 3 differ in at most 3 bands, so at
+    least one band is IDENTICAL — a band-value equi-join generates every
+    qualifying pair (exact recall, no probabilistic misses), and an
+    xor+popcount check verifies the true distance. The standard
+    multi-table SimHash index (Manku et al.'s web-crawl dedup shape),
+    all integer end to end, so the oracle replays it bit-exactly.
+
+    Scale shape: 4 band rows per doc, equi-join keyed on 15-bit band
+    values (bounded buckets at corpus scale ~ corpus/2^15 per value),
+    verification is two longs per candidate — no arrays move.
+    """
+    sim = _simhash_frame(spark, sf_dir)
+    sim = sim.localCheckpoint(eager=False)  # reused by all 4 band selects
+    mask = (1 << _HAMMING_BAND_BITS) - 1
+    bands = None
+    for b in range(_HAMMING_BANDS):
+        part = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * _HAMMING_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(ham <= _HAMMING_RADIUS)
     )
