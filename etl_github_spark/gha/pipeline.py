@@ -207,9 +207,17 @@ def ingest_raw(
     outdir: str,
     mode: str = "append",
     fmt: str | None = None,
+    versioned: bool = False,
 ) -> dict[str, str]:
     """Ingest a raw-lines frame (from :func:`read_raw` or
     :func:`read_raw_direct`) and append all six tables to ``outdir``.
+
+    ``versioned=True`` commits each table through the manifest layer
+    (`io.versioned.vwrite`): every ingest batch becomes an atomic table
+    version, so a crashed run is invisible, concurrent readers keep a
+    consistent snapshot, and yesterday's corpus is one
+    ``vread(version=...)`` away — the reference's Delta transactional
+    append, on the parquet layout.
 
     One cached parse feeds six partitioned writes — the Spark shape of
     process_file + write_delta (preprocess.py:143-175). The cache is
@@ -227,11 +235,18 @@ def ingest_raw(
 
     events = parse_raw_lines(raw).persist(StorageLevel.MEMORY_AND_DISK)
     events.count()  # materialize once; the six jobs below read cached blocks
+    if versioned:
+        from ..io.versioned import vwrite
+
+        def _commit(df, path, mode_, _parts, _fmt):
+            vwrite(df, path, mode=mode_)
+    else:
+        _commit = write_table
     try:
         out = {name: f"{outdir}/{name}" for name in EXTRACTORS}
         with ThreadPoolExecutor(max_workers=len(EXTRACTORS)) as ex:
             futs = [
-                ex.submit(write_table, fn(events), out[name], mode, ("date",), fmt)
+                ex.submit(_commit, fn(events), out[name], mode, ("date",), fmt)
                 for name, fn in EXTRACTORS.items()
             ]
             for f in futs:

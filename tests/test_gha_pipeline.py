@@ -199,6 +199,26 @@ def test_direct_stream_read_plain_text_and_open_failure(spark, tmp_path):
         ).count()
 
 
+def test_versioned_ingest_time_travels(spark, tmp_path):
+    """versioned=True turns each ingest batch into an atomic table
+    version: after two ingests, version 1 still reads the first batch's
+    rows while head reads both."""
+    from etl_github_spark.gha.pipeline import ingest_raw, read_raw
+    from etl_github_spark.io.versioned import latest_version, vread
+
+    src = write_fixture(tmp_path / "src", gz=True)
+    lake = str(tmp_path / "lake")
+    raw = read_raw(spark, [str(p) for p in src])
+    out = ingest_raw(spark, raw, lake, versioned=True)
+    n1 = vread(spark, out["watch"]).count()
+    assert n1 == 7
+
+    ingest_raw(spark, raw, lake, versioned=True)
+    assert latest_version(out["watch"]) == 2
+    assert vread(spark, out["watch"]).count() == 2 * n1   # head
+    assert vread(spark, out["watch"], 1).count() == n1    # time travel
+
+
 def test_fetch_to_landing_failure_raises(spark, tmp_path):
     from etl_github_spark.gha.pipeline import fetch_to_landing
 
