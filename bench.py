@@ -107,6 +107,8 @@ EXTENDED = [
     "analytics_concurrent_sessions",
     "dedup_jaccard_prefix",
     "dedup_simhash_hamming",
+    "dedup_events_debounce",
+    "curate_mix_temperature",
 ]
 
 

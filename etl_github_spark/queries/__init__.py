@@ -25,6 +25,8 @@ string the driver diffs against at sf=0.01.
 #   analytics_concurrent_sessions  (new in r4 — distributed sweep-line)
 #   dedup_jaccard_prefix           (new in r4 — PPJoin-style prefix filter)
 #   dedup_simhash_hamming          (new in r4 — banded Hamming-radius pairs)
+#   dedup_events_debounce          (new in r4 — 5s same-type debounce)
+#   curate_mix_temperature         (new in r4 — sqrt-temperature mixing)
 #   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
 #                                   its r4 row is from the same round)
 #   sim_topk_pq                    (same — oracle attached in r4)

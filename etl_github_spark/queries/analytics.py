@@ -1059,3 +1059,43 @@ def analytics_concurrent_sessions(spark, sf_dir):
         .where(F.col("delta") == 1)
         .select("user_id", F.col("ts").alias("session_start"), "concurrency")
     )
+
+
+_DEBOUNCE_SQL = """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (WHERE prev_us IS NULL
+                                    OR us - prev_us > 5000000) AS BIGINT) AS n_kept
+    FROM d
+    GROUP BY event_type
+    """
+
+
+@query("dedup_events_debounce", sql=_DEBOUNCE_SQL, tags=("dedup", "events"))
+def dedup_events_debounce(spark, sf_dir):
+    """Debounce dedup: an event repeated by the same user within 5s of
+    the previous same-type event is a client retry / double-submit, not
+    a signal — per type, raw vs debounced counts (the cleaning rule
+    itself is the filter `prev IS NULL OR gap > 5s`). Complements
+    `dedup_events_hourly` (which keys on the hour bucket): debounce is
+    order-sensitive, so it needs the lag window, one shuffle keyed on
+    (user, type) — per-user-type partitions stay small at any corpus
+    size. Gap arithmetic in exact integer microseconds.
+    """
+    e = T(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session makes
+    # the cast an identity on instants, matching DuckDB's epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = e.select("event_type", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    kept = F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 5_000_000)
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )

@@ -686,3 +686,73 @@ def curate_decontaminate_bloom(spark, sf_dir):
     return probe.select(
         "doc_id", "n_overlap", frac.alias("overlap_frac")
     ).where(frac >= 0.05)
+
+
+_MIX_TEMP_SQL = """
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+                         (a, b) -> a + b) AS s,
+             CAST(sum(n) AS BIGINT) // 2 AS budget
+      FROM cnt
+    ),
+    tgt AS (
+      SELECT source,
+             CAST(floor(budget * sqrt(CAST(n AS DOUBLE)) / s) AS BIGINT) AS target
+      FROM cnt, tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN tgt USING (source)
+    WHERE rn <= target
+    """
+
+
+@query("curate_mix_temperature", sql=_MIX_TEMP_SQL, tags=("curation", "sampling"))
+def curate_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (alpha = 1/2): per-source quotas
+    proportional to n_i^alpha instead of n_i — the standard rebalance
+    that up-weights scarce sources without flattening the mixture
+    entirely (alpha=1 keeps natural proportions, alpha=0 is uniform;
+    sqrt is the common middle). Budget = half the corpus; selection
+    within a source is content-hash order, so the sample is
+    reproducible across runs and engines.
+
+    Determinism: sqrt is a correctly-rounded IEEE op (same result in
+    Python, Spark, DuckDB); the normalizer folds the per-source sqrt
+    terms in source order on both sides; quota arithmetic is
+    bigint*double -> floor. Per-source counts collect to the driver —
+    |sources| rows of index metadata — and come back as a broadcast
+    quota table; the corpus-side work is one window rank per source.
+    """
+    import math
+
+    d = T(spark, sf_dir, "documents")
+    cnt = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    s = 0.0
+    for src in sorted(cnt):
+        s += math.sqrt(float(cnt[src]))
+    budget = sum(cnt.values()) // 2
+    tgt = [
+        (src, int(math.floor(budget * math.sqrt(float(n)) / s)))
+        for src, n in cnt.items()
+    ]
+    tgt_df = d.sparkSession.createDataFrame(tgt, "source string, target long")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(tgt_df), "source")
+        .where(F.col("rn") <= F.col("target"))
+        .select("doc_id", "source")
+    )
