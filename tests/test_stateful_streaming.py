@@ -111,6 +111,8 @@ def test_volume_spike_gate_flags_burst_not_ramp(spark, tmp_path):
     after the burst doesn't re-flag if volume returns to normal."""
     from etl_github_spark.streaming.stateful import volume_spike_gate
 
+    import os
+
     indir = tmp_path / "in"
     mk = lambda n: [  # noqa: E731
         {"event_type": "click", "ts": "2024-01-01T00:00:00"} for _ in range(n)
@@ -119,6 +121,11 @@ def test_volume_spike_gate_flags_burst_not_ramp(spark, tmp_path):
     _write_batch(indir, "b2.json", mk(12))
     _write_batch(indir, "b3.json", mk(110))  # burst
     _write_batch(indir, "b4.json", mk(11))
+    # the file source orders micro-batches by modification time; the four
+    # writes can share an mtime second, so pin strictly increasing mtimes
+    # or the "burst" can be processed first and never flag
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        os.utime(indir / name, (1700000000 + i, 1700000000 + i))
 
     stream = (
         spark.readStream.schema("event_type STRING, ts TIMESTAMP")
