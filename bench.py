@@ -109,6 +109,8 @@ EXTENDED = [
     "dedup_simhash_hamming",
     "dedup_events_debounce",
     "curate_mix_temperature",
+    "lake_versioned_timetravel",
+    "lake_matview_refresh",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Lakehouse-machinery exercises as oracle-checked queries.
+
+The storage layer (versioned manifests, incremental views) is pytest-
+verified where DuckDB can't express the behavior — but its OUTPUTS are
+plain deterministic aggregates, so these queries run a full write →
+maintain → read cycle in a scratch dir and return results an oracle
+can recompute straight from the fixture tables. That puts the
+transactional/time-travel/merge-refresh contracts under the driver's
+hash-compare, not just local tests.
+
+Scratch state goes under a per-(sf_dir, query) temp directory that is
+rebuilt from scratch each call — queries stay pure functions of the
+fixture data.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ._util import T
+from .registry import query
+
+
+def _scratch(name: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"lake_{name}_")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+@query(
+    "lake_versioned_timetravel",
+    sql="""
+    SELECT 1 AS version,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+    tags=("lake", "versioned"),
+)
+def lake_versioned_timetravel(spark, sf_dir):
+    """Transactional append + time travel, driver-checked end to end:
+    commit the even-id half of events as table version 1, append the
+    odd-id half as version 2, then read BOTH versions back through the
+    manifest layer. The returned (version, n_rows) pairs must equal
+    what the oracle derives from the fixture alone — so a broken
+    commit, a torn manifest, or a time-travel read that leaks the other
+    version's files all fail the hash compare.
+    """
+    from ..io.versioned import vread, vwrite
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    path = _scratch("vtt")
+    vwrite(e.where(F.col("event_id") % 2 == 0), path)
+    vwrite(e.where(F.col("event_id") % 2 == 1), path, mode="append")
+    rows = [(1, vread(spark, path, 1).count()), (2, vread(spark, path, 2).count())]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+@query(
+    "lake_matview_refresh",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("lake", "matview"),
+)
+def lake_matview_refresh(spark, sf_dir):
+    """Incremental view maintenance, driver-checked end to end: land
+    events in two date-partition batches, merge-refresh the per-type
+    (count, sum) view after EACH append, and return the final view —
+    which must hash-equal a direct aggregate over the fixture. The
+    second refresh scans only the second batch (asserted here), so a
+    refresh that silently re-reads or misses history diverges from the
+    oracle. Money sums ride as exact integer cents (the engine-portable
+    fixed-point rule).
+    """
+    from ..io.matview import read_view, refresh_view
+    from ..io.sink import write_table
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_id") % 2 == 0, "b0").otherwise("b1").alias("batch"),
+    )
+    table, view = _scratch("mv_t"), _scratch("mv_v")
+    write_table(e.where(F.col("batch") == "b0"), table, partition_by=("batch",))
+    refresh_view(spark, table, view, ["event_type"], ["cents"])
+    write_table(e.where(F.col("batch") == "b1"), table, partition_by=("batch",))
+    r = refresh_view(spark, table, view, ["event_type"], ["cents"])
+    assert r["scanned"] == ["batch=b1"], r  # incrementality is part of the contract
+    out = read_view(spark, view).select(
+        "event_type",
+        F.col("cnt"),
+        F.col("sum_cents").alias("sum_cents"),
+    )
+    rows = [(r2["event_type"], r2["cnt"], r2["sum_cents"]) for r2 in out.collect()]
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, cnt long, sum_cents long")
