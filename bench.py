@@ -111,6 +111,8 @@ EXTENDED = [
     "curate_mix_temperature",
     "lake_versioned_timetravel",
     "lake_matview_refresh",
+    "analytics_power_users_pareto",
+    "stat_tv_distance_sources",
 ]
 
 

@@ -29,6 +29,8 @@ string the driver diffs against at sf=0.01.
 #   curate_mix_temperature         (new in r4 — sqrt-temperature mixing)
 #   lake_versioned_timetravel      (new in r4 — commit/time-travel cycle)
 #   lake_matview_refresh           (new in r4 — incremental view refresh)
+#   analytics_power_users_pareto   (new in r4 — activity concentration)
+#   stat_tv_distance_sources       (new in r4 — log-free drift monitor)
 #   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
 #                                   its r4 row is from the same round)
 #   sim_topk_pq                    (same — oracle attached in r4)

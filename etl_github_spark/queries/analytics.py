@@ -1099,3 +1099,129 @@ def dedup_events_debounce(spark, sf_dir):
         F.count("*").alias("n_raw"),
         F.count(F.when(kept, 1)).alias("n_kept"),
     )
+
+
+_PARETO_SQL = """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT n,
+             CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk,
+             CAST(sum(n) OVER (ORDER BY n DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS n_users,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM u
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(max(cum) AS BIGINT) AS cum_events,
+           CAST(max(cum) AS DOUBLE) / any_value(total) AS cum_share
+    FROM (SELECT *, (rk * 10 - 1) // n_users + 1 AS decile FROM r)
+    GROUP BY decile
+    """
+
+
+@query("analytics_power_users_pareto", sql=_PARETO_SQL, tags=("analytics", "events"))
+def analytics_power_users_pareto(spark, sf_dir):
+    """Pareto concentration curve: users ranked by activity, bucketed
+    into deciles, with the cumulative event share at each decile
+    boundary — the "do 10% of users drive 80% of events" measurement
+    behind skew-aware capacity and sampling decisions (and a direct
+    read on how salted paths will pay off).
+
+    Integer end to end until one final division: per-user counts, a
+    deterministic (n DESC, user_id) rank, integer cumulative sums, and
+    decile = ceil(rk*10 / n_users) in pure integer math. The global
+    window runs over |users| rows (already aggregated), not events —
+    at 100 TB that's the same two-level sweep as
+    `analytics_concurrent_sessions` if |users| ever outgrows one
+    partition.
+    """
+    e = T(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), "user_id")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    r = u.select(
+        "n",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.sum("n").over(w_cum).alias("cum"),
+        F.count("*").over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    decile = ((F.col("rk") * 10 - 1) / F.col("n_users")).cast("long") + 1
+    return (
+        r.select(decile.cast("int").alias("decile"), "cum", "total")
+        .groupBy("decile")
+        .agg(
+            F.max("cum").alias("cum_events"),
+            (F.max("cum").cast("double") / F.first("total")).alias("cum_share"),
+        )
+    )
+
+
+_TV_SQL = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c_s FROM tok GROUP BY source, w
+    ),
+    corp AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    totals AS (
+      SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sc GROUP BY source
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    grid AS (
+      SELECT t.source, t.n_s, corp.w, corp.c, coalesce(sc.c_s, 0) AS c_s
+      FROM totals t
+      CROSS JOIN corp
+      LEFT JOIN sc ON sc.source = t.source AND sc.w = corp.w
+    )
+    SELECT source,
+           CAST(sum(abs(c_s * n.n - c * n_s)) AS BIGINT) AS tv_numer,
+           CAST(sum(abs(c_s * n.n - c * n_s)) AS DOUBLE)
+             / (2.0 * any_value(n_s) * any_value(n.n)) AS tv_distance
+    FROM grid, n
+    GROUP BY source
+    """
+
+
+@query("stat_tv_distance_sources", sql=_TV_SQL, tags=("stats", "drift", "text"))
+def stat_tv_distance_sources(spark, sf_dir):
+    """Per-source distribution drift vs the corpus: total-variation
+    distance between each source's unigram distribution and the
+    whole-corpus distribution — the KL/JS-divergence job done log-free
+    (TV = half the L1 gap, orders sources by drift the same way, and is
+    the metric behind "did this crawl snapshot shift?" monitors).
+
+    Exactness: TV = Σ_w |c_s·N − c·n_s| / (2·n_s·N) — the numerator is
+    a pure int64 sum (order-independent), the division a single IEEE
+    op, so the result is bit-identical across engines. Overflow: c·n_s
+    caps corpus tokens at ~3e9; past that promote to DECIMAL(38,0).
+    Shape: two count aggregations, then a vocab × sources grid (a
+    broadcast of the tiny source-totals side over the vocab table) —
+    shuffle volume |vocab|·|sources|, not corpus-sized.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c_s"))
+    corp = tok.groupBy("w").agg(F.count("*").alias("c"))
+    totals = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n = tok.agg(F.count("*").alias("n"))
+    grid = (
+        corp.crossJoin(F.broadcast(totals))
+        .join(sc, ["source", "w"], "left")
+        .select(
+            "source", "n_s", "w", "c", F.coalesce("c_s", F.lit(0)).alias("c_s")
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    numer = F.sum(F.abs(F.col("c_s") * F.col("n") - F.col("c") * F.col("n_s")))
+    return grid.groupBy("source").agg(
+        numer.alias("tv_numer"),
+        (
+            numer.cast("double") / (2.0 * F.first("n_s") * F.first("n"))
+        ).alias("tv_distance"),
+    )
