@@ -113,6 +113,11 @@ EXTENDED = [
     "lake_matview_refresh",
     "analytics_power_users_pareto",
     "stat_tv_distance_sources",
+    "quality_perplexity_unigram",
+    "quality_perplexity_bigram",
+    "text_bm25_topk",
+    "graph_pagerank_purchases",
+    "graph_degree_histogram",
 ]
 
 

@@ -34,7 +34,7 @@ string the driver diffs against at sf=0.01.
 #   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
 #                                   its r4 row is from the same round)
 #   sim_topk_pq                    (same — oracle attached in r4)
-from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake  # noqa: F401,E402
+from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
 _R4_WINDOW = [

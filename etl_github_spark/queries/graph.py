@@ -1,0 +1,197 @@
+"""Graph analytics over join-derived edge lists: PageRank and degree
+statistics on the customer→supplier purchase graph.
+
+The edge list is derived relationally (orders ⋈ lineitem → distinct
+(customer, supplier) pairs) — the shape a 100 TB deployment produces by
+collapsing the raw fact table into a much smaller distinct edge set
+before any iteration. PageRank runs in **pure int64 fixed-point**
+(rank mass scaled by 1e12, all divisions integral) so three engines'
+worth of per-iteration reductions stay bit-exact: float PageRank sums
+in-neighbor contributions in nondeterministic order, integer PageRank
+doesn't care.
+
+Iteration in Spark unrolls lazily; each round's rank frame is
+`localCheckpoint(eager=False)`-materialized because the next round
+consumes it twice (dangling-mass aggregate + contribution join) and the
+dependency would otherwise recompute geometrically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import T
+from .registry import query
+
+_SCALE = 10**12  # fixed-point rank mass (total graph mass = _SCALE)
+_ITERS = 3
+_TOP = 20
+
+
+def _pagerank_sql() -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST({scale} // nn.n AS BIGINT) AS r FROM nodes, nn
+    )"""
+    it = """,
+    d{i} AS (
+      SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+      FROM r{p} LEFT JOIN deg USING (node) WHERE outdeg IS NULL
+    ),
+    in{i} AS (
+      SELECT e.dst AS node, CAST(sum(r.r // deg.outdeg) AS BIGINT) AS m
+      FROM edges e
+      JOIN r{p} r ON r.node = e.src
+      JOIN deg ON deg.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST((15 * ({scale} // nn.n)) // 100
+                + (85 * (coalesce(in{i}.m, 0) + (d{i}.dm // nn.n))) // 100
+               AS BIGINT) AS r
+      FROM nodes
+      CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN in{i} USING (node)
+    )"""
+    parts = [head.format(scale=_SCALE)]
+    for i in range(1, _ITERS + 1):
+        parts.append(it.format(i=i, p=i - 1, scale=_SCALE))
+    parts.append(
+        f"""
+    SELECT node, r AS rank_q12 FROM r{_ITERS}
+    ORDER BY r DESC, node LIMIT {_TOP}
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank_purchases", sql=_pagerank_sql(), tags=("graph", "iterative"))
+def graph_pagerank_purchases(spark, sf_dir):
+    """PageRank over the bipartite customer→supplier purchase graph
+    (damping 0.85, 3 iterations, dangling mass redistributed uniformly)
+    — the influence/centrality primitive behind seller ranking, spam
+    scoring, and link-graph curation. Emits the top-20 nodes by
+    fixed-point rank (scaled 1e12).
+
+    Integer fixed-point contract: r₀ = S div N; each round
+    r' = (15·(S div N)) div 100 + (85·(inmass + D div N)) div 100 with
+    every division integral — bit-exact under any reduction order, so
+    the DuckDB oracle replays the identical recurrence with `//`.
+
+    Scale shape: the edge list is a distinct-collapsed fact-table join
+    (shuffle once, reused every round via localCheckpoint); each
+    iteration is one shuffle keyed by dst plus a 1-row dangling-mass
+    broadcast — the standard Pregel-on-DataFrames shape. Customers all
+    tie at the teleport floor (no in-edges); the top-k order is
+    (rank desc, node) so ties are deterministic.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ncnt = nodes.agg(F.count("*").cast("long").alias("n"))
+    ranks = nodes.join(F.broadcast(ncnt)).select(
+        "node", F.expr(f"{_SCALE} div n").cast("long").alias("r")
+    )
+    for _ in range(_ITERS):
+        ranks = ranks.localCheckpoint(eager=False)
+        dang = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left")
+            .where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        inm = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(F.broadcast(ncnt))
+            .join(F.broadcast(dang))
+            .join(inm, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({_SCALE} div n)) div 100"
+                    " + (85 * (coalesce(m, 0) + (dm div n))) div 100"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(_TOP)
+        .select("node", F.col("r").alias("rank_q12"))
+    )
+
+
+@query(
+    "graph_degree_histogram",
+    sql="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY o_custkey
+    )
+    SELECT outdeg, CAST(count(*) AS BIGINT) AS n_customers
+    FROM deg GROUP BY outdeg
+    """,
+    tags=("graph",),
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Out-degree distribution of the purchase graph (distinct suppliers
+    per customer) — the first diagnostic before any iterative graph
+    algorithm: it sizes the supernode/skew risk that decides whether a
+    plain keyed shuffle suffices or high-degree hubs need salting
+    (`join_salted_hotkey` is the mitigation path).
+
+    Two hash aggregations, both map-side-combinable; no sort, no window.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+    )
+    return deg.groupBy("outdeg").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )

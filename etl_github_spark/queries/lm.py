@@ -1,0 +1,420 @@
+"""Statistical language-model scoring: perplexity-style quality filters
+and BM25 ranked retrieval.
+
+The CCNet/RedPajama-class pipelines keep or drop documents by n-gram
+LM perplexity; retrieval-based curation ranks documents by BM25 against
+probe queries. Both scores are log-based, and ``ln`` is the one libm
+call that may differ by 1 ulp between Spark's JVM and DuckDB — so these
+operators never let a float reduction (or a raw log) reach the result:
+
+* surprisal is quantized to integer nano-nats **per vocabulary type**
+  (one ``ln`` per distinct token/bigram, not per occurrence);
+* per-document scores are exact BIGINT sums of those integers
+  (order-insensitive, overflow-safe: 1e9-scaled surprisals ≤ ~40e9 per
+  token × 1e6 tokens/doc stays far under int64);
+* emitted columns are integers and rank buckets (deciles / top-k rank),
+  never raw doubles.
+
+The only cross-engine nondeterminism left is a floor-boundary event on
+the per-type quantization: P ≈ grid·ulp ≈ 1.8e-6 per vocab entry, i.e.
+negligible at fixture vocab sizes and ~1-in-500k entries at a 1M-token
+vocabulary (a flipped entry shifts one doc's integer score by 1e-9
+nats — it changes a decile only on an exact tie boundary).
+
+Reference parity: the reference pipeline has no LM scorer; these extend
+the quality/curation surface (SURVEY.md §2.9 north-star ops) beyond
+`quality_token_rarity`'s integer df-surrogate with true smoothed-LM
+cross-entropy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._util import T, par
+from .registry import query
+
+_Q = int(1e9)  # nano-nat quantization for per-type surprisal
+
+
+def _tokens(spark, sf_dir):
+    """Token stream (doc_id, tok), materialized once for the multiple
+    consumers (vocab aggregation + per-doc join) — Spark does not reuse
+    the exchange across the two subtrees otherwise."""
+    return (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "quality_perplexity_unigram",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vsize
+      FROM vocab
+    ),
+    surp AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(total + vsize AS DOUBLE) / (c + 1)) * {_Q})
+                  AS BIGINT) AS s
+      FROM vocab, tot
+    ),
+    doc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(s) AS BIGINT) AS surprisal_q9
+      FROM toks t JOIN surp USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, surprisal_q9,
+           CAST(ntile(10) OVER (
+             ORDER BY CAST(surprisal_q9 AS DOUBLE) / n_tokens, doc_id
+           ) AS INTEGER) AS ppl_decile
+    FROM doc
+    """,
+    tags=("quality", "lm", "training-prep"),
+)
+def quality_perplexity_unigram(spark, sf_dir):
+    """Unigram-LM perplexity deciles — the CCNet-style quality split:
+    train an add-one-smoothed unigram model on the corpus itself, score
+    each document by mean token surprisal, and bucket documents into
+    perplexity deciles (decile 1 = most predictable / head-like,
+    decile 10 = most surprising / tail-or-garble). Downstream curation
+    keeps a decile band instead of thresholding a raw float.
+
+    Scale shape: the surprisal table is VOCAB-sized and broadcasts to
+    the token stream; the per-doc sum is the only corpus-sized shuffle
+    (keyed by doc_id, uniform). The final decile is an exact global
+    ntile — a single-reducer sort over one row per document; at 100 TB
+    replace it with `approx_percentile` cutoffs broadcast from a 1-row
+    aggregate (same output contract, no global sort) — exact ntile is
+    kept here because the oracle must reproduce bucket boundaries
+    bit-for-bit.
+    """
+    toks = _tokens(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vsize"),
+    )
+    surp = vocab.join(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("total") + F.col("vsize")).cast("double")
+                / (F.col("c") + F.lit(1))
+            )
+            * F.lit(_Q)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    doc = (
+        toks.join(F.broadcast(surp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s").cast("long").alias("surprisal_q9"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("surprisal_q9").cast("double") / F.col("n_tokens"), F.col("doc_id")
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_q9",
+        F.ntile(10).over(w).cast("int").alias("ppl_decile"),
+    )
+
+
+_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+@query(
+    "quality_perplexity_bigram",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vsize
+      FROM uni
+    ),
+    bg AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bge AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bge GROUP BY w1, w2
+    ),
+    hist AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS h FROM c12 GROUP BY w1
+    ),
+    surp AS (
+      SELECT c12.w1, c12.w2,
+             CAST(floor(-ln(
+               ({_LAMBDA} * (c12.c12 + 1.0) / (hist.h + tot.vsize))
+               + ({1 - _LAMBDA} * (uni.c + 1.0) / (tot.total + tot.vsize))
+             ) * {_Q}) AS BIGINT) AS s
+      FROM c12
+      JOIN hist USING (w1)
+      JOIN uni ON uni.tok = c12.w2
+      CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS surprisal_q9
+      FROM bge b JOIN surp USING (w1, w2)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, surprisal_q9,
+           CAST(ntile(10) OVER (
+             ORDER BY CAST(surprisal_q9 AS DOUBLE) / n_bigrams, doc_id
+           ) AS INTEGER) AS ppl_decile
+    FROM doc
+    """,
+    tags=("quality", "lm", "training-prep"),
+)
+def quality_perplexity_bigram(spark, sf_dir):
+    """Interpolated bigram-LM perplexity deciles — the stronger KenLM-
+    style scorer: p(w2|w1) = λ·(c12+1)/(h(w1)+V) + (1−λ)·(c(w2)+1)/(T+V)
+    with λ=0.7, scored as mean bigram surprisal per document and
+    bucketed into deciles. The interpolation backs off to the unigram
+    for unseen transitions, so repetitive boilerplate (predictable
+    transitions) lands in low deciles and shuffled/garbled text in high
+    ones even when its unigram profile is normal — the case the unigram
+    scorer cannot separate.
+
+    The interpolation expression is a fixed-order arithmetic chain over
+    integers (IEEE-identical cross-engine); one ln per distinct BIGRAM
+    type, quantized as in the module contract. Bigram streams come from
+    a lead() window partitioned by doc_id (no self-join); the surprisal
+    table is bigram-vocab-sized and broadcasts. Docs with a single token
+    have no bigrams and drop out (scored by the unigram sibling).
+    """
+    d = par(T(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).localCheckpoint(eager=False)
+    uni = d.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vsize"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bge = (
+        d.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(wdoc).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    c12 = bge.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    hist = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("h"))
+    surp = (
+        c12.join(hist, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    (
+                        F.lit(_LAMBDA)
+                        * (F.col("c12") + F.lit(1.0))
+                        / (F.col("h") + F.col("vsize"))
+                    )
+                    + (
+                        F.lit(1 - _LAMBDA)
+                        * (F.col("c") + F.lit(1.0))
+                        / (F.col("total") + F.col("vsize"))
+                    )
+                )
+                * F.lit(_Q)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    doc = (
+        bge.join(F.broadcast(surp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprisal_q9"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("surprisal_q9").cast("double") / F.col("n_bigrams"), F.col("doc_id")
+    )
+    return doc.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_q9",
+        F.ntile(10).over(w).cast("int").alias("ppl_decile"),
+    )
+
+
+_BM25_TERMS = ("merge", "window", "stream")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok = '{_BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(sum(CASE WHEN tok = '{_BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             CAST(sum(CASE WHEN tok = '{_BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      FROM toks GROUP BY doc_id
+    ),
+    df AS (
+      SELECT CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS BIGINT) AS df1,
+             CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS BIGINT) AS df2,
+             CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS BIGINT) AS df3
+      FROM tf
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tf1, t.tf2, t.tf3, d.dl,
+             (ln(1 + (s.n_docs - f.df1 + 0.5) / (f.df1 + 0.5))
+                * (t.tf1 * ({_K1} + 1))
+                / (t.tf1 + {_K1} * (1 - {_B} + {_B} * d.dl
+                                    / (CAST(s.total AS DOUBLE) / s.n_docs))))
+           + (ln(1 + (s.n_docs - f.df2 + 0.5) / (f.df2 + 0.5))
+                * (t.tf2 * ({_K1} + 1))
+                / (t.tf2 + {_K1} * (1 - {_B} + {_B} * d.dl
+                                    / (CAST(s.total AS DOUBLE) / s.n_docs))))
+           + (ln(1 + (s.n_docs - f.df3 + 0.5) / (f.df3 + 0.5))
+                * (t.tf3 * ({_K1} + 1))
+                / (t.tf3 + {_K1} * (1 - {_B} + {_B} * d.dl
+                                    / (CAST(s.total AS DOUBLE) / s.n_docs))))
+             AS score
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s CROSS JOIN df f
+      WHERE t.tf1 + t.tf2 + t.tf3 > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, tf1, tf2, tf3, dl
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_TOPK}
+    """,
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 ranked retrieval for a fixed probe query — the
+    retrieval-based curation primitive (rank a corpus against probe
+    queries; keep/inspect the head). Okapi BM25 with k1=1.2, b=0.75 over
+    whitespace tokens.
+
+    Determinism: the score is a fixed-order arithmetic chain over the
+    per-doc integers (tf1..tf3, dl) and three idf constants — per-row
+    double math, IEEE-identical cross-engine up to the three ln calls,
+    whose ulp-level engine difference shifts every doc's score by the
+    same per-term amount and cannot reorder docs (ties are exact:
+    identical (tf, dl) tuples produce identical scores in both engines,
+    and are broken by doc_id). The emitted columns are the rank and the
+    integer inputs, never the float score.
+
+    Scale shape: one token-scan computes dl and the three tf columns as
+    conditional aggregates (no per-term join, no pivot shuffle); the
+    corpus-wide stats (N, total length, df per term) are a 1-row
+    broadcast; scoring is map-side; the top-k is TakeOrderedAndProject.
+    """
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total"),
+        *[
+            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1))
+            .cast("long")
+            .alias(f"df{i + 1}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        return (
+            idf
+            * (tf * F.lit(_K1 + 1))
+            / (tf + F.lit(_K1) * (F.lit(1 - _B) + F.lit(_B) * F.col("dl") / avgdl))
+        )
+
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .where(sum(F.col(f"tf{i + 1}") for i in range(len(_BM25_TERMS))) > 0)
+        .select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            "tf3",
+            "dl",
+            (contrib(1) + contrib(2) + contrib(3)).alias("score"),
+        )
+    )
+    # top-k first (TakeOrderedAndProject — no global sort materializes),
+    # then rank the k survivors with a trivial window.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_TOPK)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "tf1",
+        "tf2",
+        "tf3",
+        "dl",
+    )
