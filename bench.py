@@ -118,6 +118,7 @@ EXTENDED = [
     "text_bm25_topk",
     "graph_pagerank_purchases",
     "graph_degree_histogram",
+    "agg_hll_sketch_rollup",
 ]
 
 

@@ -268,6 +268,57 @@ def agg_approx_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "agg_hll_sketch_rollup",
+    sql="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY 1
+    """,
+    tags=("approx", "sketch", "trend"),
+)
+def agg_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-DAY DataSketches HLL sketches of
+    distinct users, unioned to per-WEEK estimates — the pattern that
+    makes distinct-count rollups O(sketches) instead of O(rescans) at
+    100 TB: persist one small sketch per partition/day once, then any
+    weekly/monthly/all-time rollup is `hll_union_agg` over kilobytes.
+    (`approx_count_distinct` cannot do this — its HLL++ buffer is not
+    exposed as a mergeable value; `hll_sketch_agg` is.)
+
+    Driver-checked tolerance PIN (same pattern as
+    `agg_approx_distinct_users`): emits the exact weekly cardinality
+    plus ``sketch_ok`` = |estimate − exact| ≤ ceil(3·rsd·exact)+1 with
+    rsd = 1.04/√2¹² ≈ 1.6% at lgK=12; the oracle recomputes the exact
+    side and asserts TRUE. The exact branch is the audit cost — a
+    production rollup keeps only the sketch path.
+    """
+    lg_k = 12
+    rsd = 1.04 / (2 ** (lg_k / 2))
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    tol = F.ceil(F.lit(3 * rsd) * F.col("n_exact")) + F.lit(1)
+    return (
+        exact.join(weekly, "week")
+        .select(
+            "week",
+            "n_exact",
+            (F.abs(F.col("approx") - F.col("n_exact")) <= tol).alias("sketch_ok"),
+        )
+    )
+
+
 # --- time-bucketed trends (gha.ipynb cell 27 "recent trends") --------------
 
 
