@@ -598,3 +598,59 @@ def test_prefix_jaccard_equals_exhaustive_above_threshold(spark):
         .select("doc_id", "sh")
     )
     assert cands(pref_idx) < cands(full)
+
+
+def test_bm25_single_scan_and_topk(spark):
+    """BM25 must compute dl + all tf columns in ONE token-scan aggregate
+    (no per-term join), broadcast the 1-row stats, and take the top-k
+    with TakeOrderedAndProject (no rangepartitioning sort)."""
+    p = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "SortMergeJoin" not in p
+    # one corpus explode only: the token stream is materialized once
+    assert p.count("Generate explode") <= 1
+
+
+def test_perplexity_vocab_broadcasts(spark):
+    """The surprisal table is vocab-sized: it must reach the token
+    stream as a broadcast, never a shuffled join."""
+    p = plan_of(spark, "quality_perplexity_unigram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_perplexity_bigram_no_self_join_for_bigrams(spark):
+    """Bigram pairs come from a lead() window partitioned by doc_id —
+    not a positional self-join of the token stream."""
+    p = plan_of(spark, "quality_perplexity_bigram")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_scalars_broadcast_topk_bounded(spark):
+    """Every per-iteration scalar (N, dangling mass) joins as a 1-row
+    broadcast (BroadcastNestedLoopJoin) — a cartesian there would scan
+    the rank frame per row. The contribution/rank joins are keyed
+    shuffles (SortMergeJoin is CORRECT: at 100 TB both sides are
+    graph-sized and broadcast is impossible). The final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    p = plan_of(spark, "graph_pagerank_purchases")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_hll_rollup_partial_aggregates(spark):
+    """Daily sketches must build with map-side partial aggregation
+    (partial + final HashAggregate/ObjectHashAggregate pairs)."""
+    p = plan_of(spark, "agg_hll_sketch_rollup")
+    assert (p.count("HashAggregate") + p.count("ObjectHashAggregate")) >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_degree_histogram_map_side_combine(spark):
+    p = plan_of(spark, "graph_degree_histogram")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
