@@ -119,6 +119,7 @@ EXTENDED = [
     "graph_pagerank_purchases",
     "graph_degree_histogram",
     "agg_hll_sketch_rollup",
+    "agg_heavy_hitters_mg",
 ]
 
 

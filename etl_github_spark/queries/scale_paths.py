@@ -1252,3 +1252,73 @@ def curate_kcenter_diversity(spark, sf_dir, k: int = 8):
     return spark.createDataFrame(
         [(r, vid) for r, vid, _ in sel], "sel_round int, vec_id long"
     ).orderBy("sel_round")
+
+
+_MG_CAP = 128  # Misra-Gries counter capacity per partition
+_HH_K = 100  # heavy-hitter threshold: frequency > N div _HH_K
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING count(*) > tot.n // {_HH_K}
+    """,
+    tags=("approx", "sketch", "scale-path"),
+)
+def agg_heavy_hitters_mg(spark, sf_dir):
+    """Exact heavy hitters (tokens with frequency > N/100) found the
+    bounded-memory way: a per-partition Misra-Gries summary (128
+    counters, merged batch-by-batch with the Agarwal-et-al mergeable-
+    summaries prune) proposes a candidate set, and a candidate-filtered
+    exact count keeps only the true hitters. Output is EXACT and
+    oracle-checked — the sketch only bounds memory, never accuracy.
+
+    Why not a plain groupBy+HAVING? At 100 TB the token domain is
+    billions of keys: the full aggregate shuffles the whole vocabulary
+    to find a handful of rows. Here the shuffle carries only candidate
+    tokens (≤ 128 per partition, deduplicated), because capacity 128 >
+    _HH_K−1 guarantees every token with global frequency > N/128 — a
+    superset of the > N/100 targets — survives some partition's summary:
+    MG with c counters underestimates a partition-local count by at most
+    n_p/(c+1), so a global hitter exceeds the bar in at least one
+    partition.
+
+    The per-batch merge is vectorized (pandas value_counts, C speed);
+    the Python dict touches only BATCH-VOCAB-sized data per batch.
+    """
+    import pandas as pd
+
+    toks = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > _MG_CAP:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[_MG_CAP]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        yield pd.DataFrame({"tok": pd.Series(list(counters), dtype="object")})
+
+    cands = toks.mapInPandas(summarize, schema="tok string").distinct()
+    tot = toks.agg(F.count("*").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(F.broadcast(tot))
+        .where(F.col("cnt") > F.expr(f"n div {_HH_K}"))
+        .select("tok", "cnt")
+    )

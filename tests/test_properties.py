@@ -347,3 +347,38 @@ def test_fold_cosine_invariant_under_partitioning(spark):
     base = topk(emb.coalesce(1))
     assert topk(emb.repartition(3)) == base
     assert topk(emb.repartition(16)) == base
+
+
+def test_heavy_hitters_invariant_under_adversarial_partitioning(spark):
+    """The Misra-Gries candidate pass must not lose a true heavy hitter
+    no matter how the token stream is partitioned — the MG guarantee
+    (capacity 128 > threshold k−1) is a per-partition property, so the
+    worst case is many tiny partitions where per-partition counts carry
+    the least signal. Compare against the direct groupBy+HAVING result
+    computed without any sketch."""
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import (
+        _HH_K,
+        agg_heavy_hitters_mg,
+    )
+
+    from .conftest import SF_SMALL
+
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    n = toks.count()
+    truth = {
+        (r["tok"], r["cnt"])
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") > n // _HH_K)
+        .collect()
+    }
+    got = {
+        (r["tok"], r["cnt"])
+        for r in agg_heavy_hitters_mg(spark, SF_SMALL).collect()
+    }
+    assert got == truth
+    assert truth, "fixture must contain at least one heavy hitter"
