@@ -120,6 +120,8 @@ EXTENDED = [
     "graph_degree_histogram",
     "agg_hll_sketch_rollup",
     "agg_heavy_hitters_mg",
+    "quality_oov_rate",
+    "curate_curriculum_stages",
 ]
 
 

@@ -34,6 +34,15 @@ string the driver diffs against at sf=0.01.
 #   sim_ivf_kmeans_topk            (re-verify: gained a full oracle in r4;
 #                                   its r4 row is from the same round)
 #   sim_topk_pq                    (same — oracle attached in r4)
+#   quality_perplexity_unigram     (new in r4 — CCNet-style LM deciles)
+#   quality_perplexity_bigram      (new in r4 — interpolated bigram LM)
+#   text_bm25_topk                 (new in r4 — BM25 ranked retrieval)
+#   graph_pagerank_purchases       (new in r4 — int64 fixed-point PageRank)
+#   graph_degree_histogram         (new in r4 — purchase-graph degrees)
+#   agg_hll_sketch_rollup          (new in r4 — mergeable HLL rollup pin)
+#   agg_heavy_hitters_mg           (new in r4 — Misra-Gries exact HH)
+#   quality_oov_rate               (new in r4 — vocab-coverage filter)
+#   curate_curriculum_stages       (new in r4 — easy→hard schedule)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

@@ -756,3 +756,91 @@ def curate_mix_temperature(spark, sf_dir):
         .where(F.col("rn") <= F.col("target"))
         .select("doc_id", "source")
     )
+
+
+_STAGES = 8  # curriculum stages (easy → hard)
+
+
+@query(
+    "curate_curriculum_stages",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    ),
+    diff AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(df) AS BIGINT) AS sum_df
+      FROM toks t JOIN dfreq USING (tok)
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (
+               ORDER BY CAST(sum_df AS DOUBLE) / n_tokens DESC, doc_id
+             ) AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS n_docs
+      FROM diff
+    )
+    SELECT doc_id, n_tokens, rank,
+           CAST(least((({_STAGES} * (rank - 1)) // n_docs) + 1, {_STAGES})
+                AS INTEGER) AS stage
+    FROM ranked
+    """,
+    tags=("curation", "training-prep"),
+)
+def curate_curriculum_stages(spark, sf_dir):
+    """Curriculum-learning schedule: rank documents easy → hard by mean
+    token document-frequency (docs made of corpus-common tokens first,
+    rare-token docs last) and cut the ranking into 8 equal training
+    stages — the ordering a curriculum schedule feeds to the data
+    loader stage by stage.
+
+    Difficulty is the exact rational sum_df/n_tokens (single double
+    division of exact BIGINTs; ties broken by doc_id), so the ranking
+    is engine-deterministic. Stage assignment is pure integer
+    arithmetic on the rank. The global row_number is one row per doc —
+    at 100 TB swap it for `approx_percentile` stage cutoffs broadcast
+    from a 1-row aggregate, exactly as the perplexity deciles document;
+    the df table itself is vocab-sized and broadcasts.
+    """
+    toks = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    diff = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("sum_df").cast("double") / F.col("n_tokens")).desc(), "doc_id"
+    )
+    ranked = diff.select(
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "rank",
+        F.least(
+            F.expr(f"(({_STAGES} * (rank - 1)) div n_docs) + 1"),
+            F.lit(_STAGES),
+        )
+        .cast("int")
+        .alias("stage"),
+    )

@@ -865,3 +865,77 @@ def quality_lang_confusion(spark, sf_dir):
         "lang", "predicted", "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("frac"),
     )
+
+
+_OOV_VOCAB = 32  # closed-vocabulary size for coverage scoring
+_OOV_KEEP_PERMILLE = 200  # keep docs with <= 20% out-of-vocabulary mass
+
+
+@query(
+    "quality_oov_rate",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_OOV_VOCAB}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((1000 * sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS oov_permille,
+           ((1000 * sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END))
+                // count(*)) <= {_OOV_KEEP_PERMILLE} AS kept
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("quality", "training-prep"),
+)
+def quality_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage filter: score each document by the
+    fraction of its tokens outside a closed top-K vocabulary (the
+    pipeline's stand-in for a trained tokenizer's vocab) and keep docs
+    under 20% OOV mass — the cheap screen for encoding damage, wrong
+    scripts, and binary-as-text junk that survives language-ID.
+
+    Integer contract: the rate is permille via integer division, so no
+    float ever forms. The vocabulary is a TakeOrdered top-K (unique
+    (count, token) order) broadcast to the token stream; at a real
+    deployment K is the tokenizer vocab shipped as a file — same
+    broadcast-left-join shape, no sort at all.
+    """
+    toks = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_OOV_VOCAB)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    oov_pm = F.expr("(1000 * n_oov) div n_tokens")
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            oov_pm.cast("long").alias("oov_permille"),
+            (oov_pm <= _OOV_KEEP_PERMILLE).alias("kept"),
+        )
+    )
