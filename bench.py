@@ -122,6 +122,7 @@ EXTENDED = [
     "agg_heavy_hitters_mg",
     "quality_oov_rate",
     "curate_curriculum_stages",
+    "analytics_market_basket",
 ]
 
 

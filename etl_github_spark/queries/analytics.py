@@ -1225,3 +1225,98 @@ def stat_tv_distance_sources(spark, sf_dir):
             numer.cast("double") / (2.0 * F.first("n_s") * F.first("n"))
         ).alias("tv_distance"),
     )
+
+
+_MB_MINSUP = 3  # minimum co-occurrence support (orders)
+_MB_MAX_BASKET = 16  # basket-size cap: bounds the quadratic pair fan-out
+
+
+@query(
+    "analytics_market_basket",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING count(*) <= {_MB_MAX_BASKET}
+    ),
+    it AS (SELECT i.* FROM items i JOIN ok USING (l_orderkey)),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM it),
+    c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS support
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MB_MINSUP}
+    )
+    SELECT p.p1, p.p2, p.support,
+           CAST((1000 * p.support) // c1.c AS BIGINT) AS conf_permille,
+           CAST(p.support * n.n_baskets AS DOUBLE) / (c1.c * c2.c) AS lift
+    FROM pairs p
+    JOIN c c1 ON c1.l_partkey = p.p1
+    JOIN c c2 ON c2.l_partkey = p.p2
+    CROSS JOIN n
+    """,
+    tags=("analytics", "market-basket"),
+)
+def analytics_market_basket(spark, sf_dir):
+    """Market-basket association rules: part pairs co-purchased in the
+    same order, with support, confidence (permille, integer), and lift
+    — the co-occurrence/recommendation primitive (frequent itemsets of
+    size 2, the workhorse case).
+
+    Scale contract: the pair fan-out is quadratic in basket size, so
+    baskets above 16 distinct items are excluded up front (documented
+    false-negative mode — outlier mega-baskets are noise for
+    association mining; the cap bounds the self-join at
+    O(baskets·cap²)). The self-join is keyed on the order (co-located
+    pairs, no cartesian); item frequencies are part-dimension-sized and
+    broadcast; `lift` is a single IEEE division of exact int64 products
+    (< 2^53, exactly representable both engines).
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct().localCheckpoint(eager=False)
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") <= _MB_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    it = items.join(ok, "l_orderkey").localCheckpoint(eager=False)
+    n = it.agg(F.count_distinct("l_orderkey").cast("long").alias("n_baskets"))
+    c = it.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    a, b = it.alias("a"), it.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= _MB_MINSUP)
+    )
+    c1 = c.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = c.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .join(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr("(1000 * support) div c1").cast("long").alias("conf_permille"),
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
