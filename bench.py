@@ -123,6 +123,7 @@ EXTENDED = [
     "quality_oov_rate",
     "curate_curriculum_stages",
     "analytics_market_basket",
+    "graph_triangle_count",
 ]
 
 

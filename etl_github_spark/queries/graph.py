@@ -195,3 +195,68 @@ def graph_degree_histogram(spark, sf_dir):
     return deg.groupBy("outdeg").agg(
         F.count("*").cast("long").alias("n_customers")
     )
+
+
+_TRI_MINSUP = 2  # co-purchase support threshold defining an edge
+
+
+@query(
+    "graph_triangle_count",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_TRI_MINSUP}
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges ab
+    JOIN edges bc ON ab.p2 = bc.p1
+    JOIN edges ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count on the co-purchase part graph (edges = part pairs
+    co-bought in ≥ 2 orders, oriented p1 < p2) — the clustering-
+    coefficient / community-density primitive. Ordered-edge
+    enumeration counts each triangle exactly once: a<b<c appears only
+    as (ab, bc, ac).
+
+    Scale contract: the support threshold is the density bound — edges
+    are frequent co-purchases, not raw pairs, so the two-hop join is
+    candidate-bounded the same way the LSH dedup joins are. Both joins
+    key on a part id (shuffle, no cartesian); at 100 TB the standard
+    extra guard is degree-ordering (orient edges low-degree → high-
+    degree), which this orientation approximates via key order.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= _TRI_MINSUP)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    ab = edges.select(F.col("p1").alias("x"), F.col("p2").alias("y"))
+    bc = edges.select(F.col("p1").alias("y"), F.col("p2").alias("z"))
+    ac = edges.select(F.col("p1").alias("x"), F.col("p2").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return ne.join(tri)
