@@ -124,6 +124,7 @@ EXTENDED = [
     "curate_curriculum_stages",
     "analytics_market_basket",
     "graph_triangle_count",
+    "curate_lm_pipeline",
 ]
 
 

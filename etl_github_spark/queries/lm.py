@@ -418,3 +418,120 @@ def text_bm25_topk(spark, sf_dir):
         "tf3",
         "dl",
     )
+
+
+def _lm_capstone_sql() -> str:
+    from .registry import QUERIES
+
+    uni = QUERIES["quality_perplexity_unigram"].sql
+    oov = QUERIES["quality_oov_rate"].sql
+    return f"""
+    WITH ppl AS (SELECT * FROM ({uni})),
+    oov AS (SELECT * FROM ({oov})),
+    surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    ),
+    diff AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(df) AS BIGINT) AS sum_df
+      FROM toks t JOIN dfreq USING (tok) GROUP BY t.doc_id
+    ),
+    kept AS (
+      SELECT p.doc_id, p.ppl_decile, o.oov_permille, d.n_tokens, d.sum_df
+      FROM ppl p
+      JOIN oov o USING (doc_id)
+      JOIN surv s USING (doc_id)
+      JOIN diff d USING (doc_id)
+      WHERE p.ppl_decile <= 9 AND o.kept
+    ),
+    ranked AS (
+      SELECT doc_id, ppl_decile, oov_permille,
+             CAST(row_number() OVER (
+               ORDER BY CAST(sum_df AS DOUBLE) / n_tokens DESC, doc_id
+             ) AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS n_docs
+      FROM kept
+    )
+    SELECT doc_id, ppl_decile, oov_permille, rank,
+           CAST(least(((8 * (rank - 1)) // n_docs) + 1, 8) AS INTEGER) AS stage
+    FROM ranked
+    """
+
+
+@query(
+    "curate_lm_pipeline",
+    sql=_lm_capstone_sql(),
+    tags=("curation", "lm", "capstone"),
+)
+def curate_lm_pipeline(spark, sf_dir):
+    """LM-curation capstone — the round-4 pieces composed the way a
+    training-data pipeline chains them: drop the worst perplexity
+    decile (garble tail), drop >20%-OOV docs (encoding damage), keep
+    one exact-dup survivor per text (min doc_id), then schedule the
+    survivors easy → hard into 8 curriculum stages. Emits the final
+    training order: (doc_id, ppl_decile, oov_permille, rank, stage).
+
+    Composition reuses the registered ops verbatim (their functions on
+    the Spark side, their oracle SQL as subqueries on the DuckDB side),
+    so capstone parity is evidence the PIECES compose, not a parallel
+    reimplementation. Each piece keeps its own scan; at 100 TB the
+    filters all derive from the same token explode and a combined
+    single-pass plan would fuse them — the join keys are doc_id
+    everywhere, so the composition adds doc-count-sized joins, not
+    corpus-sized ones.
+    """
+    from .curation import _STAGES
+    from .quality import quality_oov_rate
+
+    ppl = quality_perplexity_unigram(spark, sf_dir).select("doc_id", "ppl_decile")
+    oov = quality_oov_rate(spark, sf_dir).select("doc_id", "oov_permille", "kept")
+    docs = T(spark, sf_dir, "documents")
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    toks = (
+        par(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    diff = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    kept = (
+        ppl.where(F.col("ppl_decile") <= 9)
+        .join(oov.where(F.col("kept")).drop("kept"), "doc_id")
+        .join(surv, "doc_id")
+        .join(diff, "doc_id")
+    )
+    w = Window.orderBy(
+        (F.col("sum_df").cast("double") / F.col("n_tokens")).desc(), "doc_id"
+    )
+    ranked = kept.select(
+        "doc_id",
+        "ppl_decile",
+        "oov_permille",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        "ppl_decile",
+        "oov_permille",
+        "rank",
+        F.least(
+            F.expr(f"(({_STAGES} * (rank - 1)) div n_docs) + 1"), F.lit(_STAGES)
+        )
+        .cast("int")
+        .alias("stage"),
+    )
