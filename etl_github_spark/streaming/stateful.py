@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -134,4 +135,79 @@ def volume_spike_gate(events: DataFrame) -> DataFrame:
         stateStructType=_SPIKE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HH_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("tok", StringType()),
+        StructField("lower_bound", LongType()),
+        StructField("n_shard", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = "toks ARRAY<STRING>, cnts ARRAY<LONG>, n LONG"
+_HH_CAP = 32  # Misra-Gries counters kept per shard
+
+
+def _update_hh(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (shard,) = key
+    if state.exists:
+        toks, cnts, n = state.get
+        counters = dict(zip(toks, cnts))
+    else:
+        counters, n = {}, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        for t, c in pdf["tok"].value_counts().items():
+            counters[t] = counters.get(t, 0) + int(c)
+        if len(counters) > _HH_CAP:
+            vals = sorted(counters.values(), reverse=True)
+            sub = vals[_HH_CAP]
+            counters = {t: c - sub for t, c in counters.items() if c > sub}
+    state.update(
+        (list(counters.keys()), [int(v) for v in counters.values()], n)
+    )
+    yield pd.DataFrame(
+        {
+            "shard": shard,
+            "tok": list(counters.keys()),
+            "lower_bound": [int(v) for v in counters.values()],
+            "n_shard": n,
+        }
+    )
+
+
+def token_heavy_hitters(tokens: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Streaming twin of the batch `agg_heavy_hitters_mg`: per-shard
+    Misra-Gries summaries evolved across micro-batches in GroupState.
+    Each batch emits the refreshed candidate set per updated shard,
+    with MG lower-bound counts and the shard's processed-row total.
+
+    The MG guarantee carries over per shard and over the whole stream
+    so far: any token whose cumulative shard frequency exceeds
+    n_shard/(cap+1) is guaranteed present among the shard's candidates
+    at that point — the streaming trending-terms monitor with state
+    bounded at cap tokens per shard, however long the stream runs.
+    The shard key is a hash of the token, so one shard's state never
+    exceeds cap entries and the batch shuffle is uniform.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        tokens.select(
+            F.pmod(F.xxhash64("tok"), F.lit(n_shards)).cast("int").alias("shard"),
+            "tok",
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_hh,
+            outputStructType=HH_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

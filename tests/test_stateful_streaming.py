@@ -150,3 +150,47 @@ def test_volume_spike_gate_flags_burst_not_ramp(spark, tmp_path):
     by_count = {r.batch_count: r.ewma for r in rows}
     assert by_count[10] == 10.0
     assert by_count[12] == 0.3 * 12 + 0.7 * 10.0
+
+
+def test_token_heavy_hitters_tracks_dominant_token(spark, tmp_path):
+    """The MG state must (a) keep the truly dominant token across
+    micro-batches — even when a later batch floods with one-off tokens
+    that force prunes — and (b) never hold more than cap counters per
+    shard."""
+    from etl_github_spark.streaming.stateful import _HH_CAP, token_heavy_hitters
+
+    indir = tmp_path / "in"
+    # batch 1: "hot" dominates; batch 2: 100 distinct one-off tokens + more hot
+    _write_batch(
+        indir, "b1.json", [{"tok": "hot"}] * 40 + [{"tok": f"x{i}"} for i in range(20)]
+    )
+    _write_batch(
+        indir, "b2.json", [{"tok": f"y{i}"} for i in range(100)] + [{"tok": "hot"}] * 30
+    )
+    stream = (
+        spark.readStream.schema("tok STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        token_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh").collect()
+    assert any(r["tok"] == "hot" for r in rows)
+    # the dominant token's lower bound reflects most of its true count
+    hot = max(r["lower_bound"] for r in rows if r["tok"] == "hot")
+    assert hot >= 70 - (70 + 120) // (_HH_CAP + 1) - 10
+    # state bound: no shard ever emits more than cap candidates
+    from collections import Counter
+
+    per_emit = Counter()
+    for r in rows:
+        per_emit[(r["shard"], r["n_shard"])] += 1
+    assert max(per_emit.values()) <= _HH_CAP
