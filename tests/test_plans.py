@@ -654,3 +654,17 @@ def test_degree_histogram_map_side_combine(spark):
     p = plan_of(spark, "graph_degree_histogram")
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_market_basket_broadcast_frequencies_no_cartesian(spark):
+    """Item frequencies are part-dimension-sized and must broadcast to
+    the pair table; the pair self-join keys on the order (no cartesian
+    anywhere — the 1-row n_baskets join is a broadcast NLJ)."""
+    p = plan_of(spark, "analytics_market_basket")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_triangle_count_keyed_joins_only(spark):
+    p = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p
