@@ -125,6 +125,7 @@ EXTENDED = [
     "analytics_market_basket",
     "graph_triangle_count",
     "curate_lm_pipeline",
+    "trend_autocorr_daily",
 ]
 
 

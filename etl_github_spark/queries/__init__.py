@@ -43,6 +43,9 @@ string the driver diffs against at sf=0.01.
 #   agg_heavy_hitters_mg           (new in r4 — Misra-Gries exact HH)
 #   quality_oov_rate               (new in r4 — vocab-coverage filter)
 #   curate_curriculum_stages       (new in r4 — easy→hard schedule)
+#   analytics_market_basket        (new in r4 — support/confidence/lift)
+#   graph_triangle_count           (new in r4 — co-purchase triangles)
+#   curate_lm_pipeline             (new in r4 — LM-curation capstone)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

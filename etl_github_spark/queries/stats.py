@@ -348,3 +348,84 @@ def stat_embedding_gram(spark, sf_dir):
     return partials.groupBy("i", "j").agg(
         (F.sum("s") / (F.sum("n") * F.lit(1e9))).alias("m2")
     )
+
+
+_AC_MAX_LAG = 7
+
+
+@query(
+    "trend_autocorr_daily",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(l.i AS INTEGER) AS lag, a.c AS x, b.c AS y
+      FROM daily a
+      CROSS JOIN range(1, {_AC_MAX_LAG + 1}) l(i)
+      JOIN daily b ON b.day = a.day + CAST(l.i AS INTEGER)
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_r
+    FROM m
+    """,
+    tags=("trend", "stats", "timeseries"),
+)
+def trend_autocorr_daily(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality/burstiness diagnostic behind anomaly thresholds and
+    capacity planning (a strong lag-7 says weekly cycle; a fast decay
+    says noise). Pairs align day d with day d+k only where both exist,
+    so calendar gaps shrink n_pairs instead of fabricating zeros.
+
+    Same determinism recipe as `stat_corr_per_lang`: exact int64
+    moments per lag (daily counts are integers), then one fixed-order
+    double expression — sqrt is IEEE-correctly-rounded (unlike ln), so
+    `autocorr_r` is bit-identical cross-engine. The series is DAYS-
+    sized (tiny after the first aggregation), so the lag join costs
+    nothing at any corpus scale; the only corpus-sized work is the
+    daily count itself, which is map-side combinable.
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "day",
+        F.col("c").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(_AC_MAX_LAG))).alias("lag"),
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("c").alias("y"))
+    pairs = a.join(
+        F.broadcast(b), F.date_add(F.col("day"), F.col("lag")) == F.col("bday")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("autocorr_r"),
+    )
