@@ -126,6 +126,7 @@ EXTENDED = [
     "graph_triangle_count",
     "curate_lm_pipeline",
     "trend_autocorr_daily",
+    "sim_rrf_fusion",
 ]
 
 

@@ -535,3 +535,93 @@ def curate_lm_pipeline(spark, sf_dir):
         .cast("int")
         .alias("stage"),
     )
+
+
+_RRF_K = 60  # standard RRF dampening constant
+_RRF_LIST = 20  # per-retriever shortlist length
+
+
+def _rrf_sql() -> str:
+    from .registry import QUERIES
+    from .similarity import _COS_SQL
+
+    bm25 = QUERIES["text_bm25_topk"].sql
+    return f"""
+    WITH lex AS (
+      SELECT CAST(rank AS BIGINT) AS bm25_rank, doc_id FROM ({bm25})
+    ),
+    dense AS (
+      SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                  AS BIGINT) AS cos_rank,
+             vec_id AS doc_id
+      FROM ({_COS_SQL}
+            SELECT vec_id, cos_sim FROM cos
+            ORDER BY cos_sim DESC, vec_id LIMIT {_RRF_LIST})
+    ),
+    f AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.bm25_rank, d.cos_rank,
+             coalesce(1.0 / ({_RRF_K} + l.bm25_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + d.cos_rank), 0.0) AS rrf
+      FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS fused_rank,
+           doc_id, bm25_rank, cos_rank
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {_RRF_LIST}
+    """
+
+
+@query("sim_rrf_fusion", sql=_rrf_sql(), tags=("similarity", "retrieval", "lm"))
+def sim_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    shortlist and the dense cosine shortlist (query = vec 0; vec_id and
+    doc_id share the fixture id domain) fused as
+    Σ 1/(60 + rank) over the lists each doc appears in — the standard
+    RAG-stack fusion that needs no score calibration because it
+    consumes RANKS, not scores.
+
+    Determinism: both input ranks are integers (each list's internal
+    ordering is already engine-deterministic by its own op's contract);
+    the fused score is a fixed-order sum of two correctly-rounded
+    divisions of integers — bit-identical cross-engine. Each retriever
+    contributes a k-row shortlist (TakeOrdered on its own side), so the
+    fusion join touches 2k rows regardless of corpus size.
+    """
+    from .similarity import _cosine_vs_query
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        F.col("rank").cast("long").alias("bm25_rank"), "doc_id"
+    )
+    shortlist = (
+        _cosine_vs_query(spark, sf_dir)
+        .select("vec_id", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RRF_LIST)
+    )
+    dense = shortlist.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .cast("long")
+        .alias("cos_rank"),
+        F.col("vec_id").alias("doc_id"),
+    )
+    f = lex.join(dense, "doc_id", "full").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    top = f.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_LIST)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("int")
+        .alias("fused_rank"),
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+    )
