@@ -127,6 +127,7 @@ EXTENDED = [
     "curate_lm_pipeline",
     "trend_autocorr_daily",
     "sim_rrf_fusion",
+    "sim_ann_recall_audit",
 ]
 
 

@@ -1322,3 +1322,55 @@ def agg_heavy_hitters_mg(spark, sf_dir):
         .where(F.col("cnt") > F.expr(f"n div {_HH_K}"))
         .select("tok", "cnt")
     )
+
+
+def _ann_recall_audit_sql() -> str:
+    from .registry import QUERIES
+
+    exact = QUERIES["sim_topk_bruteforce"].sql
+    ann = QUERIES["sim_ivf_kmeans_topk"].sql
+    return f"""
+    WITH ex AS (SELECT vec_id FROM ({exact})),
+    ann AS (SELECT vec_id FROM ({ann}))
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(10 * count(*) AS INTEGER) AS recall_pct,
+           count(*) >= 8 AS recall_ok
+    FROM ex JOIN ann USING (vec_id)
+    """
+
+
+@query(
+    "sim_ann_recall_audit",
+    sql=_ann_recall_audit_sql(),
+    tags=("similarity", "audit", "ivf"),
+)
+def sim_ann_recall_audit(spark, sf_dir):
+    """Recall@10 of the learned-quantizer IVF index against the exact
+    cosine ranking — the continuous-evaluation query an ANN deployment
+    runs after every index rebuild (the retrieval twin of
+    `dedup_lsh_recall`). Emits the overlap count, recall percent, and a
+    ≥80% contract pin (the measured floor at nprobe=3 of 8 cells —
+    probing fewer than half the cells legitimately drops 1-2 of 10;
+    raising nprobe raises the bar); the oracle recomputes BOTH rankings
+    from their registered SQL verbatim, so a drift in either path (or
+    in the fit) flips the row.
+
+    Cost contract: this is an audit query — it runs the exhaustive scan
+    on purpose (the truth set cannot be cheaper than exact top-k). At
+    100 TB the audit runs on a sampled query set against a sampled
+    corpus slice; the production path stays partition-pruned.
+    """
+    from .similarity import sim_topk_bruteforce
+
+    ex = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ann = sim_ivf_kmeans_topk(spark, sf_dir).select("vec_id")
+    overlap = ex.join(ann, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("int").alias("k"),
+        "n_overlap",
+        (F.lit(10) * F.col("n_overlap")).cast("int").alias("recall_pct"),
+        (F.col("n_overlap") >= 8).alias("recall_ok"),
+    )
