@@ -128,6 +128,7 @@ EXTENDED = [
     "trend_autocorr_daily",
     "sim_rrf_fusion",
     "sim_ann_recall_audit",
+    "analytics_attribution_last_touch",
 ]
 
 

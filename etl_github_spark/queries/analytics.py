@@ -1320,3 +1320,108 @@ def analytics_market_basket(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1h attribution lookback, microseconds
+
+
+@query(
+    "analytics_attribution_last_touch",
+    sql=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts_us AS p_ts
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+             ts_us AS t_ts
+      FROM ev WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+             p.p_ts - t.t_ts AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY t.t_ts DESC, t.touch_id DESC
+             ) AS rn
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - {_ATTR_WINDOW_US}
+    )
+    SELECT p.purchase_id, p.user_id,
+           j.touch_id AS attributed_event_id,
+           j.touch_type AS attributed_type,
+           CAST(j.gap_us AS BIGINT) AS gap_us
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM joined WHERE rn = 1) j USING (purchase_id)
+    """,
+    tags=("analytics", "attribution"),
+)
+def analytics_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view in the preceding hour (NULL row kept when no
+    touch qualifies — unattributed conversions are a first-class
+    metric). The marketing/product-analytics primitive behind
+    conversion reporting.
+
+    Deterministic winner: ties on touch timestamp break by event_id,
+    both inside a rank-1 window per purchase — integer microsecond
+    arithmetic everywhere. Scale shape: the touch⋈purchase range join
+    keys on user_id (co-partitioned shuffle; per-user event streams are
+    small), the window partitions by purchase — no global sort, no
+    cartesian. The 1h bound keeps per-purchase candidate sets O(user
+    activity per hour) regardless of history length.
+    """
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # ts may surface as TIMESTAMP_NTZ (nanos parquet path); the session
+        # is UTC-pinned, so the LTZ cast is a no-op on the instant.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us").alias("p_ts")
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("t_ts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - _ATTR_WINDOW_US),
+    ).select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        (F.col("p_ts") - F.col("t_ts")).alias("gap_us"),
+        F.row_number()
+        .over(
+            Window.partitionBy("purchase_id").orderBy(
+                F.col("t_ts").desc(), F.col("touch_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    best = joined.where(F.col("rn") == 1).select(
+        "purchase_id",
+        F.col("touch_id").alias("attributed_event_id"),
+        F.col("touch_type").alias("attributed_type"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
+    return purchases.select("purchase_id", "user_id").join(
+        best, "purchase_id", "left"
+    )
