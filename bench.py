@@ -129,6 +129,7 @@ EXTENDED = [
     "sim_rrf_fusion",
     "sim_ann_recall_audit",
     "analytics_attribution_last_touch",
+    "graph_kcore_peel",
 ]
 
 

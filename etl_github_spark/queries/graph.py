@@ -260,3 +260,90 @@ def graph_triangle_count(spark, sf_dir):
     )
     ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return ne.join(tri)
+
+
+_KCORE_K = 3  # minimum degree for core membership
+_KCORE_ROUNDS = 3  # bounded peel rounds (unrolled in the oracle)
+
+
+def _kcore_sql() -> str:
+    head = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ue AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_TRI_MINSUP}
+    ),
+    e0 AS (
+      SELECT p1 AS u, p2 AS v FROM ue UNION ALL SELECT p2, p1 FROM ue
+    )"""
+    rnd = """,
+    d{i} AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e{p} GROUP BY u),
+    n{i} AS (SELECT u FROM d{i} WHERE deg >= {k}),
+    e{i} AS (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN n{i} a ON a.u = e.u JOIN n{i} b ON b.u = e.v
+    )"""
+    parts = [head]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(rnd.format(i=i, p=i - 1, k=_KCORE_K))
+    parts.append(
+        f"""
+    SELECT u AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ROUNDS} GROUP BY u
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore_peel", sql=_kcore_sql(), tags=("graph", "iterative"))
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded k-core peeling (k=3, 3 rounds) of the co-purchase part
+    graph: repeatedly drop nodes with degree < k and the edges touching
+    them, then report the survivors with their within-core degree — the
+    dense-subgraph extraction behind community cores and co-occurrence
+    backbones (peeling kills the long tail of incidental pairings that
+    PageRank and triangles both still see).
+
+    Each round is one degree aggregation plus an edge semi-restriction
+    — two keyed shuffles, integer-exact, with the oracle replaying the
+    identical unrolled rounds. Full k-core iterates to fixpoint
+    (O(peel-depth) rounds); the bounded variant is the anytime prefix
+    of that computation and already a superset-free approximation whose
+    survivor set only shrinks with more rounds.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    ue = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= _TRI_MINSUP)
+        .select("p1", "p2")
+    )
+    e = ue.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        ue.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint(eager=False)
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("u").agg(F.count("*").cast("long").alias("core_deg")).select(
+        F.col("u").alias("part_id"), "core_deg"
+    )
