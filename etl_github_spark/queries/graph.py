@@ -1,5 +1,6 @@
 """Graph analytics over join-derived edge lists: PageRank and degree
-statistics on the customer→supplier purchase graph.
+statistics on the customer→supplier purchase graph, plus triangle
+counting and k-core peeling on the part co-purchase graph.
 
 The edge list is derived relationally (orders ⋈ lineitem → distinct
 (customer, supplier) pairs) — the shape a 100 TB deployment produces by
