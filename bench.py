@@ -130,6 +130,7 @@ EXTENDED = [
     "sim_ann_recall_audit",
     "analytics_attribution_last_touch",
     "graph_kcore_peel",
+    "stat_welch_ttest_sources",
 ]
 
 

@@ -429,3 +429,79 @@ def trend_autocorr_daily(spark, sf_dir):
         F.col("n").alias("n_pairs"),
         (num / (F.sqrt(vx) * F.sqrt(vy))).alias("autocorr_r"),
     )
+
+
+@query(
+    "stat_welch_ttest_sources",
+    sql="""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           (CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n)
+             / sqrt(
+                 (CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                    / (a.n * a.n * (a.n - 1)))
+                 + (CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                    / (b.n * b.n * (b.n - 1)))
+               ) AS t_stat
+    FROM m a JOIN m b ON a.source < b.source
+    """,
+    tags=("stats", "testing"),
+)
+def stat_welch_ttest_sources(spark, sf_dir):
+    """Welch's t-statistic for mean document length between every pair
+    of sources — the unequal-variance two-sample test a corpus audit
+    runs before pooling sources ("is src3 systematically longer?").
+    Consumers threshold |t| (e.g. ~2 for 5% two-sided at these df);
+    the statistic itself, not a p-value, is emitted — p-values need
+    the t CDF, which is neither SQL-native nor libm-stable.
+
+    Determinism: per-source moments are exact int64; the t expression
+    is a fixed-order chain of divisions and one sqrt — every operation
+    IEEE-correctly-rounded, so the double matches bit-for-bit across
+    engines (ln/exp never appear). The moment table is |sources| rows;
+    the pair join is dimension-sized. Variance identity:
+    s²/n = (n·Σx² − (Σx)²) / (n²(n−1)).
+    """
+    d = T(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    a = m.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    mean_diff = F.col("s1a").cast("double") / na - F.col("s1b").cast("double") / nb
+    va = (na * F.col("s2a") - F.col("s1a") * F.col("s1a")).cast("double") / (
+        na * na * (na - F.lit(1))
+    )
+    vb = (nb * F.col("s2b") - F.col("s1b") * F.col("s1b")).cast("double") / (
+        nb * nb * (nb - F.lit(1))
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            (mean_diff / F.sqrt(va + vb)).alias("t_stat"),
+        )
+    )
