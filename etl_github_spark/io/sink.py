@@ -161,6 +161,72 @@ def merge_table(
     )
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str = "date",
+) -> int:
+    """Copy-on-write DELETE by key — the erasure verb (GDPR/right-to-be-
+    forgotten, bad-batch retraction) that merge/append/overwrite don't
+    express. Rows whose ``key_cols`` match a row in ``keys`` are removed;
+    returns the number of rows deleted.
+
+    Scale shape mirrors :func:`merge_table`: when ``keys`` carries the
+    partition column, only the partitions containing victims are read,
+    anti-joined, and dynamically overwritten — O(|affected partitions|),
+    not O(|table|). Without it, the delete must scan every partition to
+    find victims (still one pass + rewrite of only partitions that
+    contained any). The victim-key side is a distinct projection of the
+    request batch — small, broadcast into the anti-join.
+    """
+    from pyspark.sql import functions as F
+
+    victims = keys.select(*[c for c in keys.columns]).distinct()
+    if partition_col in keys.columns:
+        parts = [r[0] for r in victims.select(partition_col).distinct().collect()]
+        current = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
+        vkeys = victims.select(*key_cols).distinct()
+    else:
+        hit = (
+            spark.read.parquet(path)
+            .join(F.broadcast(victims.select(*key_cols).distinct()), list(key_cols))
+            .select(partition_col)
+            .distinct()
+        )
+        parts = [r[0] for r in hit.collect()]
+        if not parts:
+            return 0
+        current = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
+        vkeys = victims.select(*key_cols).distinct()
+    before = current.count()
+    keep = current.join(F.broadcast(vkeys), list(key_cols), "left_anti")
+    deleted = before - keep.count()
+    if deleted == 0:
+        return 0
+    # Dynamic overwrite only replaces partitions PRESENT in `keep` — a
+    # partition whose every row is deleted would silently survive.
+    # Remove fully-emptied partition dirs explicitly after the write.
+    # Partition values may surface as date objects on the read path but
+    # strings on the request path — compare by directory-name form.
+    kept_parts = {
+        str(r[0]) for r in keep.select(partition_col).distinct().collect()
+    }
+    (
+        keep.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for p in parts:
+        if str(p) not in kept_parts:
+            shutil.rmtree(
+                Path(path) / f"{partition_col}={p}", ignore_errors=True
+            )
+    return deleted
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -606,3 +606,58 @@ def test_prune_files_timestamp_stats_match_across_paths(spark, tmp_path):
     import glob
     n_all = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     assert len(prune_files(path, "ts", 0, 10)) == n_all
+
+
+def test_delete_rows_by_key_including_emptied_partition(spark, tmp_path):
+    """delete_rows removes matched keys, physically drops partitions
+    whose rows are ALL deleted (dynamic overwrite alone would leave
+    them), and never touches unaffected partitions."""
+    import os
+
+    from etl_github_spark.io.sink import delete_rows
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01"),
+            (2, "b", "2024-01-01"),
+            (3, "c", "2024-01-02"),
+            (4, "d", "2024-01-03"),
+        ],
+        ["id", "val", "date"],
+    )
+    base.write.partitionBy("date").parquet(path)
+    d3_files = sorted(os.listdir(tmp_path / "tbl" / "date=2024-01-03"))
+
+    # delete id=1 (partial partition) and id=3 (empties 2024-01-02);
+    # request carries no partition column → scan-to-locate path
+    victims = spark.createDataFrame([(1,), (3,)], ["id"])
+    n = delete_rows(spark, path, victims, ("id",))
+    assert n == 2
+
+    left = {
+        (r.id, r.val, str(r.date)) for r in spark.read.parquet(path).collect()
+    }
+    assert left == {(2, "b", "2024-01-01"), (4, "d", "2024-01-03")}
+    assert not (tmp_path / "tbl" / "date=2024-01-02").exists()
+    # untouched partition keeps its physical files
+    assert sorted(os.listdir(tmp_path / "tbl" / "date=2024-01-03")) == d3_files
+
+    # deleting a missing key is a no-op returning 0
+    assert delete_rows(spark, path, spark.createDataFrame([(99,)], ["id"]), ("id",)) == 0
+
+
+def test_delete_rows_partition_scoped_request(spark, tmp_path):
+    """When the request carries the partition column, only named
+    partitions are read (fast path) and the count is exact."""
+    from etl_github_spark.io.sink import delete_rows
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-02")],
+        ["id", "val", "date"],
+    ).write.partitionBy("date").parquet(path)
+    victims = spark.createDataFrame([(2, "2024-01-02")], ["id", "date"])
+    assert delete_rows(spark, path, victims, ("id",)) == 1
+    left = {r.id for r in spark.read.parquet(path).collect()}
+    assert left == {1, 3}
