@@ -94,6 +94,11 @@ def main() -> None:
     ooff = orders.agg(F.max("o_orderkey")).first()[0] + 1
     coff = orders.agg(F.max("o_custkey")).first()[0] + 1
     soff = li.agg(F.max("l_suppkey")).first()[0] + 1
+    # offset part keys too: without it every co-purchase pair's support
+    # multiplies by REPLICAS (superlinear TRUE output), instead of the
+    # graph becoming REPLICAS disjoint copies (10× nodes AND edges) —
+    # the growth factor we actually want to measure.
+    poff = li.agg(F.max("l_partkey")).first()[0] + 1
     op, lp = [orders], [li]
     for i in range(1, REPLICAS):
         op.append(
@@ -103,6 +108,7 @@ def main() -> None:
         lp.append(
             li.withColumn("l_orderkey", F.col("l_orderkey") + i * ooff)
             .withColumn("l_suppkey", F.col("l_suppkey") + i * soff)
+            .withColumn("l_partkey", F.col("l_partkey") + i * poff)
         )
     uo, ul = op[0], lp[0]
     for p in op[1:]:
