@@ -131,6 +131,7 @@ EXTENDED = [
     "analytics_attribution_last_touch",
     "graph_kcore_peel",
     "stat_welch_ttest_sources",
+    "stat_mannwhitney_sources",
 ]
 
 

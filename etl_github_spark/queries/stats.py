@@ -22,6 +22,7 @@ bound (asserted in pytest).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._util import T, par
@@ -504,4 +505,113 @@ def stat_welch_ttest_sources(spark, sf_dir):
             "n_b",
             (mean_diff / F.sqrt(va + vb)).alias("t_stat"),
         )
+    )
+
+
+@query(
+    "stat_mannwhitney_sources",
+    sql="""
+    WITH vc AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    comb AS (
+      SELECT p.source_a, p.source_b, vc.v,
+             CAST(sum(CASE WHEN vc.source = p.source_a THEN vc.c ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN vc.source = p.source_b THEN vc.c ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM pr p
+      JOIN vc ON vc.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(coalesce(sum(ca + cb) OVER (
+               PARTITION BY source_a, source_b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS c_lt
+      FROM comb
+    )
+    SELECT source_a, source_b,
+           CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(cb) AS BIGINT) AS n_b,
+           CAST(sum(ca * (2 * c_lt + (ca + cb) + 1))
+                - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a
+    FROM ranked
+    GROUP BY source_a, source_b
+    """,
+    tags=("stats", "testing"),
+)
+def stat_mannwhitney_sources(spark, sf_dir):
+    """Mann-Whitney U between every source pair on document length —
+    the non-parametric companion to `stat_welch_ttest_sources` (rank-
+    based, so outlier-robust and distribution-free). Emits 2·U_a
+    (``u2_a``): doubled midranks keep tie handling in EXACT integers
+    (midrank = (lo+hi)/2 can be half-integral; 2·midrank = 2·c_lt +
+    c_eq + 1 never is), so the statistic is bit-exact in any engine and
+    any reduction order — zero floats anywhere. Consumers compare
+    u2_a against 2·(n_a·n_b/2 ± z·σ_U).
+
+    Shape: one (source, value) count aggregation (vocab-of-lengths
+    sized), a 3-row source pair frame, and a per-pair running-sum
+    window over distinct VALUES (not rows) — the corpus-sized scan
+    happens exactly once.
+    """
+    d = T(spark, sf_dir, "documents")
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    srcs = d.select("source").distinct()
+    pr = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+    )
+    comb = (
+        pr.join(
+            F.broadcast(vc),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "v")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("source_a"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == F.col("source_b"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("source_a", "source_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = comb.select(
+        "*",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("long")
+        .alias("c_lt"),
+    )
+    return ranked.groupBy("source_a", "source_b").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        (
+            F.sum(
+                F.col("ca")
+                * (F.lit(2) * F.col("c_lt") + (F.col("ca") + F.col("cb")) + F.lit(1))
+            )
+            - F.sum("ca") * (F.sum("ca") + F.lit(1))
+        )
+        .cast("long")
+        .alias("u2_a"),
     )
