@@ -132,6 +132,7 @@ EXTENDED = [
     "graph_kcore_peel",
     "stat_welch_ttest_sources",
     "stat_mannwhitney_sources",
+    "stat_ks_sources",
 ]
 
 

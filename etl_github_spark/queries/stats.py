@@ -615,3 +615,118 @@ def stat_mannwhitney_sources(spark, sf_dir):
         .cast("long")
         .alias("u2_a"),
     )
+
+
+@query(
+    "stat_ks_sources",
+    sql="""
+    WITH vc AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    comb AS (
+      SELECT p.source_a, p.source_b, vc.v,
+             CAST(sum(CASE WHEN vc.source = p.source_a THEN vc.c ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN vc.source = p.source_b THEN vc.c ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM pr p
+      JOIN vc ON vc.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT *,
+             CAST(sum(ca) OVER (
+               PARTITION BY source_a, source_b ORDER BY v
+             ) AS BIGINT) AS ca_cum,
+             CAST(sum(cb) OVER (
+               PARTITION BY source_a, source_b ORDER BY v
+             ) AS BIGINT) AS cb_cum
+      FROM comb
+    ),
+    tot AS (
+      SELECT *,
+             CAST(max(ca_cum) OVER (PARTITION BY source_a, source_b)
+                  AS BIGINT) AS na,
+             CAST(max(cb_cum) OVER (PARTITION BY source_a, source_b)
+                  AS BIGINT) AS nb
+      FROM cum
+    )
+    SELECT source_a, source_b,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(ca_cum * nb - cb_cum * na)) AS BIGINT) AS d_scaled
+    FROM tot
+    GROUP BY source_a, source_b
+    """,
+    tags=("stats", "testing"),
+)
+def stat_ks_sources(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between every source
+    pair on document length, as the exact integer
+    ``d_scaled = max_v |F_a(v)·n_a·n_b − F_b(v)·n_a·n_b|``
+    (the ECDF sup-distance scaled by n_a·n_b, so no division ever
+    happens): the distribution-shift detector that catches shape
+    differences mean/rank tests miss. Consumers compare d_scaled
+    against c(α)·sqrt(n_a·n_b·(n_a+n_b)) — outside the query.
+
+    Shape: identical scaffolding to the Mann-Whitney op — one (source,
+    value) aggregation, a pair frame, cumulative sums over distinct
+    VALUES per pair; the max-abs-difference is an exact int64 reduce.
+    """
+    d = T(spark, sf_dir, "documents")
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    srcs = d.select("source").distinct()
+    pr = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+    )
+    comb = (
+        pr.join(
+            F.broadcast(vc),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "v")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("source_a"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == F.col("source_b"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    wcum = Window.partitionBy("source_a", "source_b").orderBy("v")
+    wall = Window.partitionBy("source_a", "source_b")
+    cum = comb.select(
+        "source_a",
+        "source_b",
+        F.sum("ca").over(wcum).cast("long").alias("ca_cum"),
+        F.sum("cb").over(wcum).cast("long").alias("cb_cum"),
+    )
+    scaled = cum.select(
+        "source_a",
+        "source_b",
+        "ca_cum",
+        "cb_cum",
+        F.max("ca_cum").over(wall).alias("na"),
+        F.max("cb_cum").over(wall).alias("nb"),
+    )
+    return scaled.groupBy("source_a", "source_b").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("ca_cum") * F.col("nb") - F.col("cb_cum") * F.col("na")))
+        .cast("long")
+        .alias("d_scaled"),
+    )
