@@ -438,7 +438,22 @@ def diff_snapshots(
     )
 
 
-def analyze_table(path: str) -> dict:
+_BLOOM_BITS = 8192  # 1 KiB sidecar per (file, column)
+_BLOOM_K = 6
+
+
+def _bloom_positions(value, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """k bit positions for a value, from md5 of its canonical str form —
+    stable across processes/engines (no PYTHONHASHSEED dependence)."""
+    import hashlib as _hashlib
+
+    digest = _hashlib.md5(str(value).encode("utf-8")).digest()
+    for i in range(k):
+        chunk = digest[2 * i : 2 * i + 3]
+        yield int.from_bytes(chunk, "big") % m
+
+
+def analyze_table(path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
     """ANALYZE analog: collect per-file row counts and per-column
     min/max from the parquet FOOTERS (no data read) and persist them to
     ``<path>/_stats.json`` (underscore prefix: invisible to Spark
@@ -494,7 +509,33 @@ def analyze_table(path: str) -> dict:
                     cols[name] = [mn, mx]
                 else:
                     cols[name] = [min(prev[0], mn), max(prev[1], mx)]
-        stats[_os.path.relpath(f, path)] = {"rows": md.num_rows, "columns": cols}
+        entry: dict = {"rows": md.num_rows, "columns": cols}
+        if bloom_cols:
+            # Bloom sidecars need the column VALUES, not just footers —
+            # one single-column read per indexed column (the same cost a
+            # Delta bloom-filter index pays at OPTIMIZE time). 1 KiB of
+            # bits per (file, column); equality pruning via
+            # `prune_files_eq` gets min/max-independent file skipping
+            # for high-cardinality point lookups.
+            blooms: dict[str, str] = {}
+            pf = _pq.ParquetFile(f)
+            avail = {c.path_in_schema for rg in range(md.num_row_groups)
+                     for c in [md.row_group(rg).column(ci)
+                               for ci in range(md.row_group(rg).num_columns)]}
+            for bc in bloom_cols:
+                if bc not in avail:
+                    continue
+                bits = bytearray(_BLOOM_BITS // 8)
+                col_vals = pf.read(columns=[bc]).column(bc)
+                for v in col_vals.unique().to_pylist():
+                    if v is None:
+                        continue
+                    for pos in _bloom_positions(_canon(v)):
+                        bits[pos // 8] |= 1 << (pos % 8)
+                blooms[bc] = bytes(bits).hex()
+            if blooms:
+                entry["bloom"] = blooms
+        stats[_os.path.relpath(f, path)] = entry
     out = {"files": stats, "n_files": len(stats),
            "n_rows": sum(v["rows"] for v in stats.values())}
     with open(_os.path.join(path, "_stats.json"), "w") as fh:
@@ -543,6 +584,48 @@ def prune_files(path: str, col: str, lo, hi) -> list[str]:
     # Reconcile against the on-disk listing: a file appended after the
     # manifest was written has no stats row, and silently excluding it
     # would drop rows from any plan built on this list.
+    for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
+        if _os.path.relpath(f, path) not in stats:
+            keep.append(f)
+    return sorted(keep)
+
+
+def prune_files_eq(path: str, col: str, value) -> list[str]:
+    """Equality file skipping via the bloom sidecars written by
+    ``analyze_table(path, bloom_cols=(col, …))``: return the files that
+    POSSIBLY contain ``value`` in ``col``. Min/max ranges are useless
+    for point lookups on high-cardinality unclustered columns (every
+    file's range spans the key); the bloom answers "definitely absent"
+    per file with ~(1/2)^k false-positive odds per k-bit probe.
+
+    Conservative like `prune_files`: a file without a bloom for the
+    column (not indexed, appended after analyze, statless) is KEPT, so
+    false negatives are impossible and a plan built on this list never
+    drops rows. Pass ``value`` in the same canonical form the stats
+    use (numbers for numerics, str for everything else).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    stats_path = _os.path.join(path, "_stats.json")
+    if not _os.path.exists(stats_path):
+        return sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    with open(stats_path) as fh:
+        stats = _json.load(fh)["files"]
+    keep = []
+    for rel, meta in stats.items():
+        bloom_hex = meta.get("bloom", {}).get(col)
+        if bloom_hex is None:
+            keep.append(_os.path.join(path, rel))
+            continue
+        bits = bytes.fromhex(bloom_hex)
+        if all(
+            bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(value)
+        ):
+            keep.append(_os.path.join(path, rel))
     for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
         if _os.path.relpath(f, path) not in stats:
             keep.append(f)

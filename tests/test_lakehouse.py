@@ -661,3 +661,50 @@ def test_delete_rows_partition_scoped_request(spark, tmp_path):
     assert delete_rows(spark, path, victims, ("id",)) == 1
     left = {r.id for r in spark.read.parquet(path).collect()}
     assert left == {1, 3}
+
+
+def test_bloom_sidecar_prunes_absent_keys_never_present_ones(spark, tmp_path):
+    """analyze_table(bloom_cols=...) writes per-file bloom sidecars;
+    prune_files_eq must keep every file that truly contains the probe
+    key (no false negatives, the correctness side) and prune files for
+    absent keys (the effectiveness side), while statless files are
+    always kept."""
+    from etl_github_spark.io.sink import analyze_table, prune_files_eq
+
+    path = str(tmp_path / "tbl")
+    # two files with DISJOINT user_id ranges via partitioning
+    spark.createDataFrame(
+        [(i, "2024-01-01") for i in range(100)]
+        + [(i + 10_000, "2024-01-02") for i in range(100)],
+        ["user_id", "date"],
+    ).write.partitionBy("date").parquet(path)
+    st = analyze_table(path, bloom_cols=("user_id",))
+    assert all("bloom" in m for m in st["files"].values())
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    all_files = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    containing = [
+        f
+        for f in all_files
+        if 42 in pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
+    ]
+    assert containing, "fixture must place the probe key somewhere"
+    kept = prune_files_eq(path, "user_id", 42)
+    # no false negatives: every file that truly holds 42 is kept
+    assert set(containing) <= set(kept)
+    # effectiveness: the other partition's files are pruned
+    assert all("date=2024-01-02" not in f for f in kept)
+
+    # absent key: prunes down to (at most) bloom false positives
+    kept_absent = prune_files_eq(path, "user_id", 555_555)
+    assert len(kept_absent) < len(all_files)
+
+    # a file appended after analyze has no sidecar and is always kept
+    spark.createDataFrame([(7, "2024-01-03")], ["user_id", "date"]).write.mode(
+        "append"
+    ).partitionBy("date").parquet(path)
+    kept2 = prune_files_eq(path, "user_id", 555_555)
+    assert any("date=2024-01-03" in f for f in kept2)
