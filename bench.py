@@ -133,6 +133,7 @@ EXTENDED = [
     "stat_welch_ttest_sources",
     "stat_mannwhitney_sources",
     "stat_ks_sources",
+    "trend_weekday_profile",
 ]
 
 

@@ -730,3 +730,71 @@ def stat_ks_sources(spark, sf_dir):
         .cast("long")
         .alias("d_scaled"),
     )
+
+
+@query(
+    "trend_weekday_profile",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS days
+      FROM daily
+    )
+    SELECT CAST(isodow(day) AS INTEGER) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           (CAST(sum(c) AS DOUBLE) / count(*))
+             / (CAST(max(tot.total) AS DOUBLE) / max(tot.days)) AS seasonal_idx
+    FROM daily CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("trend", "timeseries"),
+)
+def trend_weekday_profile(spark, sf_dir):
+    """Day-of-week seasonal profile: mean daily event count per ISO
+    weekday, normalized by the overall daily mean (`seasonal_idx` > 1 =
+    busier-than-average weekday) — the decomposition companion to
+    `trend_autocorr_daily`: autocorrelation DETECTS the weekly cycle,
+    this measures its shape for capacity plans and seasonally-adjusted
+    anomaly thresholds.
+
+    Determinism: integer daily counts; seasonal_idx is a fixed chain of
+    two exact-int divisions and one double division — no reductions in
+    float, no transcendentals. The series is DAYS-sized after the first
+    map-side-combinable aggregation.
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("days"),
+    )
+    prof = (
+        daily.join(F.broadcast(tot))
+        .groupBy(F.dayofweek("day").alias("dow_sun1"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.max("total").alias("total"),
+            F.max("days").alias("days"),
+        )
+    )
+    # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday..7=Sunday
+    iso = F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1)
+    return prof.select(
+        iso.cast("int").alias("weekday"),
+        "n_days",
+        "n_events",
+        (
+            (F.col("n_events").cast("double") / F.col("n_days"))
+            / (F.col("total").cast("double") / F.col("days"))
+        ).alias("seasonal_idx"),
+    )

@@ -217,3 +217,33 @@ def stream_quality_gate(docs: DataFrame) -> DataFrame:
         .where("keep")
         .drop("keep")
     )
+
+
+def stream_distinct_users_sketch(events, window: str = "1 hour", lg_k: int = 12):
+    """Windowed approximate distinct users on a STREAM via mergeable
+    DataSketches HLL — the streaming twin of `agg_hll_sketch_rollup`.
+    Each event-time window aggregates one sketch (kilobytes of state,
+    however many users), and the emitted estimate is the same sketch a
+    batch rollup would union — so a lambda-architecture reconciliation
+    (stream estimate vs batch exact) compares like with like.
+
+    Watermark-bounded state: closed windows are evicted; the per-window
+    state is ONE sketch, not a user set — distinct-count state that
+    cannot grow with cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lg_k))
+            ).alias("approx_users")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_users",
+        )
+    )

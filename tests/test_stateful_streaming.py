@@ -194,3 +194,40 @@ def test_token_heavy_hitters_tracks_dominant_token(spark, tmp_path):
     for r in rows:
         per_emit[(r["shard"], r["n_shard"])] += 1
     assert max(per_emit.values()) <= _HH_CAP
+
+
+def test_stream_distinct_users_sketch_matches_exact_small_cardinality(
+    spark, tmp_path
+):
+    """At small per-window cardinalities the HLL estimate is exact, so
+    the streaming sketch must reproduce the exact distinct counts the
+    same batch computes — windows closed by the watermark only."""
+    from etl_github_spark.streaming.pipeline import stream_distinct_users_sketch
+
+    indir = tmp_path / "in"
+    rows = [
+        {"user_id": u, "ts": f"2024-01-01T{h:02d}:10:00", "value": 1.0}
+        for h, users in [(0, [1, 2, 3]), (1, [2, 2, 4]), (5, [9])]
+        for u in users
+    ]
+    _write_batch(indir, "b1.json", rows)
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .json(str(indir))
+    )
+    q = (
+        stream_distinct_users_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("hll_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): r["approx_users"]
+        for r in spark.sql("SELECT * FROM hll_win").collect()
+    }
+    # hour-5 window stays open under the 2h watermark (append mode)
+    assert got == {"2024-01-01T00:00:00": 3, "2024-01-01T01:00:00": 2}
