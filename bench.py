@@ -134,6 +134,7 @@ EXTENDED = [
     "stat_mannwhitney_sources",
     "stat_ks_sources",
     "trend_weekday_profile",
+    "analytics_time_to_convert",
 ]
 
 

@@ -1425,3 +1425,68 @@ def analytics_attribution_last_touch(spark, sf_dir):
     return purchases.select("purchase_id", "user_id").join(
         best, "purchase_id", "left"
     )
+
+
+@query(
+    "analytics_time_to_convert",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    first_signup AS (
+      SELECT user_id, CAST(min(ts_us) AS BIGINT) AS s_ts
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, CAST(min(e.ts_us) AS BIGINT) AS p_ts
+      FROM ev e JOIN first_signup s
+        ON e.user_id = s.user_id AND e.ts_us >= s.s_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT CAST((p.p_ts - s.s_ts) // 3600000000 AS BIGINT) AS hours_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM first_signup s JOIN first_purchase p USING (user_id)
+    GROUP BY 1
+    """,
+    tags=("analytics", "funnel"),
+)
+def analytics_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: hours between a user's first
+    signup and their first purchase AT OR AFTER it, bucketed into an
+    integer-hour histogram — the activation-latency curve growth teams
+    read next to the funnel rate (how fast conversions happen, not just
+    whether). Purchases before the signup (out-of-order or legacy
+    users) are excluded by the ``>= s_ts`` bound, not silently given
+    negative buckets.
+
+    Integer microsecond arithmetic with integral-division bucketing —
+    no floats. Shape: two per-user min-aggregations (map-side
+    combinable, keyed by user) and a users-sized join; the histogram
+    is a buckets-sized final aggregate.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").cast("long").alias("s_ts"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts_us") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").cast("long").alias("p_ts"))
+    )
+    return (
+        signup.join(purchase, "user_id")
+        .select(
+            F.expr("(p_ts - s_ts) div 3600000000").cast("long").alias("hours_bucket")
+        )
+        .groupBy("hours_bucket")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

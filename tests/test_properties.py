@@ -460,3 +460,24 @@ def test_misra_gries_merge_matches_exact_counts_on_candidates(spark):
         assert lb <= true[t], f"{t}: bound {lb} exceeds truth {true[t]}"
         assert true[t] - lb <= n_p // (_MG_CAP + 1) + 1
     assert "hot" in counters and "warm" in counters
+
+
+def test_perplexity_deciles_invariant_under_repartitioning(spark):
+    """The lm module's core claim: per-doc scores are exact BIGINT sums
+    of per-type quantized surprisals, so decile assignment cannot move
+    with partitioning/reduction order. Compare the full output against
+    a maximally-fragmented replay of the same corpus."""
+    from etl_github_spark.queries.lm import quality_perplexity_unigram
+
+    from .conftest import SF_SMALL
+
+    base = {tuple(r) for r in quality_perplexity_unigram(spark, SF_SMALL).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        frag = {
+            tuple(r) for r in quality_perplexity_unigram(spark, SF_SMALL).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == frag
