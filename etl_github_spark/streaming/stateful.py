@@ -211,3 +211,71 @@ def token_heavy_hitters(tokens: DataFrame, n_shards: int = 16) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ATTR_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("attributed_event_id", LongType()),
+        StructField("attributed_type", StringType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+_ATTR_STATE_SCHEMA = "touch_id LONG, touch_type STRING, touch_ts_us LONG"
+_ATTR_WINDOW_US = 3_600_000_000  # 1h lookback, matching the batch twin
+
+
+def _update_attr(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    touch = state.get if state.exists else (None, None, None)
+    out: dict[str, list] = {k.name: [] for k in ATTR_SCHEMA.fields}
+    for pdf in pdfs:
+        # within-batch event-time order; ties break by event_id like the
+        # batch twin's (t_ts DESC, touch_id DESC) rank
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ev_id, etype, ts_us in zip(
+            pdf["event_id"], pdf["event_type"], pdf["ts_us"]
+        ):
+            if etype in ("click", "view"):
+                touch = (int(ev_id), str(etype), int(ts_us))
+            elif etype == "purchase":
+                tid, ttype, tts = touch
+                fresh = tts is not None and 0 < ts_us - tts <= _ATTR_WINDOW_US
+                out["purchase_id"].append(int(ev_id))
+                out["user_id"].append(int(user_id))
+                out["attributed_event_id"].append(tid if fresh else None)
+                out["attributed_type"].append(ttype if fresh else None)
+                out["gap_us"].append(int(ts_us - tts) if fresh else None)
+    state.update(tuple(touch))
+    yield pd.DataFrame(out)
+
+
+def attribution_last_touch(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `analytics_attribution_last_touch`:
+    per-user GroupState holds only the LATEST click/view (one 3-field
+    row per user, however long the stream runs); each purchase is
+    credited in the micro-batch it arrives in — realtime conversion
+    attribution instead of a nightly range join, with unattributed
+    purchases emitted as NULL-credit rows exactly like the batch op.
+
+    Caveat vs batch: attribution is as-of processing order across
+    micro-batches (a touch that arrives AFTER the purchase's batch
+    cannot claim it retroactively) — the standard streaming trade,
+    stated rather than hidden. Within a batch, event-time order with
+    the batch twin's tie-break is enforced by an explicit sort.
+    """
+    return (
+        events.select("event_id", "user_id", "event_type", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_attr,
+            outputStructType=ATTR_SCHEMA,
+            stateStructType=_ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -231,3 +231,54 @@ def test_stream_distinct_users_sketch_matches_exact_small_cardinality(
     }
     # hour-5 window stays open under the 2h watermark (append mode)
     assert got == {"2024-01-01T00:00:00": 3, "2024-01-01T01:00:00": 2}
+
+
+def test_streaming_attribution_credits_last_touch_across_batches(spark, tmp_path):
+    """A touch in batch 1 must credit a purchase in batch 2 (state carries
+    it); a purchase with no touch in the 1h window gets a NULL-credit row;
+    a newer touch replaces an older one."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.streaming.stateful import attribution_last_touch
+
+    indir = tmp_path / "in"
+    _write_batch(
+        indir,
+        "b1.json",
+        [
+            {"event_id": 1, "user_id": 7, "event_type": "click", "ts": "2024-01-01T00:00:00"},
+            {"event_id": 2, "user_id": 7, "event_type": "view", "ts": "2024-01-01T00:10:00"},
+            {"event_id": 9, "user_id": 8, "event_type": "signup", "ts": "2024-01-01T00:00:00"},
+        ],
+    )
+    _write_batch(
+        indir,
+        "b2.json",
+        [
+            {"event_id": 3, "user_id": 7, "event_type": "purchase", "ts": "2024-01-01T00:30:00"},
+            {"event_id": 10, "user_id": 8, "event_type": "purchase", "ts": "2024-01-01T00:30:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    q = (
+        attribution_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["purchase_id"]: r for r in spark.sql("SELECT * FROM attr").collect()}
+    assert rows[3]["attributed_event_id"] == 2  # newer view beat older click
+    assert rows[3]["attributed_type"] == "view"
+    assert rows[3]["gap_us"] == 20 * 60 * 1_000_000
+    assert rows[10]["attributed_event_id"] is None  # no touch for user 8
