@@ -135,6 +135,8 @@ EXTENDED = [
     "stat_ks_sources",
     "trend_weekday_profile",
     "analytics_time_to_convert",
+    "curate_domain_weights_lm",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -56,6 +56,8 @@ string the driver diffs against at sf=0.01.
 #   stat_ks_sources                (new in r4 — integer ECDF sup-distance)
 #   trend_weekday_profile          (new in r4 — weekday seasonal index)
 #   analytics_time_to_convert      (new in r4 — activation-latency histogram)
+#   curate_domain_weights_lm       (new in r4 — DoReMi-style source weights)
+#   text_tokenizer_fertility       (new in r4 — subtokens-per-word by lang)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

@@ -625,3 +625,103 @@ def sim_rrf_fusion(spark, sf_dir):
         "bm25_rank",
         "cos_rank",
     )
+
+
+def _domain_weights_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vsize
+      FROM vocab
+    ),
+    surp AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(total + vsize AS DOUBLE) / (c + 1)) * {_Q})
+                  AS BIGINT) AS s
+      FROM vocab, tot
+    ),
+    per_src AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(s) AS BIGINT) AS surprisal_q9
+      FROM toks t
+      JOIN documents d USING (doc_id)
+      JOIN surp USING (tok)
+      GROUP BY d.source
+    ),
+    w AS (
+      SELECT source, n_tokens, surprisal_q9,
+             surprisal_q9 // n_tokens AS mean_q9
+      FROM per_src
+    )
+    SELECT source, n_tokens, CAST(mean_q9 AS BIGINT) AS mean_surprisal_q9,
+           CAST(mean_q9 AS DOUBLE)
+             / (SELECT CAST(sum(mean_q9) AS DOUBLE) FROM w) AS weight
+    FROM w
+    """
+
+
+@query(
+    "curate_domain_weights_lm",
+    sql=_domain_weights_sql(),
+    tags=("curation", "lm", "training-prep"),
+)
+def curate_domain_weights_lm(spark, sf_dir):
+    """DoReMi-flavored domain reweighting signal: per-source mean token
+    surprisal under the corpus unigram LM, normalized into sampling
+    weights — a source whose text the LM finds hard gets upweighted
+    (the one-shot surrogate for DoReMi's proxy-model excess-loss loop;
+    `curate_importance_weights` is the DSIR counterpart keyed on target
+    similarity rather than difficulty).
+
+    Mean surprisal is integer (exact BIGINT sum div BIGINT count); the
+    weight is one correctly-rounded division by the summed means of the
+    |sources|-row frame. Per-source sums shuffle by source (map-side
+    combinable) after the same vocab-broadcast join the perplexity ops
+    use.
+    """
+    toks = _tokens(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vsize"),
+    )
+    surp = vocab.join(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("total") + F.col("vsize")).cast("double")
+                / (F.col("c") + F.lit(1))
+            )
+            * F.lit(_Q)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        toks.join(F.broadcast(surp), "tok")
+        .join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s").cast("long").alias("surprisal_q9"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("surprisal_q9 div n_tokens").cast("long").alias("mean_q9"),
+        )
+    )
+    denom = per_src.agg(F.sum("mean_q9").cast("long").alias("denom"))
+    return per_src.join(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        F.col("mean_q9").alias("mean_surprisal_q9"),
+        (F.col("mean_q9").cast("double") / F.col("denom")).alias("weight"),
+    )

@@ -365,3 +365,40 @@ def text_char_trigram_profiles(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .select("lang", "tg", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    sql="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS n_subtokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS DOUBLE)
+             / sum(len(string_split(text, ' '))) AS fertility
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "tokenize", "training-prep"),
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: subtokens-per-word under the
+    BPE-ish pre-tokenizer — the cost-of-representation metric behind
+    vocabulary sizing and per-language token budgets (a language at
+    fertility 2.3 consumes 2.3× the context of one at 1.0 for the same
+    word count, so its byte budget must scale accordingly).
+
+    Both counts are per-row integers aggregated exactly; fertility is
+    one int64/int64 division in double. Same class-based regex dialect
+    in Java and DuckDB RE2; one scan, one combinable aggregation.
+    """
+    d = T(spark, sf_dir, "documents")
+    sub = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    words = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.sum(sub).cast("long").alias("n_subtokens"),
+        F.sum(words).cast("long").alias("n_words"),
+        (F.sum(sub).cast("double") / F.sum(words)).alias("fertility"),
+    )
