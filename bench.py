@@ -137,6 +137,7 @@ EXTENDED = [
     "analytics_time_to_convert",
     "curate_domain_weights_lm",
     "text_tokenizer_fertility",
+    "stat_embedding_drift_split",
 ]
 
 

@@ -58,6 +58,7 @@ string the driver diffs against at sf=0.01.
 #   analytics_time_to_convert      (new in r4 — activation-latency histogram)
 #   curate_domain_weights_lm       (new in r4 — DoReMi-style source weights)
 #   text_tokenizer_fertility       (new in r4 — subtokens-per-word by lang)
+#   stat_embedding_drift_split     (new in r4 — centroid-cosine drift)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

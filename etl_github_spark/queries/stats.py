@@ -798,3 +798,102 @@ def trend_weekday_profile(spark, sf_dir):
             / (F.col("total").cast("double") / F.col("days"))
         ).alias("seasonal_idx"),
     )
+
+
+_DRIFT_Q = 10**6  # per-value quantization for exact centroid sums
+
+
+@query(
+    "stat_embedding_drift_split",
+    sql=f"""
+    WITH q AS (
+      SELECT label,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 'a' ELSE 'b' END AS split,
+             CAST(i AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {_DRIFT_Q})
+                  AS BIGINT) AS qv
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    s AS (
+      SELECT label, split, dim,
+             CAST(sum(qv) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT a.label, a.dim, a.sv AS sa, b.sv AS sb,
+             a.n AS n_a, b.n AS n_b
+      FROM s a JOIN s b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.split = 'a' AND b.split = 'b'
+    )
+    SELECT label,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(sa * sb) AS DOUBLE)
+             / (sqrt(CAST(sum(sa * sa) AS DOUBLE))
+                * sqrt(CAST(sum(sb * sb) AS DOUBLE))) AS drift_cos
+    FROM j GROUP BY label
+    """,
+    tags=("stats", "embedding", "drift"),
+)
+def stat_embedding_drift_split(spark, sf_dir):
+    """Embedding drift monitor: per label, the cosine between the
+    centroids of two deterministic md5 halves of the corpus —
+    drift_cos ≈ 1 says the label's embedding distribution is stable
+    under resampling; a low value flags a label whose vectors are
+    heterogeneous or whose upstream encoder shifted mid-corpus (run
+    with time-based splits in production for before/after monitoring).
+
+    Exactness: values quantize to 1e-6 per (row, dim); centroid sums
+    are exact BIGINT; the cosine is formed from exact int64 dot
+    products with two IEEE sqrt's — bit-identical cross-engine.
+    Overflow envelope: |Σqv| ≤ rows·0.53e6 per (label,split,dim) keeps
+    Σ(sa·sb) in int64 up to ~2.5k rows per group at this scale — shrink
+    _DRIFT_Q (or promote to DECIMAL) for bigger groups. One posexplode
+    scan, dims-sized aggregation, label-sized join.
+    """
+    emb = par(T(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "label",
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).between(
+                "0", "7"
+            ),
+            "a",
+        )
+        .otherwise("b")
+        .alias("split"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "split",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * _DRIFT_Q).cast("long").alias("qv"),
+    )
+    s = q.groupBy("label", "split", "dim").agg(
+        F.sum("qv").cast("long").alias("sv"), F.count("*").cast("long").alias("n")
+    )
+    a = s.where(F.col("split") == "a").select(
+        "label", "dim", F.col("sv").alias("sa"), F.col("n").alias("n_a")
+    )
+    b = s.where(F.col("split") == "b").select(
+        "label", "dim", F.col("sv").alias("sb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            (
+                F.sum(F.col("sa") * F.col("sb")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
+                    * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+                )
+            ).alias("drift_cos"),
+        )
+    )
