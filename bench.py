@@ -138,6 +138,8 @@ EXTENDED = [
     "curate_domain_weights_lm",
     "text_tokenizer_fertility",
     "stat_embedding_drift_split",
+    "pack_bins_shelf",
+    "dedup_rate_by_source",
 ]
 
 

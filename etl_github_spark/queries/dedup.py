@@ -1276,3 +1276,42 @@ def dedup_simhash_hamming(spark, sf_dir):
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .where(ham <= _HAMMING_RADIUS)
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    sql="""
+    WITH g AS (
+      SELECT source, text, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, text
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dupes,
+           CAST((1000 * (sum(c) - count(*))) // sum(c) AS BIGINT)
+             AS dup_permille
+    FROM g GROUP BY source
+    """,
+    tags=("dedup", "profiling"),
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate — the provenance breakdown of
+    `dedup_summary`: which feed is shipping copies? The first question
+    after any global dup number, because the fix (dedupe at the source,
+    renegotiate the feed, drop the mirror) is per-source. Integer
+    permille, two hash aggregations, both map-side combinable.
+    """
+    g = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", "text")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.sum("c") - F.count("*")).cast("long").alias("n_dupes"),
+        F.expr("(1000 * (sum(c) - count(*))) div sum(c)")
+        .cast("long")
+        .alias("dup_permille"),
+    )

@@ -6,6 +6,7 @@ queries/__init__.py); oracle-checked locally by test_oracle_parity.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._util import T, par
@@ -350,4 +351,60 @@ def text_doc_keywords(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("doc_id", "word", "tf", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_BIN_TOKENS = 64  # training-bin capacity (tokens)
+
+
+@query(
+    "pack_bins_shelf",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY n_tokens DESC, doc_id
+             ) AS BIGINT) AS cum
+      FROM d WHERE n_tokens <= {_BIN_TOKENS}
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {_BIN_TOKENS} AS BIGINT) AS bin_id
+    FROM o
+    """,
+    tags=("text", "training-prep", "packing"),
+)
+def pack_bins_shelf(spark, sf_dir):
+    """Shelf packing of documents into fixed-capacity training bins:
+    sort docs longest-first and assign ``bin_id = (running_total −
+    own_len) div capacity`` — the deterministic SQL-expressible cousin
+    of first-fit-decreasing that `pack_sequences`' fixed chunking
+    doesn't attempt (chunking SPLITS docs; packing PLACES whole docs,
+    the mode a trainer uses when documents must stay intact). Docs
+    longer than a bin are excluded (they go to the chunking path).
+
+    A bin here may straddle the capacity boundary by at most one doc
+    (shelf semantics — the straggler ends one shelf and the next doc
+    starts the new one); utilization still lands within one doc-length
+    of FFD on long-tailed corpora, with zero sequential state. The
+    global sort is one row per doc; at 100 TB shard first (cumsum per
+    shard) exactly like `curate_curriculum_stages` documents.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    o = d.where(F.col("n_tokens") <= _BIN_TOKENS).select(
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum"),
+    )
+    return o.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {_BIN_TOKENS}").cast("long").alias("bin_id"),
     )
