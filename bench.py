@@ -140,6 +140,7 @@ EXTENDED = [
     "stat_embedding_drift_split",
     "pack_bins_shelf",
     "dedup_rate_by_source",
+    "analytics_stickiness_dau_wau",
 ]
 
 

@@ -1490,3 +1490,62 @@ def analytics_time_to_convert(spark, sf_dir):
         .groupBy("hours_bucket")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "analytics_stickiness_dau_wau",
+    sql="""
+    WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY d
+    ),
+    wau AS (
+      SELECT dau.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM dau JOIN e ON e.d BETWEEN dau.day - 6 AND dau.day
+      GROUP BY dau.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST((1000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_permille
+    FROM dau JOIN wau USING (day)
+    """,
+    tags=("trend", "analytics"),
+)
+def analytics_stickiness_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day (integer permille) — the engagement
+    ratio product teams track: 1000 = every weekly user shows up daily,
+    ~143 = users touch the product once a week. Composes the
+    `trend_rolling_7d_users` range-join WAU with a per-day distinct
+    DAU; the ratio is integral, so no float forms.
+
+    Scale shape inherited from the WAU op: (day, user) dedup shrinks
+    the fact table first, the day spine broadcasts, and both final
+    frames are days-sized.
+    """
+    e = (
+        T(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = e.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    wau = (
+        dau.select("day")
+        .join(
+            e,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(1000 * dau) div wau").cast("long").alias("stickiness_permille"),
+        )
+    )
