@@ -141,6 +141,7 @@ EXTENDED = [
     "pack_bins_shelf",
     "dedup_rate_by_source",
     "analytics_stickiness_dau_wau",
+    "analytics_growth_accounting",
 ]
 
 

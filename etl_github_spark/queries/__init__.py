@@ -62,6 +62,7 @@ string the driver diffs against at sf=0.01.
 #   pack_bins_shelf                (new in r4 — whole-doc shelf packing)
 #   dedup_rate_by_source           (new in r4 — provenance dup rates)
 #   analytics_stickiness_dau_wau   (new in r4 — DAU/WAU engagement ratio)
+#   analytics_growth_accounting    (new in r4 — new/retained/resurrected)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

@@ -1549,3 +1549,63 @@ def analytics_stickiness_dau_wau(spark, sf_dir):
             F.expr("(1000 * dau) div wau").cast("long").alias("stickiness_permille"),
         )
     )
+
+
+_RESURRECT_GAP_DAYS = 7
+
+
+@query(
+    "analytics_growth_accounting",
+    sql=f"""
+    WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    l AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM e
+    ),
+    c AS (
+      SELECT d AS day,
+             CASE
+               WHEN prev_d IS NULL THEN 'new'
+               WHEN d - prev_d <= {_RESURRECT_GAP_DAYS} THEN 'retained'
+               ELSE 'resurrected'
+             END AS status
+      FROM l
+    )
+    SELECT day, status, CAST(count(*) AS BIGINT) AS n_users
+    FROM c GROUP BY day, status
+    """,
+    tags=("analytics", "growth"),
+)
+def analytics_growth_accounting(spark, sf_dir):
+    """Growth accounting: every active (user, day) classified as NEW
+    (first-ever activity), RETAINED (last active ≤ 7 days ago), or
+    RESURRECTED (returned after a 7+ day gap) — the decomposition that
+    turns a flat DAU line into a growth story (is DAU new acquisition
+    or resurrection masking churn?). Churn is the complement (active in
+    a trailing window, absent today) and reads off the same frame.
+
+    One lag() window over the dedup-shrunk (user, day) set — per-user
+    partitions, tiny rows; the classification is integer date
+    arithmetic, the rollup a days×3 aggregate. No joins at all.
+    """
+    e = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    l = e.select("user_id", "d", F.lag("d").over(w).alias("prev_d"))
+    status = (
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(
+            F.datediff(F.col("d"), F.col("prev_d")) <= _RESURRECT_GAP_DAYS,
+            "retained",
+        )
+        .otherwise("resurrected")
+    )
+    return (
+        l.select(F.col("d").alias("day"), status.alias("status"))
+        .groupBy("day", "status")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
