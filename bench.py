@@ -142,6 +142,7 @@ EXTENDED = [
     "dedup_rate_by_source",
     "analytics_stickiness_dau_wau",
     "analytics_growth_accounting",
+    "trend_cusum_changepoint",
 ]
 
 

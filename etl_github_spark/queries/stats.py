@@ -897,3 +897,76 @@ def stat_embedding_drift_split(spark, sf_dir):
             ).alias("drift_cos"),
         )
     )
+
+
+@query(
+    "trend_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    cs AS (
+      SELECT day, c,
+             CAST(max(tot.n) OVER () * sum(c) OVER (ORDER BY day)
+                  - row_number() OVER (ORDER BY day) * max(tot.total) OVER ()
+               AS BIGINT) AS s_scaled
+      FROM daily CROSS JOIN tot
+    )
+    SELECT day, c AS cnt, s_scaled,
+           abs(s_scaled) = (SELECT max(abs(s_scaled)) FROM cs) AS is_changepoint
+    FROM cs
+    """,
+    tags=("trend", "stats", "timeseries"),
+)
+def trend_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily event series: the
+    scaled cumulative deviation S_t = n·Σ_{i≤t}c_i − t·total peaks
+    exactly where the series' mean level shifts — the standard
+    single-changepoint locator behind "when did volume regime-change?"
+    alerts. Every day is emitted with its CUSUM value and a flag on the
+    |S| maximum, so consumers get both the curve and the answer.
+
+    Scaling by n (instead of subtracting the float mean per day) keeps
+    the entire computation in exact int64 — bit-identical cross-engine,
+    any reduction order. The cumulative window runs over the DAYS-sized
+    frame; at 100 TB the only corpus-sized work is the first
+    map-side-combinable daily count.
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wcum = Window.orderBy("day")
+    cs = (
+        daily.join(F.broadcast(tot))
+        .select(
+            "day",
+            "c",
+            (
+                F.col("n") * F.sum("c").over(wcum)
+                - F.row_number().over(wcum) * F.col("total")
+            )
+            .cast("long")
+            .alias("s_scaled"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    peak = cs.agg(F.max(F.abs("s_scaled")).alias("peak"))
+    return cs.join(F.broadcast(peak)).select(
+        "day",
+        F.col("c").alias("cnt"),
+        "s_scaled",
+        (F.abs("s_scaled") == F.col("peak")).alias("is_changepoint"),
+    )
