@@ -668,3 +668,30 @@ def test_market_basket_broadcast_frequencies_no_cartesian(spark):
 def test_triangle_count_keyed_joins_only(spark):
     p = plan_of(spark, "graph_triangle_count")
     assert "CartesianProduct" not in p
+
+
+def test_stats_and_growth_ops_plan_hygiene(spark):
+    """The statistical-testing and growth-accounting family must stay
+    free of accidental cartesians and keep partial+final aggregation;
+    their only nested-loop joins are deliberate 1-row or
+    dimension-sized broadcasts (pair frames, totals)."""
+    for name in (
+        "stat_welch_ttest_sources",
+        "stat_mannwhitney_sources",
+        "stat_ks_sources",
+        "trend_weekday_profile",
+        "trend_cusum_changepoint",
+        "analytics_growth_accounting",
+        "analytics_stickiness_dau_wau",
+        "analytics_time_to_convert",
+        "analytics_attribution_last_touch",
+        "dedup_rate_by_source",
+        "pack_bins_shelf",
+        "stat_embedding_drift_split",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        # attribution is a pure join+window op; shelf packing is a pure
+        # window op — neither aggregates.
+        if name not in ("analytics_attribution_last_touch", "pack_bins_shelf"):
+            assert "HashAggregate" in p or "SortAggregate" in p, name
