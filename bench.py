@@ -143,6 +143,7 @@ EXTENDED = [
     "analytics_stickiness_dau_wau",
     "analytics_growth_accounting",
     "trend_cusum_changepoint",
+    "dedup_cross_source_syndication",
 ]
 
 

@@ -1315,3 +1315,47 @@ def dedup_rate_by_source(spark, sf_dir):
         .cast("long")
         .alias("dup_permille"),
     )
+
+
+@query(
+    "dedup_cross_source_syndication",
+    sql="""
+    WITH g AS (
+      SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents GROUP BY 1
+    )
+    SELECT canonical_id, n_copies, n_sources
+    FROM g WHERE n_sources >= 2
+    """,
+    tags=("dedup", "profiling"),
+)
+def dedup_cross_source_syndication(spark, sf_dir):
+    """Syndication detector: document groups sharing the same first-8-
+    token prefix across TWO OR MORE sources — the feed-overlap signal
+    `dedup_rate_by_source` (within-source copies) cannot see. Prefix
+    identity rather than full-text identity because syndicated copies
+    rarely match byte-for-byte (appended attribution lines, tracking
+    suffixes); the prefix is the stable part — the same truncation
+    contract `dedup_prefix_groups` uses. High cross-source multiplicity
+    means feeds mirror each other and a naive per-source token budget
+    double-pays for the same content; canonical_id (min doc_id) is the
+    survivor the budget should charge once.
+
+    One hash aggregation keyed on the prefix (at 100 TB: xxhash64 the
+    prefix so the shuffle key is 8 bytes); combinable aggregates only.
+    """
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy(prefix.alias("prefix"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .where(F.col("n_sources") >= 2)
+        .select("canonical_id", "n_copies", "n_sources")
+    )
