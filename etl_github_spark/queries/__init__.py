@@ -65,7 +65,7 @@ string the driver diffs against at sf=0.01.
 #   analytics_growth_accounting    (new in r4 — new/retained/resurrected)
 #   trend_cusum_changepoint        (new in r4 — int-exact CUSUM locator)
 #   dedup_cross_source_syndication (new in r4 — feed-overlap detector)
-from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph  # noqa: F401,E402
+from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
 _R4_WINDOW = [

@@ -1609,3 +1609,130 @@ def analytics_growth_accounting(spark, sf_dir):
         .groupBy("day", "status")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "analytics_activity_bitmap",
+    sql="""
+    WITH a AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) <<
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)) AS bm
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 63
+      GROUP BY user_id
+    )
+    SELECT CAST(bit_count(bm) AS INTEGER) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE (bm & 127) <> 0 AND (bm & 16256) <> 0)
+                AS BIGINT) AS n_both_weeks
+    FROM a GROUP BY 1
+    """,
+    tags=("analytics", "bitmap"),
+)
+def analytics_activity_bitmap(spark, sf_dir):
+    """Per-user activity as a 64-day int64 BITMAP (bit i = active on day
+    i of the window), rolled up to the active-day distribution plus a
+    mask-intersection retention count (active in BOTH week 1 and week
+    2). The bitmap-index idiom: once each user is 8 bytes, every
+    engagement question — streaks, retention, overlap of arbitrary day
+    sets — is bitwise AND/OR + popcount, no re-scan of raw events.
+
+    Scale shape: ``bit_or`` is a map-side-combinable aggregate, so the
+    raw fact table collapses to one int64 per user in a single shuffle;
+    the histogram is a second users→64-row aggregate. The 64-day cap is
+    the int64 word — longer horizons shard the window into an array of
+    words (one per 64 days) with the same algebra; days outside the
+    window are filtered, not wrapped.
+    """
+    dd = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    bm = (
+        T(spark, sf_dir, "events")
+        .select("user_id", dd.alias("dd"))
+        .where((F.col("dd") >= 0) & (F.col("dd") <= 63))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), dd))").alias("bm"))
+    )
+    both = (F.expr("bm & 127") != 0) & (F.expr("bm & 16256") != 0)
+    return (
+        bm.groupBy(F.bit_count("bm").cast("int").alias("active_days"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(both.cast("long")).cast("long").alias("n_both_weeks"),
+        )
+    )
+
+
+@query(
+    "analytics_funnel_windowed",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+        AND e.ts <= v.tv + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        AND e.ts <= c.tc + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_24h,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_24h
+    """,
+    tags=("analytics", "funnel"),
+)
+def analytics_funnel_windowed(spark, sf_dir):
+    """Time-bounded funnel: click within 24 h of the first view,
+    purchase within 24 h of that click. The unbounded funnel
+    (`funnel_conversion`) answers "ever converted"; the windowed one
+    answers the campaign/attribution question "converted BECAUSE OF" —
+    conversion-rate SLAs are always stated with a window, and the two
+    counts can differ wildly on long-lived users.
+
+    Same three user-keyed min-aggregations as the unbounded funnel
+    (shared user_id partitioning, monotonically shrinking stages); the
+    window bound is a per-row predicate, free at any scale. Interval
+    arithmetic stays in timestamp space — no epoch rounding drift
+    between engines.
+    """
+    e = T(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("tc"))
+            & (F.col("ts") <= F.col("tc") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_24h")))
+    )
