@@ -287,28 +287,16 @@ _GRAM_SQL = """
     """
 
 
-@query("stat_embedding_gram", sql=_GRAM_SQL, tags=("stats", "embedding", "linalg"))
-def stat_embedding_gram(spark, sf_dir):
-    """Distributed Gram / second-moment matrix of the embedding corpus:
-    m2[i,j] = mean(x_i·x_j) — the input to PCA (eigh of this 64x64
-    matrix on the driver), whitening, and covariance-based drift
-    monitors. The canonical all-reduce linear-algebra shape at 100 TB:
-    each partition folds its rows into ONE 64x64 integer partial (an
-    Arrow kernel pass, nothing leaves the executor but 4096 numbers),
-    and the final aggregation sums partials — shuffle volume is
-    4096 x n_partitions rows, independent of corpus size.
-
-    Exactness: per-element products are rounded to scaled int64
-    HALF-AWAY (matching both engines' round(); numpy's own np.round is
-    half-EVEN and is deliberately avoided), so partial sums commute and
-    the result is bit-identical across engines, partitionings, and
-    batch sizes. |x| <= ~1 => |p| <= 1e9, exact for corpora to ~9e9
-    rows; beyond that drop to 1e6 scaling (still 6 decimals) for 9e12.
-    """
+def _gram_partials(spark, sf_dir, dim: int = 64):
+    """Per-partition integer Gram partials: each partition folds its
+    rows into one dim×dim int64 accumulator (products scaled 1e9,
+    HALF-AWAY rounded — matching both engines' round(); np.round is
+    half-even and deliberately avoided) and emits (i, j, s, n). Partial
+    sums commute, so the downstream merge is bit-exact under any
+    partitioning — the all-reduce shape shared by the Gram query and
+    the PCA power iteration."""
     import numpy as np
     import pandas as pd
-
-    dim = 64
 
     def partial_gram(batches):
         acc = np.zeros((dim, dim), dtype=np.int64)
@@ -322,7 +310,6 @@ def stat_embedding_gram(spark, sf_dir):
             for c in range(0, len(x), 256):
                 chunk = x[c : c + 256]
                 p = chunk[:, :, None] * chunk[:, None, :] * 1e9
-                # half-away rounding (np.round would be half-even)
                 acc += (
                     (np.floor(np.abs(p) + 0.5) * np.sign(p))
                     .astype(np.int64)
@@ -341,11 +328,32 @@ def stat_embedding_gram(spark, sf_dir):
             }
         )
 
-    partials = (
+    return (
         par(T(spark, sf_dir, "embeddings"))
         .select("embedding")
         .mapInPandas(partial_gram, schema="i int, j int, s long, n long")
     )
+
+
+@query("stat_embedding_gram", sql=_GRAM_SQL, tags=("stats", "embedding", "linalg"))
+def stat_embedding_gram(spark, sf_dir):
+    """Distributed Gram / second-moment matrix of the embedding corpus:
+    m2[i,j] = mean(x_i·x_j) — the input to PCA (eigh of this 64x64
+    matrix on the driver), whitening, and covariance-based drift
+    monitors. The canonical all-reduce linear-algebra shape at 100 TB:
+    each partition folds its rows into ONE 64x64 integer partial (an
+    Arrow kernel pass, nothing leaves the executor but 4096 numbers),
+    and the final aggregation sums partials — shuffle volume is
+    4096 x n_partitions rows, independent of corpus size.
+
+    Exactness: per-element products are rounded to scaled int64
+    HALF-AWAY (matching both engines' round(); numpy's own np.round is
+    half-EVEN and is deliberately avoided), so partial sums commute and
+    the result is bit-identical across engines, partitionings, and
+    batch sizes. |x| <= ~1 => |p| <= 1e9, exact for corpora to ~9e9
+    rows; beyond that drop to 1e6 scaling (still 6 decimals) for 9e12.
+    """
+    partials = _gram_partials(spark, sf_dir)
     return partials.groupBy("i", "j").agg(
         (F.sum("s") / (F.sum("n") * F.lit(1e9))).alias("m2")
     )
@@ -969,4 +977,165 @@ def trend_cusum_changepoint(spark, sf_dir):
         F.col("c").alias("cnt"),
         "s_scaled",
         (F.abs("s_scaled") == F.col("peak")).alias("is_changepoint"),
+    )
+
+
+_PCA_ITERS = 5
+_PCA_S = 1_000_000  # fixed-point scale of the iterated vector
+
+
+def _pca_power_sql() -> str:
+    head = f"""
+    WITH x AS (
+      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(round(e[CAST(i AS INT)] * e[CAST(j AS INT)] * 1e9) AS BIGINT) AS p
+      FROM x, range(1, 65) a(i), range(1, 65) b(j)
+    ),
+    g AS (
+      SELECT i, j, CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM pr GROUP BY i, j
+    ),
+    a AS (SELECT i, j, s // n AS a FROM g),
+    v0 AS (
+      SELECT CAST(j AS INTEGER) AS j, CAST({_PCA_S} AS BIGINT) AS v
+      FROM range(1, 65) t(j)
+    )"""
+    it = f""",
+    w{{k}} AS (
+      SELECT a.j AS j, CAST(sum(a.a * v.v) AS BIGINT) AS w
+      FROM a JOIN v{{p}} v ON v.j = a.i GROUP BY a.j
+    ),
+    m{{k}} AS (SELECT greatest(max(abs(w)) // {_PCA_S}, 1) AS md FROM w{{k}}),
+    v{{k}} AS (SELECT j, CAST(w // md AS BIGINT) AS v FROM w{{k}}, m{{k}})"""
+    parts = [head]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(it.format(k=k, p=k - 1))
+    parts.append(
+        f"""
+    SELECT v{_PCA_ITERS}.j AS dim_idx, v{_PCA_ITERS}.v AS v_q6,
+           CAST(m{_PCA_ITERS}.md AS BIGINT) AS eig_scaled
+    FROM v{_PCA_ITERS}, m{_PCA_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "stat_embedding_pca_power",
+    sql=_pca_power_sql(),
+    tags=("stats", "embedding", "linalg", "iterative"),
+)
+def stat_embedding_pca_power(spark, sf_dir):
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the second-moment (Gram) matrix — the one-pass-
+    distributed + tiny-driver-iteration split every large-scale PCA
+    uses: the corpus is touched ONCE (per-partition int64 Gram
+    partials, shuffle volume 64×64×n_partitions), then 5 matrix-vector
+    rounds run on the 64×64 driver-side matrix — index metadata, same
+    legitimacy class as the k-means codebook collect
+    (`scale_paths.py::lloyd_fit`).
+
+    Integer fixed-point contract: A = S_gram div n (scaled 1e9), v₀ =
+    1e6·𝟙, each round w = A·v; v' = w div max(|w| div 1e6, 1) — every
+    op int64 with truncating division, so Spark, Python, and DuckDB
+    replay bit-identically (DuckDB's `//` truncates toward zero for
+    integers, matching Spark `div`; verified, not assumed). Bounds:
+    |A|≤1e9, |v|≲2e6, 64·|A·v| ≤ 1.3e17 < int64. Output is the scaled
+    eigenvector plus the scaled dominant-eigenvalue estimate (the last
+    normalizer) — convergence rate is data-dependent, but parity holds
+    at ANY iteration count because the oracle replays the same rounds.
+    """
+
+    def tdiv(x: int, d: int) -> int:  # truncation toward zero, d > 0
+        return -((-x) // d) if x < 0 else x // d
+
+    g = _gram_partials(spark, sf_dir).groupBy("i", "j").agg(
+        F.sum("s").cast("long").alias("s"), F.sum("n").cast("long").alias("n")
+    )
+    rows = g.collect()  # 64×64 matrix — driver-side index metadata
+    dim = 64
+    A = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        A[r["i"] - 1][r["j"] - 1] = tdiv(int(r["s"]), int(r["n"]))
+    v = [_PCA_S] * dim
+    md = 1
+    for _ in range(_PCA_ITERS):
+        w = [sum(A[i][j] * v[i] for i in range(dim)) for j in range(dim)]
+        md = max(max(abs(x) for x in w) // _PCA_S, 1)
+        v = [tdiv(x, md) for x in w]
+    out = [(j + 1, v[j], md) for j in range(dim)]
+    return spark.createDataFrame(out, "dim_idx int, v_q6 long, eig_scaled long")
+
+
+@query(
+    "stat_winsorized_mean",
+    sql="""
+    WITH w AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cut AS (
+      SELECT lang,
+             max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN n_chars END) AS lo,
+             max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN n_chars END) AS hi,
+             CAST(max(n) AS BIGINT) AS n_docs
+      FROM w GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(c.lo AS BIGINT) AS lo,
+           CAST(c.hi AS BIGINT) AS hi,
+           c.n_docs,
+           (CAST(sum(least(greatest(d.n_chars, c.lo), c.hi)) AS BIGINT)
+              / count(*)) AS winsor_mean
+    FROM documents d JOIN cut c ON d.lang = c.lang
+    GROUP BY d.lang, c.lo, c.hi, c.n_docs
+    """,
+    tags=("stats", "robust"),
+)
+def stat_winsorized_mean(spark, sf_dir):
+    """Winsorized mean of document length per language: clamp values to
+    the rank-based [p10, p90] cutoffs, then average — the robust-moment
+    alternative to dropping outliers (`curate_length_outliers` removes;
+    winsorizing keeps the row but caps its leverage, the standard move
+    for heavy-tailed quality metrics feeding downstream thresholds).
+
+    Percentiles are RANK-based (value at row (n−1)·q div 100 + 1 under
+    a total (n_chars, doc_id) order), not interpolated — engines
+    interpolate differently, ranks they agree on. Shape: one window
+    pass for cutoffs (per-lang partitions), broadcast of the lang-sized
+    cutoff table back onto the scan, one integer aggregate; the mean is
+    exact-int-sum / count, the registry's deterministic-division rule.
+    """
+    d = T(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    win = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(win).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    at = lambda q: F.expr(f"(n - 1) * {q} div 100 + 1")  # noqa: E731
+    cut = w.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == at(10), F.col("n_chars"))).alias("lo"),
+        F.max(F.when(F.col("rn") == at(90), F.col("n_chars"))).alias("hi"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+    return (
+        d.join(F.broadcast(cut), "lang")
+        .groupBy("lang", "lo", "hi", "n_docs")
+        .agg((F.sum(clamped).cast("long") / F.count("*")).alias("winsor_mean"))
+        .select(
+            "lang",
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            "n_docs",
+            "winsor_mean",
+        )
     )
