@@ -373,3 +373,85 @@ def trend_year_month_orders(spark, sf_dir):
     return o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("revenue"))
+
+
+_QSK_W = 20  # bucket width (chars)
+_QSK_B = 32  # bucket count — sketch domain [0, 640)
+
+
+def _qsketch_sql() -> str:
+    qpick = ", ".join(
+        f"CAST(min(CASE WHEN cum * 100 >= {q} * n THEN (b + 1) * {_QSK_W} END) "
+        f"AS BIGINT) AS p{q}_est"
+        for q in (50, 90, 99)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT source, least(n_chars // {_QSK_W}, {_QSK_B - 1}) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, least(n_chars // {_QSK_W}, {_QSK_B - 1})
+    ),
+    merged AS (
+      SELECT source AS scope, b, cnt FROM sk
+      UNION ALL
+      SELECT 'GLOBAL' AS scope, b, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM sk GROUP BY b
+    ),
+    c AS (
+      SELECT scope, b, cnt,
+             sum(cnt) OVER (PARTITION BY scope ORDER BY b) AS cum,
+             sum(cnt) OVER (PARTITION BY scope) AS n
+      FROM merged
+    )
+    SELECT scope, CAST(max(n) AS BIGINT) AS n, {qpick}
+    FROM c GROUP BY scope
+    """
+
+
+@query("agg_quantile_sketch_rollup", sql=_qsketch_sql(), tags=("agg", "sketch"))
+def agg_quantile_sketch_rollup(spark, sf_dir):
+    """Mergeable QUANTILE sketches with a rollup that never re-touches
+    raw data: each source folds its document lengths into a 32-bucket
+    equi-width histogram (the simplest mergeable quantile summary —
+    same algebra as t-digest/KLL, integer-exact); the GLOBAL row is
+    derived by SUMMING the per-source sketches, and every quantile
+    (p50/p90/p99, reported as the covering bucket's upper bound) reads
+    off a cumulative walk of bucket counts. The companion to
+    `agg_hll_sketch_rollup`: distinct counts merge by OR, quantile
+    histograms merge by +.
+
+    Scale contract: the corpus collapses to |sources|×32 rows in one
+    map-side-combinable aggregate; merge and quantile extraction are
+    sketch-sized (window over ≤32 rows per scope). Error is bounded by
+    the bucket width, the classic sketch trade — the exact sibling is
+    `agg_median_exact` / `quality_equidepth_histogram`.
+    """
+    d = T(spark, sf_dir, "documents")
+    b = F.least(F.expr(f"n_chars div {_QSK_W}"), F.lit(_QSK_B - 1)).alias("b")
+    sk = d.groupBy("source", b).agg(F.count("*").cast("long").alias("cnt"))
+    merged = sk.select(F.col("source").alias("scope"), "b", "cnt").unionAll(
+        sk.groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("GLOBAL").alias("scope"), "b", "cnt")
+    )
+    from pyspark.sql import Window as W
+
+    c = merged.select(
+        "scope",
+        "b",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("scope").orderBy("b")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("scope")).alias("n"),
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                (F.col("b") + 1) * _QSK_W,
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_est")
+        for q in (50, 90, 99)
+    ]
+    return c.groupBy("scope").agg(F.max("n").cast("long").alias("n"), *qcols)

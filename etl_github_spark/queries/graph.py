@@ -348,3 +348,125 @@ def graph_kcore_peel(spark, sf_dir):
     return e.groupBy("u").agg(F.count("*").cast("long").alias("core_deg")).select(
         F.col("u").alias("part_id"), "core_deg"
     )
+
+
+_HITS_ITERS = 3
+_HITS_S = 1_000_000  # fixed-point score scale
+_HITS_TOP = 10
+
+
+def _hits_sql() -> str:
+    head = f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT c, CAST({_HITS_S} AS BIGINT) AS h FROM edges
+    )"""
+    it = f""",
+    a{{k}} AS (
+      SELECT e.s, CAST(sum(h.h) AS BIGINT) AS a
+      FROM edges e JOIN h{{p}} h ON h.c = e.c GROUP BY e.s
+    ),
+    ma{{k}} AS (SELECT greatest(max(a) // {_HITS_S}, 1) AS md FROM a{{k}}),
+    an{{k}} AS (SELECT s, CAST(a // md AS BIGINT) AS a FROM a{{k}}, ma{{k}}),
+    hr{{k}} AS (
+      SELECT e.c, CAST(sum(an.a) AS BIGINT) AS h
+      FROM edges e JOIN an{{k}} an ON an.s = e.s GROUP BY e.c
+    ),
+    mh{{k}} AS (SELECT greatest(max(h) // {_HITS_S}, 1) AS md FROM hr{{k}}),
+    h{{k}} AS (SELECT c, CAST(h // md AS BIGINT) AS h FROM hr{{k}}, mh{{k}})"""
+    parts = [head]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(it.format(k=k, p=k - 1))
+    parts.append(
+        f"""
+    SELECT * FROM (
+      SELECT 'authority' AS role, CAST(s AS BIGINT) AS node_id, a AS score_q6
+      FROM an{_HITS_ITERS} ORDER BY a DESC, s LIMIT {_HITS_TOP}
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_id, h AS score_q6
+      FROM h{_HITS_ITERS} ORDER BY h DESC, c LIMIT {_HITS_TOP}
+    )
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_hits_bipartite", sql=_hits_sql(), tags=("graph", "iterative"))
+def graph_hits_bipartite(spark, sf_dir):
+    """HITS hubs-and-authorities on the bipartite purchase graph
+    (customers = hubs, suppliers = authorities, 3 rounds): a supplier is
+    authoritative when many well-connected customers buy from it; a
+    customer is a good hub when it buys from authoritative suppliers —
+    the mutual-reinforcement centrality that PageRank's single score
+    conflates, and the natural shape for any bipartite interaction
+    graph (user×item, actor×repo).
+
+    Integer fixed-point contract (the PageRank/PCA family rule): scores
+    start at 1e6, each half-round is one edge-keyed sum join, then
+    renormalize by ``score div max(score div 1e6, 1)`` — all int64
+    truncating division, replayed verbatim by the oracle. Bounds:
+    score ≲ 2e6 × max-degree per sum; the per-round normalization keeps
+    every value ≤ ~2e6 regardless of graph size, so 100 TB degree
+    growth cannot overflow. Per round: two keyed shuffles + two 1-row
+    max broadcasts; the edge list is distinct-collapsed once and reused
+    (localCheckpoint).
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = edges.select("c").distinct().withColumn(
+        "h", F.lit(_HITS_S).cast("long")
+    )
+    an = None
+    for _ in range(_HITS_ITERS):
+        a = (
+            edges.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        ma = a.agg(
+            F.greatest(F.expr(f"max(a) div {_HITS_S}"), F.lit(1)).alias("md")
+        )
+        an = a.join(F.broadcast(ma)).select(
+            "s", F.expr("a div md").cast("long").alias("a")
+        ).localCheckpoint(eager=False)
+        hr = (
+            edges.join(an, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        mh = hr.agg(
+            F.greatest(F.expr(f"max(h) div {_HITS_S}"), F.lit(1)).alias("md")
+        )
+        h = hr.join(F.broadcast(mh)).select(
+            "c", F.expr("h div md").cast("long").alias("h")
+        ).localCheckpoint(eager=False)
+    top_a = (
+        an.orderBy(F.col("a").desc(), "s")
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("long").alias("node_id"),
+            F.col("a").alias("score_q6"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.col("h").desc(), "c")
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node_id"),
+            F.col("h").alias("score_q6"),
+        )
+    )
+    return top_a.unionAll(top_h)

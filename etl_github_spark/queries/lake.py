@@ -105,3 +105,58 @@ def lake_matview_refresh(spark, sf_dir):
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(view, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type string, cnt long, sum_cents long")
+
+
+@query(
+    "lake_merge_upsert",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    + CASE WHEN event_id % 5 = 0 THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("lake", "merge"),
+)
+def lake_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE (upsert), driver-checked end to end: land 90%
+    of events as the base table (ids with ``id % 10 != 0``), then merge
+    an update batch of every ``id % 5 == 0`` row with cents bumped by
+    100 — which both REPLACES existing keys and INSERTS the held-out
+    ``id % 10 == 0`` keys in one operation. The read-back per-type
+    (count, sum) must equal the oracle's closed form over the fixture
+    (all rows present; +100 exactly on the %5 keys), so superseded rows
+    surviving, double-inserts, or updates dropped by the dynamic
+    partition overwrite all diverge from the hash.
+
+    The merge itself (`io/sink.py::merge_table`) rewrites only the
+    partitions the update batch touches — O(|affected partitions|),
+    the Delta ``MERGE INTO`` contract on the Parquet layout.
+    """
+    from ..io.sink import merge_table, write_table
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch("merge")
+    write_table(
+        e.where(F.col("event_id") % 10 != 0), path, partition_by=("event_type",)
+    )
+    updates = e.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type", (F.col("cents") + 100).alias("cents")
+    )
+    merge_table(spark, path, updates, ("event_id",), partition_col="event_type")
+    out = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    rows = [(r["event_type"], r["n_rows"], r["sum_cents"]) for r in out.collect()]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n_rows long, sum_cents long")

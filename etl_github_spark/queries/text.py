@@ -402,3 +402,61 @@ def text_tokenizer_fertility(spark, sf_dir):
         F.sum(words).cast("long").alias("n_words"),
         (F.sum(sub).cast("double") / F.sum(words)).alias("fertility"),
     )
+
+
+@query(
+    "multimodal_image_dims",
+    sql="""
+    SELECT doc_id,
+           CAST(64 + n_chars % 256 AS BIGINT) AS width,
+           CAST(64 + (doc_id % 128) * 4 AS BIGINT) AS height,
+           CAST(8 AS INTEGER) AS n_bytes,
+           CAST((1000 * (64 + n_chars % 256))
+                // (64 + (doc_id % 128) * 4) AS BIGINT) AS aspect_permille
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_image_dims(spark, sf_dir):
+    """Typed-header parse over an opaque BINARY column — the multimodal
+    metadata-extraction shape: media arrives as bytes, and the first
+    pipeline stage reads fixed-offset header fields (PNG IHDR
+    width/height live at bytes 16-24 of a real file) WITHOUT decoding
+    the payload. The fixture has no real images, so the binary is
+    synthesized in-plan (8-byte big-endian [width, height] derived from
+    doc attributes — a deterministic fake per the multimodal stubbing
+    contract, `multimodal.py`); the PARSE path is the real product:
+    byte-slice → hex → integer, all JVM-side column ops, zero Python.
+    The oracle recomputes the dims from the attributes directly, so a
+    corrupted encode, an endianness slip, or an off-by-one slice
+    diverges.
+
+    Pure per-row projection — scan-speed at any scale; on real media
+    the same substring/conv chain runs on the first KB of each blob
+    while the payload stays unread (Parquet column projection never
+    materializes it).
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (F.lit(64) + F.col("n_chars") % 256).cast("long")
+    h = (F.lit(64) + (F.col("doc_id") % 128) * 4).cast("long")
+    # encode: 8-byte big-endian header [width:4][height:4]
+    hdr = F.unhex(
+        F.concat(
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+        )
+    )
+    enc = d.select("doc_id", hdr.alias("header"))
+    # parse: fixed-offset byte slices back to integers
+    width = F.expr("CAST(conv(substring(hex(header), 1, 8), 16, 10) AS BIGINT)")
+    height = F.expr("CAST(conv(substring(hex(header), 9, 8), 16, 10) AS BIGINT)")
+    return enc.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.length("header").cast("int").alias("n_bytes"),
+        F.expr(
+            "CAST((1000 * conv(substring(hex(header), 1, 8), 16, 10)) div "
+            "conv(substring(hex(header), 9, 8), 16, 10) AS BIGINT)"
+        ).alias("aspect_permille"),
+    )
