@@ -144,6 +144,17 @@ EXTENDED = [
     "analytics_growth_accounting",
     "trend_cusum_changepoint",
     "dedup_cross_source_syndication",
+    # round-4 late additions (this session)
+    "quality_fk_orphans",
+    "quality_expectations",
+    "analytics_activity_bitmap",
+    "analytics_funnel_windowed",
+    "stat_embedding_pca_power",
+    "stat_winsorized_mean",
+    "lake_merge_upsert",
+    "graph_hits_bipartite",
+    "agg_quantile_sketch_rollup",
+    "multimodal_image_dims",
 ]
 
 

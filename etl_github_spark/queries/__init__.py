@@ -65,6 +65,16 @@ string the driver diffs against at sf=0.01.
 #   analytics_growth_accounting    (new in r4 — new/retained/resurrected)
 #   trend_cusum_changepoint        (new in r4 — int-exact CUSUM locator)
 #   dedup_cross_source_syndication (new in r4 — feed-overlap detector)
+#   quality_fk_orphans             (new in r4 — FK referential-integrity audit)
+#   quality_expectations           (new in r4 — single-pass expectation suite)
+#   analytics_activity_bitmap      (new in r4 — int64 day-bitmap engagement)
+#   analytics_funnel_windowed      (new in r4 — 24h-bounded funnel)
+#   stat_embedding_pca_power       (new in r4 — int fixed-point power iteration)
+#   stat_winsorized_mean           (new in r4 — rank-based p10/p90 clamp)
+#   lake_merge_upsert              (new in r4 — COW MERGE round-trip)
+#   graph_hits_bipartite           (new in r4 — HITS hubs/authorities)
+#   agg_quantile_sketch_rollup     (new in r4 — mergeable histogram quantiles)
+#   multimodal_image_dims          (new in r4 — binary header field parse)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

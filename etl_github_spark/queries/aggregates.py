@@ -428,7 +428,13 @@ def agg_quantile_sketch_rollup(spark, sf_dir):
     """
     d = T(spark, sf_dir, "documents")
     b = F.least(F.expr(f"n_chars div {_QSK_W}"), F.lit(_QSK_B - 1)).alias("b")
-    sk = d.groupBy("source", b).agg(F.count("*").cast("long").alias("cnt"))
+    # materialize the sketch: the GLOBAL branch must MERGE these rows,
+    # not re-scan the corpus (localCheckpoint = the subtree-reuse rule)
+    sk = (
+        d.groupBy("source", b)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     merged = sk.select(F.col("source").alias("scope"), "b", "cnt").unionAll(
         sk.groupBy("b")
         .agg(F.sum("cnt").cast("long").alias("cnt"))

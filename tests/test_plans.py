@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from etl_github_spark.queries.registry import QUERIES
 
@@ -695,3 +696,96 @@ def test_stats_and_growth_ops_plan_hygiene(spark):
         # window op — neither aggregates.
         if name not in ("analytics_attribution_last_touch", "pack_bins_shelf"):
             assert "HashAggregate" in p or "SortAggregate" in p, name
+
+
+def test_validation_ops_single_pass_shape(spark):
+    """quality_expectations must be ONE scan of events — a single
+    partial+final aggregate pair and no joins (every check is a
+    conditional aggregate, not a separate pass)."""
+    p = plan_of(spark, "quality_expectations")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_fk_orphans_broadcasts_parent_keys(spark):
+    """Every FK-audit edge joins against a distinct parent-key
+    projection — dimension-sized, so all seven audits should broadcast
+    (no SortMergeJoin at fixture/dimension scale)."""
+    p = plan_of(spark, "quality_fk_orphans")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+
+
+def test_activity_bitmap_two_aggregates_no_join(spark):
+    """Raw events collapse to one int64 per user (map-side-combinable
+    bit_or) then a tiny histogram — no joins, no window, exactly two
+    aggregate pairs."""
+    p = plan_of(spark, "analytics_activity_bitmap")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_windowed_funnel_reuses_user_partitioning(spark):
+    """The bounded funnel keeps the unbounded funnel's shape: user-keyed
+    aggregations, 1-row final crossjoins (broadcast), no cartesian of
+    fact-sized frames."""
+    p = plan_of(spark, "analytics_funnel_windowed")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the three 1-row count joins
+
+
+def test_winsorized_mean_broadcasts_cutoffs(spark):
+    """Cutoff table is |langs| rows — must broadcast back onto the
+    scan, not shuffle the corpus a second time for the clamp join."""
+    p = plan_of(spark, "stat_winsorized_mean")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_sketch_rollup_sketch_sized_merge(spark):
+    """The GLOBAL rollup must derive from the per-source sketch rows
+    (one scan of documents total), and the quantile walk windows over
+    sketch-sized partitions."""
+    p = plan_of(spark, "agg_quantile_sketch_rollup")
+    # the sketch is localCheckpoint-materialized: both the per-source
+    # branch and the GLOBAL merge read the SAME sketch RDD — zero
+    # parquet re-scans in the final plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p, re.M)) == 2
+    assert "Window" in p
+
+
+def test_image_dims_pure_projection(spark):
+    """Header encode+parse is a per-row column chain: no shuffle, no
+    join, no aggregate — scan-speed by construction."""
+    p = plan_of(spark, "multimodal_image_dims")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_hits_no_cartesian_and_bounded_topk(spark):
+    """HITS rounds are edge-keyed sum joins plus 1-row max broadcasts;
+    the outputs are bounded top-k (TakeOrderedAndProject), never a
+    global sort exchange."""
+    p = plan_of(spark, "graph_hits_bipartite")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_pca_power_gram_is_single_distributed_pass(spark):
+    """The PCA corpus cost is ONE Gram pass: the collected matrix is
+    64x64 metadata, and the partial fold must not shuffle raw
+    embeddings (only the 4096-row partials exchange)."""
+    from etl_github_spark.queries.stats import _gram_partials
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _gram_partials(spark, SF_SMALL).explain("formatted")
+    p = buf.getvalue()
+    # one scan, one repartition of the (small) input ahead of the fold,
+    # and no aggregate before the partials emerge from mapInPandas
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "HashAggregate" not in p
