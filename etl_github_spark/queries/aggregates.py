@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T, davg, davg_sql, dsum, dsum_sql, fxp, fxp_sql
+from ._util import T, davg, davg_sql, dsum, dsum_sql, fxp, fxp_sql, par
 from .registry import query
 
 
@@ -461,3 +461,121 @@ def agg_quantile_sketch_rollup(spark, sf_dir):
         for q in (50, 90, 99)
     ]
     return c.groupBy("scope").agg(F.max("n").cast("long").alias("n"), *qcols)
+
+
+_CM_K = 4  # hash rows
+_CM_M = 512  # buckets per row
+_CM_TOP = 20
+
+
+def _cm_bucket_sql(tok: str, j: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({tok} || '#cm{j}'), 1, 15)) AS BIGINT)"
+        f" % {_CM_M}"
+    )
+
+
+def _countmin_sql() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {j} AS r, {_cm_bucket_sql('token', j)} AS b, cnt FROM cnt"
+        for j in range(_CM_K)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT token, exact_cnt, {j} AS r, {_cm_bucket_sql('token', j)} AS b FROM top"
+        for j in range(_CM_K)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    hashed AS (
+      {rows}
+    ),
+    sketch AS (
+      SELECT r, b, CAST(sum(cnt) AS BIGINT) AS c FROM hashed GROUP BY r, b
+    ),
+    top AS (
+      SELECT token, cnt AS exact_cnt FROM cnt
+      ORDER BY cnt DESC, token LIMIT {_CM_TOP}
+    ),
+    probe AS (
+      {probes}
+    )
+    SELECT p.token, CAST(max(p.exact_cnt) AS BIGINT) AS exact_cnt,
+           CAST(min(s.c) AS BIGINT) AS cm_est,
+           CAST(min(s.c) - max(p.exact_cnt) AS BIGINT) AS overcount
+    FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+    GROUP BY p.token
+    """
+
+
+def _cm_bucket(col, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#cm{j}"))), 1, 15), 16, 10
+        ).cast("long")
+        % _CM_M
+    )
+
+
+@query("agg_countmin_tokens", sql=_countmin_sql(), tags=("agg", "sketch"))
+def agg_countmin_tokens(spark, sf_dir):
+    """COUNT-MIN sketch over the token stream with a built-in error
+    audit: a 4×512 integer sketch (md5-salted hash rows — the engine-
+    portable family the dedup ops use), probed at the exact top-20
+    tokens so every row shows ``exact ≤ cm_est`` and the overcount the
+    514-fold bucket compression costs. The third sketch family next to
+    HLL (distinct) and the histogram (quantiles): mergeable frequency —
+    shard sketches sum cell-wise, so a 100 TB corpus folds to
+    4×512 int64 per partition and the merge is sketch-sized.
+
+    Build rides the pre-aggregated token counts (one explode + one
+    hash agg — the same map-side-combine shape as word_freq), then the
+    sketch is a |vocab|→2048-row aggregate; probes broadcast. Every
+    count is int64 → bit-exact parity, and the top-20 probe set is
+    deterministically tie-broken (count desc, token).
+    """
+    from .analytics import _words  # the shared whitespace tokenizer
+
+    tok = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.explode(_words()).alias("token"))
+    )
+    cnt = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    hashed = None
+    for j in range(_CM_K):
+        part = cnt.select(
+            F.lit(j).alias("r"), _cm_bucket(F.col("token"), j).alias("b"), "cnt"
+        )
+        hashed = part if hashed is None else hashed.unionAll(part)
+    sketch = hashed.groupBy("r", "b").agg(F.sum("cnt").cast("long").alias("c"))
+    top = (
+        cnt.orderBy(F.col("cnt").desc(), "token")
+        .limit(_CM_TOP)
+        .select("token", F.col("cnt").alias("exact_cnt"))
+    )
+    probe = None
+    for j in range(_CM_K):
+        part = top.select(
+            "token",
+            "exact_cnt",
+            F.lit(j).alias("r"),
+            _cm_bucket(F.col("token"), j).alias("b"),
+        )
+        probe = part if probe is None else probe.unionAll(part)
+    return (
+        probe.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token")
+        .agg(
+            F.max("exact_cnt").cast("long").alias("exact_cnt"),
+            F.min("c").cast("long").alias("cm_est"),
+            (F.min("c") - F.max("exact_cnt")).cast("long").alias("overcount"),
+        )
+    )

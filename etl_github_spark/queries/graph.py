@@ -412,9 +412,10 @@ def graph_hits_bipartite(spark, sf_dir):
     truncating division, replayed verbatim by the oracle. Bounds:
     score ≲ 2e6 × max-degree per sum; the per-round normalization keeps
     every value ≤ ~2e6 regardless of graph size, so 100 TB degree
-    growth cannot overflow. Per round: two keyed shuffles + two 1-row
-    max broadcasts; the edge list is distinct-collapsed once and reused
-    (localCheckpoint).
+    growth cannot overflow. Per round: two broadcast-joined combinable
+    aggregates + two 1-row max broadcasts — the edge list never
+    re-shuffles (distinct-collapsed once, localCheckpoint-reused), and
+    the only exchanges are |nodes|-sized aggregation outputs.
     """
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -429,8 +430,13 @@ def graph_hits_bipartite(spark, sf_dir):
     )
     an = None
     for _ in range(_HITS_ITERS):
+        # score frames are |nodes|×16 B — broadcast them INTO the edge
+        # scan so each half-round is a map-side join + one combinable
+        # aggregate, not an edge-list shuffle (beyond broadcastable node
+        # counts a deployment drops the hint and lets AQE pick the
+        # shuffle join; the recurrence is identical either way)
         a = (
-            edges.join(h, "c")
+            edges.join(F.broadcast(h), "c")
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("a"))
         )
@@ -441,7 +447,7 @@ def graph_hits_bipartite(spark, sf_dir):
             "s", F.expr("a div md").cast("long").alias("a")
         ).localCheckpoint(eager=False)
         hr = (
-            edges.join(an, "s")
+            edges.join(F.broadcast(an), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
         )

@@ -176,3 +176,81 @@ def join_fact_fact_revenue(spark, sf_dir):
         .agg(rev.alias("revenue"), F.count("*").alias("line_cnt"))
         .where(F.col("revenue") > 400000)
     )
+
+
+@query(
+    "join_interval_overlap",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sraw AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM sraw GROUP BY user_id, sid
+    ),
+    c AS (
+      SELECT day, day + INTERVAL 12 HOUR AS c_start, day + INTERVAL 14 HOUR AS c_end
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    )
+    SELECT c.day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM s JOIN c ON s.s_start < c.c_end AND s.s_end >= c.c_start
+    GROUP BY c.day
+    """,
+    tags=("join", "interval", "scale-path"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join at scale: user activity sessions (1-day-gap
+    `session_window`, same semantics as `sessionize_events`) joined
+    against daily campaign windows (12:00-14:00 each day) on the
+    overlap predicate ``s_start < c_end AND s_end >= c_start`` — the
+    ad-attribution / incident-correlation / maintenance-window shape.
+
+    A naive inequality join is a nested loop (O(|A|·|B|)). The scale
+    path BUCKETS time: each session explodes to the calendar days it
+    covers (bounded fan-out — a gap-bounded session spans few days;
+    at 100 TB clamp the explode with a max-span guard), the join
+    becomes an EQUI-join on the day bucket (hash-partitionable,
+    AQE-skew-splittable), and the exact overlap predicate refines
+    within the bucket. A session meets a given day's window at most
+    once, so bucketing introduces no duplicate pairs. The oracle runs
+    the direct inequality join — same result, different join strategy.
+    """
+    e = T(spark, sf_dir, "events")
+    s = e.groupBy(F.session_window("ts", "1 day").alias("w"), "user_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    c = days.select(
+        "day",
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 12 HOURS")).alias("c_start"),
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 14 HOURS")).alias("c_end"),
+    )
+    sb = s.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    return (
+        sb.join(c, "day")
+        .where((F.col("s_start") < F.col("c_end")) & (F.col("s_end") >= F.col("c_start")))
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -57,31 +57,45 @@ def quality_fk_orphans(spark, sf_dir):
     new snapshot: a partial parent load or a producer emitting dangling
     ids shows up here before any downstream join silently drops rows.
 
-    Shape per edge: one left join against the distinct parent-key
-    projection + one conditional count. Parent key sets are dimension-
-    sized (broadcast); the two fact-sized edges (lineitem->orders,
-    orders->customer) shuffle on the key at 100 TB — exactly the
-    partitioning their production joins already need, so the audit
-    rides the same exchange. All seven audits are independent →
-    scheduled concurrently under AQE in one action.
+    Shape: ONE scan per child table regardless of how many FK edges it
+    carries — lineitem's three audits chain three broadcast left joins
+    onto the same scan and fold into a single conditional aggregate
+    (stacked back to per-edge rows). Parent key sets are dimension-
+    sized (broadcast); at 100 TB a fact-sized parent (orders for
+    lineitem->orders) flips that one join to a shuffle on the key —
+    exactly the partitioning its production join already needs. The
+    five child scans are independent → scheduled concurrently in one
+    action.
     """
-    out = []
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for label, child, fk, parent, pk in _FK_EDGES:
-        c = T(spark, sf_dir, child).select(fk)
-        p = (
-            T(spark, sf_dir, parent)
-            .select(F.col(pk).alias(fk))
-            .distinct()
-            .withColumn("_hit", F.lit(1))
-        )
-        out.append(
-            c.join(p, fk, "left").agg(
-                F.lit(label).alias("fk_edge"),
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(F.col("_hit").isNull().cast("long"))
-                .cast("long")
-                .alias("n_orphans"),
+        by_child.setdefault(child, []).append((label, fk, parent, pk))
+    out = []
+    for child, edges in by_child.items():
+        c = T(spark, sf_dir, child).select(*sorted({fk for _, fk, _, _ in edges}))
+        for i, (_, fk, parent, pk) in enumerate(edges):
+            p = (
+                T(spark, sf_dir, parent)
+                .select(F.col(pk).alias(fk))
+                .distinct()
+                .withColumn(f"_hit{i}", F.lit(1))
             )
+            c = c.join(F.broadcast(p), fk, "left")
+        one = c.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            *[
+                F.sum(F.col(f"_hit{i}").isNull().cast("long"))
+                .cast("long")
+                .alias(f"o{i}")
+                for i in range(len(edges))
+            ],
+        )
+        pairs = ", ".join(f"'{label}', o{i}" for i, (label, _, _, _) in enumerate(edges))
+        out.append(
+            one.select(
+                F.expr(f"stack({len(edges)}, {pairs}) AS (fk_edge, n_orphans)"),
+                "n_rows",
+            ).select("fk_edge", "n_rows", "n_orphans")
         )
     return reduce(lambda a, b: a.unionAll(b), out)
 

@@ -789,3 +789,23 @@ def test_pca_power_gram_is_single_distributed_pass(spark):
     # and no aggregate before the partials emerge from mapInPandas
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert "HashAggregate" not in p
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """The session×campaign overlap must run as a hash equi-join on the
+    day bucket with the range predicate as a residual — never a
+    nested-loop/cartesian over the two interval sets."""
+    p = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the day-bucket hash join survived optimization
+
+
+def test_countmin_sketch_rides_preaggregated_counts(spark):
+    """The CM sketch must build from the localCheckpoint'd per-token
+    counts (no second corpus explode) and broadcast the 2048-row sketch
+    into the probe join."""
+    p = plan_of(spark, "agg_countmin_tokens")
+    assert p.count("Generate explode") <= 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
