@@ -1736,3 +1736,154 @@ def analytics_funnel_windowed(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_24h")))
         .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_24h")))
     )
+
+
+@query(
+    "trend_anomaly_mad",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, n_events,
+             row_number() OVER (ORDER BY n_events, day) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT max(CASE WHEN rn = (n + 1) // 2 THEN n_events END) AS med FROM r
+    ),
+    dev AS (
+      SELECT day, n_events, abs(n_events - med.med) AS adev FROM daily, med
+    ),
+    r2 AS (
+      SELECT day, n_events, adev,
+             row_number() OVER (ORDER BY adev, day) AS rn,
+             count(*) OVER () AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT max(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad FROM r2
+    )
+    SELECT d.day, d.n_events,
+           CAST(med.med AS BIGINT) AS med,
+           CAST(mad.mad AS BIGINT) AS mad,
+           CAST(CASE WHEN 2 * d.adev > 5 * greatest(mad.mad, 1)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM dev d, med, mad
+    """,
+    tags=("trend", "anomaly", "robust"),
+)
+def trend_anomaly_mad(spark, sf_dir):
+    """Robust anomaly flags on the daily event volume via MEDIAN /
+    median-absolute-deviation — the companion to the moment z-score
+    (`trend_anomaly_days`): one extreme day inflates mean AND σ enough
+    to hide itself from a z-test, while the median/MAD pair barely
+    moves (50% breakdown point). Flag = deviation > 2.5·MAD, kept in
+    integers as ``2·|x−med| > 5·max(MAD,1)`` — no division, no floats.
+
+    Medians are exact rank-based LOWER medians (row (n+1) div 2 under a
+    (value, day) total order) — deterministic, interpolation-free. The
+    raw stream collapses to |days| rows in one combinable aggregate;
+    both median extractions are windows over that days-sized frame, and
+    the two 1-row stats broadcast back. Same sketch-sized shape at any
+    corpus scale.
+    """
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    wct = Window.partitionBy()
+
+    def lower_median(df, col):
+        r = df.select(
+            F.col(col).alias("_v"),
+            F.row_number().over(Window.orderBy(col, "day")).alias("rn"),
+            F.count("*").over(wct).alias("n"),
+        )
+        return r.agg(
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("_v")))
+        )
+
+    med = lower_median(daily, "n_events").toDF("med")
+    dev = daily.join(F.broadcast(med)).select(
+        "day", "n_events", F.abs(F.col("n_events") - F.col("med")).alias("adev")
+    )
+    mad = lower_median(dev, "adev").toDF("mad")
+    return (
+        dev.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            (2 * F.col("adev") > 5 * F.greatest(F.col("mad"), F.lit(1)))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def _benford_sql() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+      FROM orders
+    ),
+    g AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY first_digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT first_digit, n,
+           CAST((1000 * n) // total AS BIGINT) AS obs_permille,
+           CAST(CASE first_digit {expected} END AS BIGINT) AS benford_permille,
+           CAST((1000 * n) // total
+                - CASE first_digit {expected} END AS BIGINT) AS dev_permille
+    FROM g, t
+    """
+
+
+@query("stat_benford_first_digit", sql=_benford_sql(), tags=("stats", "audit"))
+def stat_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    forensic-accounting screen for fabricated or truncated numeric
+    columns: natural multi-scale amounts put ~30.1% of first digits at
+    1, and a synthetic or clipped generator (like this fixture's
+    uniform price model) deviates visibly. Emits observed vs expected
+    permille per digit; the expected distribution ships as integer
+    CONSTANTS (log10 at runtime would break cross-engine bit-parity —
+    the no-transcendentals rule).
+
+    First digit via decimal-string head of the exact cents integer —
+    engine-portable, no float log/pow. One combinable aggregate to 9
+    rows + a 1-row total broadcast.
+    """
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = g.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for dp in _BENFORD_PERMILLE.items() for x in dp]
+    )[F.col("first_digit")]
+    return g.join(F.broadcast(t)).select(
+        "first_digit",
+        "n",
+        F.expr("(1000 * n) div total").cast("long").alias("obs_permille"),
+        expected.cast("long").alias("benford_permille"),
+        (F.expr("(1000 * n) div total") - expected).cast("long").alias("dev_permille"),
+    )

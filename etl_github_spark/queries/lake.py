@@ -160,3 +160,72 @@ def lake_merge_upsert(spark, sf_dir):
     rows = [(r["event_type"], r["n_rows"], r["sum_cents"]) for r in out.collect()]
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type string, n_rows long, sum_cents long")
+
+
+@query(
+    "lake_schema_evolution",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_cents,
+           CAST(sum(CASE WHEN event_id % 2 = 1
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("lake", "schema-evolution"),
+)
+def lake_schema_evolution(spark, sf_dir):
+    """Schema evolution under the driver hash: land the even-id half of
+    events with the ORIGINAL schema (event_id, event_type), append the
+    odd-id half with an ADDED cents column, then read the table with
+    schema merging — old files surface NULL cents, new files real
+    values, and the per-type rollup must equal the oracle's closed form
+    (all rows present; cents summed over exactly the odd half). A
+    reader pinned to either file schema, or an append that rewrote old
+    files, diverges.
+
+    The merged read is `io/sink.py::read_table_evolved` (Parquet
+    mergeSchema) — the additive-column contract every long-lived
+    lakehouse table needs; the footer-sampling cost of mergeSchema is
+    why production tables checkpoint their schema in the manifest
+    instead (documented there).
+    """
+    from ..io.sink import read_table_evolved, write_table
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch("sev")
+    write_table(
+        e.where(F.col("event_id") % 2 == 0).select("event_id", "event_type"),
+        path,
+        partition_by=("event_type",),
+    )
+    write_table(
+        e.where(F.col("event_id") % 2 == 1),
+        path,
+        partition_by=("event_type",),
+        mode="append",
+    )
+    out = (
+        read_table_evolved(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("cents").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_with_cents"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias("sum_cents"),
+        )
+    )
+    rows = [
+        (r["event_type"], r["n_rows"], r["n_with_cents"], r["sum_cents"])
+        for r in out.collect()
+    ]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows long, n_with_cents long, sum_cents long"
+    )

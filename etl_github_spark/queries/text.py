@@ -460,3 +460,60 @@ def multimodal_image_dims(spark, sf_dir):
             "conv(substring(hex(header), 9, 8), 16, 10) AS BIGINT)"
         ).alias("aspect_permille"),
     )
+
+
+@query(
+    "text_readability_ari",
+    sql="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS c,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(greatest(length(text) - length(replace(text, '.', '')), 1)
+                  AS BIGINT) AS s
+      FROM documents
+    )
+    SELECT doc_id, lang, c AS n_chars_m, w AS n_words, s AS n_sents,
+           CAST((471 * c * s + 50 * w * w - 2143 * w * s) // (w * s)
+                AS BIGINT) AS ari_q2,
+           CASE WHEN (471 * c * s + 50 * w * w - 2143 * w * s) // (w * s) < 800
+                THEN 'easy'
+                WHEN (471 * c * s + 50 * w * w - 2143 * w * s) // (w * s) < 1200
+                THEN 'medium' ELSE 'hard' END AS band
+    FROM m
+    """,
+    tags=("text", "quality", "training-prep"),
+)
+def text_readability_ari(spark, sf_dir):
+    """Automated Readability Index per document — the grade-level
+    heuristic (4.71·chars/word + 0.5·words/sentence − 21.43) used to
+    band training corpora by difficulty (curriculum schedules, child-
+    directed filtering, textbook-style selection). Carried as an exact
+    scaled integer: ari·100 = (471·c·s + 50·w² − 2143·w·s) div (w·s) —
+    one truncating division of int64 products, bit-identical across
+    engines (both truncate toward zero; c,w,s are small so products
+    are nowhere near the bound). Sentences are counted by period
+    occurrences (length minus period-stripped length — portable without
+    regex), floored at 1.
+
+    Pure per-row projection chain — scan speed at any scale; the bands
+    feed `curate_curriculum_stages`-style scheduling directly.
+    """
+    d = T(spark, sf_dir, "documents")
+    c = F.length("text").cast("long")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    s = F.greatest(
+        F.length("text") - F.length(F.regexp_replace("text", "\\.", "")),
+        F.lit(1),
+    ).cast("long")
+    m = d.select("doc_id", "lang", c.alias("c"), w.alias("w"), s.alias("s"))
+    ari = F.expr("(471 * c * s + 50 * w * w - 2143 * w * s) div (w * s)")
+    return m.select(
+        "doc_id",
+        "lang",
+        F.col("c").alias("n_chars_m"),
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sents"),
+        ari.cast("long").alias("ari_q2"),
+        F.when(ari < 800, "easy").when(ari < 1200, "medium").otherwise("hard").alias("band"),
+    )
