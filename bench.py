@@ -155,6 +155,12 @@ EXTENDED = [
     "graph_hits_bipartite",
     "agg_quantile_sketch_rollup",
     "multimodal_image_dims",
+    "join_interval_overlap",
+    "agg_countmin_tokens",
+    "trend_anomaly_mad",
+    "stat_benford_first_digit",
+    "text_readability_ari",
+    "lake_schema_evolution",
 ]
 
 

@@ -75,6 +75,12 @@ string the driver diffs against at sf=0.01.
 #   graph_hits_bipartite           (new in r4 — HITS hubs/authorities)
 #   agg_quantile_sketch_rollup     (new in r4 — mergeable histogram quantiles)
 #   multimodal_image_dims          (new in r4 — binary header field parse)
+#   join_interval_overlap          (new in r4 — day-bucketed overlap join)
+#   agg_countmin_tokens            (new in r4 — CM frequency sketch + audit)
+#   trend_anomaly_mad              (new in r4 — median/MAD robust anomalies)
+#   stat_benford_first_digit       (new in r4 — first-digit forensic audit)
+#   text_readability_ari           (new in r4 — integer ARI difficulty bands)
+#   lake_schema_evolution          (new in r4 — mergeSchema additive columns)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
