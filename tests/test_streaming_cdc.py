@@ -1,0 +1,125 @@
+"""CDC apply: a Debezium-shaped change log (insert/update/delete with a
+monotone seq) streamed into the lakehouse table yields exactly-once
+state — intra-batch op ordering respected, tombstones remove rows,
+absent-key deletes are no-ops, and redelivered batches re-apply
+idempotently (streaming/cdc.py)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _land(dirpath, name, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+_SCHEMA = "op string, seq long, k long, dept string, val long"
+
+
+def _read_changes(spark, landing):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .json(str(landing))
+    )
+
+
+def _state(spark, path):
+    return {
+        (r.k, r.dept, r.val)
+        for r in spark.read.parquet(path).select("k", "dept", "val").collect()
+    }
+
+
+def test_cdc_apply_end_to_end(spark, tmp_path):
+    from etl_github_spark.streaming.cdc import stream_cdc_apply
+
+    landing = tmp_path / "changes"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: bootstrap inserts
+    _land(
+        landing,
+        "b1.json",
+        [
+            {"op": "I", "seq": 1, "k": 1, "dept": "a", "val": 10},
+            {"op": "I", "seq": 2, "k": 2, "dept": "a", "val": 20},
+            {"op": "I", "seq": 3, "k": 3, "dept": "b", "val": 30},
+        ],
+    )
+    # batch 2: out-of-order ops for one key (I@4 then D@6 then U@5 in
+    # file order — latest seq is the DELETE and must win), an update,
+    # and a delete for a key that never existed (no-op)
+    _land(
+        landing,
+        "b2.json",
+        [
+            {"op": "U", "seq": 4, "k": 1, "dept": "a", "val": 11},
+            {"op": "D", "seq": 6, "k": 1, "dept": "a", "val": None},
+            {"op": "U", "seq": 5, "k": 1, "dept": "a", "val": 12},
+            {"op": "U", "seq": 7, "k": 2, "dept": "a", "val": 21},
+            {"op": "D", "seq": 8, "k": 99, "dept": "b", "val": None},
+        ],
+    )
+    q = stream_cdc_apply(
+        _read_changes(spark, landing), table, ckpt, ("k",), "dept"
+    )
+    q.awaitTermination(120)
+    assert _state(spark, table) == {(2, "a", 21), (3, "b", 30)}
+
+
+def test_cdc_redelivery_is_idempotent(spark, tmp_path):
+    from etl_github_spark.streaming.cdc import apply_cdc_batch
+
+    landing = tmp_path / "c"
+    table = str(tmp_path / "t")
+    rows1 = [
+        {"op": "I", "seq": 1, "k": 1, "dept": "a", "val": 10},
+        {"op": "I", "seq": 2, "k": 2, "dept": "b", "val": 20},
+    ]
+    rows2 = [
+        {"op": "U", "seq": 3, "k": 1, "dept": "a", "val": 11},
+        {"op": "D", "seq": 4, "k": 2, "dept": "b", "val": None},
+    ]
+    _land(landing, "r1.json", rows1)
+    _land(landing, "r2.json", rows2)
+    b1 = spark.read.schema(_SCHEMA).json(str(landing / "r1.json"))
+    b2 = spark.read.schema(_SCHEMA).json(str(landing / "r2.json"))
+
+    apply_cdc_batch(b1, table, ("k",), "dept")
+    apply_cdc_batch(b2, table, ("k",), "dept")
+    expect = _state(spark, table)
+    assert expect == {(1, "a", 11)}
+    # crash-redelivery: the SAME batch applies again → unchanged state
+    apply_cdc_batch(b2, table, ("k",), "dept")
+    assert _state(spark, table) == expect
+
+
+def test_cdc_delete_drops_emptied_partition_dir(spark, tmp_path):
+    """Deleting every row of a partition must remove its directory (the
+    delete_rows contract carries through the CDC path)."""
+    import os
+
+    from etl_github_spark.streaming.cdc import apply_cdc_batch
+
+    landing = tmp_path / "c"
+    table = str(tmp_path / "t")
+    _land(
+        landing,
+        "r1.json",
+        [
+            {"op": "I", "seq": 1, "k": 1, "dept": "solo", "val": 1},
+            {"op": "I", "seq": 2, "k": 2, "dept": "rest", "val": 2},
+        ],
+    )
+    _land(landing, "r2.json", [{"op": "D", "seq": 3, "k": 1, "dept": "solo", "val": None}])
+    b1 = spark.read.schema(_SCHEMA).json(str(landing / "r1.json"))
+    b2 = spark.read.schema(_SCHEMA).json(str(landing / "r2.json"))
+    apply_cdc_batch(b1, table, ("k",), "dept")
+    apply_cdc_batch(b2, table, ("k",), "dept")
+    assert _state(spark, table) == {(2, "rest", 2)}
+    assert not os.path.isdir(os.path.join(table, "dept=solo"))
