@@ -1139,3 +1139,102 @@ def stat_winsorized_mean(spark, sf_dir):
             "winsor_mean",
         )
     )
+
+
+@query(
+    "stat_theil_sen_daily_trend",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    r AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, xi, xj) AS rn,
+             count(*) OVER () AS n
+      FROM pairs
+    ),
+    ts AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS ts_slope,
+                  CAST(max(n) AS BIGINT) AS n_pairs
+           FROM r),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily
+    )
+    SELECT m.n AS n_days, ts.n_pairs, ts.ts_slope,
+           CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS ols_slope
+    FROM ts, m
+    """,
+    tags=("stats", "robust", "trend"),
+)
+def stat_theil_sen_daily_trend(spark, sf_dir):
+    """Theil–Sen robust trend of daily event volume: the MEDIAN of all
+    pairwise day-slopes, reported next to the OLS slope — the estimator
+    that shrugs off the outlier days that drag least-squares around
+    (29.3% breakdown point vs OLS's zero). The gap between the two
+    slopes is itself the health signal: clean traffic ⇒ they agree.
+
+    Determinism: each pairwise slope is ONE int64→double division
+    (correctly rounded identically everywhere); the median is exact
+    rank-based (lower median under a (slope, xi, xj) total order), so
+    no float summation ever happens. Shape: the stream collapses to
+    |days| rows, the pair join is days², and everything after is
+    window-over-hundreds — the classic reduce-then-quadratic-on-tiny
+    robust-stats shape (same family as `stat_mannwhitney_sources`).
+    At a years-long horizon days² grows; the standard fix (bounded
+    window or repeated-median variant) keeps the same plan skeleton.
+    """
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    r = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "xi", "xj")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    ts = r.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope"))).alias(
+            "ts_slope"
+        ),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ols = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return (
+        ts.join(F.broadcast(m))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            "ts_slope",
+            ols.alias("ols_slope"),
+        )
+    )

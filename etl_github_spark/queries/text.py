@@ -517,3 +517,80 @@ def text_readability_ari(spark, sf_dir):
         ari.cast("long").alias("ari_q2"),
         F.when(ari < 800, "easy").when(ari < 1200, "medium").otherwise("hard").alias("band"),
     )
+
+
+_FRAME_STRIDE = 10  # sample every k-th frame
+
+
+@query(
+    "multimodal_frame_sample",
+    sql=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+             CAST(10 + n_chars % 50 AS BIGINT) AS fps
+      FROM documents
+    )
+    SELECT doc_id, n_frames, fps,
+           CAST((1000 * n_frames) // fps AS BIGINT) AS duration_ms,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST((1000 * i) // fps AS BIGINT) AS ts_ms
+    FROM (SELECT doc_id, n_frames, fps,
+                 unnest(range(0, n_frames, {_FRAME_STRIDE})) AS i
+          FROM meta)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: parse (n_frames, fps) out of an
+    opaque binary container header, derive clip duration, and EXPLODE
+    the deterministic every-k-th-frame sample plan — one row per frame
+    a downstream decode stage would extract, with its integer-exact
+    timestamp. The decode itself stays behind the multimodal codec stub
+    (`multimodal.py`); this op is the Spark-side contract around it:
+    header parse (substring/conv over binary, JVM-side), bounded
+    ``sequence`` fan-out (n_frames/k rows per clip — never unbounded),
+    and a per-frame work list partitionable by doc for the Arrow-batch
+    decode that follows.
+
+    The fixture has no real containers, so the header is synthesized
+    in-plan from doc attributes (the deterministic-fake contract) and
+    the oracle recomputes the plan straight from those attributes — a
+    wrong endianness, slice offset, or stride arithmetic diverges.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nf = (F.lit(100) + F.col("doc_id") % 900).cast("long")
+    fps = (F.lit(10) + F.col("n_chars") % 50).cast("long")
+    hdr = F.unhex(
+        F.concat(F.lpad(F.hex(nf), 8, "0"), F.lpad(F.hex(fps), 8, "0"))
+    )
+    enc = d.select("doc_id", hdr.alias("header"))
+    parsed = enc.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(hex(header), 1, 8), 16, 10) AS BIGINT)").alias(
+            "n_frames"
+        ),
+        F.expr("CAST(conv(substring(hex(header), 9, 8), 16, 10) AS BIGINT)").alias(
+            "fps"
+        ),
+    )
+    return parsed.select(
+        "doc_id",
+        "n_frames",
+        "fps",
+        F.expr("(1000 * n_frames) div fps").cast("long").alias("duration_ms"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("n_frames") - 1,
+                F.lit(_FRAME_STRIDE).cast("long"),
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "fps",
+        "duration_ms",
+        "frame_idx",
+        F.expr("(1000 * frame_idx) div fps").cast("long").alias("ts_ms"),
+    )
