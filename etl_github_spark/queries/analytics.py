@@ -1887,3 +1887,87 @@ def stat_benford_first_digit(spark, sf_dir):
         expected.cast("long").alias("benford_permille"),
         (F.expr("(1000 * n) div total") - expected).cast("long").alias("dev_permille"),
     )
+
+
+_SURV_MAX_K = 28  # horizon of the survival curve (days since first seen)
+
+
+@query(
+    "analytics_survival_curve",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    hz AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+    v AS (
+      SELECT least(date_diff('day', first_d, hz.horizon), {_SURV_MAX_K}) AS a,
+             least(date_diff('day', first_d, last_d), {_SURV_MAX_K}) AS s
+      FROM u, hz
+    ),
+    h1 AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY a),
+    h2 AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY s),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_SURV_MAX_K + 1}) t(k)),
+    ar AS (
+      SELECT k, CAST(sum(coalesce(h1.c, 0))
+                     OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+      FROM ks LEFT JOIN h1 ON h1.v = ks.k
+    ),
+    sv AS (
+      SELECT k, CAST(sum(coalesce(h2.c, 0))
+                     OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_survived
+      FROM ks LEFT JOIN h2 ON h2.v = ks.k
+    )
+    SELECT ar.k AS day_k, ar.n_at_risk, sv.n_survived,
+           CAST((1000 * sv.n_survived) // ar.n_at_risk AS BIGINT) AS surv_permille
+    FROM ar JOIN sv ON sv.k = ar.k
+    WHERE ar.n_at_risk > 0
+    """,
+    tags=("analytics", "survival", "retention"),
+)
+def analytics_survival_curve(spark, sf_dir):
+    """Censoring-aware user survival curve: for each day offset k, the
+    fraction of users still active ≥ k days after their first
+    appearance — counting only users whose observation window REACHES k
+    (first_seen + k ≤ corpus horizon). The censoring denominator is
+    what `cohort_retention`'s raw matrix doesn't give you: a young user
+    who *can't* have survived 28 days yet must not count as churned at
+    k=28 (the classic right-censoring bias).
+
+    Shape: no per-(user, k) explode — each user collapses to two capped
+    integers (days-observable, days-survived), both ≥-counts read off
+    REVERSE cumulative sums of two ≤29-bucket histograms, and the final
+    frame is 29 rows. The raw stream is touched once (user-keyed
+    min/max agg); everything after is sketch-sized at any corpus scale.
+    """
+    e = T(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"), F.max(F.to_date("ts")).alias("last_d")
+    )
+    hz = e.agg(F.max(F.to_date("ts")).alias("horizon"))
+    v = u.join(F.broadcast(hz)).select(
+        F.least(F.datediff("horizon", "first_d"), F.lit(_SURV_MAX_K)).alias("a"),
+        F.least(F.datediff("last_d", "first_d"), F.lit(_SURV_MAX_K)).alias("s"),
+    )
+    h1 = v.groupBy(F.col("a").alias("v")).agg(F.count("*").cast("long").alias("c"))
+    h2 = v.groupBy(F.col("s").alias("v")).agg(F.count("*").cast("long").alias("c"))
+    ks = spark.range(0, _SURV_MAX_K + 1).select(F.col("id").alias("k"))
+    wdesc = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = ks.join(F.broadcast(h1), ks.k == h1.v, "left").select(
+        "k", F.sum(F.coalesce("c", F.lit(0))).over(wdesc).cast("long").alias("n_at_risk")
+    )
+    sv = ks.join(F.broadcast(h2), ks.k == h2.v, "left").select(
+        "k", F.sum(F.coalesce("c", F.lit(0))).over(wdesc).cast("long").alias("n_survived")
+    )
+    return (
+        ar.join(sv, "k")
+        .where(F.col("n_at_risk") > 0)
+        .select(
+            F.col("k").alias("day_k"),
+            "n_at_risk",
+            "n_survived",
+            F.expr("(1000 * n_survived) div n_at_risk").cast("long").alias("surv_permille"),
+        )
+    )
