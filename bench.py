@@ -161,6 +161,9 @@ EXTENDED = [
     "stat_benford_first_digit",
     "text_readability_ari",
     "lake_schema_evolution",
+    "stat_theil_sen_daily_trend",
+    "multimodal_frame_sample",
+    "analytics_survival_curve",
 ]
 
 
