@@ -1,0 +1,209 @@
+"""Structural invariants of the round-4 late-addition operators —
+properties the DuckDB oracle can't state (it replays the same
+computation, so a shared logic error passes parity; these pin the math
+against its own contracts instead).
+"""
+
+from __future__ import annotations
+
+from etl_github_spark.queries.registry import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def _rows(spark, name):
+    return QUERIES[name].fn(spark, SF_ORACLE).collect()
+
+
+def test_countmin_never_undercounts(spark):
+    """CM sketch guarantee: estimate >= exact for every probed token,
+    and the overcount column is exactly their difference."""
+    rows = _rows(spark, "agg_countmin_tokens")
+    assert rows
+    for r in rows:
+        assert r.cm_est >= r.exact_cnt, r
+        assert r.overcount == r.cm_est - r.exact_cnt
+
+
+def test_quantile_sketch_monotone_and_merge_consistent(spark):
+    """p50 <= p90 <= p99 per scope, and the GLOBAL sketch's n equals
+    the sum of the per-source n (the merge lost nothing)."""
+    rows = _rows(spark, "agg_quantile_sketch_rollup")
+    g = [r for r in rows if r.scope == "GLOBAL"]
+    src = [r for r in rows if r.scope != "GLOBAL"]
+    assert len(g) == 1 and src
+    for r in rows:
+        assert r.p50_est <= r.p90_est <= r.p99_est, r
+    assert g[0].n == sum(r.n for r in src)
+
+
+def test_survival_curve_monotone_with_censoring(spark):
+    """Survival counts are non-increasing in k, survived <= at-risk
+    everywhere, and k=0 has every user at risk and surviving."""
+    rows = sorted(_rows(spark, "analytics_survival_curve"), key=lambda r: r.day_k)
+    assert rows and rows[0].day_k == 0
+    assert rows[0].n_at_risk == rows[0].n_survived  # everyone survives day 0
+    prev_ar, prev_sv = None, None
+    for r in rows:
+        assert r.n_survived <= r.n_at_risk, r
+        if prev_ar is not None:
+            assert r.n_at_risk <= prev_ar and r.n_survived <= prev_sv, r
+        prev_ar, prev_sv = r.n_at_risk, r.n_survived
+
+
+def test_activity_bitmap_counts_conserve_users(spark):
+    """Histogram buckets partition the user set: sum(n_users) equals the
+    distinct active users, active_days stays within the 64-bit window,
+    and week-intersection counts never exceed the bucket."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+
+    rows = _rows(spark, "analytics_activity_bitmap")
+    n_users = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.active_days <= 64
+        assert 0 <= r.n_both_weeks <= r.n_users
+
+
+def test_hits_scores_bounded_by_renormalization(spark):
+    """The per-round integer renormalization bounds every emitted score:
+    score div (max div S) keeps values near S regardless of degree —
+    the overflow contract the docstring claims."""
+    rows = _rows(spark, "graph_hits_bipartite")
+    assert rows
+    roles = {r.role for r in rows}
+    assert roles == {"authority", "hub"}
+    for r in rows:
+        assert 0 <= r.score_q6 <= 3_000_000, r  # ~2x the 1e6 scale + slack
+
+
+def test_fk_orphans_covers_every_edge_and_no_orphans_in_fixture(spark):
+    """All seven audited edges report, each with n_rows equal to the
+    child table's count; the TPC-H-shaped fixture is referentially
+    intact so every orphan count is zero."""
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.validate import _FK_EDGES
+
+    rows = {r.fk_edge: r for r in _rows(spark, "quality_fk_orphans")}
+    assert set(rows) == {e[0] for e in _FK_EDGES}
+    for label, child, _, _, _ in _FK_EDGES:
+        assert rows[label].n_rows == load_table(spark, SF_ORACLE, child).count()
+        assert rows[label].n_orphans == 0, label
+
+
+def test_expectations_full_row_accounting(spark):
+    """Every check row carries the same n_rows (single shared scan) and
+    violations never exceed the row count."""
+    rows = _rows(spark, "quality_expectations")
+    assert len(rows) == 8
+    ns = {r.n_rows for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_rows
+        assert r.viol_permille == (1000 * r.n_violations) // r.n_rows
+
+
+def test_winsorized_mean_between_cutoffs(spark):
+    """A winsorized mean is clamped by construction: lo <= mean <= hi,
+    and cutoffs are ordered."""
+    for r in _rows(spark, "stat_winsorized_mean"):
+        assert r.lo <= r.hi
+        assert r.lo <= r.winsor_mean <= r.hi, r
+
+
+def test_pca_power_vector_is_unit_scale_fixed_point(spark):
+    """The iterated vector's max |component| sits at the 1e6 fixed-point
+    scale (the renormalization contract) and the eigenvalue estimate is
+    positive for a Gram (PSD) matrix."""
+    rows = _rows(spark, "stat_embedding_pca_power")
+    assert len(rows) == 64
+    mx = max(abs(r.v_q6) for r in rows)
+    assert 900_000 <= mx <= 2_100_000  # ~S, slack for div truncation
+    assert rows[0].eig_scaled > 0
+
+
+def test_theil_sen_slope_within_pairwise_extremes(spark):
+    """The median slope must lie within the min/max pairwise slopes and
+    the pair count must be n*(n-1)/2."""
+    r = _rows(spark, "stat_theil_sen_daily_trend")[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    # a median of slopes is itself a pairwise slope: finite, and for a
+    # roughly-stationary daily series it stays near zero while OLS may
+    # wander — only sanity-bound it here
+    assert abs(r.ts_slope) < 1e6 and abs(r.ols_slope) < 1e6
+
+
+def test_frame_sample_bounded_fanout_and_timestamps(spark):
+    """Every clip emits ceil(n_frames/stride) rows, indices stay below
+    n_frames, and timestamps are consistent with fps."""
+    import collections
+
+    rows = _rows(spark, "multimodal_frame_sample")
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.doc_id].append(r)
+    for doc, rs in per.items():
+        nf, fps = rs[0].n_frames, rs[0].fps
+        assert len(rs) == (nf + 9) // 10
+        for r in rs:
+            assert 0 <= r.frame_idx < nf
+            assert r.ts_ms == (1000 * r.frame_idx) // fps
+            assert r.duration_ms == (1000 * nf) // fps
+
+
+def test_mad_anomaly_flags_match_definition(spark):
+    """Flags recompute from the emitted med/mad columns — the flag can
+    never disagree with its own published statistics."""
+    for r in _rows(spark, "trend_anomaly_mad"):
+        expect = 1 if 2 * abs(r.n_events - r.med) > 5 * max(r.mad, 1) else 0
+        assert r.is_anomaly == expect, r
+
+
+def test_benford_permille_accounting(spark):
+    """Digits 1-9 all present, observed permille consistent with counts,
+    deviations equal observed minus expected."""
+    rows = _rows(spark, "stat_benford_first_digit")
+    assert {r.first_digit for r in rows} == set(range(1, 10))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.obs_permille == (1000 * r.n) // total
+        assert r.dev_permille == r.obs_permille - r.benford_permille
+
+
+def test_interval_overlap_bucketing_adds_no_duplicates(spark):
+    """The day-bucketed equi-join must agree with a direct (unbucketed)
+    overlap join computed on the same session frame — bucketing is an
+    execution strategy, not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+
+    e = load_table(spark, SF_ORACLE, "events")
+    s = e.groupBy(F.session_window("ts", "1 day").alias("w"), "user_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    c = days.select(
+        "day",
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 12 HOURS")).alias("c_start"),
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 14 HOURS")).alias("c_end"),
+    )
+    direct = (
+        s.crossJoin(c)
+        .where((F.col("s_start") < F.col("c_end")) & (F.col("s_end") >= F.col("c_start")))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_sessions"), F.countDistinct("user_id").alias("n_users"))
+    )
+    want = {(r.day, r.n_sessions, r.n_users) for r in direct.collect()}
+    got = {
+        (r.day, r.n_sessions, r.n_users)
+        for r in _rows(spark, "join_interval_overlap")
+    }
+    assert got == want
