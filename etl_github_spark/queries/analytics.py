@@ -1971,3 +1971,98 @@ def analytics_survival_curve(spark, sf_dir):
             F.expr("(1000 * n_survived) div n_at_risk").cast("long").alias("surv_permille"),
         )
     )
+
+
+@query(
+    "analytics_attribution_linear",
+    sql="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT p.pid, e.event_id AS tid, e.event_type, e.ts,
+             row_number() OVER (PARTITION BY p.pid ORDER BY e.ts, e.event_id) AS rk,
+             count(*) OVER (PARTITION BY p.pid) AS nt
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+      SELECT event_type,
+             CAST(1000 // nt + CASE WHEN rk <= 1000 % nt THEN 1 ELSE 0 END
+                  AS BIGINT) AS credit
+      FROM t
+    ),
+    direct AS (
+      SELECT 'direct' AS event_type, CAST(1000 AS BIGINT) AS credit
+      FROM p LEFT JOIN (SELECT DISTINCT pid FROM t) h ON h.pid = p.pid
+      WHERE h.pid IS NULL
+    ),
+    allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+    SELECT event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS credit_permille
+    FROM allc GROUP BY event_type
+    """,
+    tags=("analytics", "attribution"),
+)
+def analytics_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution: every view/click in the hour
+    before a purchase shares that conversion's credit EQUALLY — the
+    complement of `analytics_attribution_last_touch`, which gives the
+    final touch everything (marketing mix questions need both ends of
+    the spectrum). Credit is integer permille with the division
+    remainder assigned to the EARLIEST touches (rank ≤ 1000 mod n), so
+    each purchase's credit sums to exactly 1000 — mass conservation a
+    float split can't guarantee — and untouched purchases route 1000 to
+    'direct'.
+
+    Shape: one user-keyed range join (purchase × 1h-trailing touches —
+    the same bounded-interval shape as the last-touch op), one window
+    per purchase for rank/count, then a touch-type rollup. All
+    integers end to end.
+    """
+    e = T(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = (
+        e.where(F.col("event_type").isin("view", "click"))
+        .join(p, "user_id")
+        .where(
+            (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "pid",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("ts", "event_id"))
+            .alias("rk"),
+            F.count("*").over(Window.partitionBy("pid")).alias("nt"),
+        )
+    )
+    credited = t.select(
+        "event_type",
+        (
+            F.expr("1000 div nt")
+            + F.when(F.col("rk") <= F.expr("1000 % nt"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("credit"),
+    )
+    touched = t.select("pid").distinct()
+    direct = (
+        p.join(touched, "pid", "left_anti")
+        .select(F.lit("direct").alias("event_type"), F.lit(1000).cast("long").alias("credit"))
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit").cast("long").alias("credit_permille"),
+        )
+    )

@@ -229,3 +229,62 @@ def lake_schema_evolution(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_rows long, n_with_cents long, sum_cents long"
     )
+
+
+@query(
+    "lake_scd2_history",
+    sql="""
+    SELECT c_mktsegment AS segment, CAST(0 AS INTEGER) AS is_current,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 7 = 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment,
+           CAST(1 AS INTEGER) AS is_current,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END
+    """,
+    tags=("lake", "scd2"),
+)
+def lake_scd2_history(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 under the driver hash: load the
+    customer dimension as version 0, apply an update batch that (a)
+    moves every 7th key to a new segment and (b) RE-SENDS the existing
+    segment for every 11th key, then roll up the versioned table by
+    (segment, currency). The oracle's closed form encodes the SCD2
+    contract: changed keys carry a closed row with the OLD value plus a
+    current row with the NEW one; re-sent-unchanged keys add NOTHING
+    (the no-op rule that keeps idempotent producers from bloating
+    history); everyone else keeps a single current row.
+
+    The apply itself is `io/sink.py::scd2_apply` — close + insert in
+    one pass, update batch broadcast, dimension-sized rewrite.
+    """
+    from ..io.sink import scd2_apply, write_table
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    path = _scratch("scd2")
+    v0 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    write_table(v0, path, mode="overwrite", partition_by=())
+    changed = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"), F.lit("PROMO").alias("segment")
+    )
+    noop = c.where((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
+    )
+    scd2_apply(spark, path, changed.unionByName(noop), "k", ("segment",), version=1)
+    out = (
+        spark.read.parquet(path)
+        .groupBy("segment", "is_current")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    rows = [(r["segment"], r["is_current"], r["n_rows"]) for r in out.collect()]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "segment string, is_current int, n_rows long")

@@ -708,3 +708,55 @@ def test_bloom_sidecar_prunes_absent_keys_never_present_ones(spark, tmp_path):
     ).partitionBy("date").parquet(path)
     kept2 = prune_files_eq(path, "user_id", 555_555)
     assert any("date=2024-01-03" in f for f in kept2)
+
+
+def test_scd2_apply_noop_and_idempotent(spark, tmp_path):
+    """SCD2: unchanged re-sends add no history; re-applying the same
+    batch after it took effect is a no-op; changed keys get exactly one
+    closed + one current row with correct version stamps."""
+    from etl_github_spark.io.sink import scd2_apply
+
+    path = str(tmp_path / "dim")
+    v0 = spark.createDataFrame(
+        [(1, "A", 0, None, 1), (2, "B", 0, None, 1), (3, "A", 0, None, 1)],
+        "k long, seg string, valid_from long, valid_to long, is_current int",
+    )
+    v0.write.parquet(path)
+
+    ups = spark.createDataFrame(
+        [(1, "Z"), (2, "B")], "k long, seg string"  # 1 changes, 2 re-sends
+    )
+    r = scd2_apply(spark, path, ups, "k", ("seg",), version=1)
+    assert r == {"closed": 1, "inserted": 1}
+    rows = {
+        (x.k, x.seg, x.valid_from, x.valid_to, x.is_current)
+        for x in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        (1, "A", 0, 1, 0),   # closed old value
+        (1, "Z", 1, None, 1),  # new current
+        (2, "B", 0, None, 1),  # re-send: untouched
+        (3, "A", 0, None, 1),
+    }
+    # idempotent re-apply: the batch now matches current state everywhere
+    r2 = scd2_apply(spark, path, ups, "k", ("seg",), version=2)
+    assert r2 == {"closed": 0, "inserted": 0}
+    assert {
+        (x.k, x.seg, x.valid_from, x.valid_to, x.is_current)
+        for x in spark.read.parquet(path).collect()
+    } == rows
+
+
+def test_scd2_apply_rejects_conflicting_batch(spark, tmp_path):
+    import pytest
+
+    from etl_github_spark.io.sink import scd2_apply
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "A", 0, None, 1)],
+        "k long, seg string, valid_from long, valid_to long, is_current int",
+    ).write.parquet(path)
+    bad = spark.createDataFrame([(1, "X"), (1, "Y")], "k long, seg string")
+    with pytest.raises(ValueError, match="conflicting"):
+        scd2_apply(spark, path, bad, "k", ("seg",), version=1)
