@@ -164,6 +164,8 @@ EXTENDED = [
     "stat_theil_sen_daily_trend",
     "multimodal_frame_sample",
     "analytics_survival_curve",
+    "lake_scd2_history",
+    "analytics_attribution_linear",
 ]
 
 
