@@ -651,15 +651,22 @@ def scd2_apply(
     history).
 
     Table layout: ``key, attrs…, valid_from, valid_to (NULL = open),
-    is_current``. The whole dimension is rewritten per batch — correct
-    for dimension-sized tables (the SCD2 use case); a fact-scale SCD2
+    is_current``. A batch key with NO existing row is a brand-new
+    dimension member: it inserts a current row (nothing to close). The
+    whole dimension is rewritten per batch — correct for
+    dimension-sized tables (the SCD2 use case); a fact-scale SCD2
     would partition by key range and ride the partition-pruned COW path
-    like :func:`merge_table`.
+    like :func:`merge_table`. The rewrite uses the same crash-safe
+    rename-aside swap as :func:`compact_table` (``__compacting`` /
+    ``__old`` staging, repaired by :func:`recover_table`) — at no point
+    is the live directory the only copy.
 
-    Returns {"closed": n, "inserted": n} for audit logs.
+    Returns {"closed": n, "inserted": n} for audit logs (new keys count
+    as inserted, not closed).
     """
     from pyspark.sql import functions as F
 
+    recover_table(path)  # repair any prior crashed swap first
     cur = spark.read.parquet(path)
     up = updates.select(key_col, *attr_cols).distinct()
     dup = up.groupBy(key_col).count().where(F.col("count") > 1).limit(1).collect()
@@ -678,9 +685,19 @@ def scd2_apply(
     joined = open_rows.alias("cur").join(
         F.broadcast(up.alias("up")), F.col(f"cur.{key_col}") == F.col(f"up.{key_col}")
     )
-    changed_keys = joined.where(diff_pred).select(F.col(f"cur.{key_col}").alias(key_col))
+    # materialize once: consumed by the count and three downstream joins
+    changed_keys = (
+        joined.where(diff_pred)
+        .select(F.col(f"cur.{key_col}").alias(key_col))
+        .localCheckpoint()
+    )
+    # brand-new members: batch keys with no open row at all
+    new_keys = up.select(key_col).join(
+        open_rows.select(key_col), key_col, "left_anti"
+    ).localCheckpoint()
     n_changed = changed_keys.count()
-    if n_changed == 0:
+    n_new = new_keys.count()
+    if n_changed == 0 and n_new == 0:
         return {"closed": 0, "inserted": 0}
     # close: stamp valid_to, drop currency — only for changed keys
     to_close = (
@@ -689,8 +706,9 @@ def scd2_apply(
         .withColumn("is_current", F.lit(0))
     )
     untouched_open = open_rows.join(F.broadcast(changed_keys), key_col, "left_anti")
+    insert_keys = changed_keys.unionByName(new_keys)
     inserts = (
-        up.join(F.broadcast(changed_keys), key_col)
+        up.join(F.broadcast(insert_keys), key_col)
         .withColumn("valid_from", F.lit(version).cast("long"))
         .withColumn("valid_to", F.lit(None).cast("long"))
         .withColumn("is_current", F.lit(1))
@@ -702,11 +720,13 @@ def scd2_apply(
         .unionByName(untouched_open.select(*cols))
         .unionByName(inserts.select(*cols))
     )
-    # rewrite via a temp dir + swap: Spark can't overwrite its own input
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="scd2_")
+    # crash-safe rename-aside swap (compact_table's pattern): write the
+    # new version to __compacting, move live aside to __old, promote,
+    # reap — recover_table repairs every intermediate crash state.
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(path, old)
     shutil.move(tmp, path)
-    return {"closed": n_changed, "inserted": n_changed}
+    shutil.rmtree(old)
+    return {"closed": n_changed, "inserted": n_changed + n_new}

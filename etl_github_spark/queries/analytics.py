@@ -1619,7 +1619,7 @@ def analytics_growth_accounting(spark, sf_dir):
              bit_or(CAST(1 AS BIGINT) <<
                CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)) AS bm
       FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 63
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 62
       GROUP BY user_id
     )
     SELECT CAST(bit_count(bm) AS INTEGER) AS active_days,
@@ -1640,16 +1640,19 @@ def analytics_activity_bitmap(spark, sf_dir):
 
     Scale shape: ``bit_or`` is a map-side-combinable aggregate, so the
     raw fact table collapses to one int64 per user in a single shuffle;
-    the histogram is a second users→64-row aggregate. The 64-day cap is
-    the int64 word — longer horizons shard the window into an array of
-    words (one per 64 days) with the same algebra; days outside the
+    the histogram is a second users→63-row aggregate. The window is 63
+    days (bits 0-62): bit 63 is excluded because ``1 << 63`` is the
+    int64 sign bit — Spark's shiftleft wraps silently while DuckDB
+    raises an overflow, so using it would both flip sign semantics and
+    diverge the engines. Longer horizons shard the window into an array
+    of words (one per 63 days) with the same algebra; days outside the
     window are filtered, not wrapped.
     """
     dd = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
     bm = (
         T(spark, sf_dir, "events")
         .select("user_id", dd.alias("dd"))
-        .where((F.col("dd") >= 0) & (F.col("dd") <= 63))
+        .where((F.col("dd") >= 0) & (F.col("dd") <= 62))
         .groupBy("user_id")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), dd))").alias("bm"))
     )

@@ -3,7 +3,7 @@ log into the lakehouse table with exactly-once semantics.
 
 `stream_merge_sink` handles the upsert-only world; real CDC feeds
 (Debezium-shaped) also carry DELETES and per-key ordering, and applying
-them naively breaks in three ways this module exists to prevent:
+them naively breaks in four ways this module exists to prevent:
 
 * intra-batch ordering — a batch may hold I→U→D for one key; only the
   LATEST op per key (by the monotone ``seq``) may apply, and an earlier
@@ -12,7 +12,12 @@ them naively breaks in three ways this module exists to prevent:
   for an absent key is a no-op, not an error);
 * redelivery — the checkpoint re-hands a crashed batch to
   ``foreachBatch``; merge and delete are both idempotent under re-apply,
-  so at-least-once delivery still yields exactly-once table state.
+  so at-least-once delivery still yields exactly-once table state;
+* partition-changing updates — an update may move a row to a NEW
+  partition value, and a partition-pruned merge would leave the stale
+  copy alive in the old one. The default apply scope is key-wide
+  (purge-then-merge); ``partition_stable=True`` opts into the pruned
+  fast path when the layout guarantees keys never move.
 
 Scale shape: each micro-batch collapses to one row per key (window over
 the batch, which is small by definition), then applies one
@@ -37,6 +42,14 @@ UPSERT_OPS = ("I", "U")
 DELETE_OP = "D"
 
 
+def _has_data(path: str) -> bool:
+    """True when the table dir holds at least one non-artifact entry
+    (underscore = committer markers, dot = local-FS checksum files)."""
+    return os.path.isdir(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    )
+
+
 def apply_cdc_batch(
     batch_df: DataFrame,
     path: str,
@@ -44,6 +57,7 @@ def apply_cdc_batch(
     partition_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    partition_stable: bool = False,
 ) -> None:
     """Apply one change-log batch to the table at ``path``.
 
@@ -51,24 +65,35 @@ def apply_cdc_batch(
     and merges surviving upserts (payload columns = everything except
     the op/seq bookkeeping). Idempotent: re-applying the same batch
     leaves the table unchanged.
+
+    ``partition_stable`` picks the supersede scope. The DEFAULT
+    (False) is key-wide and always correct: an update may CHANGE the
+    partition column (Debezium updates can touch any column), so stale
+    copies of the key are removed from EVERY partition (a scan to find
+    victims — the rewrite stays pruned) before the merge, and
+    tombstones likewise hunt the key wherever it lives. When the
+    caller can guarantee the partition value is an immutable function
+    of the key (the usual event-time layout), ``partition_stable=True``
+    skips the victim scan and applies everything partition-pruned —
+    the cheap path, opted into rather than silently assumed.
     """
     if not batch_df.columns:
         return
     w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    # materialize the collapsed batch once: it feeds two emptiness
+    # probes plus the delete/merge jobs below, and each is a separate
+    # action that would otherwise re-shuffle the source
     latest = (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint()
     )
     ups = latest.where(F.col(op_col).isin(*UPSERT_OPS)).drop(op_col, seq_col)
-    dels = latest.where(F.col(op_col) == DELETE_OP).select(
-        *key_cols, partition_col
-    )
+    del_cols = (*key_cols, partition_col) if partition_stable else key_cols
+    dels = latest.where(F.col(op_col) == DELETE_OP).select(*del_cols)
     spark = batch_df.sparkSession
-    exists = os.path.isdir(path) and any(
-        not e.startswith("_") for e in os.listdir(path)
-    )
-    if not exists:
+    if not _has_data(path):
         # first batch bootstraps the table from the upserts alone
         # (overwrite, not errorifexists: a crashed first attempt may
         # have left an artifact-only dir — same rule as stream_merge_sink)
@@ -77,7 +102,20 @@ def apply_cdc_batch(
     if dels.limit(1).count() > 0:
         delete_rows(spark, path, dels, key_cols, partition_col)
     if ups.limit(1).count() > 0:
-        merge_table(spark, path, ups, key_cols, partition_col)
+        if not partition_stable:
+            # key-wide supersede: purge the key from any OTHER partition
+            # it may have lived in, then merge into its new partition.
+            # Crash between the two re-applies cleanly on redelivery
+            # (the delete finds nothing, the merge anti-joins the copy).
+            delete_rows(
+                spark, path, ups.select(*key_cols), key_cols, partition_col
+            )
+        if _has_data(path):
+            merge_table(spark, path, ups, key_cols, partition_col)
+        else:
+            # the deletes above may have emptied the table entirely —
+            # a merge has nothing to read, so this is a re-bootstrap
+            ups.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
 def stream_cdc_apply(
@@ -88,17 +126,26 @@ def stream_cdc_apply(
     partition_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    partition_stable: bool = False,
 ) -> StreamingQuery:
     """Run the change-log stream into the table via ``foreachBatch``.
 
     ``Trigger.AvailableNow`` drains the backlog then stops — the same
     backfill-then-steady-state contract as the ingest pipeline; a
     long-lived deployment swaps in a processing-time trigger unchanged.
+    See :func:`apply_cdc_batch` for the ``partition_stable`` contract
+    (default handles partition-changing updates correctly).
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(
-            batch_df, path, key_cols, partition_col, seq_col=seq_col, op_col=op_col
+            batch_df,
+            path,
+            key_cols,
+            partition_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            partition_stable=partition_stable,
         )
 
     return (

@@ -129,7 +129,7 @@ def stream_merge_sink(
         import os
 
         if os.path.isdir(path) and any(
-            not e.startswith("_") for e in os.listdir(path)
+            not e.startswith(("_", ".")) for e in os.listdir(path)
         ):
             merge_table(latest.sparkSession, path, latest, key_cols, partition_col)
         else:

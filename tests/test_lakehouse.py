@@ -760,3 +760,34 @@ def test_scd2_apply_rejects_conflicting_batch(spark, tmp_path):
     bad = spark.createDataFrame([(1, "X"), (1, "Y")], "k long, seg string")
     with pytest.raises(ValueError, match="conflicting"):
         scd2_apply(spark, path, bad, "k", ("seg",), version=1)
+
+
+def test_scd2_apply_inserts_brand_new_keys(spark, tmp_path):
+    """A batch key with no existing dimension row is a new member: one
+    current row inserted, nothing closed — and the audit counts say so."""
+    from etl_github_spark.io.sink import scd2_apply
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "A", 0, None, 1)],
+        "k long, seg string, valid_from long, valid_to long, is_current int",
+    ).write.parquet(path)
+    ups = spark.createDataFrame(
+        [(1, "Z"), (9, "N")], "k long, seg string"  # 1 changes, 9 is new
+    )
+    r = scd2_apply(spark, path, ups, "k", ("seg",), version=1)
+    assert r == {"closed": 1, "inserted": 2}
+    rows = {
+        (x.k, x.seg, x.valid_from, x.valid_to, x.is_current)
+        for x in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        (1, "A", 0, 1, 0),
+        (1, "Z", 1, None, 1),
+        (9, "N", 1, None, 1),  # brand-new member, nothing to close
+    }
+    # re-apply: everything now matches current state -> full no-op
+    assert scd2_apply(spark, path, ups, "k", ("seg",), version=2) == {
+        "closed": 0,
+        "inserted": 0,
+    }

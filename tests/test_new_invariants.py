@@ -68,7 +68,7 @@ def test_activity_bitmap_counts_conserve_users(spark):
     )
     assert sum(r.n_users for r in rows) == n_users
     for r in rows:
-        assert 1 <= r.active_days <= 64
+        assert 1 <= r.active_days <= 63  # bit 63 excluded (sign bit)
         assert 0 <= r.n_both_weeks <= r.n_users
 
 

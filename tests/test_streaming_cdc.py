@@ -123,3 +123,30 @@ def test_cdc_delete_drops_emptied_partition_dir(spark, tmp_path):
     apply_cdc_batch(b2, table, ("k",), "dept")
     assert _state(spark, table) == {(2, "rest", 2)}
     assert not os.path.isdir(os.path.join(table, "dept=solo"))
+
+
+def test_cdc_update_moving_partitions_leaves_no_stale_copy(spark, tmp_path):
+    """An update that CHANGES the partition column must supersede the
+    old-partition copy (the default key-wide scope), and a later
+    tombstone must kill the key wherever it lives."""
+    from etl_github_spark.streaming.cdc import apply_cdc_batch
+
+    landing = tmp_path / "c"
+    table = str(tmp_path / "t")
+    _land(landing, "r1.json", [
+        {"op": "I", "seq": 1, "k": 1, "dept": "a", "val": 10},
+        {"op": "I", "seq": 2, "k": 2, "dept": "a", "val": 20},
+    ])
+    _land(landing, "r2.json", [
+        {"op": "U", "seq": 3, "k": 1, "dept": "b", "val": 11},  # moves a -> b
+    ])
+    _land(landing, "r3.json", [
+        {"op": "D", "seq": 4, "k": 1, "dept": "b", "val": None},
+    ])
+    b = lambda n: spark.read.schema(_SCHEMA).json(str(landing / n))  # noqa: E731
+    apply_cdc_batch(b("r1.json"), table, ("k",), "dept")
+    apply_cdc_batch(b("r2.json"), table, ("k",), "dept")
+    # exactly one copy of k=1, in its NEW partition
+    assert _state(spark, table) == {(1, "b", 11), (2, "a", 20)}
+    apply_cdc_batch(b("r3.json"), table, ("k",), "dept")
+    assert _state(spark, table) == {(2, "a", 20)}
