@@ -205,3 +205,51 @@ def window_ntile_quartiles(spark, sf_dir):
     return T(spark, sf_dir, "customer").select(
         "c_custkey", F.ntile(4).over(w).alias("bal_quartile")
     )
+
+
+@query(
+    "window_value_range_frame",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                 RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+                AS BIGINT) AS n_similar_priced,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                 RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+                AS BIGINT) AS cents_similar_priced
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_value_range_frame(spark, sf_dir):
+    """VALUE-based RANGE window frame: for every order, how many of the
+    same customer's orders fall within ±$10,000 of ITS price, and their
+    summed value — the peer-group framing (price-band comparisons,
+    salary bands, nearest-neighbor-by-value) that row-count frames
+    can't express: the frame width varies per row with the DATA, not
+    the row position. Completes the frame-type surface next to the
+    time-interval RANGE (`window_time_range_count`) and ROWS frames
+    (`window_moving_sum`).
+
+    Exact-cents ordering key (the fixed-point rule) keeps the frame
+    boundary comparisons integer — a double ordering key would make
+    frame membership rounding-sensitive at the ±bound edge. One
+    shuffle on the partition key; the range scan within each partition
+    is the standard sorted two-pointer sweep Spark's window exec does
+    natively. The DataFrame API's rangeBetween takes the same long
+    offsets (`Window.rangeBetween(-1000000, 1000000)`).
+    """
+    from pyspark.sql import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("o_custkey").orderBy(cents).rangeBetween(-1_000_000, 1_000_000)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("long").alias("n_similar_priced"),
+        F.sum(cents).over(w).cast("long").alias("cents_similar_priced"),
+    )

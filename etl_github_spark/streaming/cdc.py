@@ -154,3 +154,58 @@ def stream_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2_sink(
+    changes: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    seq_col: str = "seq",
+) -> StreamingQuery:
+    """Stream attribute updates into an SCD Type 2 dimension: every
+    micro-batch collapses to the latest value per key (by ``seq``) and
+    folds through :func:`~etl_github_spark.io.sink.scd2_apply`, so the
+    dimension accumulates FULL HISTORY as the stream flows — the
+    slowly-changing-dimension maintenance loop (customer tier changes,
+    catalog recategorizations) as a checkpointed streaming job.
+
+    The version stamp is the batch's max ``seq`` — derived from the
+    DATA, not the batch id, so a redelivered batch stamps identically
+    and scd2_apply's unchanged-value no-op rule makes the re-apply
+    idempotent (exactly-once history on at-least-once delivery).
+    """
+    from ..io.sink import scd2_apply
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .localCheckpoint()
+        )
+        head = latest.agg(F.max(seq_col).alias("v")).first()
+        if head is None or head["v"] is None:
+            return
+        ups = latest.select(key_col, *attr_cols)
+        if not _has_data(path):
+            boot = (
+                ups.withColumn("valid_from", F.lit(int(head["v"])).cast("long"))
+                .withColumn("valid_to", F.lit(None).cast("long"))
+                .withColumn("is_current", F.lit(1))
+            )
+            boot.write.mode("overwrite").parquet(path)
+            return
+        scd2_apply(
+            latest.sparkSession, path, ups, key_col, attr_cols, version=int(head["v"])
+        )
+
+    return (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -150,3 +150,38 @@ def test_cdc_update_moving_partitions_leaves_no_stale_copy(spark, tmp_path):
     assert _state(spark, table) == {(1, "b", 11), (2, "a", 20)}
     apply_cdc_batch(b("r3.json"), table, ("k",), "dept")
     assert _state(spark, table) == {(2, "a", 20)}
+
+
+def test_stream_scd2_sink_accumulates_history(spark, tmp_path):
+    """Streaming SCD2: batch 1 bootstraps, batch 2's changed key closes
+    its old row and opens a new one while a re-sent key no-ops."""
+    from etl_github_spark.streaming.cdc import stream_scd2_sink
+
+    landing = tmp_path / "c"
+    _land(landing, "b1.json", [
+        {"seq": 1, "k": 1, "seg": "A"},
+        {"seq": 2, "k": 2, "seg": "B"},
+    ])
+    _land(landing, "b2.json", [
+        {"seq": 3, "k": 1, "seg": "Z"},   # change
+        {"seq": 4, "k": 2, "seg": "B"},   # re-send: no-op
+    ])
+    src = (
+        spark.readStream.schema("seq long, k long, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    table, ckpt = str(tmp_path / "dim"), str(tmp_path / "ck")
+    q = stream_scd2_sink(src, table, ckpt, "k", ("seg",))
+    q.awaitTermination(120)
+    rows = {
+        (r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(table).collect()
+    }
+    # version stamps are batch watermarks (max seq of the batch): the
+    # bootstrap batch stamps 2, the second batch stamps 4
+    assert rows == {
+        (1, "A", 2, 4, 0),    # closed at batch-2 version (max seq = 4)
+        (1, "Z", 4, None, 1),
+        (2, "B", 2, None, 1),  # re-send left untouched
+    }
