@@ -166,6 +166,7 @@ EXTENDED = [
     "analytics_survival_curve",
     "lake_scd2_history",
     "analytics_attribution_linear",
+    "window_value_range_frame",
 ]
 
 
