@@ -127,13 +127,20 @@ def graph_pagerank_purchases(spark, sf_dir):
     for _ in range(_ITERS):
         ranks = ranks.localCheckpoint(eager=False)
         dang = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left")
+            ranks.join(
+                F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
+            )
             .where(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
         )
+        # rank/degree frames are |nodes|×16 B — broadcast them INTO the
+        # edge scan (the HITS rule): each round becomes a map-side join
+        # plus one combinable aggregate instead of re-shuffling the
+        # (much larger) edge list; beyond broadcastable node counts a
+        # deployment drops the hints and AQE plans the shuffle join.
         inm = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
             .withColumnRenamed("dst", "node")
