@@ -13,7 +13,11 @@ string the driver diffs against at sf=0.01.
 # AFTER their last driver row (their only driver rows say `no_oracle`):
 # dedup_simhash, sim_lsh_bucketed_topk, agg_approx_distinct_users.
 #
-# ROUND-5 ROTATION CANDIDATES — put these FIRST next round:
+# ROUND-5 ROTATION CANDIDATES — put these FIRST next round. The list is
+# in add-order (oldest un-verified first) and is LONGER than the 50-slot
+# window: take the first 50 verbatim as _R5_WINDOW and carry the tail to
+# round 6 (everything here is already green in the local parity replica,
+# tests/test_oracle_parity.py — the driver row is what's missing):
 #   trend_rolling_7d_users_approx  (sibling trend_rolling_7d_users green r03;
 #                                   dropped from the full r4 window)
 #   sim_topk_multi_query           (sibling sim_topk_bruteforce green r01-r02;
