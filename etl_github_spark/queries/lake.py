@@ -288,3 +288,54 @@ def lake_scd2_history(spark, sf_dir):
     rows = [(r["segment"], r["is_current"], r["n_rows"]) for r in out.collect()]
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "segment string, is_current int, n_rows long")
+
+
+@query(
+    "lake_write_observed",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    """,
+    tags=("lake", "observability"),
+)
+def lake_write_observed(spark, sf_dir):
+    """Write-time metrics via ``DataFrame.observe``: the ingest job
+    lands the batch AND reports its row count / value sum / high-water
+    mark from the SAME pass — the accounting every production sink
+    needs (reconciliation counts, freshness watermarks, billing sums)
+    without the second scan a separate ``count()`` costs. At 100 TB
+    that second scan is real money; ``observe`` attaches the aggregates
+    to the write job itself, so the metrics are exactly what the
+    committed files contain — not a re-read that could race a
+    concurrent append.
+
+    The observed metrics must hash-equal the oracle's direct aggregate
+    over the fixture: a write that dropped or duplicated rows shows up
+    as a metric mismatch — observability as a correctness check.
+    """
+    from pyspark.sql import Observation
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    obs = Observation("ingest")
+    path = _scratch("obs")
+    (
+        e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    m = obs.get
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["max_event_id"]))],
+        "n_rows long, sum_cents long, max_event_id long",
+    )
