@@ -167,6 +167,7 @@ EXTENDED = [
     "lake_scd2_history",
     "analytics_attribution_linear",
     "window_value_range_frame",
+    "lake_write_observed",
 ]
 
 
