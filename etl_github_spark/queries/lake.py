@@ -335,7 +335,12 @@ def lake_write_observed(spark, sf_dir):
     )
     m = obs.get
     shutil.rmtree(path, ignore_errors=True)
+    # an empty batch observes (0, None, None) — keep the NULLs so the
+    # result matches the oracle's aggregate row instead of crashing
+    def _i(v):
+        return None if v is None else int(v)
+
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["max_event_id"]))],
+        [(int(m["n_rows"]), _i(m["sum_cents"]), _i(m["max_event_id"]))],
         "n_rows long, sum_cents long, max_event_id long",
     )

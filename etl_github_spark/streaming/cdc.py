@@ -42,6 +42,19 @@ UPSERT_OPS = ("I", "U")
 DELETE_OP = "D"
 
 
+def _latest_per_key(batch_df: DataFrame, key_cols, seq_col: str) -> DataFrame:
+    """Collapse a change batch to its latest row per key (by the
+    monotone ``seq``), materialized once — the batch feeds several
+    downstream actions and would otherwise re-shuffle per action."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+
+
 def _has_data(path: str) -> bool:
     """True when the table dir holds at least one non-artifact entry
     (underscore = committer markers, dot = local-FS checksum files)."""
@@ -79,16 +92,7 @@ def apply_cdc_batch(
     """
     if not batch_df.columns:
         return
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
-    # materialize the collapsed batch once: it feeds two emptiness
-    # probes plus the delete/merge jobs below, and each is a separate
-    # action that would otherwise re-shuffle the source
-    latest = (
-        batch_df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-        .localCheckpoint()
-    )
+    latest = _latest_per_key(batch_df, key_cols, seq_col)
     ups = latest.where(F.col(op_col).isin(*UPSERT_OPS)).drop(op_col, seq_col)
     del_cols = (*key_cols, partition_col) if partition_stable else key_cols
     dels = latest.where(F.col(op_col) == DELETE_OP).select(*del_cols)
@@ -181,15 +185,17 @@ def stream_scd2_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
-        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .localCheckpoint()
-        )
+        from ..io.sink import recover_table
+
+        # repair any crashed scd2_apply swap BEFORE probing emptiness: a
+        # crash between its two renames leaves the live dir absent with
+        # the only copy in __old — bootstrapping over that would destroy
+        # the accumulated history on redelivery
+        recover_table(path)
+        latest = _latest_per_key(batch_df, (key_col,), seq_col)
         head = latest.agg(F.max(seq_col).alias("v")).first()
-        if head is None or head["v"] is None:
-            return
+        if head["v"] is None:
+            return  # batch held only null seqs — nothing stampable
         ups = latest.select(key_col, *attr_cols)
         if not _has_data(path):
             boot = (

@@ -185,3 +185,36 @@ def test_stream_scd2_sink_accumulates_history(spark, tmp_path):
         (1, "Z", 4, None, 1),
         (2, "B", 2, None, 1),  # re-send left untouched
     }
+
+
+def test_stream_scd2_sink_recovers_crashed_swap_before_bootstrap_check(spark, tmp_path):
+    """If a prior scd2_apply crashed between its two swap renames (live
+    dir absent, only copy in __old), the sink must RESTORE it before the
+    emptiness probe — bootstrapping over it would destroy history."""
+    import shutil
+
+    from etl_github_spark.streaming.cdc import stream_scd2_sink
+
+    landing = tmp_path / "c"
+    _land(landing, "b1.json", [{"seq": 1, "k": 1, "seg": "A"}])
+    src1 = (
+        spark.readStream.schema("seq long, k long, seg string")
+        .json(str(landing))
+    )
+    table, ck1 = str(tmp_path / "dim"), str(tmp_path / "ck1")
+    stream_scd2_sink(src1, table, ck1, "k", ("seg",)).awaitTermination(120)
+    # simulate the mid-swap crash: live moved aside, promotion never ran
+    shutil.move(table, table + "__old")
+    # redelivery/next batch on a FRESH checkpoint (sees b1 + b2)
+    _land(landing, "b2.json", [{"seq": 2, "k": 1, "seg": "Z"}])
+    src2 = (
+        spark.readStream.schema("seq long, k long, seg string")
+        .json(str(landing))
+    )
+    stream_scd2_sink(src2, table, str(tmp_path / "ck2"), "k", ("seg",)).awaitTermination(120)
+    rows = {
+        (r.k, r.seg, r.valid_to, r.is_current)
+        for r in spark.read.parquet(table).collect()
+    }
+    # history survived: the batch-1 row was restored, then closed by Z
+    assert rows == {(1, "A", 2, 0), (1, "Z", None, 1)}
