@@ -579,3 +579,54 @@ def agg_countmin_tokens(spark, sf_dir):
             (F.min("c") - F.max("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+@query(
+    "agg_mode_per_group",
+    sql="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, event_type, cnt,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT day, event_type AS mode_type, cnt AS mode_cnt
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Statistical MODE per group (most frequent event type per day)
+    with a DETERMINISTIC tie-break — the pandas ``.mode()`` /
+    ``value_counts().head(1)`` verb. Spark's ``mode()`` aggregate picks
+    an arbitrary winner on ties (non-reproducible across runs and
+    engines), so this routes through the explicit two-stage shape:
+    count per (group, value), then rank-1 per group under the total
+    (count desc, value) order — same answer everywhere, every time.
+
+    Both stages are map-side combinable / tiny-partition windows; the
+    distinct-value domain (|days|×|types|) bounds everything after the
+    first aggregate, so the shape is corpus-scale-free past one pass.
+    """
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    r = c.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("day").orderBy(F.col("cnt").desc(), "event_type"))
+        .alias("rn"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "day", F.col("event_type").alias("mode_type"), F.col("cnt").alias("mode_cnt")
+    )
