@@ -168,6 +168,7 @@ EXTENDED = [
     "analytics_attribution_linear",
     "window_value_range_frame",
     "lake_write_observed",
+    "agg_mode_per_group",
 ]
 
 

@@ -92,6 +92,7 @@ string the driver diffs against at sf=0.01.
 #   analytics_attribution_linear   (new in r4 — equal-split multi-touch)
 #   window_value_range_frame       (new in r4 — data-dependent RANGE frames)
 #   lake_write_observed            (new in r4 — observe() write metrics)
+#   agg_mode_per_group             (new in r4 — deterministic-tie-break mode)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
