@@ -2069,3 +2069,89 @@ def analytics_attribution_linear(spark, sf_dir):
             F.sum("credit").cast("long").alias("credit_permille"),
         )
     )
+
+
+@query(
+    "trend_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT day, observed,
+             CAST(CASE WHEN count(*) OVER w7 = 7
+                       THEN sum(observed) OVER w7 // 7 END AS BIGINT) AS trend_ma7
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    wk AS (
+      SELECT isodow(day) AS dow,
+             CAST(sum(observed) // count(*)
+                  - (SELECT sum(observed) // count(*) FROM daily) AS BIGINT)
+               AS weekday_component
+      FROM daily GROUP BY isodow(day)
+    )
+    SELECT m.day, m.observed, m.trend_ma7, w.weekday_component,
+           CAST(m.observed - coalesce(m.trend_ma7, 0) - w.weekday_component
+                AS BIGINT) AS residual
+    FROM ma m JOIN wk w ON w.dow = isodow(m.day)
+    """,
+    tags=("trend", "seasonality"),
+)
+def trend_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the daily event series —
+    observed = trend + weekday + residual, the STL-lite split every
+    traffic monitor runs before alarming (a Monday dip is seasonality;
+    a Monday dip WITH a residual spike is an incident). Trend is a
+    centered 7-day moving average (NULL at the edges where the window
+    is short — explicit, not silently biased); the weekday component
+    is each ISO-weekday's mean minus the grand mean; the residual is
+    what the other two don't explain.
+
+    All integer: means are truncating divisions of exact int64 sums,
+    so the decomposition replays bit-exactly cross-engine. One
+    combinable aggregate collapses the corpus to |days| rows; the MA
+    window, weekday profile, and grand mean are all days-sized.
+    """
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("observed"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "observed",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.expr("sum(observed) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7"),
+        )
+        .cast("long")
+        .alias("trend_ma7"),
+    )
+    grand = daily.agg(
+        F.expr("sum(observed) div count(*)").cast("long").alias("g")
+    )
+    wk = (
+        daily.groupBy(F.dayofweek("day").alias("dow_raw"))
+        .agg(F.expr("sum(observed) div count(*)").cast("long").alias("wmean"))
+        .join(F.broadcast(grand))
+        .select("dow_raw", (F.col("wmean") - F.col("g")).alias("weekday_component"))
+    )
+    return (
+        ma.join(F.broadcast(wk), F.dayofweek("day") == F.col("dow_raw"))
+        .select(
+            "day",
+            "observed",
+            "trend_ma7",
+            F.col("weekday_component").cast("long").alias("weekday_component"),
+            (
+                F.col("observed")
+                - F.coalesce(F.col("trend_ma7"), F.lit(0))
+                - F.col("weekday_component")
+            )
+            .cast("long")
+            .alias("residual"),
+        )
+    )

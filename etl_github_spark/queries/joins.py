@@ -9,6 +9,7 @@ is provably small (at 100 TB the fact side never moves for those).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._util import T, fxp
@@ -253,4 +254,76 @@ def join_interval_overlap(spark, sf_dir):
             F.count("*").cast("long").alias("n_sessions"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
+    )
+
+
+@query(
+    "join_asof_nearest",
+    sql="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.pid, p.user_id, p.pts, e.event_id AS vid, e.ts AS vts,
+             CAST(abs(date_diff('microsecond', e.ts, p.pts)) AS BIGINT) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.pid
+               ORDER BY abs(date_diff('microsecond', e.ts, p.pts)), e.ts, e.event_id
+             ) AS rk
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.event_type = 'view'
+       AND e.ts >= p.pts - INTERVAL 1 HOUR AND e.ts <= p.pts + INTERVAL 1 HOUR
+    )
+    SELECT p.pid, p.user_id, c.vid AS nearest_view_id, c.gap_us
+    FROM p LEFT JOIN (SELECT pid, vid, gap_us FROM cand WHERE rk = 1) c
+      ON c.pid = p.pid
+    """,
+    tags=("join", "asof", "interval"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-neighbor as-of join: each purchase pairs with the view
+    closest in time on EITHER side (±1 h tolerance, unmatched kept as
+    NULL) — the sensor-fusion / log-alignment semantics the directional
+    as-ofs can't express (`join_asof_last_view` looks only backward,
+    `join_asof_next_purchase` only forward; a reading 1 s in the future
+    beats one 50 min in the past). Ties break deterministically by
+    (gap, ts, event_id) — the EARLIER event wins an exact tie.
+
+    Scale shape: the tolerance bound turns the pairing into a bounded
+    interval join keyed on user (same family as the attribution ops —
+    never a cross of the two streams), one window per purchase picks
+    rank 1, and the left join preserves unmatched purchases. The
+    tolerance is the knob that bounds candidate fan-out at any scale.
+    """
+    e = T(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    # events.ts is TIMESTAMP_NTZ (UTC session) — timestampdiff handles it
+    gap = F.expr("abs(timestampdiff(MICROSECOND, vts, pts))").cast("long")
+    cand = (
+        p.join(v, "user_id")
+        .where((F.col("vts") >= F.col("pts") - hour) & (F.col("vts") <= F.col("pts") + hour))
+        .select(
+            "pid",
+            "vid",
+            gap.alias("gap_us"),
+            F.row_number()
+            .over(
+                Window.partitionBy("pid").orderBy(
+                    gap, F.col("vts"), F.col("vid")
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select("pid", F.col("vid").alias("nearest_view_id"), "gap_us")
+    )
+    return p.join(cand, "pid", "left").select(
+        "pid", "user_id", "nearest_view_id", "gap_us"
     )
