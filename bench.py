@@ -169,6 +169,8 @@ EXTENDED = [
     "window_value_range_frame",
     "lake_write_observed",
     "agg_mode_per_group",
+    "trend_seasonal_decompose",
+    "join_asof_nearest",
 ]
 
 
