@@ -2155,3 +2155,56 @@ def trend_seasonal_decompose(spark, sf_dir):
             .alias("residual"),
         )
     )
+
+
+@query(
+    "trend_wow_growth",
+    sql="""
+    WITH wk AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT week, n_events, n_users,
+           CAST((1000 * (n_events - lag(n_events) OVER w))
+                // lag(n_events) OVER w AS BIGINT) AS events_wow_permille,
+           CAST((1000 * (n_users - lag(n_users) OVER w))
+                // lag(n_users) OVER w AS BIGINT) AS users_wow_permille
+    FROM wk
+    WINDOW w AS (ORDER BY week)
+    """,
+    tags=("trend", "growth"),
+)
+def trend_wow_growth(spark, sf_dir):
+    """Week-over-week growth rates for volume and reach — THE reported
+    growth metric (integer permille: +120 = +12.0% WoW), first week
+    NULL rather than a fabricated baseline. Week indexes are epoch-day
+    div 7 (engine-neutral, unambiguous about week starts — the
+    `cohort_retention` rule).
+
+    One combinable aggregate collapses the corpus to |weeks| rows (the
+    distinct-user count is the only shuffle, keyed on the unique id);
+    the lag window and growth arithmetic are weeks-sized. Division is
+    truncating int64 over exact counts — bit-stable cross-engine.
+    """
+    e = T(spark, sf_dir, "events")
+    wk = e.groupBy(
+        F.expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").alias("week")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return wk.select(
+        "week",
+        "n_events",
+        "n_users",
+        F.expr(
+            "(1000 * (n_events - lag(n_events) OVER (ORDER BY week)))"
+            " div lag(n_events) OVER (ORDER BY week)"
+        ).cast("long").alias("events_wow_permille"),
+        F.expr(
+            "(1000 * (n_users - lag(n_users) OVER (ORDER BY week)))"
+            " div lag(n_users) OVER (ORDER BY week)"
+        ).cast("long").alias("users_wow_permille"),
+    )
