@@ -171,6 +171,7 @@ EXTENDED = [
     "agg_mode_per_group",
     "trend_seasonal_decompose",
     "join_asof_nearest",
+    "trend_wow_growth",
 ]
 
 

@@ -95,6 +95,7 @@ string the driver diffs against at sf=0.01.
 #   agg_mode_per_group             (new in r4 — deterministic-tie-break mode)
 #   trend_seasonal_decompose       (new in r4 — trend/weekday/residual split)
 #   join_asof_nearest              (new in r4 — bidirectional tolerance as-of)
+#   trend_wow_growth               (new in r4 — WoW permille growth rates)
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
