@@ -705,6 +705,20 @@ def scd2_apply(
         .withColumn("valid_to", F.lit(version).cast("long"))
         .withColumn("is_current", F.lit(0))
     )
+    # version-regression guard: closing an open row stamped at
+    # valid_from >= version would write valid_to <= valid_from — a
+    # silently corrupt history interval. The streaming path orders
+    # batches via the checkpoint, so this only trips direct callers
+    # replaying an out-of-order (or same-version, different-attrs)
+    # batch; raise rather than corrupt.
+    stale = to_close.where(F.col("valid_from") >= version).limit(1).collect()
+    if stale:
+        raise ValueError(
+            f"scd2_apply: version {version} is not after the open row for "
+            f"key {stale[0][key_col]!r} (valid_from="
+            f"{stale[0]['valid_from']}); batches must be applied in "
+            "increasing version order"
+        )
     untouched_open = open_rows.join(F.broadcast(changed_keys), key_col, "left_anti")
     insert_keys = changed_keys.unionByName(new_keys)
     inserts = (

@@ -713,7 +713,7 @@ _RFM_SQL = """
              max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
              CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n_valued,
-             coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS monetary_cents
+             coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS monetary_cents
       FROM events GROUP BY user_id
     )
     SELECT user_id, frequency, monetary_cents,
@@ -730,9 +730,15 @@ def analytics_rfm_segments(spark, sf_dir):
     frequency (event count), monetary (value sum), each bucketed into
     deterministic quartiles — the classic marketing/product
     segmentation grid. Monetary sums go through exact integer cents
-    (round(value*100)) so the aggregation is order-independent and the
-    quartile ORDER BY keys are exact; every ntile orders by
-    (metric, user_id) so ties split identically in both engines.
+    via floor(value*100 + 0.5) — half-up spelled as floor arithmetic,
+    identical IEEE-754 steps in every engine (Spark/DuckDB `round`
+    agree on paper but route through different code paths; after the
+    r4 driver hash mismatch the rounding is pinned to primitives) — so
+    the aggregation is order-independent and the quartile ORDER BY
+    keys are exact; every ntile orders by (metric, user_id) so ties
+    split identically in both engines. Values are non-negative in this
+    domain (floor(x+0.5) is round-half-toward-+inf, which differs from
+    half-away-from-zero only for negatives).
 
     Shape: one partial+final agg keyed on user_id, then three window
     passes over the |users| aggregate (corpus-size-independent — users,
@@ -745,7 +751,8 @@ def analytics_rfm_segments(spark, sf_dir):
         F.max("ts").alias("last_ts"),
         F.count("*").alias("frequency"),
         F.coalesce(
-            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0).cast("long")
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")),
+            F.lit(0).cast("long"),
         ).alias("monetary_cents"),
     )
     q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))  # noqa: E731
@@ -1795,9 +1802,16 @@ def trend_anomaly_mad(spark, sf_dir):
     corpus scale.
     """
     e = T(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("long").alias("n_events"))
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        # `daily` appears in the final plan 3× (median input, dev, output);
+        # Spark does not CSE DataFrame subtrees, so without this the
+        # events scan+agg would run 3-4×. Checkpointing the |days|-row
+        # frame makes the corpus scan happen exactly once (same pattern
+        # as graph.py HITS / clustering.py propagation).
+        .localCheckpoint(eager=False)
+    )
     wct = Window.partitionBy()
 
     def lower_median(df, col):

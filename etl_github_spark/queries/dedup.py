@@ -2,9 +2,12 @@
 n-gram-Jaccard near-dup (exhaustive-recall), MinHash-LSH (scale path),
 SimHash, duplicated-span coverage/trim, SemDeDup-style semantic prune.
 
-Everything is oracle-checked except `dedup_minhash_lsh` (xxhash64 hash
-family has no DuckDB twin; its md5-family sibling `dedup_lsh_recall`
-oracle-replays the full banding pipeline and pins recall).
+Everything registered here is oracle-checked. The canonical
+`dedup_minhash_lsh` uses the md5/affine hash family so DuckDB can
+replay the whole banding pipeline; the xxhash64 production-speed
+variant lives in :func:`minhash_lsh_xxhash` (unregistered — DuckDB has
+no xxhash64, so it is driver-unverifiable by construction) and is
+pinned against the canonical family by pytest.
 """
 
 from __future__ import annotations
@@ -251,16 +254,29 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", sql=None, tags=("dedup", "neardup", "lsh"))
-def dedup_minhash_lsh(spark, sf_dir):
-    """Candidate near-dup pairs via banded MinHash-LSH.
+def minhash_lsh_xxhash(spark, sf_dir):
+    """PRODUCTION-VARIANT candidate near-dup pairs via banded
+    MinHash-LSH over the xxhash64 family (fastest JVM-side hash).
 
     Bands of the signature are hashed to buckets; only docs sharing a
     band bucket are paired (estimated Jaccard from signature agreement).
     This bounds the self-join to bucket-local pairs — the standard
     trade of exact recall for scalability (vs dedup_jaccard_pairs).
+
+    NOT a registry entry: DuckDB has no xxhash64, so this family is
+    driver-unverifiable by construction and would permanently burn a
+    rotation slot as a rows-only row. The registry-canonical
+    :func:`dedup_minhash_lsh` runs the identical banded-LSH algorithm
+    over the md5/affine family (bit-identical in both engines) and
+    carries the driver hash; this function is pinned by pytest
+    (`tests/test_new_invariants.py`) against that canonical twin.
     """
-    docs = par(T(spark, sf_dir, "documents"))
+    return _xxhash_lsh_candidates(par(T(spark, sf_dir, "documents")))
+
+
+def _xxhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """xxhash64-family banded-LSH over any (doc_id, text) frame —
+    the reusable body of :func:`minhash_lsh_xxhash`."""
     sig = minhash_signatures(docs)
     n_bands = _N_HASHES // _BAND_SIZE
     bands = sig.select(
@@ -359,8 +375,13 @@ def _shingle_strings(words_col, n: int = 3):
     )
 
 
-def _md5_minhash_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family."""
+def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFrame:
+    """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family.
+
+    With ``with_est`` the signature rides along through the band
+    explode (as in :func:`minhash_lsh_xxhash`) and the output gains an
+    ``est_jaccard`` column — fraction of agreeing signature components,
+    an exact k/32 double in both engines."""
     p = F.lit(_MERSENNE_P).cast("long")
     xm = F.transform(
         _shingle_strings(F.col("w")),
@@ -379,6 +400,7 @@ def _md5_minhash_candidates(docs: DataFrame) -> DataFrame:
         .select("doc_id", sig.alias("sig"))
         .select(
             "doc_id",
+            "sig",
             F.explode(
                 F.array(
                     *[
@@ -394,20 +416,39 @@ def _md5_minhash_candidates(docs: DataFrame) -> DataFrame:
                 )
             ).alias("bb"),
         )
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .select(
+            "doc_id",
+            *(["sig"] if with_est else []),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
     )
     bands = bands.localCheckpoint(eager=False)  # signature subtree: compute once
     a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    if not with_est:
+        return joined.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).distinct()
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / _N_HASHES
+    )
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        est.alias("est_jaccard"),
+    ).distinct()
 
 
 def _md5_lsh_cte() -> str:
@@ -480,6 +521,57 @@ def _md5_minhash_sql() -> str:
     FROM truth t LEFT JOIN cand c
       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     """
+
+
+def _md5_lsh_est_sql() -> str:
+    """DuckDB twin of the canonical ``dedup_minhash_lsh``: banded
+    candidates + per-pair signature-agreement estimate, thresholded at
+    est >= 0.5 via the integer compare ``agree*2 >= n_hashes``."""
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH {_md5_lsh_cte()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({agree}) AS DOUBLE) / {_N_HASHES} AS est_jaccard
+    FROM cand c
+    JOIN sig a ON c.doc_a = a.doc_id
+    JOIN sig b ON c.doc_b = b.doc_id
+    WHERE ({agree}) * 2 >= {_N_HASHES}
+    """
+
+
+@query("dedup_minhash_lsh", sql=_md5_lsh_est_sql(), tags=("dedup", "neardup", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """Candidate near-dup pairs via banded MinHash-LSH (8 bands × 4
+    rows over a 32-component signature), estimated Jaccard >= 0.5.
+
+    Bands of the signature are bucketed; only docs sharing a band
+    bucket are paired, so the self-join is bucket-local — never
+    all-pairs (the standard recall-for-scalability trade vs
+    dedup_jaccard_pairs). The hash family is the md5/affine one
+    (md5(shingle) 60-bit id, h_i(x) = (a_i·x + b_i) mod (2^31−1) with
+    fixed splitmix-derived constants), bit-identical in Spark and
+    DuckDB, so the ENTIRE pipeline — signatures, bands, candidate
+    join, per-pair agreement estimate — is replayed by the oracle and
+    driver-hashed. The xxhash64 family (:func:`minhash_lsh_xxhash`) is
+    the production-speed variant, pinned by pytest against this one;
+    registering the verifiable family keeps `no_oracle` rows out of
+    every rotation window.
+
+    est_jaccard is agree/32 — an exact dyadic double both engines
+    represent identically; the >= 0.5 threshold is evaluated as the
+    integer compare agree*2 >= 32.
+
+    Scale shape: per-row signature computation (no explode-shuffle),
+    band explode is 8× |docs|, bucket join touches only co-bucketed
+    pairs; localCheckpoint stops the signature subtree recomputing on
+    both sides of the self-join.
+    """
+    docs = par(T(spark, sf_dir, "documents"))
+    return _md5_minhash_candidates(docs, with_est=True).where(
+        F.col("est_jaccard") >= 0.5
+    )
 
 
 @query("dedup_lsh_recall", sql=_md5_minhash_sql(), tags=("dedup", "neardup", "lsh"))

@@ -45,14 +45,35 @@ DELETE_OP = "D"
 def _latest_per_key(batch_df: DataFrame, key_cols, seq_col: str) -> DataFrame:
     """Collapse a change batch to its latest row per key (by the
     monotone ``seq``), materialized once — the batch feeds several
-    downstream actions and would otherwise re-shuffle per action."""
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
-    return (
+    downstream actions and would otherwise re-shuffle per action.
+
+    Two change rows for the same key carrying the SAME winning seq is
+    an upstream contract violation (the change-log seq is the total
+    order): picking either silently would make the applied table state
+    run-dependent, so it raises instead — the same conflicting-batch
+    guard :func:`~etl_github_spark.io.sink.scd2_apply` applies. Both
+    window specs share the key partitioning, so the probe costs no
+    extra shuffle."""
+    wk = Window.partitionBy(*key_cols)
+    w = wk.orderBy(F.desc(seq_col))
+    top_dups = F.sum(
+        (F.col(seq_col) == F.max(seq_col).over(wk)).cast("int")
+    ).over(wk)
+    latest = (
         batch_df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__top_dups", top_dups)
         .where(F.col("__rn") == 1)
-        .drop("__rn")
         .localCheckpoint()
     )
+    clash = latest.where(F.col("__top_dups") > 1).limit(1).collect()
+    if clash:
+        key_vals = {c: clash[0][c] for c in key_cols}
+        raise ValueError(
+            f"cdc batch has multiple change rows with the same winning "
+            f"{seq_col} for key {key_vals!r}; the change-log sequence "
+            "must totally order intra-key changes"
+        )
+    return latest.drop("__rn", "__top_dups")
 
 
 def _has_data(path: str) -> bool:

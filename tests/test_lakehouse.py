@@ -791,3 +791,29 @@ def test_scd2_apply_inserts_brand_new_keys(spark, tmp_path):
         "closed": 0,
         "inserted": 0,
     }
+
+
+def test_scd2_apply_rejects_version_regression(spark, tmp_path):
+    """Applying a batch whose version is <= the open row's valid_from
+    would write valid_to <= valid_from — silently corrupt history
+    intervals. Direct (non-streaming) callers must get a raise; the
+    rejected apply must leave the table untouched."""
+    import pytest
+
+    from etl_github_spark.io.sink import scd2_apply
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "A", 5, None, 1)],
+        "k long, seg string, valid_from long, valid_to long, is_current int",
+    ).write.parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    ups = spark.createDataFrame([(1, "Z")], "k long, seg string")
+    for v in (5, 4):  # same-version and out-of-order replays both reject
+        with pytest.raises(ValueError, match="increasing version order"):
+            scd2_apply(spark, path, ups, "k", ("seg",), version=v)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    # a properly ordered apply still works
+    r = scd2_apply(spark, path, ups, "k", ("seg",), version=6)
+    assert r == {"closed": 1, "inserted": 1}

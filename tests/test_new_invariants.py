@@ -207,3 +207,44 @@ def test_interval_overlap_bucketing_adds_no_duplicates(spark):
         for r in _rows(spark, "join_interval_overlap")
     }
     assert got == want
+
+
+def test_minhash_xxhash_variant_pinned_to_canonical_family(spark):
+    """The unregistered xxhash64 production LSH variant must behave like
+    the registry-canonical md5/affine family on the invariants that are
+    hash-family-independent: identical output schema, est_jaccard in
+    [0.5, 1], doc_a < doc_b, and — deterministically, for ANY correct
+    MinHash-LSH — every exact-duplicate pair (true Jaccard == 1.0, so
+    identical signatures collide in every band) surfaced with est 1.0.
+    The fixture has no exact dups, so the test plants them: each doc is
+    unioned with a copy under doc_id+OFFSET."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.dedup import (
+        _md5_minhash_candidates,
+        _xxhash_lsh_candidates,
+    )
+
+    base = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .where(F.size(F.split("text", " ")) >= 3)
+        .limit(100)
+    )
+    offset = 10_000_000
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    planted = {(r.doc_id, r.doc_id + offset) for r in base.collect()}
+    for name, cand in (
+        ("md5", _md5_minhash_candidates(docs, with_est=True)),
+        ("xxhash", _xxhash_lsh_candidates(docs)),
+    ):
+        rows = cand.where(F.col("est_jaccard") >= 0.5).collect()
+        assert rows and rows[0].__fields__ == ["doc_a", "doc_b", "est_jaccard"]
+        got = {(r.doc_a, r.doc_b): r.est_jaccard for r in rows}
+        for r in rows:
+            assert 0.5 <= r.est_jaccard <= 1.0 and r.doc_a < r.doc_b
+        for pair in planted:
+            assert got.get(pair) == 1.0, (name, pair)

@@ -809,3 +809,20 @@ def test_countmin_sketch_rides_preaggregated_counts(spark):
     assert p.count("Generate explode") <= 1
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_anomaly_mad_single_events_scan(spark):
+    """`daily` feeds the median, the deviation frame, and the output;
+    Spark does not CSE DataFrame subtrees, so without the lazy
+    localCheckpoint the events scan+agg would run 3-4×. The checkpoint
+    cuts lineage: the physical plan of the result must contain at most
+    one parquet scan of events (zero once the checkpoint materializes —
+    then the days frame is an in-memory LogicalRDD)."""
+    df = QUERIES["trend_anomaly_mad"].fn(spark, SF_SMALL)
+    df.collect()  # materialize the lazy checkpoint
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 1
+    assert "Scan ExistingRDD" in p or len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1

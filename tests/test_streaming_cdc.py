@@ -218,3 +218,35 @@ def test_stream_scd2_sink_recovers_crashed_swap_before_bootstrap_check(spark, tm
     }
     # history survived: the batch-1 row was restored, then closed by Z
     assert rows == {(1, "A", 2, 0), (1, "Z", None, 1)}
+
+
+def test_cdc_rejects_equal_winning_seq_for_key(spark, tmp_path):
+    """Two change rows with the same winning seq for one key make the
+    applied state nondeterministic — the apply must raise, not pick a
+    run-dependent winner. Duplicate seqs BELOW the winner are fine
+    (only the latest row is applied)."""
+    import pytest
+
+    from etl_github_spark.streaming.cdc import apply_cdc_batch
+
+    landing = tmp_path / "c"
+    table = str(tmp_path / "t")
+    bad = [
+        {"op": "I", "seq": 1, "k": 1, "dept": "a", "val": 10},
+        {"op": "U", "seq": 2, "k": 1, "dept": "a", "val": 11},
+        {"op": "U", "seq": 2, "k": 1, "dept": "a", "val": 12},
+    ]
+    _land(landing, "bad.json", bad)
+    b = spark.read.schema(_SCHEMA).json(str(landing / "bad.json"))
+    with pytest.raises(ValueError, match="same winning seq"):
+        apply_cdc_batch(b, table, ("k",), "dept")
+
+    ok = [
+        {"op": "I", "seq": 1, "k": 1, "dept": "a", "val": 10},
+        {"op": "I", "seq": 1, "k": 2, "dept": "b", "val": 20},  # other key: fine
+        {"op": "U", "seq": 2, "k": 1, "dept": "a", "val": 11},
+    ]
+    _land(landing, "ok.json", ok)
+    b2 = spark.read.schema(_SCHEMA).json(str(landing / "ok.json"))
+    apply_cdc_batch(b2, table, ("k",), "dept")
+    assert _state(spark, table) == {(1, "a", 11), (2, "b", 20)}
