@@ -172,6 +172,8 @@ EXTENDED = [
     "trend_seasonal_decompose",
     "join_asof_nearest",
     "trend_wow_growth",
+    # round-5 additions
+    "lake_cdc_apply",
 ]
 
 

@@ -14,9 +14,13 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 5 promotes the seven gha_* raw-ingest parity queries
-# (judge r4 task #3: the reference's core extraction path had no driver
-# row) ahead of the r4 backlog; the ~32-query tail carries to r6.
+# staleness. Round 5 promotes (a) the seven gha_* raw-ingest parity
+# queries (judge r4 task #3: the reference's core extraction path had no
+# driver row) and (b) the judge's own r4 backlog ordering — so the lake/
+# lm/graph/sketch families the verdict called out each land rows this
+# round. The ~33-query tail (incl. the round-5 additions) carries to r6;
+# sim_ivf_kmeans_topk / sim_topk_pq are NOT re-promoted: their oracles
+# landed in r4 and their r4 rows are already green.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -30,47 +34,47 @@ _R5_WINDOW = [
     "gha_extract_watches",  # never driver-verified (promoted)
     "gha_extract_forks",  # never driver-verified (promoted)
     "gha_corrupt_count",  # never driver-verified (promoted)
-    "text_tokenizer_fertility",  # never driver-verified
-    "multimodal_image_dims",  # never driver-verified
-    "text_readability_ari",  # never driver-verified
-    "multimodal_frame_sample",  # never driver-verified
-    "dedup_jaccard_prefix",  # never driver-verified
-    "dedup_simhash_hamming",  # never driver-verified
-    "dedup_rate_by_source",  # never driver-verified
-    "dedup_cross_source_syndication",  # never driver-verified
-    "join_interval_overlap",  # never driver-verified
-    "join_asof_nearest",  # never driver-verified
-    "agg_hll_sketch_rollup",  # never driver-verified
-    "agg_quantile_sketch_rollup",  # never driver-verified
-    "agg_countmin_tokens",  # never driver-verified
-    "agg_mode_per_group",  # never driver-verified
-    "window_value_range_frame",  # never driver-verified
-    "sim_topk_multi_query",  # never driver-verified
-    "curate_kcenter_diversity",  # never driver-verified
-    "agg_heavy_hitters_mg",  # never driver-verified
-    "sim_ann_recall_audit",  # never driver-verified
-    "pack_bins_shelf",  # never driver-verified
-    "curate_decontaminate_bloom",  # never driver-verified
-    "curate_mix_temperature",  # never driver-verified
-    "curate_curriculum_stages",  # never driver-verified
-    "stat_embedding_gram",  # never driver-verified
-    "trend_autocorr_daily",  # never driver-verified
-    "stat_welch_ttest_sources",  # never driver-verified
-    "stat_mannwhitney_sources",  # never driver-verified
-    "stat_ks_sources",  # never driver-verified
-    "trend_weekday_profile",  # never driver-verified
-    "stat_embedding_drift_split",  # never driver-verified
-    "trend_cusum_changepoint",  # never driver-verified
-    "stat_embedding_pca_power",  # never driver-verified
-    "stat_winsorized_mean",  # never driver-verified
-    "stat_theil_sen_daily_trend",  # never driver-verified
-    "quality_oov_rate",  # never driver-verified
-    "trend_rolling_7d_users_approx",  # never driver-verified
-    "trend_ewma_spikes",  # never driver-verified
-    "analytics_concurrent_sessions",  # never driver-verified
-    "dedup_events_debounce",  # never driver-verified
-    "analytics_power_users_pareto",  # never driver-verified
-    "stat_tv_distance_sources",  # never driver-verified
+    "trend_rolling_7d_users_approx",  # never driver-verified (promoted)
+    "sim_topk_multi_query",  # never driver-verified (promoted)
+    "curate_kcenter_diversity",  # never driver-verified (promoted)
+    "trend_ewma_spikes",  # never driver-verified (promoted)
+    "curate_decontaminate_bloom",  # never driver-verified (promoted)
+    "stat_embedding_gram",  # never driver-verified (promoted)
+    "analytics_concurrent_sessions",  # never driver-verified (promoted)
+    "dedup_jaccard_prefix",  # never driver-verified (promoted)
+    "dedup_simhash_hamming",  # never driver-verified (promoted)
+    "dedup_events_debounce",  # never driver-verified (promoted)
+    "curate_mix_temperature",  # never driver-verified (promoted)
+    "lake_versioned_timetravel",  # never driver-verified (promoted)
+    "lake_matview_refresh",  # never driver-verified (promoted)
+    "analytics_power_users_pareto",  # never driver-verified (promoted)
+    "stat_tv_distance_sources",  # never driver-verified (promoted)
+    "quality_perplexity_unigram",  # never driver-verified (promoted)
+    "quality_perplexity_bigram",  # never driver-verified (promoted)
+    "text_bm25_topk",  # never driver-verified (promoted)
+    "graph_pagerank_purchases",  # never driver-verified (promoted)
+    "graph_degree_histogram",  # never driver-verified (promoted)
+    "agg_hll_sketch_rollup",  # never driver-verified (promoted)
+    "agg_heavy_hitters_mg",  # never driver-verified (promoted)
+    "quality_oov_rate",  # never driver-verified (promoted)
+    "curate_curriculum_stages",  # never driver-verified (promoted)
+    "analytics_market_basket",  # never driver-verified (promoted)
+    "graph_triangle_count",  # never driver-verified (promoted)
+    "curate_lm_pipeline",  # never driver-verified (promoted)
+    "trend_autocorr_daily",  # never driver-verified (promoted)
+    "sim_rrf_fusion",  # never driver-verified (promoted)
+    "sim_ann_recall_audit",  # never driver-verified (promoted)
+    "analytics_attribution_last_touch",  # never driver-verified (promoted)
+    "graph_kcore_peel",  # never driver-verified (promoted)
+    "stat_welch_ttest_sources",  # never driver-verified (promoted)
+    "stat_mannwhitney_sources",  # never driver-verified (promoted)
+    "stat_ks_sources",  # never driver-verified (promoted)
+    "trend_weekday_profile",  # never driver-verified (promoted)
+    "analytics_time_to_convert",  # never driver-verified (promoted)
+    "curate_domain_weights_lm",  # never driver-verified (promoted)
+    "text_tokenizer_fertility",  # never driver-verified (promoted)
+    "stat_embedding_drift_split",  # never driver-verified (promoted)
+    "pack_bins_shelf",  # never driver-verified (promoted)
 ]
 
 

@@ -344,3 +344,91 @@ def lake_write_observed(spark, sf_dir):
         [(int(m["n_rows"]), _i(m["sum_cents"]), _i(m["max_event_id"]))],
         "n_rows long, sum_cents long, max_event_id long",
     )
+
+
+@query(
+    "lake_cdc_apply",
+    sql="""
+    WITH final AS (
+      SELECT CASE WHEN c_custkey % 15 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END AS cents
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY segment
+    """,
+    tags=("lake", "cdc"),
+)
+def lake_cdc_apply(spark, sf_dir):
+    """Exactly-once CDC apply under the driver hash — the batch twin of
+    `streaming/cdc.py::stream_cdc_apply` (the streaming path is pytest-
+    only by nature; this encodes the same semantics in an oracle's
+    closed form, the way `lake_scd2_history` does for the SCD2 sink).
+
+    Bootstrap the customer dimension from an insert batch, then apply
+    one Debezium-shaped change batch that exercises every hard case at
+    once: intra-batch op ordering (every 5th key gets TWO updates,
+    seq 1 then seq 2 — only the final +100-cents value may survive),
+    PARTITION-MOVING updates (every 15th key changes segment to
+    'MOVED', so its old partition must lose the stale copy),
+    tombstones (every 7th key deleted — delete seq outranks the
+    updates, so keys hit by both vanish), and absent-key deletes
+    (negative keys — must be a no-op). The same batch is then applied
+    AGAIN: crash-redelivery must leave the table byte-identical, so
+    the oracle's closed form (survivors = k%7≠0, +100 cents on k%5=0,
+    segment MOVED on k%15=0) only matches if the collapse, the
+    key-wide supersede, and the idempotent merge all hold.
+
+    Scale shape: the apply is partition-pruned copy-on-write
+    (`io/sink.py::merge_table`/`delete_rows`); the change batch
+    broadcasts; the rewrite touches only partitions holding changed
+    keys. At 100 TB the batch:table ratio is what the COW path is
+    built for — this query just compresses bootstrap+mutate+redeliver
+    into one verifiable cycle.
+    """
+    from ..streaming.cdc import apply_cdc_batch
+
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch("cdc")
+
+    def batch(op, seq, df):
+        return df.select(
+            F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"),
+            "k", "segment", "cents",
+        )
+
+    try:
+        apply_cdc_batch(batch("I", 0, c), path, ("k",), "segment")
+        upd1 = batch("U", 1, c.where(F.col("k") % 5 == 0).withColumn(
+            "cents", F.col("cents") + 50))  # superseded intermediate
+        upd2 = batch("U", 2, c.where(F.col("k") % 5 == 0).select(
+            "k",
+            F.when(F.col("k") % 15 == 0, F.lit("MOVED"))
+            .otherwise(F.col("segment")).alias("segment"),
+            (F.col("cents") + 100).alias("cents"),
+        ))
+        dels = batch("D", 3, c.where(F.col("k") % 7 == 0))
+        absent = batch("D", 3, spark.createDataFrame(
+            [(-1, None, None), (-2, None, None)], "k long, segment string, cents long"
+        ))
+        change = upd1.unionByName(upd2).unionByName(dels).unionByName(absent)
+        apply_cdc_batch(change, path, ("k",), "segment")
+        apply_cdc_batch(change, path, ("k",), "segment")  # crash redelivery
+        out = (
+            spark.read.parquet(path)
+            .groupBy("segment")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        rows = [(r["segment"], r["n_rows"], r["sum_cents"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "segment string, n_rows long, sum_cents long")
