@@ -174,6 +174,10 @@ EXTENDED = [
     "trend_wow_growth",
     # round-5 additions
     "lake_cdc_apply",
+    "sim_ivf_store_probe",
+    "stream_hourly_counts_replay",
+    "text_winnow_fingerprints",
+    "dedup_winnow_overlap",
 ]
 
 

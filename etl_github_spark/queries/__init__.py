@@ -21,7 +21,7 @@ string the driver diffs against at sf=0.01.
 # round. The ~33-query tail (incl. the round-5 additions) carries to r6;
 # sim_ivf_kmeans_topk / sim_topk_pq are NOT re-promoted: their oracles
 # landed in r4 and their r4 rows are already green.
-from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity  # noqa: F401,E402
+from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
 _R5_WINDOW = [

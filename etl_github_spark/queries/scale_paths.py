@@ -259,15 +259,32 @@ def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
     results are a subsequence of the exhaustive ranking; the query's
     own cell is always probed, so vec 0 ranks first.
     """
-    import numpy as np
-
     from .similarity import cosine
 
     emb = T(spark, sf_dir, "embeddings")
-    # coarse-quantizer fit: per-(cell, dim) mean via one narrow partial+
-    # final aggregation — shuffle volume = k×dim rows, scale-safe (float
-    # mean order-dependence is irrelevant here: means only *select*
-    # cells, they never touch result values).
+    probe, q_vec = _label_centroid_probe(emb, nprobe)
+    qe = F.array(*[F.lit(float(v)) for v in q_vec])
+    return (
+        emb.where(F.col("label").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _label_centroid_probe(emb, nprobe: int):
+    """(probe cells, query vector) for the label-cell IVF queries.
+
+    Coarse-quantizer fit: per-(cell, dim) mean via one narrow partial+
+    final aggregation — shuffle volume = k×dim rows, scale-safe (float
+    mean order-dependence is irrelevant here: means only *select*
+    cells, they never touch result values; cell-score margins dwarf
+    summation-order error — asserted in tests/test_scale_siblings.py).
+    The centroid table (k × dim) collects to the driver — the one
+    permissible collect, it IS the index metadata. The query's own cell
+    is always probed first, matching the oracle's ORDER BY."""
+    import numpy as np
+
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
@@ -286,14 +303,53 @@ def sim_ivf_topk(spark, sf_dir, nprobe: int = 3):
     norms = np.linalg.norm(centroids, axis=1)
     order = np.argsort(-(centroids @ qn) / np.where(norms > 0, norms, 1.0))
     probe = list(dict.fromkeys([q_label, *map(int, order)]))[:nprobe]
+    return probe, q_vec
 
-    qe = F.array(*[F.lit(float(v)) for v in q_vec])
-    return (
-        emb.where(F.col("label").isin(probe))
-        .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
-    )
+
+@query("sim_ivf_store_probe", sql=_ivf_topk_sql(), tags=("similarity", "topk", "ivf", "storage"))
+def sim_ivf_store_probe(spark, sf_dir, nprobe: int = 3):
+    """The STORAGE half of the IVF story under the driver hash:
+    `sim_ivf_topk` proves the algorithm with an in-plan cell filter;
+    this query writes the corpus through `io/ivf_store.py` as
+    cell-partitioned parquet (cell = coarse-quantizer id, here the
+    fixture label like its in-plan sibling), then answers the SAME
+    probe from the store — so the partitioned write, the `cell=<id>`
+    directory layout, and the partition-pruned read-back all sit under
+    the oracle's closed form (identical SQL to `sim_ivf_topk`: the
+    store is an execution strategy, not a semantics change — the same
+    contract the bucketed/unbucketed interval join pins).
+
+    Scale shape: a probe scans only the nprobe probed directories —
+    the other (k − nprobe)/k of a 100 TB corpus is never listed or
+    opened (PartitionFilters plan-asserted in tests/test_ivf_store.py);
+    bytes-touched scales with nprobe, not corpus size. The write is one
+    scan + one partitioned shuffle-free sink; the centroid sidecar is
+    k×dim index metadata.
+    """
+    import shutil
+    import tempfile
+
+    from .similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    probe, q_vec = _label_centroid_probe(emb, nprobe)
+    path = tempfile.mkdtemp(prefix="ivf_store_")
+    try:
+        emb.withColumn("cell", F.col("label")).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(path)
+        qe = F.array(*[F.lit(float(v)) for v in q_vec])
+        out = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(probe))
+            .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10)
+        )
+        rows = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, cos_sim double")
 
 
 _QUANT_SQL = """

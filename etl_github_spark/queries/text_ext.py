@@ -408,3 +408,170 @@ def pack_bins_shelf(spark, sf_dir):
         "n_tokens",
         F.expr(f"(cum - n_tokens) div {_BIN_TOKENS}").cast("long").alias("bin_id"),
     )
+
+
+_WINNOW_K = 3  # shingle width (tokens per k-gram)
+_WINNOW_W = 4  # winnowing window (k-gram hashes per selection window)
+
+
+def _winnow_cte() -> str:
+    """Shared DuckDB CTE chain for the winnowing pipeline (tokens →
+    sequential k-gram md5 hashes → per-window rightmost-min picks).
+    DuckDB lambda indexes are 1-based where Spark's are 0-based; both
+    formulas emit the same GLOBAL 1-based shingle position."""
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {k - 2}),
+                i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(k))}) AS sh
+      FROM t WHERE len(toks) >= {k + w - 1}
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sh,
+                x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+      FROM s
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hs) - {w - 2}),
+                i -> list_reduce(
+                       list_transform(hs[i:i+{w - 1}],
+                          (v, li) -> {{'v': v, 'p': i + li - 1}}),
+                       (a, b) -> CASE WHEN b.v <= a.v THEN b ELSE a END)) AS picks
+      FROM h
+    )"""
+
+
+def _winnow_sql() -> str:
+    """DuckDB twin of :func:`text_winnow_fingerprints`."""
+    return f"""
+    WITH {_winnow_cte()}
+    SELECT DISTINCT doc_id, u.v AS fp, CAST(u.p AS BIGINT) AS pos
+    FROM (SELECT doc_id, unnest(picks) AS u FROM sel)
+    """
+
+
+@query("text_winnow_fingerprints", sql=_winnow_sql(), tags=("text", "fingerprint", "neardup"))
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every sequential token {k}-gram, slide a
+    {w}-hash window, and keep each window's minimum (rightmost on
+    ties — the '<=' fold). Guarantees: any shared substring of
+    >= k+w-1 tokens between two documents yields at least one shared
+    selected fingerprint, while storing only ~2/(w+1) of the hashes —
+    the classic rolling-hash fingerprint behind plagiarism detection
+    and local near-dup search, complementing MinHash (whole-doc
+    similarity) with POSITION-AWARE overlap evidence.
+
+    Output: (doc_id, fp, pos) — selected 60-bit md5-derived k-gram
+    hash and its 1-based shingle position; consecutive windows picking
+    the same occurrence dedup to one row, exactly as the paper's
+    "record once" rule.
+
+    Shape: pure per-row array pipeline (tokenize once, hash once,
+    fold per window — no explode until the final 2/(w+1)-sized
+    selection), so the corpus pass is one scan with no shuffle before
+    the output DISTINCT. At 100 TB the fingerprint table is the
+    bucket-join key for an overlap-pairs stage (group by fp), the same
+    candidate-bounding pattern as banded LSH. Hash family is the
+    md5 60-bit idiom, so the oracle replays the ENTIRE pipeline —
+    hashes, window minima, tie-breaks, positions — bit-identically.
+    """
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = F.split(F.col("text"), " ")
+    m = F.size("toks") - (k - 1)
+    z = F.arrays_zip(*[F.slice("toks", 1 + j, m) for j in range(k)])
+    sh = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    hs = F.transform(
+        F.col("sh"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+    zero = F.struct(
+        F.lit(1 << 62).cast("long").alias("v"), F.lit(0).cast("int").alias("p")
+    )
+    picks = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+        lambda i: F.aggregate(
+            F.transform(
+                F.slice("hs", i, w),
+                lambda v, li: F.struct(v.alias("v"), (i + li).cast("int").alias("p")),
+            ),
+            zero,
+            lambda a, b: F.when(b["v"] <= a["v"], b).otherwise(a),
+        ),
+    )
+    return (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= k + w - 1)
+        .select("doc_id", sh.alias("sh"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(picks).alias("u"))
+        .select("doc_id", F.col("u.v").alias("fp"), F.col("u.p").cast("long").alias("pos"))
+        .distinct()
+    )
+
+
+_WINNOW_FP_CAP = 1000  # document-frequency cap per fingerprint (scale knob)
+
+
+def _winnow_overlap_sql() -> str:
+    return f"""
+    WITH {_winnow_cte()},
+    fps AS (
+      SELECT DISTINCT doc_id, u.v AS fp
+      FROM (SELECT doc_id, unnest(picks) AS u FROM sel)
+    ),
+    kept AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WINNOW_FP_CAP}
+    ),
+    f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """
+
+
+@query(
+    "dedup_winnow_overlap",
+    sql=_winnow_overlap_sql(),
+    tags=("dedup", "neardup", "fingerprint"),
+)
+def dedup_winnow_overlap(spark, sf_dir):
+    """Position-aware near-dup candidate pairs from shared winnowing
+    fingerprints: documents sharing >= 2 selected fingerprints — the
+    plagiarism-detector's candidate stage, which catches LOCAL overlap
+    (a copied paragraph inside otherwise-different documents) that
+    whole-document MinHash similarity dilutes away. Winnowing's
+    guarantee makes the recall contract precise: any shared run of
+    >= k+w-1 tokens is caught.
+
+    Shape: the inverted fingerprint index self-joins fp-bucket-local
+    (never all-pairs); a document-frequency cap (fp df <= 1000,
+    same knob as dedup_jaccard_pairs' shingle cap) drops
+    boilerplate fingerprints before the join, bounding the worst
+    bucket to df² candidates at any corpus size. Both the selection
+    and the pairing replay exactly in the oracle.
+    """
+    fps = text_winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _WINNOW_FP_CAP)
+        .select("fp")
+    )
+    f2 = fps.join(kept, "fp")
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )

@@ -27,14 +27,16 @@ RUNTIME_CONF = {
     # fixture events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long and convert in the loader (io.tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # At 100 TB this is sized per-cluster; for local[32] keep one wave of
+    # tasks per stage. Runtime-settable, so a vanilla driver session gets
+    # the same value the tuned builder uses — batch plans are insensitive
+    # (AQE coalesces), but streaming state-store partitioning is fixed at
+    # query start and would otherwise default to 200 tiny state partitions.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 #: Builder-time confs (need to be set before the JVM starts).
 BUILDER_CONF = {
-    # At 100 TB this is sized per-cluster; for local[32] keep one wave of
-    # tasks per stage. On a real cluster AQE coalescing makes the initial
-    # number a ceiling, not a target.
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -248,3 +248,42 @@ def test_minhash_xxhash_variant_pinned_to_canonical_family(spark):
             assert 0.5 <= r.est_jaccard <= 1.0 and r.doc_a < r.doc_b
         for pair in planted:
             assert got.get(pair) == 1.0, (name, pair)
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a token run of
+    length >= k+w-1 (= 6 here) MUST share at least one selected
+    fingerprint — the recall contract dedup_winnow_overlap's candidate
+    stage relies on. Planted docs share exactly one 6-token run inside
+    otherwise-disjoint text; a third doc with no overlap must share
+    nothing."""
+    from etl_github_spark.queries.text_ext import (
+        _WINNOW_K,
+        _WINNOW_W,
+        text_winnow_fingerprints,
+    )
+
+    assert _WINNOW_K + _WINNOW_W - 1 == 6
+    run = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"seven eight nine ten {run} eleven twelve"),
+            (3, "totally different words with no shared run at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    # route the fixture loader at our in-memory frame
+    import etl_github_spark.queries.text_ext as te
+
+    orig_T = te.T
+    te.T = lambda _s, _d, _n: docs
+    try:
+        rows = text_winnow_fingerprints(spark, "ignored").collect()
+    finally:
+        te.T = orig_T
+    by_doc = {d: set() for d in (1, 2, 3)}
+    for r in rows:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
