@@ -178,6 +178,8 @@ EXTENDED = [
     "stream_hourly_counts_replay",
     "text_winnow_fingerprints",
     "dedup_winnow_overlap",
+    "stream_sessionize_replay",
+    "stream_dedup_replay",
 ]
 
 

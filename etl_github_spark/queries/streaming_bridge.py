@@ -95,3 +95,137 @@ def stream_hourly_counts_replay(spark, sf_dir):
     ]
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(rows, "hour_start timestamp, event_type string, n long")
+
+
+def _replay(spark, agg_df, sink_prefix: str):
+    """Run a streaming aggregation to a complete-mode memory sink with
+    AvailableNow and return the materialized rows. Complete mode holds
+    the full aggregation state, so a bounded replay converges exactly
+    to the batch closed form — no append-mode watermark withholding to
+    model in the oracle (production unbounded runs switch to append +
+    watermark emission; the aggregation plan is identical)."""
+    sink = f"{sink_prefix}_{next(_SINK_IDS)}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    spark.catalog.dropTempView(sink)
+    return rows
+
+
+def _events_stream(spark, sf_dir):
+    """readStream file source over the events fixture with the same
+    nanos→micros timestamp narrowing as the batch loader."""
+    from pyspark.sql.types import LongType
+
+    T(spark, sf_dir, "events")  # tune() the session (nanosAsLong, UTC)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@query(
+    "stream_sessionize_replay",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "bridge"),
+)
+def stream_sessionize_replay(spark, sf_dir):
+    """STATEFUL session windows computed by the streaming engine:
+    `session_window` (1-day gap) over the event stream with a
+    watermark, complete-mode replay — the streaming form of
+    `sessionize_events`, whose gaps-and-islands oracle this reuses
+    verbatim. The driver hash therefore pins that Spark's streaming
+    session-state machinery (merge-on-arrival, touching-window merge)
+    converges to the batch windows exactly — including the `>` vs `>=`
+    boundary rule the batch twin pins in tests/test_properties.py.
+
+    State at scale is bounded by the watermark horizon (sessions close
+    and evict once event time passes end + gap in the unbounded
+    append-mode run); the bounded replay holds |open sessions| state,
+    = |users| here. One shuffle on the session key either way.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    rows = [tuple(r) for r in _replay(spark, agg, "stream_sessionize")]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+          FROM events)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "bridge"),
+)
+def stream_dedup_replay(spark, sf_dir):
+    """CHAINED stateful streaming operators under the driver hash:
+    watermark-bounded `dropDuplicates` on (user, type, day) feeding a
+    second stateful aggregation (count per type) in one streaming
+    query — the exactly-once ingestion dedup layer
+    (`streaming/dedup.py::stream_dedup_exact`) composed with a rollup,
+    replayed bounded. Which physical duplicate row survives the dedup
+    is engine-arbitrary, so the query aggregates to the
+    duplicate-invariant count — the oracle's DISTINCT closed form —
+    making the hash insensitive to survivor choice but sharp to any
+    lost or double-counted key.
+
+    At scale the dedup state is |keys within the watermark horizon|
+    (day buckets make the key space bounded per day); the downstream
+    agg is the usual partial+final count. Chained stateful operators
+    share the micro-batch's event-time watermark.
+    """
+    stream = _events_stream(spark, sf_dir)
+    ded = (
+        stream.withColumn("day", F.date_trunc("day", "ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "day"])
+    )
+    agg = ded.groupBy("event_type").agg(F.count("*").cast("long").alias("n_user_days"))
+    rows = [tuple(r) for r in _replay(spark, agg, "stream_dedup")]
+    return spark.createDataFrame(rows, "event_type string, n_user_days long")
