@@ -56,21 +56,7 @@ def stream_hourly_counts_replay(spark, sf_dir):
     integer-truncates to micros exactly like the batch loader
     (`io/tables.py`), so streaming and batch see identical timestamps.
     """
-    from pyspark.sql.types import LongType
-
-    T(spark, sf_dir, "events")  # tune() the session (nanosAsLong, UTC)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        # nanos surfaced as long → truncate to micros like io/tables.py
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # engine already narrowed nanos → timestamp (micro truncation)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -127,12 +113,16 @@ def _events_stream(spark, sf_dir):
     from pyspark.sql.types import LongType
 
     T(spark, sf_dir, "events")  # tune() the session (nanosAsLong, UTC)
+    # target the table path itself (works whether events.parquet is a
+    # single file — driver fixtures — or a directory of part files); a
+    # pathGlobFilter on the parent dir would silently match NOTHING for
+    # the directory layout and stream an empty source, and a bare file
+    # path fails FileStreamSource's basePath-must-be-a-directory check.
+    # The `[e]` glob is the standard escape hatch: globs anchor basePath
+    # at the parent directory while matching the file or dir either way.
+    path = f"{sf_dir}/[e]vents.parquet"
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(path)
     if isinstance(raw_schema["ts"].dataType, LongType):
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
