@@ -20,7 +20,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, fxp
 from .registry import query
 
 
@@ -393,7 +393,7 @@ def lake_cdc_apply(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         F.col("c_mktsegment").alias("segment"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        fxp("c_acctbal").alias("cents"),
     )
     path = _scratch("cdc")
 

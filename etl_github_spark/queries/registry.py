@@ -43,12 +43,19 @@ class QueryDef:
 
 QUERIES: dict[str, QueryDef] = {}
 
+#: registration (add) order, immutable under window rotation —
+#: `queries/__init__._apply_rotation` reorders QUERIES for the driver's
+#: 50-slot verification window, which would otherwise destroy the
+#: add-order that tools_gen_rotation.py ranks never-verified queries by.
+ADD_ORDER: list[str] = []
+
 
 def query(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):  # decorator
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = QueryDef(name=name, fn=fn, sql=sql, tags=tags)
+        ADD_ORDER.append(name)
         return fn
 
     return deco

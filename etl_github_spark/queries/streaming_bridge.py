@@ -63,23 +63,7 @@ def stream_hourly_counts_replay(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n")
     )
-    sink = f"stream_hourly_replay_{next(_SINK_IDS)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    rows = [
-        (r["hour_start"], r["event_type"], r["n"])
-        for r in spark.sql(f"SELECT * FROM {sink}").collect()
-    ]
-    spark.catalog.dropTempView(sink)
+    rows = [tuple(r) for r in _replay(spark, agg, "stream_hourly_replay")]
     return spark.createDataFrame(rows, "hour_start timestamp, event_type string, n long")
 
 
@@ -100,10 +84,10 @@ def _replay(spark, agg_df, sink_prefix: str):
     )
     try:
         q.awaitTermination()
+        rows = spark.sql(f"SELECT * FROM {sink}").collect()
     finally:
         q.stop()
-    rows = spark.sql(f"SELECT * FROM {sink}").collect()
-    spark.catalog.dropTempView(sink)
+        spark.catalog.dropTempView(sink)  # never leak the sink's state
     return rows
 
 

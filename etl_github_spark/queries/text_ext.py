@@ -558,7 +558,15 @@ def dedup_winnow_overlap(spark, sf_dir):
     bucket to df² candidates at any corpus size. Both the selection
     and the pairing replay exactly in the oracle.
     """
-    fps = text_winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
+    fps = (
+        text_winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+        # the fingerprint subtree (scan → hash → fold → distinct) feeds
+        # the df-cap agg and BOTH sides of the self-join; Spark does not
+        # CSE DataFrame subtrees, so checkpoint to one corpus pass
+        .localCheckpoint(eager=False)
+    )
     kept = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
