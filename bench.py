@@ -180,6 +180,9 @@ EXTENDED = [
     "dedup_winnow_overlap",
     "stream_sessionize_replay",
     "stream_dedup_replay",
+    "analytics_event_pattern_cep",
+    "lake_compact_roundtrip",
+    "sim_ivf_store_upsert",
 ]
 
 

@@ -2222,3 +2222,77 @@ def trend_wow_growth(spark, sf_dir):
             " div lag(n_users) OVER (ORDER BY week)"
         ).cast("long").alias("users_wow_permille"),
     )
+
+
+_CEP_SQL = """
+    WITH j AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id, 2
+    )
+    SELECT user_id, day,
+           CAST(len(journey) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(journey, 'vcp')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT) AS n_error_bursts,
+           CAST(coalesce(list_max(list_transform(regexp_extract_all(journey, 'v+'),
+                                                 x -> len(x))), 0) AS BIGINT)
+             AS longest_view_run
+    FROM j
+    """
+
+
+@query("analytics_event_pattern_cep", sql=_CEP_SQL, tags=("analytics", "events", "cep"))
+def analytics_event_pattern_cep(spark, sf_dir):
+    """Complex-event-processing pattern matching (MATCH_RECOGNIZE-lite):
+    per (user, day), the time-ordered event-type sequence is rendered
+    as a journey string (one char per event — the five fixture types
+    have distinct initials) and regex patterns count behavioral motifs:
+    strict view→click→purchase funnels (`vcp`, non-overlapping),
+    error bursts (`ee+`, each maximal run of >= 2 errors counts once),
+    and the longest uninterrupted view streak. The regex-over-journey
+    trick expresses sequence patterns SQL windows can't state cleanly
+    (arbitrary regular languages over event alphabets) while staying
+    engine-portable: greedy non-overlapping matching is identical in
+    Spark and DuckDB, and the (ts, event_id) ordering makes the string
+    itself deterministic.
+
+    Scale shape: one shuffle on (user, day); the journey string is
+    bounded by a user's events per DAY (never their lifetime), so
+    per-group state stays small at any corpus size — the same
+    bounded-key trick the streaming dedup uses. collect_list +
+    array_sort keeps ordering exact without a second window pass.
+    """
+    e = T(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    j = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(journey.alias("journey"))
+    runs = F.regexp_extract_all(F.col("journey"), F.lit("v+"), 0)
+    return j.select(
+        "user_id",
+        "day",
+        F.length("journey").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("vcp"), 0))
+        .cast("long")
+        .alias("n_funnels"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("ee+"), 0))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_view_run"),
+    )

@@ -432,3 +432,57 @@ def lake_cdc_apply(spark, sf_dir):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "segment string, n_rows long, sum_cents long")
+
+
+@query(
+    "lake_compact_roundtrip",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY 1
+    """,
+    tags=("lake", "compaction"),
+)
+def lake_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction under the driver hash (S7 — the reference's
+    OPTIMIZE/compact after every ingest batch): land the events table as
+    FIVE separate hourly-style appends (small-file storm), run
+    `compact_table` (per-date coalesced rewrite via the crash-safe
+    rename-aside swap) plus `vacuum_table`, and read the result back.
+    The oracle is the plain per-date rollup of the source — compaction
+    is a LAYOUT operation, so any lost, duplicated, or reshuffled row
+    flips the hash. The file-count contract (fewer, larger files) stays
+    pinned by tests/test_lakehouse.py; this query pins the part that
+    matters at 100 TB only if it's exact: content preservation.
+
+    Scale shape: the rewrite is per-date partition-pruned and
+    parallelizes across dates; read-back is an ordinary pruned scan.
+    """
+    from ..io.sink import compact_table, read_table, vacuum_table, write_table
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").cast("date").alias("date")
+    )
+    path = _scratch("compact")
+    try:
+        for i in range(5):  # five small appends per date → small-file storm
+            write_table(e.where(F.col("event_id") % 5 == i), path)
+        compact_table(spark, path, max_records_per_file=1_000_000)
+        vacuum_table(path)
+        out = (
+            read_table(spark, path)
+            .groupBy("date")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "date date, n_rows long, n_users long, sum_event_id long"
+    )

@@ -1430,3 +1430,54 @@ def sim_ann_recall_audit(spark, sf_dir):
         (F.lit(10) * F.col("n_overlap")).cast("int").alias("recall_pct"),
         (F.col("n_overlap") >= 8).alias("recall_ok"),
     )
+
+
+@query(
+    "sim_ivf_store_upsert",
+    sql=_ivf_topk_sql(),
+    tags=("similarity", "topk", "ivf", "storage"),
+)
+def sim_ivf_store_upsert(spark, sf_dir, nprobe: int = 3):
+    """Incremental IVF index maintenance under the driver hash: build
+    the cell-partitioned store from HALF the corpus (even vec_ids),
+    then APPEND the other half into the existing cell directories —
+    the steady-state life of a production vector index (new embeddings
+    arrive; you don't rebuild, you route them to cells and append).
+    The probe then answers from the upserted store, and the oracle is
+    the full-corpus closed form (same SQL as `sim_ivf_topk` /
+    `sim_ivf_store_probe`): a dropped, duplicated, or mis-routed
+    appended vector flips the hash.
+
+    Centroids stay FIXED across the upsert (computed once over the
+    corpus, like a deployed coarse quantizer); cell assignment of
+    arriving vectors reuses them, so the append is a pure partitioned
+    write with no index rebuild. At 100 TB: appends land as new files
+    inside `cell=<id>` directories, probes stay partition-pruned, and
+    compaction (lake_compact_roundtrip's contract) handles the
+    small-file accumulation.
+    """
+    import shutil
+    import tempfile
+
+    from .similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    probe, q_vec = _label_centroid_probe(emb, nprobe)
+    path = tempfile.mkdtemp(prefix="ivf_upsert_")
+    try:
+        base = emb.where(F.col("vec_id") % 2 == 0).withColumn("cell", F.col("label"))
+        late = emb.where(F.col("vec_id") % 2 == 1).withColumn("cell", F.col("label"))
+        base.write.partitionBy("cell").mode("overwrite").parquet(path)
+        late.write.partitionBy("cell").mode("append").parquet(path)
+        qe = F.array(*[F.lit(float(v)) for v in q_vec])
+        out = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(probe))
+            .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10)
+        )
+        rows = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, cos_sim double")
