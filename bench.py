@@ -183,6 +183,7 @@ EXTENDED = [
     "analytics_event_pattern_cep",
     "lake_compact_roundtrip",
     "sim_ivf_store_upsert",
+    "join_bucketed_colocated",
 ]
 
 

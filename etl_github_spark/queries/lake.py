@@ -486,3 +486,65 @@ def lake_compact_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "date date, n_rows long, n_users long, sum_event_id long"
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    sql="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("lake", "join", "bucketing"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free fact-fact join via BUCKETED tables under the driver
+    hash: lineitem and orders are written `bucketBy(8, key)` into a
+    scratch database (`io/sink.py::write_bucketed` — one up-front
+    shuffle each at write time), then joined WITHOUT any Exchange (the
+    merge hint forbids broadcast, and matching bucket specs satisfy
+    both children's distribution requirements; pinned by
+    `tests/test_bucketing.py`). The oracle is the plain join closed
+    form — bucketing is an execution strategy, so any bucket-routing
+    error (wrong hash, wrong bucket count, rows landing in the wrong
+    bucket and silently vanishing from the merge join) flips the hash.
+
+    This is THE 100 TB pattern for repeated fact-fact joins: pay the
+    shuffle once at ingest, then every downstream join/aggregation on
+    the bucket key is exchange-free. Revenue goes through exact cents
+    so the rollup is order-insensitive.
+    """
+    import uuid as _uuid  # db name must be unique per concurrent run
+
+    from ..io.sink import write_bucketed
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", fxp("l_extendedprice").alias("cents")
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    db = f"bjoin_{_uuid.uuid4().hex[:8]}"
+    path = _scratch("bjoin")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{path}'")
+    try:
+        write_bucketed(li, f"{db}.li_b", ("l_orderkey",), n_buckets=8)
+        write_bucketed(o, f"{db}.o_b", ("o_orderkey",), n_buckets=8)
+        lb = spark.table(f"{db}.li_b")
+        ob = spark.table(f"{db}.o_b").hint("merge")
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_lines long, revenue_cents long"
+    )
