@@ -273,6 +273,26 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
             extended[name] = -1.0
 
+    # round 5 re-seated dedup_minhash_lsh on the oracle-replayable
+    # md5/affine family (~35% slower than xxhash64); time the unregistered
+    # production variant too so round-over-round headline deltas stay
+    # attributable to the family change vs the host.
+    try:
+        from etl_github_spark.queries.dedup import minhash_lsh_xxhash
+
+        minhash_lsh_xxhash(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        samples_xx = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            minhash_lsh_xxhash(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            samples_xx.append(round(time.perf_counter() - t0, 3))
+        extended["minhash_lsh_xxhash_production"] = min(samples_xx)
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR minhash_lsh_xxhash: {e}", file=sys.stderr)
+        extended["minhash_lsh_xxhash_production"] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
         "metric": "headline_suite_seconds",
