@@ -195,7 +195,13 @@ def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> list[float]:
     15-20% on shuffle-heavy queries, so the graded headline set gets an
     extra sample); the full sample list ships in the JSON so
     round-over-round deltas are attributable to code vs host noise."""
-    fn = QUERIES[name].fn
+    return _time_fn(spark, QUERIES[name].fn, sf_dir, runs)
+
+
+def _time_fn(spark, fn, sf_dir: str, runs: int = 2) -> list[float]:
+    """The timing protocol itself — one untimed warm-up, then ``runs``
+    timed noop-sink materializations. Shared by registry queries and
+    unregistered variants so every entry is measured identically."""
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     samples = []
     for _ in range(runs):
@@ -280,15 +286,9 @@ def main() -> None:
     try:
         from etl_github_spark.queries.dedup import minhash_lsh_xxhash
 
-        minhash_lsh_xxhash(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        samples_xx = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            minhash_lsh_xxhash(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            samples_xx.append(round(time.perf_counter() - t0, 3))
-        extended["minhash_lsh_xxhash_production"] = min(samples_xx)
+        extended["minhash_lsh_xxhash_production"] = min(
+            _time_fn(spark, minhash_lsh_xxhash, sf_dir)
+        )
     except Exception as e:  # pragma: no cover
         print(f"BENCH ERROR minhash_lsh_xxhash: {e}", file=sys.stderr)
         extended["minhash_lsh_xxhash_production"] = -1.0

@@ -306,6 +306,33 @@ def _label_centroid_probe(emb, nprobe: int):
     return probe, q_vec
 
 
+def _probe_cell_store(spark, write_fn, probe, q_vec, prefix: str):
+    """Shared write→probe→collect cycle for the physical-store queries:
+    `write_fn(emb_path)` lays the cell-partitioned store down, then the
+    probe is a partition-pruned scan + fold cosine + top-10 — collected
+    so the scratch dir can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from .similarity import cosine
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    try:
+        write_fn(path)
+        qe = F.array(*[F.lit(float(v)) for v in q_vec])
+        out = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(probe))
+            .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10)
+        )
+        rows = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, cos_sim double")
+
+
 @query("sim_ivf_store_probe", sql=_ivf_topk_sql(), tags=("similarity", "topk", "ivf", "storage"))
 def sim_ivf_store_probe(spark, sf_dir, nprobe: int = 3):
     """The STORAGE half of the IVF story under the driver hash:
@@ -326,30 +353,15 @@ def sim_ivf_store_probe(spark, sf_dir, nprobe: int = 3):
     scan + one partitioned shuffle-free sink; the centroid sidecar is
     k×dim index metadata.
     """
-    import shutil
-    import tempfile
-
-    from .similarity import cosine
-
     emb = T(spark, sf_dir, "embeddings")
     probe, q_vec = _label_centroid_probe(emb, nprobe)
-    path = tempfile.mkdtemp(prefix="ivf_store_")
-    try:
+
+    def write(path):
         emb.withColumn("cell", F.col("label")).write.partitionBy("cell").mode(
             "overwrite"
         ).parquet(path)
-        qe = F.array(*[F.lit(float(v)) for v in q_vec])
-        out = (
-            spark.read.parquet(path)
-            .where(F.col("cell").isin(probe))
-            .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
-            .orderBy(F.desc("cos_sim"), "vec_id")
-            .limit(10)
-        )
-        rows = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "vec_id long, cos_sim double")
+
+    return _probe_cell_store(spark, write, probe, q_vec, "ivf_store_")
 
 
 _QUANT_SQL = """
@@ -1456,28 +1468,13 @@ def sim_ivf_store_upsert(spark, sf_dir, nprobe: int = 3):
     compaction (lake_compact_roundtrip's contract) handles the
     small-file accumulation.
     """
-    import shutil
-    import tempfile
-
-    from .similarity import cosine
-
     emb = T(spark, sf_dir, "embeddings")
     probe, q_vec = _label_centroid_probe(emb, nprobe)
-    path = tempfile.mkdtemp(prefix="ivf_upsert_")
-    try:
+
+    def write(path):
         base = emb.where(F.col("vec_id") % 2 == 0).withColumn("cell", F.col("label"))
         late = emb.where(F.col("vec_id") % 2 == 1).withColumn("cell", F.col("label"))
         base.write.partitionBy("cell").mode("overwrite").parquet(path)
         late.write.partitionBy("cell").mode("append").parquet(path)
-        qe = F.array(*[F.lit(float(v)) for v in q_vec])
-        out = (
-            spark.read.parquet(path)
-            .where(F.col("cell").isin(probe))
-            .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
-            .orderBy(F.desc("cos_sim"), "vec_id")
-            .limit(10)
-        )
-        rows = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "vec_id long, cos_sim double")
+
+    return _probe_cell_store(spark, write, probe, q_vec, "ivf_upsert_")
