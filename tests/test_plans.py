@@ -826,3 +826,21 @@ def test_anomaly_mad_single_events_scan(spark):
     p = buf.getvalue()
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 1
     assert "Scan ExistingRDD" in p or len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_winnow_fingerprints_shuffle_only_for_distinct(spark):
+    """The winnowing pipeline is a pure per-row fold — the ONLY exchange
+    in the plan may be the final output DISTINCT (hash aggregate), and
+    no join may appear; the corpus is scanned once."""
+    p = plan_of(spark, "text_winnow_fingerprints")
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_cep_journey_single_user_day_shuffle(spark):
+    """The CEP query is one aggregation keyed on (user, day): exactly
+    one corpus scan, no join, and the regex motif counting happens in
+    the post-agg projection (scan-side, no second shuffle)."""
+    p = plan_of(spark, "analytics_event_pattern_cep")
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
