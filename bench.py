@@ -184,6 +184,7 @@ EXTENDED = [
     "lake_compact_roundtrip",
     "sim_ivf_store_upsert",
     "join_bucketed_colocated",
+    "lake_delta_log_scan",
 ]
 
 

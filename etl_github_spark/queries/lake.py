@@ -548,3 +548,75 @@ def join_bucketed_colocated(spark, sf_dir):
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_lines long, revenue_cents long"
     )
+
+
+@query(
+    "lake_delta_log_scan",
+    sql="""
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(max(event_id) AS BIGINT) AS hwm_event_id
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT),
+           CAST(max(event_id) AS BIGINT)
+    FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT),
+           CAST(max(event_id) AS BIGINT)
+    FROM events WHERE event_id % 3 = 2
+    """,
+    tags=("lake", "delta", "timetravel"),
+)
+def lake_delta_log_scan(spark, sf_dir):
+    """The Delta transaction log under the driver hash
+    (`io/delta_log.py` — the from-scratch implementation of the public
+    protocol's append/overwrite/replay subset; reference
+    preprocess.py:169-186): commit the events fact in three versions
+    (append thirds 0 and 1, then OVERWRITE with third 2), then answer
+    each version by TIME TRAVEL — count + sum from the snapshot scan,
+    and the high-water mark from add-action STATS alone (no data file
+    opened), the reference's get_add_actions trick. The oracle's three
+    closed forms only match if the log replay shows exactly the right
+    files at every version: a leaked pre-overwrite file, a lost append,
+    or a stale stats entry each flips a different row.
+
+    Scale shape: commits are O(new files) JSON appends; snapshot replay
+    is O(log actions) driver-side (bounded by file count, the same
+    cardinality every Delta reader carries); scans read only the files
+    the log names.
+    """
+    from ..io.delta_log import high_water_mark, read_delta, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id")
+    path = _scratch("delta")
+    try:
+        write_delta(e.where(F.col("event_id") % 3 == 0), path, stats_cols=("event_id",))
+        write_delta(
+            e.where(F.col("event_id") % 3 == 1),
+            path,
+            mode="append",
+            stats_cols=("event_id",),
+        )
+        write_delta(
+            e.where(F.col("event_id") % 3 == 2),
+            path,
+            mode="overwrite",
+            stats_cols=("event_id",),
+        )
+        rows = []
+        for v in (0, 1, 2):
+            agg = (
+                read_delta(spark, path, version=v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+                .first()
+            )
+            rows.append((v, agg["n"], agg["s"], int(high_water_mark(path, "event_id", v))))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, sum_event_id long, hwm_event_id long"
+    )

@@ -817,3 +817,58 @@ def test_scd2_apply_rejects_version_regression(spark, tmp_path):
     # a properly ordered apply still works
     r = scd2_apply(spark, path, ups, "k", ("seg",), version=6)
     assert r == {"closed": 1, "inserted": 1}
+
+
+def test_delta_log_append_overwrite_timetravel(spark, tmp_path):
+    """Minimal Delta-protocol log (io/delta_log.py): append and
+    overwrite commits replay correctly, time travel reads any version,
+    uncommitted stray files are invisible, the stats high-water mark is
+    answered from the log alone, and racing writers can't share a
+    version."""
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        high_water_mark,
+        history,
+        read_delta,
+        snapshot_files,
+        write_delta,
+        _commit,
+    )
+
+    table = str(tmp_path / "dt")
+    df1 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    assert write_delta(df1, table, stats_cols=("id",)) == 0
+    assert write_delta(df2, table, mode="append", stats_cols=("id",)) == 1
+    assert read_delta(spark, table).count() == 15
+    assert read_delta(spark, table, version=0).count() == 10  # time travel
+    assert high_water_mark(table, "id") == 14  # stats-only, no data read
+
+    # stray uncommitted file is invisible (log-driven scan, no listing)
+    stray = os.path.join(table, "part-stray.parquet")
+    df1.limit(1).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(tmp_path / "s" / "part-*.parquet"))[0], stray)
+    assert read_delta(spark, table).count() == 15
+
+    # overwrite removes all live files and replaces them
+    df3 = spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    assert write_delta(df3, table, mode="overwrite", stats_cols=("id",)) == 2
+    assert read_delta(spark, table).count() == 3
+    assert high_water_mark(table, "id") == 102
+    assert read_delta(spark, table, version=1).count() == 15  # history intact
+    assert len(snapshot_files(table, version=2)) < len(snapshot_files(table, version=1)) + 3
+
+    h = history(table)
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert h[2]["removes"] == len(snapshot_files(table, version=1))
+
+    # optimistic concurrency: the next version can be committed exactly once
+    _commit(table, 3, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
+    with pytest.raises(FileExistsError):
+        _commit(table, 3, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
