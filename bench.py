@@ -185,6 +185,8 @@ EXTENDED = [
     "sim_ivf_store_upsert",
     "join_bucketed_colocated",
     "lake_delta_log_scan",
+    "gha_manifest_hours",
+    "join_scd2_asof",
 ]
 
 

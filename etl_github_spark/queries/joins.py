@@ -327,3 +327,76 @@ def join_asof_nearest(spark, sf_dir):
     return p.join(cand, "pid", "left").select(
         "pid", "user_id", "nearest_view_id", "gap_us"
     )
+
+
+_SCD2_ASOF_SQL = """
+    WITH f AS (
+      SELECT o_custkey AS k, o_orderkey % 10 AS v,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    labeled AS (
+      SELECT f.cents,
+             CASE WHEN c.c_custkey % 3 = 0 AND f.v >= 5 THEN 'PROMO'
+                  ELSE c.c_mktsegment END AS segment
+      FROM f JOIN customer c ON f.k = c.c_custkey
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM labeled GROUP BY segment
+    """
+
+
+@query("join_scd2_asof", sql=_SCD2_ASOF_SQL, tags=("join", "scd2", "temporal"))
+def join_scd2_asof(spark, sf_dir):
+    """Temporal dimension lookup — the join every SCD2 table exists
+    for: each fact row binds to the dimension VERSION that was valid at
+    the fact's time, via ``valid_from <= t < valid_to`` (open rows have
+    NULL valid_to). The versioned dimension is built in-plan from
+    customer: every 3rd key changes segment to 'PROMO' at version 5, so
+    facts with version time < 5 must see the OLD segment and >= 5 the
+    new one — the oracle's closed form encodes exactly that split, and
+    a fact bound to the wrong version (classic off-by-one on the
+    interval bounds, or matching BOTH versions and double-counting)
+    flips counts and revenue.
+
+    Shape: the dimension (2 rows max per key) broadcasts; the interval
+    predicate rides the hash join on the key as a residual filter —
+    never a range-only join. Revenue in exact cents. At 100 TB this is
+    the standard broadcast-dim temporal lookup; a fact-scale SCD2
+    dimension would bucket both sides on the key first
+    (join_bucketed_colocated's pattern).
+    """
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        (F.col("o_orderkey") % 10).alias("v"),
+        fxp("o_totalprice").alias("cents"),
+    )
+    c = T(spark, sf_dir, "customer")
+    changed = F.col("c_custkey") % 3 == 0
+    dim_v0 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("valid_from"),
+        F.when(changed, F.lit(5)).otherwise(F.lit(None)).cast("int").alias("valid_to"),
+    )
+    dim_v1 = c.where(changed).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("PROMO").alias("segment"),
+        F.lit(5).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    dim = dim_v0.unionByName(dim_v1)
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o["k"] == dim["k"])
+            & (F.col("valid_from") <= F.col("v"))
+            & (F.col("valid_to").isNull() | (F.col("v") < F.col("valid_to"))),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

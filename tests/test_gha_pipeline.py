@@ -306,3 +306,20 @@ def test_ingest_urls_end_to_end_resume_and_retry(spark, tmp_path):
     bad = f"file://{tmp_path}/remote/does-not-exist.json.gz"
     with pytest.raises(Exception, match="fetch failed"):
         fetch_to_landing(spark, [bad], str(landing), max_retries=1)
+
+
+def test_manifest_query_matches_list_files(spark):
+    """The distributed manifest query (gha_manifest_hours) and the
+    pipeline's driver-side list_files must walk the same URLs — the
+    cluster plans from the former, the fetcher walks the latter."""
+    import datetime as dt
+
+    from etl_github_spark.gha.pipeline import list_files
+    from etl_github_spark.queries.gha_parity import gha_manifest_hours
+
+    want = list_files(dt.datetime(2024, 2, 29, 22), dt.datetime(2024, 3, 1, 3))
+    got = [
+        r["url"]
+        for r in gha_manifest_hours(spark, "unused").orderBy("hour_ts").collect()
+    ]
+    assert got == want and len(got) == 6  # inclusive stop, leap-day boundary
