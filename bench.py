@@ -187,6 +187,7 @@ EXTENDED = [
     "lake_delta_log_scan",
     "gha_manifest_hours",
     "join_scd2_asof",
+    "gha_ingest_roundtrip",
 ]
 
 
