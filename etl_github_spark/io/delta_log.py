@@ -13,29 +13,40 @@ reference actually uses:
 * ``_delta_log/<20-digit version>.json`` commits containing
   ``protocol`` / ``metaData`` / ``add`` / ``remove`` actions
   (NDJSON, one action per line — reader version 1, writer version 2);
-* append commits (add actions only) and overwrite commits (remove all
-  live files + add the new ones) — the reference's two write modes;
+* append commits (add actions only, schema-enforced against the
+  table's metaData) and overwrite commits (remove all live files + add
+  the new ones) — the reference's two write modes;
 * snapshot replay at latest or any historical version (time travel by
-  version, the DESCRIBE HISTORY analog via :func:`history`);
+  version, the DESCRIBE HISTORY analog via :func:`history`), with the
+  scan schema taken from the LOG's metaData, not file-order luck;
 * per-file ``stats`` on add actions (numRecords + min/max of the stats
   columns) so the high-water-mark scan can be answered from the LOG
   alone, like the reference's dt.get_add_actions() trick.
 
+Crash/concurrency story: a commit is staged as a hidden temp file,
+fsync'd, then atomically CLAIMED via ``os.link`` to the version name —
+the version file is never visible in a torn state, exactly one writer
+wins a version (losers raise FileExistsError), and a loser's staged
+data files are removed before the error propagates (no orphan leak).
+:func:`vacuum_delta` additionally reaps any data file the log does not
+reference (crashed pre-commit stagings). :func:`_replay` refuses
+non-contiguous logs (a missing version file means lost commits — an
+error, never a silently wrong snapshot).
+
 Deliberately out of scope (documented, not silently faked): checkpoint
 parquet files (readers must replay JSON from 0), deletion vectors,
 column mapping, partitioned tables (partitionValues always {}), and
-concurrent-writer conflict detection beyond atomic
-O_CREAT-new-file commit (two writers racing the same version: exactly
-one wins, the loser raises — the same optimistic protocol real Delta
-uses on filesystems with atomic create). Interop with delta-spark
-cannot be tested in this env; the protocol shape follows the public
-spec so a real reader should accept these tables, and the round-trip
-is pinned by tests + a driver-hashed registry query
+schema EVOLUTION (appends must match the recorded schema exactly —
+real Delta's default behavior without mergeSchema). Interop with
+delta-spark cannot be tested in this env; the protocol shape follows
+the public spec so a real reader should accept these tables, and the
+round-trip is pinned by tests + a driver-hashed registry query
 (``lake_delta_log_scan``).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
@@ -68,77 +79,133 @@ def _list_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _json_safe(v):
+    """Stats values → JSON-storable form (Delta stores timestamps/dates
+    as ISO strings). Returns ``_OMIT`` for types stats can't carry."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:  # normalize to naive UTC, like the engine
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return _OMIT
+
+
+_OMIT = object()
+
+
 def _stage_files(df: DataFrame, table: str, stats_cols: tuple[str, ...]) -> list[dict]:
     """Write df's parquet files under the table dir and return their add
     actions (path relative to the table root, size, stats)."""
     import glob
     import shutil
 
+    import pyarrow.parquet as pq
+
     stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     adds = []
-    for f in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
-        import pyarrow.parquet as pq
-
-        if pq.ParquetFile(f).metadata.num_rows == 0:
-            continue  # empty partitions produce 0-row files: nothing to commit
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        dest = os.path.join(table, name)
-        shutil.move(f, dest)
-        stats = _file_stats(dest, stats_cols)
-        adds.append(
-            {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(dest),
-                "modificationTime": 0,
-                "dataChange": True,
-                **({"stats": json.dumps(stats)} if stats else {}),
-            }
-        )
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        for f in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            md = pq.ParquetFile(f).metadata  # one footer read per file
+            if md.num_rows == 0:
+                continue  # empty partitions produce 0-row files: nothing to commit
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table, name)
+            shutil.move(f, dest)
+            stats = _file_stats(md, stats_cols)
+            adds.append(
+                {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(dest),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    **({"stats": json.dumps(stats)} if stats is not None else {}),
+                }
+            )
+    except Exception:
+        _remove_staged(table, adds)
+        raise
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return adds
 
 
-def _file_stats(path: str, cols: tuple[str, ...]) -> dict | None:
-    """numRecords + min/max per requested column from the parquet footer
-    (metadata-only — no data read), serialized the way Delta stores
-    them (JSON string on the add action)."""
-    import pyarrow.parquet as pq
+def _remove_staged(table: str, adds: list[dict]) -> None:
+    for a in adds:
+        try:
+            os.remove(os.path.join(table, a["path"]))
+        except OSError:
+            pass
 
-    md = pq.ParquetFile(path).metadata
-    stats: dict = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {}}
-    if not cols:
+
+def _file_stats(md, cols: tuple[str, ...]) -> dict | None:
+    """numRecords + min/max per requested column from the parquet footer
+    metadata (no data read), serialized the way Delta stores them (JSON
+    string on the add action). A column with incomplete or
+    non-JSON-able stats is OMITTED (never guessed); other columns keep
+    theirs. Stats are metadata — they must never fail a commit, so any
+    unexpected footer shape degrades to numRecords-only."""
+    try:
+        stats: dict = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {}}
+        if not cols:
+            return stats
+        name_to_idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for c in cols:
+            i = name_to_idx.get(c)
+            if i is None:
+                continue
+            mins, maxs = [], []
+            complete = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    complete = False
+                    break
+            else:
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    mins.append(s.min)
+                    maxs.append(s.max)
+            if not complete or not mins:
+                continue  # omit THIS column only
+            lo, hi = _json_safe(min(mins)), _json_safe(max(maxs))
+            if lo is _OMIT or hi is _OMIT:
+                continue
+            stats["minValues"][c] = lo
+            stats["maxValues"][c] = hi
         return stats
-    name_to_idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
-    for c in cols:
-        i = name_to_idx.get(c)
-        if i is None:
-            continue
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(i).statistics
-            if s is None or not s.has_min_max:
-                return stats  # incomplete stats: omit rather than lie
-            mins.append(s.min)
-            maxs.append(s.max)
-        if mins:
-            stats["minValues"][c] = min(mins)
-            stats["maxValues"][c] = max(maxs)
-    return stats
+    except Exception:  # pragma: no cover - stats never abort a commit
+        return None
 
 
 def _commit(table: str, version: int, actions: list[dict]) -> None:
-    """Atomically create the next version file. O_CREAT|O_EXCL gives the
-    real protocol's optimistic-concurrency guarantee on local/HDFS-like
-    filesystems: exactly one writer wins a version; losers raise."""
+    """Atomically publish the next version file: stage a hidden temp
+    file with the FULL payload, fsync, then CLAIM the version name via
+    ``os.link`` — readers can never observe a torn or empty version
+    file, and exactly one of two racing writers wins (the loser's link
+    raises FileExistsError — the real protocol's optimistic-concurrency
+    guarantee on filesystems with atomic link/create)."""
     os.makedirs(_log_path(table), exist_ok=True)
-    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
-    fd = os.open(_version_file(table, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    payload = ("\n".join(json.dumps(a) for a in actions) + "\n").encode()
+    tmp = os.path.join(_log_path(table), f".tmp-{uuid.uuid4().hex}.json")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
-        os.write(fd, payload.encode())
+        written = os.write(fd, payload)
+        if written != len(payload):  # pragma: no cover - short write (ENOSPC)
+            raise OSError(f"short write committing version {version}")
+        os.fsync(fd)
     finally:
         os.close(fd)
+    try:
+        os.link(tmp, _version_file(table, version))
+    finally:
+        os.remove(tmp)
 
 
 def write_delta(
@@ -149,7 +216,11 @@ def write_delta(
 ) -> int:
     """Commit df to the Delta table at ``table`` (append or overwrite);
     returns the committed version. Version 0 carries protocol+metaData
-    like real Delta; overwrite commits remove every live file first."""
+    like real Delta; appends are schema-enforced against that metaData
+    (schema evolution is out of scope — mismatches raise, they never
+    silently drop or null columns); overwrite commits remove every live
+    file first. If the version race is lost, this attempt's staged data
+    files are removed before FileExistsError propagates."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     os.makedirs(table, exist_ok=True)
@@ -170,12 +241,21 @@ def write_delta(
                 }
             }
         )
-    elif mode == "overwrite":
-        for f in snapshot_files(table):
-            actions.append(
-                {"remove": {"path": f, "deletionTimestamp": 0, "dataChange": True}}
+    else:
+        recorded = _table_schema_json(table)
+        if recorded is not None and json.loads(recorded) != json.loads(df.schema.json()):
+            raise ValueError(
+                f"schema mismatch appending to {table}: the table's metaData "
+                "schema differs from the DataFrame's (schema evolution is out "
+                "of scope for this minimal writer)"
             )
-    actions.extend({"add": a} for a in _stage_files(df, table, stats_cols))
+        if mode == "overwrite":
+            for f in snapshot_files(table):
+                actions.append(
+                    {"remove": {"path": f, "deletionTimestamp": 0, "dataChange": True}}
+                )
+    adds = _stage_files(df, table, stats_cols)
+    actions.extend({"add": a} for a in adds)
     actions.append(
         {
             "commitInfo": {
@@ -185,16 +265,41 @@ def write_delta(
             }
         }
     )
-    _commit(table, version, actions)
+    try:
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, adds)  # lost race / failed publish: no orphans
+        raise
     return version
+
+
+def _table_schema_json(table: str) -> str | None:
+    try:
+        with open(_version_file(table, 0)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    return action["metaData"]["schemaString"]
+    except (OSError, json.JSONDecodeError):
+        return None
+    return None
 
 
 def _replay(table: str, version: int | None = None) -> dict[str, dict]:
     """Replay the log up to ``version`` (inclusive; None = latest) →
-    {relative path: add action} of live files."""
+    {relative path: add action} of live files. A gap in the version
+    chain means commits were lost: raise, never return a silently
+    wrong snapshot."""
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
+    if versions != list(range(versions[0], versions[-1] + 1)) or versions[0] != 0:
+        raise ValueError(
+            f"non-contiguous Delta log in {table}: versions {versions} "
+            "(a missing version file means lost commits)"
+        )
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -220,27 +325,57 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     return sorted(_replay(table, version))
 
 
+def _log_schema(table: str):
+    from pyspark.sql.types import StructType
+
+    schema_json = _table_schema_json(table)
+    if schema_json is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    return StructType.fromJson(json.loads(schema_json))
+
+
 def read_delta(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot scan (time travel with ``version``). Reads exactly the
     live files the log names — never a directory listing, so stray or
-    uncommitted files are invisible, like real Delta."""
+    uncommitted files are invisible — under the LOG's recorded schema
+    (not whichever footer Spark happens to resolve first), like real
+    Delta."""
+    schema = _log_schema(table)
     files = [os.path.join(table, f) for f in snapshot_files(table, version)]
     if not files:
-        # empty snapshot: derive schema from the log's metaData
-        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
-        with open(_version_file(table, 0)) as fh:
+
+def vacuum_delta(table: str) -> list[str]:
+    """Remove data files the log does not reference (crashed pre-commit
+    stagings, lost-race leftovers missed by the in-process cleanup) —
+    the retention_hours=0 analog for this layout. Never touches the log
+    or any live file; returns the reaped relative paths."""
+    import glob
+    import shutil
+
+    live = set()
+    for v in _list_versions(table):
+        with open(_version_file(table, v)) as fh:
             for line in fh:
+                if not line.strip():
+                    continue
                 action = json.loads(line)
-                if "metaData" in action:
-                    schema = StructType.fromJson(
-                        json.loads(action["metaData"]["schemaString"])
-                    )
-                    return spark.createDataFrame([], schema)
-        raise ValueError(f"no metaData action in version 0 of {table}")
-    return spark.read.parquet(*files)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+    reaped = []
+    for f in glob.glob(os.path.join(table, "part-*.parquet")):
+        rel = os.path.basename(f)
+        if rel not in live:
+            os.remove(f)
+            reaped.append(rel)
+    for d in glob.glob(os.path.join(table, ".stage-*")):
+        shutil.rmtree(d, ignore_errors=True)
+        reaped.append(os.path.basename(d))
+    return sorted(reaped)
 
 
 def high_water_mark(table: str, col: str, version: int | None = None):

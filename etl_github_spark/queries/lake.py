@@ -606,15 +606,15 @@ def lake_delta_log_scan(spark, sf_dir):
         )
         rows = []
         for v in (0, 1, 2):
-            agg = (
-                read_delta(spark, path, version=v)
-                .agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum("event_id").cast("long").alias("s"),
-                )
-                .first()
-            )
-            rows.append((v, agg["n"], agg["s"], int(high_water_mark(path, "event_id", v))))
+            snap = read_delta(spark, path, version=v)
+            agg = snap.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("s"),
+            ).first()
+            hwm = high_water_mark(path, "event_id", v)
+            if hwm is None:  # stats unavailable: the documented scan fallback
+                hwm = snap.agg(F.max("event_id")).first()[0]
+            rows.append((v, agg["n"], agg["s"], int(hwm)))
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(

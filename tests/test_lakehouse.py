@@ -862,13 +862,87 @@ def test_delta_log_append_overwrite_timetravel(spark, tmp_path):
     assert read_delta(spark, table).count() == 3
     assert high_water_mark(table, "id") == 102
     assert read_delta(spark, table, version=1).count() == 15  # history intact
-    assert len(snapshot_files(table, version=2)) < len(snapshot_files(table, version=1)) + 3
+    # overwrite's live set is EXACTLY the new files: disjoint from v1's
+    assert not set(snapshot_files(table, version=2)) & set(
+        snapshot_files(table, version=1)
+    )
 
     h = history(table)
     assert [r["version"] for r in h] == [0, 1, 2]
     assert h[2]["removes"] == len(snapshot_files(table, version=1))
+    assert h[2]["adds"] == len(snapshot_files(table, version=2))
 
     # optimistic concurrency: the next version can be committed exactly once
     _commit(table, 3, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
     with pytest.raises(FileExistsError):
         _commit(table, 3, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
+
+
+def test_delta_log_hardening(spark, tmp_path):
+    """Round-5 review fixes: schema-mismatched appends raise (never
+    silently drop/null columns), a gap in the version chain raises
+    (never a silently wrong snapshot), a lost commit race leaves no
+    orphan data files, vacuum_delta reaps log-unreferenced files, and
+    timestamp stats columns serialize instead of aborting the commit."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _commit,
+        _version_file,
+        high_water_mark,
+        read_delta,
+        snapshot_files,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dt")
+    df = spark.range(0, 8).selectExpr("id", "timestamp'2024-01-02 03:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+    # INT96 (Spark's default parquet timestamp) has no footer stats — the
+    # writer must OMIT ts stats, not abort; with TIMESTAMP_MICROS the
+    # datetime min/max must serialize to ISO strings in the log.
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    write_delta(df, table, stats_cols=("ts",))
+    assert high_water_mark(table, "ts") is None  # stats honestly absent
+    try:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        write_delta(df, str(tmp_path / "dt_us"), stats_cols=("ts", "id"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert high_water_mark(str(tmp_path / "dt_us"), "ts") == "2024-01-02T03:00:07"
+    assert high_water_mark(str(tmp_path / "dt_us"), "id") == 7
+
+    # schema-enforced append
+    bad = spark.range(0, 3).selectExpr("id", "id AS extra")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(bad, table, mode="append")
+
+    # lost race leaves no orphans: a competitor claims version 1 between
+    # this writer's version read and its commit (simulated by pinning the
+    # version listing to [0] while v1 already exists on disk)
+    from unittest import mock
+
+    import etl_github_spark.io.delta_log as dlog
+
+    _commit(table, 1, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
+    before = set(glob.glob(os.path.join(table, "part-*.parquet")))
+    with mock.patch.object(dlog, "_list_versions", return_value=[0]):
+        with pytest.raises(FileExistsError):
+            write_delta(df, table, mode="append")
+    assert set(glob.glob(os.path.join(table, "part-*.parquet"))) == before
+
+    # vacuum reaps unreferenced files, keeps live ones
+    stray = os.path.join(table, "part-unreferenced.parquet")
+    open(stray, "wb").write(b"junk")
+    reaped = vacuum_delta(table)
+    assert "part-unreferenced.parquet" in reaped
+    assert read_delta(spark, table).count() == 8
+
+    # gap in the chain raises
+    os.remove(_version_file(table, 1))
+    _commit(table, 2, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
+    with pytest.raises(ValueError, match="non-contiguous"):
+        snapshot_files(table)
