@@ -13,9 +13,12 @@ reference actually uses:
 * ``_delta_log/<20-digit version>.json`` commits containing
   ``protocol`` / ``metaData`` / ``add`` / ``remove`` actions
   (NDJSON, one action per line — reader version 1, writer version 2);
-* append commits (add actions only, schema-enforced against the
-  table's metaData) and overwrite commits (remove all live files + add
-  the new ones) — the reference's two write modes;
+* append commits (add actions only) and overwrite commits (remove all
+  live files + add the new ones) — the reference's two write modes,
+  BOTH schema-enforced against the table's metaData by field names and
+  types (nullability/metadata-insensitive: Spark file sources force
+  read schemas nullable, so a table's own read-back snapshot must
+  append cleanly);
 * snapshot replay at latest or any historical version (time travel by
   version, the DESCRIBE HISTORY analog via :func:`history`), with the
   scan schema taken from the LOG's metaData, not file-order luck;
@@ -36,8 +39,8 @@ error, never a silently wrong snapshot).
 Deliberately out of scope (documented, not silently faked): checkpoint
 parquet files (readers must replay JSON from 0), deletion vectors,
 column mapping, partitioned tables (partitionValues always {}), and
-schema EVOLUTION (appends must match the recorded schema exactly —
-real Delta's default behavior without mergeSchema). Interop with
+schema EVOLUTION (writes must match the recorded schema's field names
+and types — real Delta's default behavior without mergeSchema). Interop with
 delta-spark cannot be tested in this env; the protocol shape follows
 the public spec so a real reader should accept these tables, and the
 round-trip is pinned by tests + a driver-hashed registry query
@@ -151,8 +154,8 @@ def _file_stats(md, cols: tuple[str, ...]) -> dict | None:
     non-JSON-able stats is OMITTED (never guessed); other columns keep
     theirs. Stats are metadata — they must never fail a commit, so any
     unexpected footer shape degrades to numRecords-only."""
+    stats: dict = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {}}
     try:
-        stats: dict = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {}}
         if not cols:
             return stats
         name_to_idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
@@ -161,18 +164,14 @@ def _file_stats(md, cols: tuple[str, ...]) -> dict | None:
             if i is None:
                 continue
             mins, maxs = [], []
-            complete = True
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(i).statistics
                 if s is None or not s.has_min_max:
-                    complete = False
+                    mins = []
                     break
-            else:
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(i).statistics
-                    mins.append(s.min)
-                    maxs.append(s.max)
-            if not complete or not mins:
+                mins.append(s.min)
+                maxs.append(s.max)
+            if not mins:
                 continue  # omit THIS column only
             lo, hi = _json_safe(min(mins)), _json_safe(max(maxs))
             if lo is _OMIT or hi is _OMIT:
@@ -181,7 +180,8 @@ def _file_stats(md, cols: tuple[str, ...]) -> dict | None:
             stats["maxValues"][c] = hi
         return stats
     except Exception:  # pragma: no cover - stats never abort a commit
-        return None
+        # unexpected footer shape: degrade to numRecords-only, as promised
+        return {"numRecords": md.num_rows, "minValues": {}, "maxValues": {}}
 
 
 def _commit(table: str, version: int, actions: list[dict]) -> None:
@@ -204,8 +204,30 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
         os.close(fd)
     try:
         os.link(tmp, _version_file(table, version))
-    finally:
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:  # pragma: no cover
+            pass  # vacuum_delta reaps leaked .tmp files
+        raise
+    # PUBLISHED. Nothing after this point may look like a failed commit:
+    # the version file exists and its data files must stay. Make the new
+    # directory entry durable (a power loss before the dirent flushes
+    # would silently lose an acknowledged latest version), then drop the
+    # temp name — both best-effort, both irrelevant to correctness of
+    # the already-linked version file's CONTENT (it was fsync'd above).
+    try:  # pragma: no cover - platform-dependent dir-fsync support
+        dfd = os.open(_log_path(table), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+    try:
         os.remove(tmp)
+    except OSError:  # pragma: no cover
+        pass
 
 
 def write_delta(
@@ -216,15 +238,18 @@ def write_delta(
 ) -> int:
     """Commit df to the Delta table at ``table`` (append or overwrite);
     returns the committed version. Version 0 carries protocol+metaData
-    like real Delta; appends are schema-enforced against that metaData
-    (schema evolution is out of scope — mismatches raise, they never
-    silently drop or null columns); overwrite commits remove every live
-    file first. If the version race is lost, this attempt's staged data
-    files are removed before FileExistsError propagates."""
+    like real Delta; both modes are schema-enforced against that
+    metaData by field names/types (schema evolution is out of scope —
+    mismatches raise, they never silently drop or null columns);
+    overwrite commits remove every live file first. If the version race
+    is lost, this attempt's staged data files are removed before
+    FileExistsError propagates; once the version file is linked, the
+    commit is irrevocable and later cleanup hiccups cannot unstage it."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     os.makedirs(table, exist_ok=True)
     versions = _list_versions(table)
+    _check_contiguous(table, versions)  # never commit onto a gapped log
     version = (versions[-1] + 1) if versions else 0
     actions: list[dict] = []
     if version == 0:
@@ -243,11 +268,16 @@ def write_delta(
         )
     else:
         recorded = _table_schema_json(table)
-        if recorded is not None and json.loads(recorded) != json.loads(df.schema.json()):
+        if recorded is not None and _schema_shape(
+            json.loads(recorded)
+        ) != _schema_shape(json.loads(df.schema.json())):
             raise ValueError(
-                f"schema mismatch appending to {table}: the table's metaData "
-                "schema differs from the DataFrame's (schema evolution is out "
-                "of scope for this minimal writer)"
+                f"schema mismatch writing to {table} (mode={mode}): the "
+                "table's metaData schema differs from the DataFrame's in "
+                "field names or types. Append and overwrite both enforce "
+                "the recorded schema — metaData is written once, so an "
+                "unchecked write would make readers apply a stale schema; "
+                "schema evolution is out of scope for this minimal writer"
             )
         if mode == "overwrite":
             for f in snapshot_files(table):
@@ -273,6 +303,33 @@ def write_delta(
     return version
 
 
+def _schema_shape(schema_dict):
+    """Schema compared by field NAMES and TYPES only: nullability and
+    field metadata are dropped recursively. Spark file sources force
+    read schemas nullable, so exact JSON equality would reject a
+    table's own read-back snapshot — real Delta accepts
+    nullable-compatible writes."""
+    if isinstance(schema_dict, dict):
+        return {
+            k: _schema_shape(v)
+            for k, v in schema_dict.items()
+            if k not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+        }
+    if isinstance(schema_dict, list):
+        return [_schema_shape(v) for v in schema_dict]
+    return schema_dict
+
+
+def _check_contiguous(table: str, versions: list[int]) -> None:
+    if versions and (
+        versions[0] != 0 or versions != list(range(versions[0], versions[-1] + 1))
+    ):
+        raise ValueError(
+            f"non-contiguous Delta log in {table}: versions {versions} "
+            "(a missing version file means lost commits)"
+        )
+
+
 def _table_schema_json(table: str) -> str | None:
     try:
         with open(_version_file(table, 0)) as fh:
@@ -295,11 +352,7 @@ def _replay(table: str, version: int | None = None) -> dict[str, dict]:
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
-    if versions != list(range(versions[0], versions[-1] + 1)) or versions[0] != 0:
-        raise ValueError(
-            f"non-contiguous Delta log in {table}: versions {versions} "
-            "(a missing version file means lost commits)"
-        )
+    _check_contiguous(table, versions)
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -349,14 +402,26 @@ def read_delta(
     return spark.read.schema(schema).parquet(*files)
 
 
-def vacuum_delta(table: str) -> list[str]:
-    """Remove data files the log does not reference (crashed pre-commit
-    stagings, lost-race leftovers missed by the in-process cleanup) —
-    the retention_hours=0 analog for this layout. Never touches the log
-    or any live file; returns the reaped relative paths."""
+def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
+    """Remove files the log does not reference — crashed pre-commit
+    stagings (data part files, ``.stage-*`` dirs) and leaked
+    ``.tmp-*.json`` commit stagings in ``_delta_log``. Returns the
+    reaped relative paths.
+
+    ``retention_seconds`` guards the inherent race with an IN-FLIGHT
+    writer (whose staged data files are log-unreferenced until its
+    commit lands): only files older than the retention are reaped —
+    the same reason real Delta's VACUUM has a retention period and
+    warns on retention 0. Refuses to run on a non-contiguous log: with
+    versions missing, every file the lost versions added would look
+    unreferenced, and vacuuming would turn a recoverable log problem
+    into permanent data loss."""
     import glob
     import shutil
+    import time
 
+    _check_contiguous(table, _list_versions(table))
+    cutoff = time.time() - retention_seconds
     live = set()
     for v in _list_versions(table):
         with open(_version_file(table, v)) as fh:
@@ -369,12 +434,17 @@ def vacuum_delta(table: str) -> list[str]:
     reaped = []
     for f in glob.glob(os.path.join(table, "part-*.parquet")):
         rel = os.path.basename(f)
-        if rel not in live:
+        if rel not in live and os.path.getmtime(f) < cutoff:
             os.remove(f)
             reaped.append(rel)
+    for f in glob.glob(os.path.join(_log_path(table), ".tmp-*.json")):
+        if os.path.getmtime(f) < cutoff:
+            os.remove(f)
+            reaped.append(os.path.join(_LOG_DIR, os.path.basename(f)))
     for d in glob.glob(os.path.join(table, ".stage-*")):
-        shutil.rmtree(d, ignore_errors=True)
-        reaped.append(os.path.basename(d))
+        if os.path.getmtime(d) < cutoff:
+            shutil.rmtree(d, ignore_errors=True)
+            reaped.append(os.path.basename(d))
     return sorted(reaped)
 
 

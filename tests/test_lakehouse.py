@@ -915,10 +915,16 @@ def test_delta_log_hardening(spark, tmp_path):
     assert high_water_mark(str(tmp_path / "dt_us"), "ts") == "2024-01-02T03:00:07"
     assert high_water_mark(str(tmp_path / "dt_us"), "id") == 7
 
-    # schema-enforced append
+    # schema-enforced append (names/types) — but nullability-insensitive:
+    # appending the table's own read-back snapshot must be accepted
+    # (Spark file sources force read schemas nullable)
+    write_delta(read_delta(spark, table), table, mode="append")
+    assert read_delta(spark, table).count() == 16
     bad = spark.range(0, 3).selectExpr("id", "id AS extra")
     with pytest.raises(ValueError, match="schema mismatch"):
         write_delta(bad, table, mode="append")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(bad, table, mode="overwrite")
 
     # lost race leaves no orphans: a competitor claims version 1 between
     # this writer's version read and its commit (simulated by pinning the
@@ -927,9 +933,10 @@ def test_delta_log_hardening(spark, tmp_path):
 
     import etl_github_spark.io.delta_log as dlog
 
-    _commit(table, 1, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
+    nxt = max(dlog._list_versions(table)) + 1
+    _commit(table, nxt, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
     before = set(glob.glob(os.path.join(table, "part-*.parquet")))
-    with mock.patch.object(dlog, "_list_versions", return_value=[0]):
+    with mock.patch.object(dlog, "_list_versions", return_value=list(range(nxt))):
         with pytest.raises(FileExistsError):
             write_delta(df, table, mode="append")
     assert set(glob.glob(os.path.join(table, "part-*.parquet"))) == before
@@ -937,12 +944,18 @@ def test_delta_log_hardening(spark, tmp_path):
     # vacuum reaps unreferenced files, keeps live ones
     stray = os.path.join(table, "part-unreferenced.parquet")
     open(stray, "wb").write(b"junk")
-    reaped = vacuum_delta(table)
+    assert vacuum_delta(table) == []  # default retention protects fresh files
+    reaped = vacuum_delta(table, retention_seconds=0)
     assert "part-unreferenced.parquet" in reaped
-    assert read_delta(spark, table).count() == 8
+    assert read_delta(spark, table).count() == 16  # live files untouched
+    # vacuum refuses a gapped log BEFORE deleting anything (a lost
+    # version's files would all look unreferenced)
 
-    # gap in the chain raises
+    # gap in the chain raises — for reads, writes, and vacuum alike
     os.remove(_version_file(table, 1))
-    _commit(table, 2, [{"commitInfo": {"operation": "NOOP", "timestamp": 0}}])
     with pytest.raises(ValueError, match="non-contiguous"):
         snapshot_files(table)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        write_delta(df, table, mode="append")
+    with pytest.raises(ValueError, match="non-contiguous"):
+        vacuum_delta(table, retention_seconds=0)
