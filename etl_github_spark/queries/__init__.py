@@ -14,67 +14,64 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 5 promotes (a) the seven gha_* raw-ingest parity
-# queries (judge r4 task #3: the reference's core extraction path had no
-# driver row) and (b) the judge's own r4 backlog ordering — so the lake/
-# lm/graph/sketch families the verdict called out each land rows this
-# round. The ~33-query tail (incl. the round-5 additions) carries to r6;
-# sim_ivf_kmeans_topk / sim_topk_pq are NOT re-promoted: their oracles
-# landed in r4 and their r4 rows are already green.
+# staleness. Round 6 needs NO promotions: the generator's natural order
+# (1 latest-red `analytics_rfm_segments` + the 49 never-driver-verified
+# queries) is exactly 50 slots — after this window every one of the 288
+# registry queries has had a driver row, backlog = 0.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R5_WINDOW = [
-    "dedup_minhash_lsh",  # RED r02
-    "analytics_rfm_segments",  # RED r04
-    "gha_extract_commits",  # never driver-verified (promoted)
-    "gha_extract_creates",  # never driver-verified (promoted)
-    "gha_extract_prs",  # never driver-verified (promoted)
-    "gha_extract_comments",  # never driver-verified (promoted)
-    "gha_extract_watches",  # never driver-verified (promoted)
-    "gha_extract_forks",  # never driver-verified (promoted)
-    "gha_corrupt_count",  # never driver-verified (promoted)
-    "trend_rolling_7d_users_approx",  # never driver-verified (promoted)
-    "sim_topk_multi_query",  # never driver-verified (promoted)
-    "curate_kcenter_diversity",  # never driver-verified (promoted)
-    "trend_ewma_spikes",  # never driver-verified (promoted)
-    "curate_decontaminate_bloom",  # never driver-verified (promoted)
-    "stat_embedding_gram",  # never driver-verified (promoted)
-    "analytics_concurrent_sessions",  # never driver-verified (promoted)
-    "dedup_jaccard_prefix",  # never driver-verified (promoted)
-    "dedup_simhash_hamming",  # never driver-verified (promoted)
-    "dedup_events_debounce",  # never driver-verified (promoted)
-    "curate_mix_temperature",  # never driver-verified (promoted)
-    "lake_versioned_timetravel",  # never driver-verified (promoted)
-    "lake_matview_refresh",  # never driver-verified (promoted)
-    "analytics_power_users_pareto",  # never driver-verified (promoted)
-    "stat_tv_distance_sources",  # never driver-verified (promoted)
-    "quality_perplexity_unigram",  # never driver-verified (promoted)
-    "quality_perplexity_bigram",  # never driver-verified (promoted)
-    "text_bm25_topk",  # never driver-verified (promoted)
-    "graph_pagerank_purchases",  # never driver-verified (promoted)
-    "graph_degree_histogram",  # never driver-verified (promoted)
-    "agg_hll_sketch_rollup",  # never driver-verified (promoted)
-    "agg_heavy_hitters_mg",  # never driver-verified (promoted)
-    "quality_oov_rate",  # never driver-verified (promoted)
-    "curate_curriculum_stages",  # never driver-verified (promoted)
-    "analytics_market_basket",  # never driver-verified (promoted)
-    "graph_triangle_count",  # never driver-verified (promoted)
-    "curate_lm_pipeline",  # never driver-verified (promoted)
-    "trend_autocorr_daily",  # never driver-verified (promoted)
-    "sim_rrf_fusion",  # never driver-verified (promoted)
-    "sim_ann_recall_audit",  # never driver-verified (promoted)
-    "analytics_attribution_last_touch",  # never driver-verified (promoted)
-    "graph_kcore_peel",  # never driver-verified (promoted)
-    "stat_welch_ttest_sources",  # never driver-verified (promoted)
-    "stat_mannwhitney_sources",  # never driver-verified (promoted)
-    "stat_ks_sources",  # never driver-verified (promoted)
-    "trend_weekday_profile",  # never driver-verified (promoted)
-    "analytics_time_to_convert",  # never driver-verified (promoted)
-    "curate_domain_weights_lm",  # never driver-verified (promoted)
-    "text_tokenizer_fertility",  # never driver-verified (promoted)
-    "stat_embedding_drift_split",  # never driver-verified (promoted)
-    "pack_bins_shelf",  # never driver-verified (promoted)
+_R6_WINDOW = [
+    "analytics_rfm_segments",  # RED r05
+    "multimodal_image_dims",  # never driver-verified
+    "text_readability_ari",  # never driver-verified
+    "multimodal_frame_sample",  # never driver-verified
+    "dedup_rate_by_source",  # never driver-verified
+    "dedup_cross_source_syndication",  # never driver-verified
+    "join_interval_overlap",  # never driver-verified
+    "join_asof_nearest",  # never driver-verified
+    "join_scd2_asof",  # never driver-verified
+    "agg_quantile_sketch_rollup",  # never driver-verified
+    "agg_countmin_tokens",  # never driver-verified
+    "agg_mode_per_group",  # never driver-verified
+    "window_value_range_frame",  # never driver-verified
+    "sim_ivf_store_probe",  # never driver-verified
+    "sim_ivf_store_upsert",  # never driver-verified
+    "text_winnow_fingerprints",  # never driver-verified
+    "dedup_winnow_overlap",  # never driver-verified
+    "trend_cusum_changepoint",  # never driver-verified
+    "stat_embedding_pca_power",  # never driver-verified
+    "stat_winsorized_mean",  # never driver-verified
+    "stat_theil_sen_daily_trend",  # never driver-verified
+    "analytics_stickiness_dau_wau",  # never driver-verified
+    "analytics_growth_accounting",  # never driver-verified
+    "analytics_activity_bitmap",  # never driver-verified
+    "analytics_funnel_windowed",  # never driver-verified
+    "trend_anomaly_mad",  # never driver-verified
+    "stat_benford_first_digit",  # never driver-verified
+    "analytics_survival_curve",  # never driver-verified
+    "analytics_attribution_linear",  # never driver-verified
+    "trend_seasonal_decompose",  # never driver-verified
+    "trend_wow_growth",  # never driver-verified
+    "analytics_event_pattern_cep",  # never driver-verified
+    "lake_merge_upsert",  # never driver-verified
+    "lake_schema_evolution",  # never driver-verified
+    "lake_scd2_history",  # never driver-verified
+    "lake_write_observed",  # never driver-verified
+    "lake_cdc_apply",  # never driver-verified
+    "lake_compact_roundtrip",  # never driver-verified
+    "join_bucketed_colocated",  # never driver-verified
+    "lake_delta_log_scan",  # never driver-verified
+    "graph_hits_bipartite",  # never driver-verified
+    "quality_fk_orphans",  # never driver-verified
+    "quality_expectations",  # never driver-verified
+    "gha_keyword_commits",  # never driver-verified
+    "gha_keyword_comments",  # never driver-verified
+    "gha_manifest_hours",  # never driver-verified
+    "gha_ingest_roundtrip",  # never driver-verified
+    "stream_hourly_counts_replay",  # never driver-verified
+    "stream_sessionize_replay",  # never driver-verified
+    "stream_dedup_replay",  # never driver-verified
 ]
 
 
@@ -96,4 +93,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R5_WINDOW)
+_apply_rotation(_R6_WINDOW)
