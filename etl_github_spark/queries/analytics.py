@@ -713,7 +713,8 @@ _RFM_SQL = """
              max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
              CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n_valued,
-             coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS monetary_cents
+             CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+                  AS BIGINT) AS monetary_cents
       FROM events GROUP BY user_id
     )
     SELECT user_id, frequency, monetary_cents,

@@ -108,3 +108,55 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
         only_d = list((dm - sm).items())[:3]
         errors.append(f"{name}: values differ; spark-only={only_s} duck-only={only_d}")
     return errors
+
+
+# --- driver-replica pandas canonicalization ------------------------------
+#
+# The driver does NOT use fetchall(): it loads both results into pandas
+# (Spark .toPandas(), DuckDB .df()), sorts columns by name, sort_values
+# over all columns, and hashes the frame. fetchall() hides a class of
+# bug pandas exposes: DuckDB maps HUGEINT (the result type of
+# sum(BIGINT)) to float64, so an oracle whose output column is HUGEINT
+# hashes "305741.0" against Spark's int64 "305741" — rows_match and
+# schema(name)_match stay true while hash_match goes red
+# (analytics_rfm_segments, red r4/r5/r6, root-caused round 7).
+
+_DUCK_NON_PORTABLE = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT", "UTINYINT", "USMALLINT")
+
+
+def duck_type_errors(con, name: str, sql: str) -> list[str]:
+    """Flag oracle output columns whose DuckDB type does not survive the
+    driver's pandas round-trip with the same dtype Spark produces."""
+    rel = con.sql(sql)
+    hits = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if any(k in t for k in _DUCK_NON_PORTABLE)
+    ]
+    return [f"{name}: non-pandas-portable oracle column types {hits}"] if hits else []
+
+
+def compare_pandas(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
+    """Replicate the driver's canonicalization: pandas frames, columns
+    sorted by name, rows sorted by all columns, dtype + value equality."""
+    errors: list[str] = []
+    spdf = fn(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    ddf = con.sql(sql).df()
+    con.close()
+    cols = sorted(spdf.columns)
+    if cols != sorted(ddf.columns):
+        return [f"{name}: pandas columns differ {cols} vs {sorted(ddf.columns)}"]
+    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
+    ddf = ddf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if str(spdf[c].dtype) != str(ddf[c].dtype):
+            errors.append(
+                f"{name}: pandas dtype differs on '{c}': "
+                f"spark={spdf[c].dtype} duck={ddf[c].dtype}"
+            )
+    if not errors and not spdf.equals(ddf):
+        neq = (spdf != ddf) & ~(spdf.isna() & ddf.isna())
+        bad_cols = [c for c in cols if neq[c].any()]
+        errors.append(f"{name}: pandas values differ in columns {bad_cols}")
+    return errors

@@ -74,3 +74,33 @@ def test_entry_smoke(spark):
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 40
+
+
+def test_no_oracle_output_is_hugeint_or_decimal():
+    """DuckDB sum(BIGINT) returns HUGEINT, which .df() materializes as
+    float64 — the driver then hashes 305741.0 against Spark's int64
+    305741 and the row goes red with rows_match/schema_match still true
+    (analytics_rfm_segments r4–r6). Cheap full-registry guard: bind every
+    oracle (no execution) and reject HUGEINT/DECIMAL/unsigned output
+    columns; oracles must CAST aggregates back to BIGINT/DOUBLE."""
+    from .oracle_harness import duck_connection, duck_type_errors
+
+    con = duck_connection(SF_ORACLE)
+    bad = []
+    for name, d in QUERIES.items():
+        if d.sql is not None:
+            bad += duck_type_errors(con, name, d.sql)
+    con.close()
+    assert not bad, "\n".join(bad)
+
+
+def test_rfm_driver_replica_pandas(spark):
+    """Pandas-level (driver-replica) comparison for the thrice-red RFM
+    query: dtypes AND values must match after the driver's
+    sort-columns/sort-values canonicalization, not just as a Python
+    multiset."""
+    from .oracle_harness import compare_pandas
+
+    d = QUERIES["analytics_rfm_segments"]
+    errors = compare_pandas(spark, SF_ORACLE, "analytics_rfm_segments", d.fn, d.sql)
+    assert not errors, "\n".join(errors)
