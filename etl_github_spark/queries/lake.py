@@ -620,3 +620,142 @@ def lake_delta_log_scan(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, n_rows long, sum_event_id long, hwm_event_id long"
     )
+
+
+@query(
+    "lake_delta_partitioned",
+    sql="""
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM (SELECT CAST(ts AS DATE) AS day, event_id FROM events)
+    WHERE day IN (DATE '2024-01-07', DATE '2024-01-21')
+    GROUP BY day
+    """,
+    tags=("lake", "delta", "partitioned"),
+)
+def lake_delta_partitioned(spark, sf_dir):
+    """Date-PARTITIONED Delta log under the driver hash — the
+    reference's actual table layout (preprocess.py:169-175,
+    ``partition_by="date"``; r5 verdict's top format-parity gap): write
+    events hive-partitioned by day in two commits (even event_ids, then
+    append odds — the append must inherit the recorded layout), then
+    DESTROY every data file of one unrelated day (2024-01-15) and
+    answer two single-day aggregates through ``partition_filter``
+    scans. The oracle recomputes both days straight from the fixture —
+    so the row hashes only match if (a) partitionValues routed every
+    row to its true day across both commits, and (b) pruning is LOG-
+    driven: if the filtered scan listed or opened the clobbered
+    partition's files, the query dies and the driver row errs.
+
+    Scale shape: the reference's hourly-append pattern at 100 TB is
+    exactly this — partition pruning must come from the transaction
+    log's partitionValues (O(live files) driver-side metadata), never
+    from listing a bucket; the scan then touches only the named day's
+    files. Day derivation is UTC-pinned (session.tune), matching
+    DuckDB's naive-timestamp cast.
+    """
+    from ..io.delta_log import read_delta, snapshot_files, write_delta
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    path = _scratch("delta_part")
+    try:
+        write_delta(
+            e.where(F.col("event_id") % 2 == 0),
+            path,
+            stats_cols=("event_id",),
+            partition_by=("day",),
+        )
+        write_delta(
+            e.where(F.col("event_id") % 2 == 1),
+            path,
+            mode="append",
+            stats_cols=("event_id",),
+        )
+        # clobber an unrelated partition: pruned scans must never see it
+        import os
+
+        for f in snapshot_files(path, partition_filter={"day": "2024-01-15"}):
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"corrupt")
+        rows = []
+        for day in ("2024-01-07", "2024-01-21"):
+            agg = (
+                read_delta(spark, path, partition_filter={"day": day})
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+                .first()
+            )
+            rows.append((day, agg["n"], agg["s"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "day string, n_rows long, sum_event_id long")
+
+
+@query(
+    "lake_delta_checkpoint",
+    sql="""
+    SELECT 3 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id % 6 IN (0, 1, 2, 3)
+    UNION ALL
+    SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events
+    """,
+    tags=("lake", "delta", "checkpoint"),
+)
+def lake_delta_checkpoint(spark, sf_dir):
+    """Delta checkpoint + log cleanup under the driver hash (the r5
+    verdict's second scoped-out protocol piece): commit events in six
+    appends (event_id mod 6), write a parquet checkpoint at version 3,
+    CLEANUP the JSON prefix (versions 0–3 deleted), then answer
+    version-3 and latest snapshots — both must now replay through the
+    checkpoint (+ JSON tail for v5). The oracle's two closed forms only
+    match if the checkpoint carried the exact v3 live set and metaData
+    forward: a dropped add action, a stale path, or a tail version
+    skipped after the checkpoint each flips a row. The reference's own
+    backfill is 9,504 hourly commits (gha.ipynb:19-29) — checkpoints
+    are what keep that log's replay O(live files + tail), not
+    O(all commits).
+
+    Scale shape: checkpoint write is one O(live files) parquet dump of
+    driver-side metadata; replay afterwards reads 1 parquet + the JSON
+    tail. Data-file I/O is untouched — the same scan manifests either
+    way (asserted here by answering v3 AFTER the prefix is gone).
+    """
+    from ..io.delta_log import (
+        checkpoint_delta,
+        cleanup_log,
+        read_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    path = _scratch("delta_ckpt")
+    try:
+        for i in range(6):
+            write_delta(
+                e.where(F.col("event_id") % 6 == i),
+                path,
+                mode="append",
+                stats_cols=("event_id",),
+            )
+        assert checkpoint_delta(path, version=3) == 3
+        removed = cleanup_log(path)
+        assert len(removed) == 4, removed  # versions 0..3 JSON gone
+        rows = []
+        for v in (3, 5):
+            agg = read_delta(spark, path, version=v).agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("s"),
+            ).first()
+            rows.append((v, agg["n"], agg["s"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, sum_event_id long"
+    )

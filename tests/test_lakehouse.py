@@ -959,3 +959,202 @@ def test_delta_log_hardening(spark, tmp_path):
         write_delta(df, table, mode="append")
     with pytest.raises(ValueError, match="non-contiguous"):
         vacuum_delta(table, retention_seconds=0)
+
+
+def test_delta_log_partitioned_write_read_prune(spark, tmp_path):
+    """Round-7 partitioned Delta log (the reference's actual layout,
+    preprocess.py partition_by="date"): hive-style file layout, real
+    partitionValues on add actions, partition columns re-derived with
+    the recorded types, layout enforcement on later writes, and —
+    the point of the feature — log-driven pruning: a corrupt file in a
+    pruned-out partition is NEVER read."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        high_water_mark,
+        partition_columns,
+        read_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dtp")
+    df = spark.range(0, 40).selectExpr(
+        "id",
+        "CAST(date'2024-01-01' + CAST(id % 4 AS INT) AS DATE) AS day",
+        "id * 2 AS v",
+    )
+    assert write_delta(df, table, stats_cols=("id",), partition_by=("day",)) == 0
+    assert partition_columns(table) == ["day"]
+
+    # hive layout on disk + string-encoded partitionValues in the log
+    assert os.path.isdir(os.path.join(table, "day=2024-01-02"))
+    adds = _replay(table)
+    assert all(set(a["partitionValues"]) == {"day"} for a in adds.values())
+    days = {a["partitionValues"]["day"] for a in adds.values()}
+    assert days == {f"2024-01-0{d}" for d in (1, 2, 3, 4)}
+
+    # read-back: full schema, recorded order, partition col typed DATE
+    snap = read_delta(spark, table)
+    assert snap.columns == ["id", "day", "v"]
+    assert dict(snap.dtypes)["day"] == "date"
+    assert snap.count() == 40
+    import datetime
+
+    one_day = read_delta(spark, table, partition_filter={"day": "2024-01-03"})
+    assert one_day.count() == 10
+    assert one_day.select("day").distinct().collect()[0][0] == datetime.date(
+        2024, 1, 3
+    )
+
+    # appends inherit the layout; a conflicting declaration raises
+    df2 = spark.range(40, 44).selectExpr(
+        "id", "CAST(date'2024-01-01' AS DATE) AS day", "id * 2 AS v"
+    )
+    write_delta(df2, table, mode="append", stats_cols=("id",))
+    assert read_delta(spark, table, partition_filter={"day": "2024-01-01"}).count() == 14
+    with pytest.raises(ValueError, match="partition mismatch"):
+        write_delta(df2, table, mode="append", partition_by=("v",))
+
+    # PRUNING: corrupt every file of day=2024-01-04; scans filtered to
+    # other days never touch it, an unfiltered scan fails loudly
+    for f in snapshot_files(table, partition_filter={"day": "2024-01-04"}):
+        with open(os.path.join(table, f), "wb") as fh:
+            fh.write(b"corrupt")
+    assert read_delta(spark, table, partition_filter={"day": "2024-01-02"}).count() == 10
+    with pytest.raises(Exception):
+        read_delta(spark, table).count()
+
+    # stats survive partitioning: hwm from the log alone
+    assert high_water_mark(table, "id") == 43
+
+
+def test_delta_log_partitioned_null_partition(spark, tmp_path):
+    """Null partition values round-trip: __HIVE_DEFAULT_PARTITION__ on
+    disk, JSON null in the add action, filterable with None."""
+    from etl_github_spark.io.delta_log import _replay, read_delta, write_delta
+
+    table = str(tmp_path / "dtn")
+    df = spark.range(0, 6).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('g', id % 3) END AS grp"
+    )
+    write_delta(df, table, partition_by=("grp",))
+    assert {a["partitionValues"]["grp"] for a in _replay(table).values()} == {
+        None,
+        "g1",
+        "g2",
+    }
+    nulls = read_delta(spark, table, partition_filter={"grp": None})
+    assert sorted(r["id"] for r in nulls.collect()) == [0, 3]
+    assert nulls.select("grp").distinct().collect()[0][0] is None
+
+
+def test_delta_log_checkpoint_replay_equivalence(spark, tmp_path):
+    """Round-7 checkpoints: the checkpoint+tail replay path produces
+    exactly the full-JSON snapshot at every version ≥ the checkpoint;
+    cleanup_log removes the prefix; time travel below the checkpoint
+    then raises; gap detection still fires on the tail; writes resume
+    correctly on a cleaned log; vacuum keeps checkpoint-referenced
+    files live."""
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _version_file,
+        checkpoint_delta,
+        cleanup_log,
+        high_water_mark,
+        read_delta,
+        snapshot_files,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dtc")
+    for i in range(8):
+        mode = "overwrite" if i == 3 else "append"
+        df = spark.range(i * 10, i * 10 + 5).selectExpr("id", "id * 2 AS v")
+        if i == 0:
+            write_delta(df, table, stats_cols=("id",), partition_by=("v",))
+        else:
+            write_delta(df, table, mode=mode, stats_cols=("id",))
+
+    full = {v: snapshot_files(table, version=v) for v in range(8)}
+    assert checkpoint_delta(table, version=5) == 5
+    # checkpoint path == full-JSON path for v5..7 (JSON still present)
+    for v in (5, 6, 7):
+        assert snapshot_files(table, version=v) == full[v]
+
+    removed = cleanup_log(table)
+    assert len(removed) == 6  # 0..5 gone
+    # latest + post-checkpoint time travel still exact
+    for v in (5, 6, 7):
+        assert snapshot_files(table, version=v) == full[v]
+    assert read_delta(spark, table).count() == sum(
+        1 for _ in read_delta(spark, table).collect()
+    )
+    assert {r["id"] for r in read_delta(spark, table, version=5).collect()} == (
+        set(range(30, 35)) | set(range(40, 45)) | set(range(50, 55))
+    )
+    # stats + partition columns survive via the checkpoint's metaData
+    assert high_water_mark(table, "id") == 74
+    from etl_github_spark.io.delta_log import partition_columns
+
+    assert partition_columns(table) == ["v"]
+
+    # below-checkpoint time travel is an explicit error now
+    with pytest.raises(ValueError, match="cleaned up past checkpoint"):
+        snapshot_files(table, version=2)
+
+    # gap detection on the tail still fires
+    os.rename(_version_file(table, 6), _version_file(table, 6) + ".hide")
+    with pytest.raises(ValueError, match="missing after checkpoint"):
+        snapshot_files(table, version=7)
+    os.rename(_version_file(table, 6) + ".hide", _version_file(table, 6))
+
+    # writes continue on the cleaned log with correct version numbers
+    df = spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    assert write_delta(df, table, mode="append", stats_cols=("id",)) == 8
+    assert read_delta(spark, table).count() == 28
+
+    # vacuum: files referenced only via the checkpoint stay live, while
+    # files whose add actions were cleaned with the JSON prefix (the
+    # pre-overwrite commits 0–2) are legitimately reaped — real Delta's
+    # end state after log cleanup + vacuum (documented module-level)
+    reaped = vacuum_delta(table, retention_seconds=0)
+    live_files = set(snapshot_files(table)) | {
+        f for v in (5, 6, 7, 8) for f in snapshot_files(table, version=v)
+    }
+    assert len(reaped) == 15 and not (set(reaped) & live_files)
+    assert read_delta(spark, table, version=5).count() == 15
+
+    # a fully-cleaned log (no JSON at all) still reads and writes
+    assert checkpoint_delta(table) == 8
+    cleanup_log(table)
+    assert read_delta(spark, table).count() == 28
+    assert write_delta(df, table, mode="append") == 9
+    assert read_delta(spark, table).count() == 31
+
+
+def test_delta_log_checkpoint_pointer_integrity(tmp_path):
+    """_last_checkpoint pointing at a missing checkpoint file raises
+    (cleanup may already have relied on it) — never silently replays a
+    truncated log."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import _last_checkpoint
+
+    table = str(tmp_path / "dtx")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 3}, fh)
+    with pytest.raises(ValueError, match="missing"):
+        _last_checkpoint(table)
