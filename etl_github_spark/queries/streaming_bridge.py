@@ -67,18 +67,21 @@ def stream_hourly_counts_replay(spark, sf_dir):
     return spark.createDataFrame(rows, "hour_start timestamp, event_type string, n long")
 
 
-def _replay(spark, agg_df, sink_prefix: str):
-    """Run a streaming aggregation to a complete-mode memory sink with
-    AvailableNow and return the materialized rows. Complete mode holds
-    the full aggregation state, so a bounded replay converges exactly
-    to the batch closed form — no append-mode watermark withholding to
+def _replay(spark, agg_df, sink_prefix: str, mode: str = "complete"):
+    """Run a streaming aggregation to a memory sink with AvailableNow
+    and return the materialized rows. Complete mode (default) holds the
+    full aggregation state, so a bounded replay converges exactly to
+    the batch closed form — no append-mode watermark withholding to
     model in the oracle (production unbounded runs switch to append +
-    watermark emission; the aggregation plan is identical)."""
+    watermark emission; the aggregation plan is identical). Update mode
+    (required by arbitrary-state operators like applyInPandasWithState)
+    APPENDS each batch's updates to the sink: the caller sees the whole
+    update history and reduces it to the final state itself."""
     sink = f"{sink_prefix}_{next(_SINK_IDS)}"
     q = (
         agg_df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -203,3 +206,93 @@ def stream_dedup_replay(spark, sf_dir):
     agg = ded.groupBy("event_type").agg(F.count("*").cast("long").alias("n_user_days"))
     rows = [tuple(r) for r in _replay(spark, agg, "stream_dedup")]
     return spark.createDataFrame(rows, "event_type string, n_user_days long")
+
+
+@query(
+    "stream_heavy_hitters_replay",
+    sql="""
+    WITH s AS (
+      SELECT CAST(user_id % 100 AS VARCHAR) AS tok,
+             CAST(CAST(concat('0x', substr(md5(CAST(user_id % 100 AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM events
+    )
+    SELECT shard, tok, CAST(count(*) AS BIGINT) AS lower_bound,
+           CAST(CAST(sum(count(*)) OVER (PARTITION BY shard) AS BIGINT)
+                AS BIGINT) AS n_shard
+    FROM s GROUP BY shard, tok
+    """,
+    tags=("streaming", "stateful", "sketch", "bridge"),
+)
+def stream_heavy_hitters_replay(spark, sf_dir):
+    """CUSTOM GroupState code under the driver hash (r5 verdict task 7
+    — until now only watermark/session/dedup built-ins carried one):
+    the `applyInPandasWithState` Misra-Gries heavy-hitters operator
+    (`streaming/stateful.py::token_heavy_hitters`) replayed over THREE
+    forced micro-batches (maxFilesPerTrigger=1 over a 3-file split of
+    the fixture's token stream), update-mode memory sink, final state
+    per shard taken at its max n_shard. Each micro-batch's state must
+    load, merge pandas-side counts, and re-persist for the next batch
+    — a wrong state schema, a dropped counter, or a lost batch each
+    flips the hash.
+
+    Convergence contract making an exact SQL oracle possible: the
+    token domain (user_id mod 100) puts ≤16 distinct tokens in every
+    md5-shard (cap 32), so MG performs no evictions and its lower
+    bounds ARE the exact per-(shard, token) counts regardless of batch
+    order — the oracle's GROUP BY closed form. The eviction path stays
+    pinned by tests/test_stateful_streaming.py (a sequential summary no
+    one-shot SQL can replay). The shard key uses the engine-portable
+    md5 idiom; production keeps xxhash64.
+
+    Scale shape: state is ≤ cap counters × n_shards forever (the point
+    of MG); the only shuffle is the uniform shard key. The batch twin
+    `agg_heavy_hitters_mg` shares the merge math.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import token_heavy_hitters
+
+    tok = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    base = (
+        T(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 100).cast("string").alias("tok"),
+            (F.col("event_id") % 3).alias("b"),
+        )
+        .select("tok", "b", (tok % 8).cast("int").alias("shard"))
+    )
+    root = tempfile.mkdtemp(prefix="stream_hh_")
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    try:
+        for b in range(3):  # one file per forced micro-batch
+            part = os.path.join(root, f"stage{b}")
+            base.where(F.col("b") == b).select("shard", "tok").coalesce(
+                1
+            ).write.mode("overwrite").parquet(part)
+            shutil.move(
+                glob.glob(os.path.join(part, "part-*.parquet"))[0],
+                os.path.join(stream_dir, f"b{b}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("shard int, tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        hh = token_heavy_hitters(stream, n_shards=8)
+        rows = [tuple(r) for r in _replay(spark, hh, "stream_hh", mode="update")]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    import collections
+
+    latest_n = collections.defaultdict(int)
+    for shard, _, _, n_shard in rows:
+        latest_n[shard] = max(latest_n[shard], n_shard)
+    final = [r for r in rows if r[3] == latest_n[r[0]]]
+    return spark.createDataFrame(
+        final, "shard int, tok string, lower_bound long, n_shard long"
+    )

@@ -194,14 +194,23 @@ def token_heavy_hitters(tokens: DataFrame, n_shards: int = 16) -> DataFrame:
     bounded at cap tokens per shard, however long the stream runs.
     The shard key is a hash of the token, so one shard's state never
     exceeds cap entries and the batch shuffle is uniform.
+
+    A caller that already carries an int ``shard`` column keeps it
+    (the oracle-replayable bridge query supplies an engine-portable
+    md5-derived shard; production defaults to xxhash64).
     """
     from pyspark.sql import functions as F
 
-    return (
-        tokens.select(
+    sharded = (
+        tokens
+        if "shard" in tokens.columns
+        else tokens.select(
             F.pmod(F.xxhash64("tok"), F.lit(n_shards)).cast("int").alias("shard"),
             "tok",
         )
+    )
+    return (
+        sharded.select("shard", "tok")
         .groupBy("shard")
         .applyInPandasWithState(
             _update_hh,
