@@ -960,7 +960,15 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
     """
     import numpy as np
 
-    emb = fit_sample(emb, fit_fraction)
+    from pyspark import StorageLevel
+
+    # the fit frame is scanned iters+1 times (init + one assign/update
+    # pass per round); persist it so the parquet scan + normalization
+    # run once, not per round. MEMORY_AND_DISK: at 100 TB the
+    # fit_fraction sample is still large, so spill — never recompute —
+    # is the overflow path. Results are exact integers either way;
+    # caching affects cost only.
+    emb = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
     dsub = _DIM // m
     # deterministic init: the ksub lowest vec_ids of the (possibly
     # sampled) fit frame — a top-k, not a scan-order head.
@@ -971,33 +979,81 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
     )
     books = first.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
     for _ in range(iters):
+        # FUSED assign + partial-update (r7: the old path re-encoded,
+        # posexploded codes×embedding to m·dim rows/vector and filtered
+        # 16/16ths of them away before the shuffle — the whole fit was
+        # 3× that waste): one Arrow kernel per iteration assigns codes
+        # AND accumulates per-(s, code, j) scaled-integer sums
+        # numpy-side, emitting ≤ m·ksub·dsub tiny partial rows per
+        # batch. The shuffle is now O(batches · m·ksub·dsub) — index
+        # metadata — instead of O(sample · m · dim) data rows.
+        #
+        # Determinism contract unchanged: exact scaled-int64 sums (1e7
+        # keeps 7 decimals of a unit-vector component; |x|≤1 ⇒ exact
+        # for any corpus < 9e11 rows), integer merge order-free, one
+        # IEEE division at the end — codebooks stay bit-identical
+        # across runs, partitionings, AND the DuckDB oracle replay
+        # (round = half away from zero in both engines, replicated
+        # below with sign·floor(|v|+0.5), NOT np.rint's half-even).
         rows = (
-            pq_encode(emb, books)
-            .select(F.posexplode("codes").alias("s", "code"), "embedding")
-            .select(
-                "s",
-                "code",
-                F.posexplode("embedding").alias("i", "x"),
-            )
-            .where((F.col("i") >= F.col("s") * dsub) & (F.col("i") < (F.col("s") + 1) * dsub))
-            .groupBy("s", "code", (F.col("i") % dsub).alias("j"))
-            # deterministic mean: exact scaled-integer sum / count, so the
-            # codebooks (and every downstream code assignment and recall
-            # number) are identical across runs and partitionings (the
-            # same trick lloyd_fit uses).
-            # 1e7 scaling keeps 7 decimals of a unit-vector component;
-            # |x|≤1 ⇒ the long sum is exact for any corpus < 9e11 rows.
-            .agg(
-                (
-                    F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
-                    / (F.count("*") * 1e7)
-                ).alias("mval")
-            )
+            _pq_fit_partials(emb, books)
+            .groupBy("s", "code", "j")
+            .agg(F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         for r in rows:
-            books[r["s"], r["code"], r["j"]] = r["mval"]
+            books[r["s"], r["code"], r["j"]] = r["tot"] / (r["cnt"] * 1e7)
+    emb.unpersist()
     return books
+
+
+def _pq_fit_partials(emb, books):
+    """One k-means round's map side, fused: per Arrow batch, assign
+    every subvector to its nearest codeword (same einsum as
+    `pq_encode`) and emit per-(s, code, j) partial sums of
+    round-half-away(x·1e7) as int64 plus member counts. Output is
+    bounded by m·ksub·dsub rows per batch regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    b = np.ascontiguousarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = b.shape
+    b_norm = (b * b).sum(axis=2)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ).reshape(len(pdf), m, dsub)
+            d2 = -2.0 * np.einsum("bsd,skd->bsk", x, b) + b_norm[None, :, :]
+            codes = d2.argmin(axis=2)  # (batch, m); ties → lowest code
+            scaled = x * 1e7
+            xi = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int64
+            )  # round half away from zero == Spark/DuckDB round()
+            sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for s in range(m):
+                np.add.at(sums[s], codes[:, s], xi[:, s, :])
+                np.add.at(cnts[s], codes[:, s], 1)
+            s_idx, c_idx = np.nonzero(cnts)
+            if len(s_idx) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "s": np.repeat(s_idx, dsub).astype("int32"),
+                    "code": np.repeat(c_idx, dsub).astype("int32"),
+                    "j": np.tile(np.arange(dsub, dtype="int32"), len(s_idx)),
+                    "tot": sums[s_idx, c_idx].reshape(-1),
+                    "cnt": np.repeat(cnts[s_idx, c_idx], dsub),
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(
+        run, schema="s int, code int, j int, tot long, cnt long"
+    )
 
 
 def pq_encode(emb, books):
