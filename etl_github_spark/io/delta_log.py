@@ -75,6 +75,7 @@ driver-hashed registry queries (``lake_delta_log_scan``,
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
 import os
 import uuid
@@ -480,13 +481,16 @@ def _replay(table: str, version: int | None = None) -> dict[str, dict]:
     """Replay the log up to ``version`` (inclusive; None = latest) →
     {relative path: add action} of live files.
 
-    Prefers the pure-JSON path when a contiguous ``0..version`` chain
-    is retained; otherwise starts from the newest checkpoint at-or-
-    below ``version`` and applies only the JSON tail (O(live files +
-    tail actions), the point of checkpoints on hourly-append logs). A
-    gap in whichever chain is needed means commits were lost: raise,
-    never return a silently wrong snapshot; likewise time travel to a
-    version whose JSON prefix was cleaned past the checkpoint."""
+    Starts from the newest checkpoint at-or-below ``version`` whenever
+    one exists and applies only the JSON tail (O(live files + tail
+    actions) — the point of checkpoints on hourly-append logs, and it
+    must kick in while the JSON prefix is still retained, not only
+    after cleanup: real Delta replays from the checkpoint
+    unconditionally). Time travel below the checkpoint falls back to
+    the pure-JSON ``0..version`` chain. A gap in whichever chain is
+    needed means commits were lost: raise, never return a silently
+    wrong snapshot; likewise time travel to a version whose JSON
+    prefix was cleaned past the checkpoint."""
     latest = _latest_version(table)
     if version is None:
         version = latest
@@ -495,10 +499,7 @@ def _replay(table: str, version: int | None = None) -> dict[str, dict]:
     have = set(_list_versions(table))
     cp = _last_checkpoint(table)
     cpv = None if cp is None else cp["version"]
-    if all(v in have for v in range(version + 1)):
-        live: dict[str, dict] = {}
-        start = 0
-    elif cpv is not None and version >= cpv:
+    if cpv is not None and version >= cpv:
         _, _, adds = _read_checkpoint(table, cp)
         live = {a["path"]: a for a in adds}
         start = cpv + 1
@@ -508,6 +509,9 @@ def _replay(table: str, version: int | None = None) -> dict[str, dict]:
                 f"non-contiguous Delta log in {table}: versions {missing} "
                 f"missing after checkpoint {cpv} (lost commits)"
             )
+    elif all(v in have for v in range(version + 1)):
+        live = {}
+        start = 0
     elif cpv is None:
         missing = sorted(set(range(version + 1)) - have)
         raise ValueError(
@@ -544,7 +548,19 @@ def snapshot_files(
     manifest. ``partition_filter`` ({col: value}) prunes from the LOG's
     partitionValues: non-matching files are never listed, let alone
     opened (values compare as their string encoding; None matches null
-    partitions)."""
+    partitions). Filter keys are validated against the table's
+    recorded partitionColumns — a typo'd or non-partition key would
+    otherwise match nothing (``pvals.get(k)`` is None for every file)
+    and silently return an empty scan, the exact class of silently
+    wrong answer this module refuses everywhere else."""
+    if partition_filter:
+        pcols = set(partition_columns(table))
+        bad = sorted(set(partition_filter) - pcols)
+        if bad:
+            raise ValueError(
+                f"partition_filter keys {bad} are not partition columns of "
+                f"{table} (partitioned by {sorted(pcols)})"
+            )
     return sorted(
         p
         for p, add in _replay(table, version).items()
@@ -659,11 +675,27 @@ def high_water_mark(table: str, col: str, version: int | None = None):
     return max(maxes) if maxes else None
 
 
-def history(table: str) -> list[dict]:
+def history(table: str, allow_truncated: bool = False) -> list[dict]:
     """DESCRIBE HISTORY analog: one row per commit (version, operation,
-    file add/remove counts)."""
+    file add/remove counts).
+
+    After :func:`cleanup_log` the JSON prefix is gone, so the full
+    history no longer exists; returning just the tail as if it were
+    everything would be a silently wrong audit (the module's
+    time-travel path raises in the same situation). Default: raise.
+    ``allow_truncated=True`` opts into the tail, which then carries a
+    ``truncated_below`` marker on its first row."""
+    versions = _list_versions(table)
+    _check_contiguous(table, versions)
+    truncated_below = versions[0] if versions and versions[0] > 0 else None
+    if truncated_below is not None and not allow_truncated:
+        raise ValueError(
+            f"history of {table} is truncated below version "
+            f"{truncated_below} (log cleanup removed the prefix); pass "
+            "allow_truncated=True for the retained tail"
+        )
     out = []
-    for v in _list_versions(table):
+    for v in versions:
         adds = removes = 0
         op = None
         with open(_version_file(table, v)) as fh:
@@ -675,7 +707,10 @@ def history(table: str) -> list[dict]:
                 removes += "remove" in action
                 if "commitInfo" in action:
                     op = action["commitInfo"].get("operation")
-        out.append({"version": v, "operation": op, "adds": adds, "removes": removes})
+        row = {"version": v, "operation": op, "adds": adds, "removes": removes}
+        if v == versions[0] and truncated_below is not None:
+            row["truncated_below"] = truncated_below
+        out.append(row)
     return out
 
 
@@ -808,12 +843,20 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-    ptr_tmp = _last_checkpoint_path(table) + f".tmp-{uuid.uuid4().hex}"
-    with open(ptr_tmp, "w") as fh:
-        json.dump({"version": version, "size": n}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(ptr_tmp, _last_checkpoint_path(table))
+    # _last_checkpoint must be monotone (real Delta keeps it increasing):
+    # checkpointing an OLDER version — legitimate for speeding up time
+    # travel — must not repoint replay-of-latest back to a longer JSON
+    # tail, nor let a later cleanup_log keep the prefix the newer
+    # checkpoint had already made droppable. The older checkpoint file
+    # itself stays on disk and is simply not pointed at.
+    existing = _last_checkpoint(table)
+    if existing is None or version > existing["version"]:
+        ptr_tmp = _last_checkpoint_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": version, "size": n}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptr_tmp, _last_checkpoint_path(table))
     return version
 
 
@@ -821,10 +864,33 @@ def _read_checkpoint(table: str, cp: dict) -> tuple[dict | None, dict | None, li
     """Checkpoint parquet → (metaData, protocol, add actions) with
     partitionValues back as dicts and absent stats dropped (so a
     checkpoint-sourced add action is indistinguishable from a
-    JSON-sourced one downstream)."""
+    JSON-sourced one downstream).
+
+    The parse is memoized: one read_delta on a cleaned log otherwise
+    parses the same checkpoint three times (schema → partition columns
+    → replay). The cache key includes the file's (mtime_ns, size)
+    identity, not just the path — a scratch table torn down and
+    recreated at the same path with the same version number must never
+    be served the old table's parse. Callers get fresh dict copies —
+    the cached canonical rows must never alias anything a caller might
+    mutate."""
+    path = _checkpoint_file(table, cp["version"])
+    st = os.stat(path)
+    meta, proto, adds = _read_checkpoint_cached(path, st.st_mtime_ns, st.st_size)
+    copy_meta = None if meta is None else {**meta, "partitionColumns": list(meta["partitionColumns"]), "configuration": {}}
+    copy_adds = [
+        {**a, "partitionValues": dict(a["partitionValues"])} for a in adds
+    ]
+    return copy_meta, (None if proto is None else dict(proto)), copy_adds
+
+
+@functools.lru_cache(maxsize=8)
+def _read_checkpoint_cached(
+    path: str, mtime_ns: int, size: int
+) -> tuple[dict | None, dict | None, list[dict]]:
     import pyarrow.parquet as pq
 
-    rows = pq.read_table(_checkpoint_file(table, cp["version"])).to_pylist()
+    rows = pq.read_table(path).to_pylist()
     meta = proto = None
     adds: list[dict] = []
     for r in rows:

@@ -283,7 +283,7 @@ def stream_heavy_hitters_replay(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        hh = token_heavy_hitters(stream, n_shards=8)
+        hh = token_heavy_hitters(stream, shard_col="shard")
         rows = [tuple(r) for r in _replay(spark, hh, "stream_hh", mode="update")]
     finally:
         shutil.rmtree(root, ignore_errors=True)

