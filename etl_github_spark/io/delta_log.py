@@ -539,10 +539,65 @@ def _match_partition(add: dict, partition_filter: dict | None) -> bool:
     )
 
 
+_STATS_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _stats_excludes(add: dict, stats_filter) -> bool:
+    """True iff the add action's recorded min/max stats PROVE the file
+    can contain no row satisfying the conjunction of ``stats_filter``
+    predicates — the zone-map skipping rule. Missing or non-comparable
+    stats keep the file (pruning must only ever be provably sound;
+    null column values never satisfy <,<=,>,>=,= so min/max — which
+    ignore nulls — stay a sound bound)."""
+    if not stats_filter:
+        return False
+    try:
+        stats = json.loads(add["stats"]) if "stats" in add else None
+    except (TypeError, json.JSONDecodeError):
+        stats = None
+    if not stats:
+        return False
+    mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    for col, op, value in stats_filter:
+        if col not in mins or col not in maxs:
+            continue  # no stats for this column: cannot skip on it
+        lo, hi = mins[col], maxs[col]
+        same_kind = (
+            isinstance(lo, str) and isinstance(value, str)
+        ) or (
+            isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            and isinstance(value, (int, float)) and not isinstance(value, bool)
+        )
+        if not same_kind:
+            continue  # never guess across types; keep the file
+        if (
+            (op in (">", ">=") and (hi < value or (op == ">" and hi == value)))
+            or (op in ("<", "<=") and (lo > value or (op == "<" and lo == value)))
+            or (op in ("=", "==") and (value < lo or value > hi))
+        ):
+            return True  # this predicate alone is unsatisfiable here
+    return False
+
+
+def _check_stats_filter(stats_filter) -> None:
+    for pred in stats_filter or ():
+        if len(pred) != 3 or pred[1] not in _STATS_OPS:
+            raise ValueError(
+                f"stats_filter predicates are (col, op, value) with op in "
+                f"{_STATS_OPS}; got {pred!r}"
+            )
+        if pred[2] is None:
+            raise ValueError(
+                "stats_filter cannot express NULL predicates: min/max "
+                "stats ignore nulls, so no file is provably free of them"
+            )
+
+
 def snapshot_files(
     table: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter=None,
 ) -> list[str]:
     """Live data-file paths (relative) at a version — the scan
     manifest. ``partition_filter`` ({col: value}) prunes from the LOG's
@@ -552,7 +607,18 @@ def snapshot_files(
     recorded partitionColumns — a typo'd or non-partition key would
     otherwise match nothing (``pvals.get(k)`` is None for every file)
     and silently return an empty scan, the exact class of silently
-    wrong answer this module refuses everywhere else."""
+    wrong answer this module refuses everywhere else.
+
+    ``stats_filter`` (iterable of ``(col, op, value)``, op ∈
+    ``=,==,<,<=,>,>=``, conjunction semantics) additionally DATA-SKIPS
+    on the add actions' recorded min/max column stats: a file whose
+    stats prove no row can match is never listed (Delta data skipping
+    / zone maps — at 100 TB this is what turns a point/range query on
+    a sorted-write column from a full scan into a handful of files).
+    Skipping is an optimization with an exactness contract: only
+    provably-non-matching files are dropped, and the CALLER still owns
+    applying the actual predicate to the surviving rows — files
+    without stats on a column always survive."""
     if partition_filter:
         pcols = set(partition_columns(table))
         bad = sorted(set(partition_filter) - pcols)
@@ -561,10 +627,12 @@ def snapshot_files(
                 f"partition_filter keys {bad} are not partition columns of "
                 f"{table} (partitioned by {sorted(pcols)})"
             )
+    _check_stats_filter(stats_filter)
     return sorted(
         p
         for p, add in _replay(table, version).items()
         if _match_partition(add, partition_filter)
+        and not _stats_excludes(add, stats_filter)
     )
 
 
@@ -582,6 +650,7 @@ def read_delta(
     table: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter=None,
 ) -> DataFrame:
     """Snapshot scan (time travel with ``version``). Reads exactly the
     live files the log names — never a directory listing, so stray or
@@ -595,12 +664,17 @@ def read_delta(
     the scan. Partition columns are not stored in the data files (same
     as real Delta); the scan re-derives them from the hive paths under
     ``basePath`` and casts them per the log's schema, so the returned
-    frame always has the full recorded schema in recorded order."""
+    frame always has the full recorded schema in recorded order.
+
+    ``stats_filter`` data-skips whole files on the log's min/max stats
+    (see :func:`snapshot_files`); the caller must still ``.where()``
+    the actual predicate — surviving files may contain non-matching
+    rows."""
     schema = _log_schema(table)
     pcols = partition_columns(table)
     files = [
         os.path.join(table, f)
-        for f in snapshot_files(table, version, partition_filter)
+        for f in snapshot_files(table, version, partition_filter, stats_filter)
     ]
     if not files:
         return spark.createDataFrame([], schema)

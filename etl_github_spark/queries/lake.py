@@ -759,3 +759,86 @@ def lake_delta_checkpoint(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_stats_skip",
+    sql="""
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+         rng AS (SELECT m // 2 AS lo, m // 2 + (m // 4) // 2 AS hi FROM mx)
+    SELECT CAST(4 AS INT) AS n_files_total,
+           CAST(3 AS INT) AS n_files_pruned,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(e.event_id), 0) AS BIGINT) AS sum_event_id
+    FROM events e, rng
+    WHERE e.event_id >= rng.lo AND e.event_id <= rng.hi
+    """,
+    tags=("lake", "delta", "stats", "skipping"),
+)
+def lake_delta_stats_skip(spark, sf_dir):
+    """Min/max DATA SKIPPING off the Delta log's add-action stats,
+    driver-checked end to end (reference preprocess.py:181-186 reads
+    add-action stats; this is the read-side use real Delta makes of
+    them): commit events as four contiguous event_id slices (one file
+    each, stats_cols=event_id), DESTROY the three files whose recorded
+    ranges lie outside the queried range, then answer a range
+    aggregate through ``stats_filter``. The oracle recomputes the
+    range straight from the fixture — so the hash only matches if (a)
+    zone-map pruning dropped exactly the three provably-irrelevant
+    files (the clobbered bytes would kill the scan otherwise), and (b)
+    the surviving file still had the actual predicate re-applied (it
+    contains out-of-range rows the skip contract leaves to the
+    caller's ``.where``).
+
+    Scale shape: at 100 TB a range/point query on a sorted-write
+    column must become O(matching files) from log metadata alone —
+    pruning decisions are a driver-side fold over add actions (O(live
+    files), the same metadata replay every snapshot already does),
+    with zero object-store reads for skipped files. Each predicate is
+    also pushed into the surviving parquet scan (Catalyst min/max row-
+    group pruning composes below the file-level skip).
+    """
+    import os
+
+    from ..io.delta_log import read_delta, snapshot_files, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    m = e.agg(F.max("event_id")).first()[0]  # scalar: slice boundaries
+    qtr = m // 4
+    bounds = [0, qtr, 2 * qtr, 3 * qtr, m + 1]  # 4 contiguous slices
+    lo, hi = m // 2, m // 2 + qtr // 2  # inside slice 3 only
+    path = _scratch("delta_skip")
+    try:
+        for i in range(4):
+            write_delta(
+                e.where(
+                    (F.col("event_id") >= bounds[i])
+                    & (F.col("event_id") < bounds[i + 1])
+                ).coalesce(1),
+                path,
+                mode="append",
+                stats_cols=("event_id",),
+            )
+        preds = [("event_id", ">=", lo), ("event_id", "<=", hi)]
+        kept = snapshot_files(path, stats_filter=preds)
+        pruned = sorted(set(snapshot_files(path)) - set(kept))
+        # clobber every pruned file: if the filtered scan lists or opens
+        # any of them, the query dies and the driver row errs
+        for f in pruned:
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"corrupt")
+        agg = (
+            read_delta(spark, path, stats_filter=preds)
+            .where((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("event_id"), F.lit(0)).cast("long").alias("s"),
+            )
+            .first()
+        )
+        rows = [(len(kept) + len(pruned), len(pruned), agg["n"], agg["s"])]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_files_total int, n_files_pruned int, n_rows long, sum_event_id long"
+    )

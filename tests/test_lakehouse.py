@@ -1251,3 +1251,66 @@ def test_delta_log_partition_filter_key_validation(spark, tmp_path):
     write_delta(spark.range(3).selectExpr("id", "id AS day"), flat)
     with pytest.raises(ValueError, match="not partition columns"):
         snapshot_files(flat, partition_filter={"day": "1"})
+
+
+def test_delta_log_stats_skipping_semantics(spark, tmp_path):
+    """Zone-map skipping: boundary-inclusive pruning proofs per op, a
+    corrupt pruned file is never opened, files lacking stats on the
+    column always survive, cross-type comparisons never prune, and
+    malformed predicates raise."""
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        read_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dss")
+    # three one-file commits with event ranges [0,9], [10,19], [20,29]
+    for i in range(3):
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 2 AS v")
+            .coalesce(1),
+            table,
+            mode="append",
+            stats_cols=("id",),
+        )
+    allf = snapshot_files(table)
+    assert len(allf) == 3
+
+    # boundary semantics: > max is prunable, >= max is not
+    assert len(snapshot_files(table, stats_filter=[("id", ">", 9)])) == 2
+    assert len(snapshot_files(table, stats_filter=[("id", ">=", 9)])) == 3
+    assert len(snapshot_files(table, stats_filter=[("id", "<", 10)])) == 1
+    assert len(snapshot_files(table, stats_filter=[("id", "<=", 10)])) == 2
+    assert len(snapshot_files(table, stats_filter=[("id", "=", 15)])) == 1
+    assert len(snapshot_files(table, stats_filter=[("id", "==", 99)])) == 0
+
+    # conjunction: range falling in the middle file prunes both others
+    preds = [("id", ">=", 12), ("id", "<=", 17)]
+    assert len(snapshot_files(table, stats_filter=preds)) == 1
+
+    # a clobbered pruned file is never opened; predicate still re-applied
+    for f in set(allf) - set(snapshot_files(table, stats_filter=preds)):
+        with open(os.path.join(table, f), "wb") as fh:
+            fh.write(b"garbage")
+    got = (
+        read_delta(spark, table, stats_filter=preds)
+        .where("id >= 12 AND id <= 17")
+        .agg({"id": "sum"})
+        .first()[0]
+    )
+    assert got == sum(range(12, 18))
+
+    # a column with no recorded stats can never prune
+    assert len(snapshot_files(table, stats_filter=[("v", ">", 10**9)])) == 3
+    # cross-type comparison keeps the file (never guess)
+    assert len(snapshot_files(table, stats_filter=[("id", ">", "zzz")])) == 3
+
+    with pytest.raises(ValueError, match="op in"):
+        snapshot_files(table, stats_filter=[("id", "!=", 3)])
+    with pytest.raises(ValueError, match="NULL predicates"):
+        snapshot_files(table, stats_filter=[("id", "=", None)])
