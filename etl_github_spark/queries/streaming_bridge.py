@@ -296,3 +296,224 @@ def stream_heavy_hitters_replay(spark, sf_dir):
     return spark.createDataFrame(
         final, "shard int, tok string, lower_bound long, n_shard long"
     )
+
+
+#: event-time micro-batch boundaries used by the order-sensitive
+#: bridges: three slices of the 2024-01 events fixture. Slicing on
+#: event time makes multi-batch processing order equal event order, so
+#: cross-batch GroupState replays converge to the batch closed form.
+_SLICE_US = (1704931200000000, 1705795200000000)  # 2024-01-11, 2024-01-21 UTC
+
+
+def _staged_event_stream(spark, sf_dir, cols, schema_ddl, root):
+    """Write the events fixture as three event-time-ordered parquet
+    files and open them as a file-source stream with one file per
+    micro-batch. Files get strictly increasing mtimes: FileStreamSource
+    orders batches by modification time, and the order-sensitive
+    stateful bridges need batch order == event-time order to converge
+    to their batch oracles."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .select(*cols)
+    )
+    b_expr = (
+        F.when(F.col("ts_us") < _SLICE_US[0], 0)
+        .when(F.col("ts_us") < _SLICE_US[1], 1)
+        .otherwise(2)
+    )
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    now = time.time()
+    for b in range(3):
+        part = os.path.join(root, f"stage{b}")
+        base.withColumn("b", b_expr).where(F.col("b") == b).drop("b").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        dest = os.path.join(stream_dir, f"b{b}.parquet")
+        shutil.move(glob.glob(os.path.join(part, "part-*.parquet"))[0], dest)
+        os.utime(dest, (now + 30 * b, now + 30 * b))
+    return (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+
+@query(
+    "stream_attribution_replay",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts_us AS p_ts
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+             ts_us AS t_ts
+      FROM ev WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.purchase_id, t.touch_id, t.touch_type,
+             p.p_ts - t.t_ts AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY t.t_ts DESC, t.touch_id DESC
+             ) AS rn
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - 3600000000
+    )
+    SELECT p.purchase_id, p.user_id,
+           j.touch_id AS attributed_event_id,
+           j.touch_type AS attributed_type,
+           CAST(j.gap_us AS BIGINT) AS gap_us
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM joined WHERE rn = 1) j USING (purchase_id)
+    """,
+    tags=("streaming", "stateful", "attribution", "bridge"),
+)
+def stream_attribution_replay(spark, sf_dir):
+    """ORDER-SENSITIVE GroupState code under the driver hash: the
+    `applyInPandasWithState` last-touch attribution operator
+    (`streaming/stateful.py::attribution_last_touch` — per-user state
+    is ONE latest-touch row) replayed over three event-time-ordered
+    micro-batches, against the batch range-join oracle of
+    `analytics_attribution_last_touch` verbatim.
+
+    This is a sharper pin than the Misra-Gries bridge: MG merge is
+    order-insensitive, but attribution credit depends on the exact
+    interleaving of touches and purchases ACROSS batches (a touch
+    processed after its purchase must not claim it; state must carry
+    the newest pre-batch touch over the boundary). Event-time slicing
+    makes processing order equal event order, so the streaming replay
+    must reproduce the batch answer exactly — strict `<` freshness,
+    the 1h window, NULL rows for unattributed purchases, and the
+    (t_ts, touch_id) tie-break inside each batch's explicit sort.
+
+    At scale: state is 3 fields per user however long the stream runs;
+    each micro-batch shuffles only its own rows by user_id. The batch
+    twin documents the range-join scale shape; this pins that the
+    realtime form computes the same credits.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import attribution_last_touch
+
+    root = tempfile.mkdtemp(prefix="stream_attr_")
+    try:
+        stream = _staged_event_stream(
+            spark,
+            sf_dir,
+            ["event_id", "user_id", "event_type", "ts_us"],
+            "event_id long, user_id long, event_type string, ts_us long",
+            root,
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, attribution_last_touch(stream),
+                             "stream_attr", mode="append")
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "purchase_id long, user_id long, attributed_event_id long, "
+        "attributed_type string, gap_us long",
+    )
+
+
+@query(
+    "stream_spike_gate_replay",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+                  WHEN ts < TIMESTAMP '2024-01-21' THEN 2
+                  ELSE 3 END AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(c ORDER BY i) AS cs FROM b GROUP BY 1
+    ),
+    rows_out AS (
+      SELECT event_type, i, cs[i] AS batch_count,
+             list_reduce(
+               list_transform(cs[1:i], x -> CAST(x AS DOUBLE)),
+               (a, x) -> CAST(0.3 AS DOUBLE) * x
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
+             ) AS ewma,
+             CASE WHEN i = 1 THEN FALSE
+                  ELSE CAST(cs[i] AS DOUBLE) > CAST(2.0 AS DOUBLE)
+                       * list_reduce(
+                           list_transform(cs[1:i-1], x -> CAST(x AS DOUBLE)),
+                           (a, x) -> CAST(0.3 AS DOUBLE) * x
+                                     + (CAST(1.0 AS DOUBLE)
+                                        - CAST(0.3 AS DOUBLE)) * a)
+             END AS is_spike
+      FROM series, range(1, 4) t(i)
+    )
+    SELECT event_type, batch_count, ewma, is_spike FROM rows_out
+    """,
+    tags=("streaming", "stateful", "monitor", "bridge"),
+)
+def stream_spike_gate_replay(spark, sf_dir):
+    """The EWMA ingest-volume monitor (`streaming/stateful.py::
+    volume_spike_gate`) under the driver hash: per event_type, each
+    micro-batch's count is flagged against the pre-update EWMA of
+    previous batches, then folded in (s_1 = c_1; s_t = α·c_t +
+    (1−α)·s_{t−1}, α = 0.3). Replayed over the three event-time
+    slices and compared to a DuckDB prefix-fold replica: the oracle's
+    `list_reduce` performs literally the same left fold in the same
+    order with the same double constants, so every emitted (count,
+    ewma, spike-flag) row — update-mode history, one per (type,
+    batch) — must match bit-exactly. Pins both the GroupState fold
+    arithmetic and the flag-before-update ordering (a spike must not
+    mask itself by first inflating the average it is compared to).
+
+    Floats here are the repo-pinned replayable kind: a sequential
+    left fold, never a parallel reduction (the stream processes one
+    micro-batch at a time by construction — order is the operator's
+    semantics, not an implementation accident).
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import volume_spike_gate
+
+    root = tempfile.mkdtemp(prefix="stream_spike_")
+    try:
+        stream = _staged_event_stream(
+            spark,
+            sf_dir,
+            ["event_type", "ts_us"],
+            "event_type string, ts_us long",
+            root,
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, volume_spike_gate(stream),
+                             "stream_spike", mode="update")
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, batch_count long, ewma double, is_spike boolean"
+    )
