@@ -483,3 +483,78 @@ def graph_hits_bipartite(spark, sf_dir):
         )
     )
     return top_a.unionAll(top_h)
+
+
+@query(
+    "graph_bfs_shortest_paths",
+    sql="""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT concat('C', CAST(o_custkey AS VARCHAR)) AS a,
+             concat('S', CAST(l_suppkey AS VARCHAR)) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    bfs (node, d) AS (
+      SELECT 'C1' AS node, 0 AS d
+      UNION
+      SELECT e.b, bfs.d + 1
+      FROM bfs JOIN edges e ON e.a = bfs.node
+      WHERE bfs.d < 4
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_shortest_paths(spark, sf_dir, max_hops: int = 4):
+    """Single-source BFS shortest paths over the undirected
+    customer↔supplier purchase graph (source C1, hop bound 4) — the
+    reachability/distance primitive behind influence radius, fraud-ring
+    expansion, and graph-sampled curation. Emits (node, dist) for
+    every node within the bound; distances are unique integers, so the
+    result is reduction-order-free.
+
+    Frontier iteration, not path enumeration: each round joins ONLY the
+    newly-discovered frontier against the edge list and anti-joins the
+    visited set — per-round shuffle is O(frontier boundary), total work
+    O(edges within the horizon), never O(paths) (the path count in a
+    dense bipartite graph is astronomical; the DuckDB oracle's
+    recursive CTE survives the same way, via UNION's set semantics
+    deduplicating (node, d) states globally). Visited/frontier frames
+    are localCheckpointed per round — the lineage would otherwise
+    recompute geometrically. An empty frontier short-circuits (one
+    isEmpty action per round, driver-side boolean only — at 100 TB
+    rounds are bounded by the hop parameter, and each is one
+    co-partitioned join keyed on the node id).
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    visited = spark.createDataFrame([("C1", 0)], "node string, dist int")
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("dist")
+        )
+        new = new.localCheckpoint()  # materialize: reused as frontier AND union arm
+        if new.isEmpty():
+            break
+        visited = visited.unionAll(new).localCheckpoint(eager=False)
+        frontier = new
+    return visited

@@ -594,3 +594,87 @@ def multimodal_frame_sample(spark, sf_dir):
         "frame_idx",
         F.expr("(1000 * frame_idx) div fps").cast("long").alias("ts_ms"),
     )
+
+
+@query(
+    "multimodal_patch_plan",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(64 + n_chars % 256 AS BIGINT) AS w,
+             CAST(64 + (doc_id % 128) * 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, h,
+             (w + 15) // 16 AS n_px, (h + 15) // 16 AS n_py
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(n_px AS INT) AS n_px, CAST(n_py AS INT) AS n_py,
+           CAST(n_px * n_py AS BIGINT) AS n_patches,
+           CAST(n_px * 16 - w AS INT) AS pad_w,
+           CAST(n_py * 16 - h AS INT) AS pad_h,
+           (SELECT CAST(sum((p * 1103515245 + 12345) % 2147483648) AS BIGINT)
+            FROM unnest(generate_series(0, n_px * n_py - 1)) t(p)
+           ) AS coord_checksum
+    FROM grid
+    """,
+    tags=("multimodal",),
+)
+def multimodal_patch_plan(spark, sf_dir, patch: int = 16):
+    """ViT-style patch-grid planning over image dims parsed from the
+    same synthesized binary headers as `multimodal_image_dims`: ceil
+    the (width, height) to a 16-px patch grid, derive padding, then
+    genuinely ENUMERATE the patch index space (sequence → explode) and
+    fold it back to a per-doc affine checksum — the plumbing a
+    vision-tokenizer pipeline runs to turn each image into a bounded
+    token count before the (stubbed) pixel decode ever happens. The
+    oracle enumerates the identical space via generate_series, so both
+    engines walk every patch id rather than short-circuiting to a
+    closed form.
+
+    Scale shape: per-row sequence explode is bounded by the patch
+    count (≤ ~1.4k here — the contract a real deployment enforces with
+    a max-resolution gate upstream), re-aggregated by the pre-explode
+    key, so it's map-side work between two scans of the same partition
+    — no shuffle beyond the final per-doc combine; ANSI-safe bounded
+    `sequence()`, integer arithmetic throughout.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (F.lit(64) + F.col("n_chars") % 256).cast("long")
+    h = (F.lit(64) + (F.col("doc_id") % 128) * 4).cast("long")
+    g = d.select(
+        "doc_id",
+        w.alias("w"),
+        h.alias("h"),
+        ((w + patch - 1) / patch).cast("long").alias("n_px_l"),
+        ((h + patch - 1) / patch).cast("long").alias("n_py_l"),
+    )
+    exploded = g.select(
+        "doc_id",
+        "w",
+        "h",
+        "n_px_l",
+        "n_py_l",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_px_l") * F.col("n_py_l") - 1)
+        ).alias("p"),
+    )
+    return (
+        exploded.groupBy("doc_id", "w", "h", "n_px_l", "n_py_l")
+        .agg(
+            F.sum((F.col("p") * 1103515245 + 12345) % 2147483648)
+            .cast("long")
+            .alias("coord_checksum")
+        )
+        .select(
+            "doc_id",
+            F.col("n_px_l").cast("int").alias("n_px"),
+            F.col("n_py_l").cast("int").alias("n_py"),
+            (F.col("n_px_l") * F.col("n_py_l")).cast("long").alias("n_patches"),
+            (F.col("n_px_l") * patch - F.col("w")).cast("int").alias("pad_w"),
+            (F.col("n_py_l") * patch - F.col("h")).cast("int").alias("pad_h"),
+            "coord_checksum",
+        )
+    )
