@@ -188,6 +188,15 @@ EXTENDED = [
     "gha_manifest_hours",
     "join_scd2_asof",
     "gha_ingest_roundtrip",
+    # round-7 additions
+    "lake_delta_partitioned",
+    "lake_delta_checkpoint",
+    "lake_delta_stats_skip",
+    "stream_heavy_hitters_replay",
+    "stream_attribution_replay",
+    "stream_spike_gate_replay",
+    "graph_bfs_shortest_paths",
+    "multimodal_patch_plan",
 ]
 
 
