@@ -197,6 +197,7 @@ EXTENDED = [
     "stream_spike_gate_replay",
     "graph_bfs_shortest_paths",
     "multimodal_patch_plan",
+    "join_bloom_prefilter",
 ]
 
 

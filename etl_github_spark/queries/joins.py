@@ -400,3 +400,116 @@ def join_scd2_asof(spark, sf_dir):
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    sql="""
+    SELECT s.s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) / 10000.0) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY s.s_suppkey
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered fact⋈dim join — the manual form of a runtime
+    semi-join reduction: the qualifying dim keys (EUROPE suppliers) are
+    folded into a 64 Kbit Bloom filter embedded as a 2048-word literal,
+    and the fact scan drops non-member rows with four pure-JVM bit
+    probes per row BEFORE any join; the exact join then runs on the
+    survivors. False positives cannot corrupt the result (the join
+    removes them); a false NEGATIVE — the bug class blooms must never
+    have — drops a real supplier's revenue and flips the driver hash,
+    which recomputes the plain 4-way join as the oracle.
+
+    Scale shape: a broadcast join already prunes at the join operator,
+    but only AFTER the fact rows are scanned, deserialized, and (for a
+    dim past the broadcast threshold) shuffled. The key bloom stays
+    8 KB however wide the dim rows are or how many keys it holds, rides
+    in the task binary, and cuts the fact stream to ~|matching| before
+    the join machinery sees it — Spark's own
+    `runtime.bloomFilter` optimization, made explicit and deterministic
+    (xxhash64 keys + fixed affine positions, so the filter contents are
+    run-stable; pruning effectiveness is pinned in pytest).
+    """
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = T(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pref = bloom_prefilter(li, "l_suppkey", s, "s_suppkey")
+
+    rev = (
+        F.sum(fxp("l_extendedprice") * (100 - fxp("l_discount")))
+        .cast("long") / 10000.0
+    )
+    return (
+        pref.join(F.broadcast(s), pref.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").cast("long").alias("n_items"), rev.alias("revenue"))
+    )
+
+
+_BLOOM_P = 2**31 - 1
+_BLOOM_BITS = 1 << 16
+_BLOOM_COEFFS = (
+    (1103515245, 12345),
+    (69069, 362437),
+    (214013, 2531011),
+    (134775813, 1),
+)
+
+
+def _bloom_positions(h):
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(_BLOOM_P)) % F.lit(_BLOOM_BITS)
+        for a, b in _BLOOM_COEFFS
+    ]
+
+
+def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
+    """Semi-join reduction: drop ``fact`` rows whose ``fact_col`` is
+    provably absent from ``keys[key_col]``, using a 64 Kbit Bloom
+    filter (2048-word literal, 8 KB) built from the key side. NEVER
+    drops a true match (xxhash64 + the same affine positions on both
+    sides); may pass false positives, so the caller's exact join stays
+    the final arbiter. The position collect is |keys|·4 ints — index
+    metadata. At 100 TB the filter rides in the task binary and prunes
+    the fact stream before any join exchange."""
+    h_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_BLOOM_P))
+    pos_rows = (
+        keys.select(F.explode(F.array(*_bloom_positions(h_key))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 32)
+    for row in pos_rows:
+        words[row["pos"] // 32] |= 1 << (row["pos"] % 32)
+    warr = F.array(*[F.lit(w) for w in words])
+
+    h_fact = F.pmod(F.xxhash64(F.col(fact_col)), F.lit(_BLOOM_P))
+    aux = ["__bw"] + [f"__p{i}" for i in range(len(_BLOOM_COEFFS))]
+    probed = fact.select(
+        "*",
+        warr.alias("__bw"),
+        *[p.cast("int").alias(f"__p{i}") for i, p in enumerate(_bloom_positions(h_fact))],
+    )
+    member = " AND ".join(
+        f"((element_at(__bw, CAST(__p{i} div 32 AS INT) + 1) >> (__p{i} % 32)) % 2) = 1"
+        for i in range(len(_BLOOM_COEFFS))
+    )
+    return probed.where(F.expr(member)).drop(*aux)

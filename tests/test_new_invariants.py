@@ -287,3 +287,45 @@ def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """The join bloom: (a) passes EVERY true-matching fact row (no
+    false negatives — the correctness property the exact join cannot
+    repair), (b) actually prunes (pass rate well below 1 for a
+    selective key set), (c) the prefiltered exact join equals the
+    plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.queries._util import T
+    from etl_github_spark.queries.joins import bloom_prefilter
+
+    sf = "/root/testdata/sf0.001"
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_orderkey")
+    # a selective key set: suppliers with s_suppkey % 7 == 0 (~14%)
+    keys = (
+        T(spark, sf, "supplier")
+        .where(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+    )
+    pref = bloom_prefilter(li, "l_suppkey", keys, "s_suppkey")
+
+    total = li.count()
+    passed = pref.count()
+    true_match = li.join(keys, li.l_suppkey == keys.s_suppkey, "left_semi").count()
+    assert passed >= true_match  # no false negatives
+    assert passed < total * 0.6  # genuinely prunes a selective probe
+
+    exact_after = (
+        pref.join(keys, pref.l_suppkey == keys.s_suppkey)
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    plain = (
+        li.join(keys, li.l_suppkey == keys.s_suppkey)
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, exact_after)) == sorted(map(tuple, plain))
