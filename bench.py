@@ -198,6 +198,7 @@ EXTENDED = [
     "graph_bfs_shortest_paths",
     "multimodal_patch_plan",
     "join_bloom_prefilter",
+    "lake_delta_evolution",
 ]
 
 

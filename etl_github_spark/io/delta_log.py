@@ -58,14 +58,23 @@ Round 7 closes the two gaps the round-5 review named first:
   version whose JSON prefix was cleaned raises (never guesses), and
   log-gap detection still fires on the post-checkpoint tail.
 
+Round 7 also adds the read-side and evolution pieces a user hits next:
+min/max DATA SKIPPING off add-action stats (``stats_filter`` on
+:func:`snapshot_files`/:func:`read_delta` — zone maps), and ADDITIVE
+schema evolution (``write_delta(..., merge_schema=True)`` commits a
+fresh metaData action with the widened schema; metadata resolution is
+version-aware, so time travel below the evolution commit reads under
+the old schema and pre-evolution files fill new columns with nulls —
+real Delta's mergeSchema semantics).
+
 Deliberately out of scope (documented, not silently faked): deletion
 vectors, column mapping, checkpoint tombstones (``remove`` actions are
 not carried into checkpoints — after :func:`cleanup_log`, files
 removed before the checkpoint become log-unreferenced and are reaped
 by :func:`vacuum_delta` after retention, which is also real Delta's
-end state), and schema EVOLUTION (writes must match the recorded
-schema's field names and types — real Delta's default behavior
-without mergeSchema). Interop with delta-spark cannot be tested in
+end state), and non-additive schema changes (drops/renames/type
+changes — ``overwriteSchema`` territory — always raise).
+Interop with delta-spark cannot be tested in
 this env; the protocol shape follows the public spec so a real reader
 should accept these tables, and the round-trip is pinned by tests +
 driver-hashed registry queries (``lake_delta_log_scan``,
@@ -297,18 +306,27 @@ def write_delta(
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    merge_schema: bool = False,
 ) -> int:
     """Commit df to the Delta table at ``table`` (append or overwrite);
     returns the committed version. Version 0 carries protocol+metaData
     like real Delta (including ``partitionColumns`` when
     ``partition_by`` is given — the reference's own layout is
     ``partition_by="date"``, preprocess.py:169-175); both modes are
-    schema-enforced against that metaData by field names/types (schema
-    evolution is out of scope — mismatches raise, they never silently
-    drop or null columns), and later writes must agree with the
+    schema-enforced against that metaData by field names/types —
+    mismatches raise, they never silently drop or null columns.
+    ``merge_schema=True`` (Delta's ``mergeSchema``) permits exactly the
+    ADDITIVE case: every recorded field present with its recorded
+    shape plus new fields; the commit then carries a fresh metaData
+    action with the widened schema (same table id), old files read
+    back with nulls in the new columns, and time travel below the
+    evolution commit still applies the old schema. Column drops,
+    renames, and type changes still raise (that is ``overwriteSchema``
+    territory — out of scope). Later writes must agree with the
     recorded partition columns (pass ``partition_by=()`` to inherit
     them — appends don't re-declare layout; a conflicting non-empty
-    value raises). Overwrite commits remove every live file first. If
+    value raises; evolution cannot change the layout either).
+    Overwrite commits remove every live file first. If
     the version race is lost, this attempt's staged data files are
     removed before FileExistsError propagates; once the version file is
     linked, the commit is irrevocable and later cleanup hiccups cannot
@@ -343,14 +361,23 @@ def write_delta(
         if recorded is not None and _schema_shape(
             json.loads(recorded)
         ) != _schema_shape(json.loads(df.schema.json())):
-            raise ValueError(
-                f"schema mismatch writing to {table} (mode={mode}): the "
-                "table's metaData schema differs from the DataFrame's in "
-                "field names or types. Append and overwrite both enforce "
-                "the recorded schema — metaData is written once, so an "
-                "unchecked write would make readers apply a stale schema; "
-                "schema evolution is out of scope for this minimal writer"
-            )
+            if merge_schema and _is_additive_evolution(
+                json.loads(recorded), json.loads(df.schema.json())
+            ):
+                meta = _table_metadata(table)
+                actions.append(
+                    {"metaData": {**meta, "schemaString": df.schema.json()}}
+                )
+            else:
+                raise ValueError(
+                    f"schema mismatch writing to {table} (mode={mode}): the "
+                    "table's metaData schema differs from the DataFrame's in "
+                    "field names or types. Append and overwrite both enforce "
+                    "the recorded schema; pass merge_schema=True for the "
+                    "additive case (every recorded field kept with its "
+                    "recorded shape, new fields added) — drops, renames, "
+                    "and type changes always raise"
+                )
         recorded_parts = tuple(partition_columns(table))
         if partition_by and tuple(partition_by) != recorded_parts:
             raise ValueError(
@@ -418,36 +445,46 @@ def _check_contiguous(table: str, versions: list[int]) -> None:
         )
 
 
-def _table_metadata(table: str) -> dict | None:
-    """The table's metaData action — from version 0's JSON when
-    retained, else from the newest checkpoint (after
-    :func:`cleanup_log` the v0 JSON may be gone; the checkpoint carries
-    metaData forward, per the spec)."""
-    try:
-        with open(_version_file(table, 0)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    return action["metaData"]
-    except (OSError, json.JSONDecodeError):
-        pass
+def _table_metadata(table: str, version: int | None = None) -> dict | None:
+    """The table's metaData action AS OF ``version`` (None = latest):
+    the NEWEST metaData action at-or-below the version wins — schema
+    evolution commits a fresh metaData action, and time travel must
+    read each snapshot under the schema it was written with (real
+    Delta replay semantics). Retained JSON is scanned newest-first
+    (most lookups stop at the evolution commit or v0); a cleaned
+    prefix falls back to the checkpoint, which carries the
+    as-of-checkpoint metaData forward per the spec."""
+    versions = _list_versions(table)
     cp = _last_checkpoint(table)
-    if cp is not None:
+    cpv = None if cp is None else cp["version"]
+    for v in reversed(versions):
+        if version is not None and v > version:
+            continue
+        try:
+            with open(_version_file(table, v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        return action["metaData"]
+        except (OSError, json.JSONDecodeError):
+            continue
+    if cpv is not None and (version is None or cpv <= version):
         meta, _, _ = _read_checkpoint(table, cp)
         return meta
     return None
 
 
-def _table_schema_json(table: str) -> str | None:
-    meta = _table_metadata(table)
+def _table_schema_json(table: str, version: int | None = None) -> str | None:
+    meta = _table_metadata(table, version)
     return None if meta is None else meta["schemaString"]
 
 
 def partition_columns(table: str) -> list[str]:
     """The partition layout recorded at table creation (metaData's
-    partitionColumns — [] for unpartitioned tables)."""
+    partitionColumns — [] for unpartitioned tables; schema evolution
+    never changes it — the writer enforces that)."""
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action found for {table}")
@@ -636,13 +673,22 @@ def snapshot_files(
     )
 
 
-def _log_schema(table: str):
+def _log_schema(table: str, version: int | None = None):
     from pyspark.sql.types import StructType
 
-    schema_json = _table_schema_json(table)
+    schema_json = _table_schema_json(table, version)
     if schema_json is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
     return StructType.fromJson(json.loads(schema_json))
+
+
+def _is_additive_evolution(recorded: dict, proposed: dict) -> bool:
+    """True iff ``proposed`` keeps every recorded top-level field with
+    an identical shape (name + type, nullability ignored) and only
+    ADDS fields — the mergeSchema-eligible case."""
+    rec = {f["name"]: _schema_shape(f) for f in recorded.get("fields", [])}
+    prop = {f["name"]: _schema_shape(f) for f in proposed.get("fields", [])}
+    return all(name in prop and prop[name] == shape for name, shape in rec.items())
 
 
 def read_delta(
@@ -669,8 +715,13 @@ def read_delta(
     ``stats_filter`` data-skips whole files on the log's min/max stats
     (see :func:`snapshot_files`); the caller must still ``.where()``
     the actual predicate — surviving files may contain non-matching
-    rows."""
-    schema = _log_schema(table)
+    rows.
+
+    Schema is resolved AS OF the requested version: a snapshot below a
+    merge_schema evolution commit reads under the old schema, at-or-
+    above it under the widened one (pre-evolution files fill the new
+    columns with nulls — the parquet reader's missing-column rule)."""
+    schema = _log_schema(table, version)
     pcols = partition_columns(table)
     files = [
         os.path.join(table, f)
@@ -878,7 +929,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
 
     version = _latest_version(table) if version is None else version
     live = _replay(table, version)  # raises on gaps / cleaned prefixes
-    meta = _table_metadata(table)
+    meta = _table_metadata(table, version)  # schema AS OF the checkpoint
     if meta is None:
         raise ValueError(f"no metaData action found for {table}")
     proto_row = {"minReaderVersion": 1, "minWriterVersion": 2}

@@ -842,3 +842,60 @@ def lake_delta_stats_skip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n_files_total int, n_files_pruned int, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_evolution",
+    sql="""
+    SELECT 0 AS version,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_typed
+    FROM events
+    UNION ALL
+    SELECT 1,
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+    FROM events
+    """,
+    tags=("lake", "delta", "schema-evolution"),
+)
+def lake_delta_evolution(spark, sf_dir):
+    """ADDITIVE schema evolution on the Delta log under the driver
+    hash (real Delta's mergeSchema): commit the even-id half of events
+    as (event_id), then merge-append the odd half WIDENED with an
+    event_type column — the commit carries a fresh metaData action.
+    The query reads BOTH versions back: time travel to v0 must apply
+    the pre-evolution schema (no type column exists there), and the
+    latest snapshot must fill the new column with nulls for the
+    pre-evolution files — ``n_typed`` counts non-null types, so a
+    reader that resolved the wrong metaData version, dropped the old
+    files' rows, or guessed values instead of nulls flips the hash.
+
+    Scale shape: evolution is a metadata-only commit — zero data files
+    rewritten however large the table is; the version-aware schema
+    lookup scans retained JSON newest-first and stops at the evolution
+    commit (checkpoints carry the as-of schema once the prefix is
+    cleaned).
+    """
+    from ..io.delta_log import read_delta, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    path = _scratch("delta_evo")
+    try:
+        write_delta(e.where(F.col("event_id") % 2 == 0).select("event_id"), path)
+        write_delta(
+            e.where(F.col("event_id") % 2 == 1), path, merge_schema=True
+        )
+        rows = []
+        v0 = read_delta(spark, path, version=0)
+        assert v0.columns == ["event_id"], v0.columns  # pre-evolution schema
+        rows.append((0, v0.count(), 0))
+        v1 = read_delta(spark, path, version=1)
+        agg = v1.agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("event_type").cast("long").alias("t"),
+        ).first()
+        rows.append((1, agg["n"], agg["t"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long, n_typed long")

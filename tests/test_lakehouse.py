@@ -1314,3 +1314,68 @@ def test_delta_log_stats_skipping_semantics(spark, tmp_path):
         snapshot_files(table, stats_filter=[("id", "!=", 3)])
     with pytest.raises(ValueError, match="NULL predicates"):
         snapshot_files(table, stats_filter=[("id", "=", None)])
+
+
+def test_delta_log_schema_evolution(spark, tmp_path):
+    """merge_schema evolution: additive append commits a new metaData
+    action; old files read back with nulls in the new column; time
+    travel below the evolution commit uses the OLD schema; checkpoints
+    carry the as-of schema; drops/renames/type changes still raise."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        checkpoint_delta,
+        cleanup_log,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dse")
+    write_delta(spark.range(3).selectExpr("id", "id * 2 AS v"), table)  # v0
+    write_delta(spark.range(3, 6).selectExpr("id", "id * 2 AS v"), table)  # v1
+
+    widened = spark.range(6, 9).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    # without merge_schema the widened write raises
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_delta(widened, table)
+    assert write_delta(widened, table, merge_schema=True) == 2
+
+    # latest snapshot: widened schema, nulls for pre-evolution files
+    cur = read_delta(spark, table)
+    assert cur.columns == ["id", "v", "tag"]
+    got = {r["id"]: r["tag"] for r in cur.collect()}
+    assert got == {i: (str(i) if i >= 6 else None) for i in range(9)}
+
+    # time travel below the evolution commit: OLD schema
+    old = read_delta(spark, table, version=1)
+    assert old.columns == ["id", "v"]
+    assert old.count() == 6
+
+    # further appends must match the WIDENED schema now
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(spark.range(9, 10).selectExpr("id", "id * 2 AS v"), table)
+    write_delta(
+        spark.range(9, 10).selectExpr("id", "id * 2 AS v", "'x' AS tag"), table
+    )  # v3
+
+    # non-additive changes raise even with merge_schema
+    for bad in (
+        spark.range(1).selectExpr("id", "CAST(id AS STRING) AS v", "'x' AS tag"),
+        spark.range(1).selectExpr("id", "id AS v2", "'x' AS tag"),
+    ):
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(bad, table, merge_schema=True)
+
+    # checkpoint + cleanup: the widened schema survives via the
+    # checkpoint's metaData (the evolution JSON may be cleaned away)
+    assert checkpoint_delta(table) == 3
+    cleanup_log(table)
+    cur2 = read_delta(spark, table)
+    assert cur2.columns == ["id", "v", "tag"]
+    assert cur2.count() == 10
+    write_delta(
+        spark.range(10, 11).selectExpr("id", "id * 2 AS v", "'y' AS tag"), table
+    )
+    assert read_delta(spark, table).count() == 11
