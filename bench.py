@@ -199,6 +199,7 @@ EXTENDED = [
     "multimodal_patch_plan",
     "join_bloom_prefilter",
     "lake_delta_evolution",
+    "trend_holt_linear_forecast",
 ]
 
 

@@ -2297,3 +2297,100 @@ def analytics_event_pattern_cep(spark, sf_dir):
         .cast("long")
         .alias("longest_view_run"),
     )
+
+
+@query(
+    "trend_holt_linear_forecast",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(c ORDER BY day) AS cs FROM daily GROUP BY 1
+    ),
+    hw(event_type, i, l, b) AS (
+      SELECT event_type, 1, CAST(cs[1] AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM series
+      UNION ALL
+      SELECT h.event_type, h.i + 1,
+             CAST(0.5 AS DOUBLE) * CAST(s.cs[h.i + 1] AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * CAST(s.cs[h.i + 1] AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST(0.75 AS DOUBLE) * h.b
+      FROM hw h JOIN series s USING (event_type)
+      WHERE h.i < len(s.cs)
+    )
+    SELECT h.event_type, CAST(s.n AS BIGINT) AS n_days,
+           h.l AS level, h.b AS trend,
+           h.l + CAST(7 AS DOUBLE) * h.b AS forecast_7d
+    FROM hw h JOIN (SELECT event_type, len(cs) AS n FROM series) s
+      USING (event_type)
+    WHERE h.i = s.n
+    """,
+    tags=("trend", "forecast"),
+)
+def trend_holt_linear_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (level + linear trend,
+    α = 0.5, β = 0.25) over each event_type's daily count series, plus
+    a 7-day-ahead forecast — the capacity-planning / volume-projection
+    primitive one rung above the EWMA monitor (`trend_ewma_spikes`
+    smooths level only; this one models drift).
+
+    Determinism: the recurrence is a SEQUENTIAL left fold by
+    definition, so floats are the repo-pinned replayable kind — Spark
+    folds a per-type ordered array with `F.aggregate` (JVM-side struct
+    accumulator), DuckDB replays the identical arithmetic as a
+    recursive CTE over plain columns, same constants, same order,
+    bit-exact. The oracle deliberately avoids DuckDB's struct-typed
+    `list_reduce` accumulators: struct_pack fields there are assigned
+    IN PLACE in field order, so a 2-variable recurrence reads the
+    freshly-overwritten level while computing the trend (probed this
+    session: [10,12,15] → b = 0.453125 instead of 0.71875) — plain
+    recursive-CTE columns sidestep the quirk entirely.
+
+    Scale shape: one shuffle to (type, day) counts; the fold input is
+    a days-sized array per type (bounded by the calendar, not the
+    corpus), folded JVM-side inside whole-stage codegen — the corpus
+    never touches Python and the sequential part is O(days), not
+    O(rows).
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "c"))), lambda s: s["c"]
+        ).alias("cs")
+    )
+    A, B, one = F.lit(0.5), F.lit(0.25), F.lit(1.0)
+    structs = F.transform(
+        "cs",
+        lambda c: F.struct(
+            c.cast("double").alias("l"), F.lit(0.0).alias("b"), c.cast("double").alias("c")
+        ),
+    )
+
+    def step(a, x):
+        lnew = A * x["c"] + (one - A) * (a["l"] + a["b"])
+        bnew = (
+            B * ((A * x["c"] + (one - A) * (a["l"] + a["b"])) - a["l"])
+            + (one - B) * a["b"]
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"), x["c"].alias("c"))
+
+    folded = F.aggregate(
+        F.slice(structs, 2, F.size(structs) - 1), F.element_at(structs, 1), step
+    )
+    return series.select(
+        "event_type",
+        F.size("cs").cast("long").alias("n_days"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+        (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7d"),
+    )
