@@ -357,14 +357,17 @@ def write_delta(
             }
         )
     else:
-        recorded = _table_schema_json(table)
+        # ONE metadata walk per commit (schema + layout both come off
+        # it) — with checkpointing every N commits the walk is O(tail),
+        # and not repeating it keeps an N-commit append loop O(N·tail)
+        meta = _table_metadata(table)
+        recorded = None if meta is None else meta["schemaString"]
         if recorded is not None and _schema_shape(
             json.loads(recorded)
         ) != _schema_shape(json.loads(df.schema.json())):
             if merge_schema and _is_additive_evolution(
                 json.loads(recorded), json.loads(df.schema.json())
             ):
-                meta = _table_metadata(table)
                 actions.append(
                     {"metaData": {**meta, "schemaString": df.schema.json()}}
                 )
@@ -378,7 +381,9 @@ def write_delta(
                     "recorded shape, new fields added) — drops, renames, "
                     "and type changes always raise"
                 )
-        recorded_parts = tuple(partition_columns(table))
+        recorded_parts = (
+            () if meta is None else tuple(meta.get("partitionColumns", []))
+        )
         if partition_by and tuple(partition_by) != recorded_parts:
             raise ValueError(
                 f"partition mismatch writing to {table}: table is "
@@ -450,35 +455,33 @@ def _table_metadata(table: str, version: int | None = None) -> dict | None:
     the NEWEST metaData action at-or-below the version wins — schema
     evolution commits a fresh metaData action, and time travel must
     read each snapshot under the schema it was written with (real
-    Delta replay semantics). Retained JSON is scanned newest-first
-    (most lookups stop at the evolution commit or v0); a cleaned
-    prefix falls back to the checkpoint, which carries the
-    as-of-checkpoint metaData forward per the spec."""
+    Delta replay semantics). For a target at-or-above the checkpoint,
+    only the JSON TAIL after the checkpoint is scanned (newest-first)
+    before falling back to the checkpoint's carried metaData — the
+    scan is O(tail), and checkpointing every N commits bounds it the
+    same way it bounds replay. Time travel below the checkpoint walks
+    the retained JSON chain down from the target. A missing or corrupt
+    version file inside the needed range RAISES (a swallowed parse
+    error here would silently resolve an evolved table to its older
+    schema — the guess this module never makes)."""
     versions = _list_versions(table)
     cp = _last_checkpoint(table)
     cpv = None if cp is None else cp["version"]
-    for v in reversed(versions):
-        if version is not None and v > version:
-            continue
-        try:
-            with open(_version_file(table, v)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "metaData" in action:
-                        return action["metaData"]
-        except (OSError, json.JSONDecodeError):
-            continue
-    if cpv is not None and (version is None or cpv <= version):
+    if version is None:
+        version = max(versions[-1] if versions else -1, cpv if cpv is not None else -1)
+    lo = cpv if (cpv is not None and version >= cpv) else -1
+    for v in (v for v in reversed(versions) if lo < v <= version):
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    return action["metaData"]
+    if cpv is not None and cpv <= version:
         meta, _, _ = _read_checkpoint(table, cp)
         return meta
     return None
-
-
-def _table_schema_json(table: str, version: int | None = None) -> str | None:
-    meta = _table_metadata(table, version)
-    return None if meta is None else meta["schemaString"]
 
 
 def partition_columns(table: str) -> list[str]:
@@ -673,15 +676,6 @@ def snapshot_files(
     )
 
 
-def _log_schema(table: str, version: int | None = None):
-    from pyspark.sql.types import StructType
-
-    schema_json = _table_schema_json(table, version)
-    if schema_json is None:
-        raise ValueError(f"no metaData action in version 0 of {table}")
-    return StructType.fromJson(json.loads(schema_json))
-
-
 def _is_additive_evolution(recorded: dict, proposed: dict) -> bool:
     """True iff ``proposed`` keeps every recorded top-level field with
     an identical shape (name + type, nullability ignored) and only
@@ -721,8 +715,15 @@ def read_delta(
     merge_schema evolution commit reads under the old schema, at-or-
     above it under the widened one (pre-evolution files fill the new
     columns with nulls — the parquet reader's missing-column rule)."""
-    schema = _log_schema(table, version)
-    pcols = partition_columns(table)
+    from pyspark.sql.types import StructType
+
+    # one metadata walk serves both schema and layout (the layout is
+    # fixed at v0 and evolution metaData carries it forward unchanged)
+    meta = _table_metadata(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
     files = [
         os.path.join(table, f)
         for f in snapshot_files(table, version, partition_filter, stats_filter)
@@ -812,7 +813,15 @@ def history(table: str, allow_truncated: bool = False) -> list[dict]:
     ``truncated_below`` marker on its first row."""
     versions = _list_versions(table)
     _check_contiguous(table, versions)
-    truncated_below = versions[0] if versions and versions[0] > 0 else None
+    cp = _last_checkpoint(table)
+    if versions and versions[0] > 0:
+        truncated_below = versions[0]
+    elif not versions and cp is not None:
+        # checkpoint-at-latest + cleanup leaves NO JSON at all: the
+        # whole history is gone, not "no commits ever happened"
+        truncated_below = cp["version"] + 1
+    else:
+        truncated_below = None
     if truncated_below is not None and not allow_truncated:
         raise ValueError(
             f"history of {table} is truncated below version "
@@ -960,28 +969,30 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
         },
         schema=_checkpoint_schema(),
     )
+    # _last_checkpoint must be monotone (real Delta keeps it
+    # increasing): checkpointing at-or-below the pointer must not
+    # repoint replay-of-latest back to a longer JSON tail, nor let a
+    # later cleanup_log keep a prefix the newer checkpoint had already
+    # made droppable. Nothing in this module ever reads a checkpoint
+    # the pointer doesn't name, so writing the older file would just
+    # leave an unreachable orphan — skip the whole write instead.
+    existing = _last_checkpoint(table)
+    if existing is not None and version <= existing["version"]:
+        return version
     dest = _checkpoint_file(table, version)
     tmp = dest + f".tmp-{uuid.uuid4().hex}"
     try:
         pq.write_table(table_arrow, tmp)
-        os.replace(tmp, dest)  # atomic publish; idempotent re-checkpoint is fine
+        os.replace(tmp, dest)  # atomic publish
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-    # _last_checkpoint must be monotone (real Delta keeps it increasing):
-    # checkpointing an OLDER version — legitimate for speeding up time
-    # travel — must not repoint replay-of-latest back to a longer JSON
-    # tail, nor let a later cleanup_log keep the prefix the newer
-    # checkpoint had already made droppable. The older checkpoint file
-    # itself stays on disk and is simply not pointed at.
-    existing = _last_checkpoint(table)
-    if existing is None or version > existing["version"]:
-        ptr_tmp = _last_checkpoint_path(table) + f".tmp-{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w") as fh:
-            json.dump({"version": version, "size": n}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(ptr_tmp, _last_checkpoint_path(table))
+    ptr_tmp = _last_checkpoint_path(table) + f".tmp-{uuid.uuid4().hex}"
+    with open(ptr_tmp, "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, _last_checkpoint_path(table))
     return version
 
 

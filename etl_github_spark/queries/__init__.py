@@ -14,64 +14,66 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 6 needs NO promotions: the generator's natural order
-# (1 latest-red `analytics_rfm_segments` + the 49 never-driver-verified
-# queries) is exactly 50 slots — after this window every one of the 288
-# registry queries has had a driver row, backlog = 0.
+# staleness. Round 7: 1 latest-red (`analytics_rfm_segments`, root-caused
+# in 78ae358 — the oracle's HUGEINT column leaked float64 into the
+# driver's pandas canonicalization; re-verifying the fix) + the 11
+# round-7 additions (Delta partitioned/checkpoint/stats-skip/evolution,
+# BFS, Holt, bloom join, patch plan, 3 stateful bridges) + the 38
+# stalest r1 greens as re-verification ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R6_WINDOW = [
-    "analytics_rfm_segments",  # RED r05
-    "multimodal_image_dims",  # never driver-verified
-    "text_readability_ari",  # never driver-verified
-    "multimodal_frame_sample",  # never driver-verified
-    "dedup_rate_by_source",  # never driver-verified
-    "dedup_cross_source_syndication",  # never driver-verified
-    "join_interval_overlap",  # never driver-verified
-    "join_asof_nearest",  # never driver-verified
-    "join_scd2_asof",  # never driver-verified
-    "agg_quantile_sketch_rollup",  # never driver-verified
-    "agg_countmin_tokens",  # never driver-verified
-    "agg_mode_per_group",  # never driver-verified
-    "window_value_range_frame",  # never driver-verified
-    "sim_ivf_store_probe",  # never driver-verified
-    "sim_ivf_store_upsert",  # never driver-verified
-    "text_winnow_fingerprints",  # never driver-verified
-    "dedup_winnow_overlap",  # never driver-verified
-    "trend_cusum_changepoint",  # never driver-verified
-    "stat_embedding_pca_power",  # never driver-verified
-    "stat_winsorized_mean",  # never driver-verified
-    "stat_theil_sen_daily_trend",  # never driver-verified
-    "analytics_stickiness_dau_wau",  # never driver-verified
-    "analytics_growth_accounting",  # never driver-verified
-    "analytics_activity_bitmap",  # never driver-verified
-    "analytics_funnel_windowed",  # never driver-verified
-    "trend_anomaly_mad",  # never driver-verified
-    "stat_benford_first_digit",  # never driver-verified
-    "analytics_survival_curve",  # never driver-verified
-    "analytics_attribution_linear",  # never driver-verified
-    "trend_seasonal_decompose",  # never driver-verified
-    "trend_wow_growth",  # never driver-verified
-    "analytics_event_pattern_cep",  # never driver-verified
-    "lake_merge_upsert",  # never driver-verified
-    "lake_schema_evolution",  # never driver-verified
-    "lake_scd2_history",  # never driver-verified
-    "lake_write_observed",  # never driver-verified
-    "lake_cdc_apply",  # never driver-verified
-    "lake_compact_roundtrip",  # never driver-verified
-    "join_bucketed_colocated",  # never driver-verified
-    "lake_delta_log_scan",  # never driver-verified
-    "graph_hits_bipartite",  # never driver-verified
-    "quality_fk_orphans",  # never driver-verified
-    "quality_expectations",  # never driver-verified
-    "gha_keyword_commits",  # never driver-verified
-    "gha_keyword_comments",  # never driver-verified
-    "gha_manifest_hours",  # never driver-verified
-    "gha_ingest_roundtrip",  # never driver-verified
-    "stream_hourly_counts_replay",  # never driver-verified
-    "stream_sessionize_replay",  # never driver-verified
-    "stream_dedup_replay",  # never driver-verified
+_R7_WINDOW = [
+    "analytics_rfm_segments",  # RED r06
+    "multimodal_patch_plan",  # never driver-verified
+    "join_bloom_prefilter",  # never driver-verified
+    "trend_holt_linear_forecast",  # never driver-verified
+    "lake_delta_partitioned",  # never driver-verified
+    "lake_delta_checkpoint",  # never driver-verified
+    "lake_delta_stats_skip",  # never driver-verified
+    "lake_delta_evolution",  # never driver-verified
+    "graph_bfs_shortest_paths",  # never driver-verified
+    "stream_heavy_hitters_replay",  # never driver-verified
+    "stream_attribution_replay",  # never driver-verified
+    "stream_spike_gate_replay",  # never driver-verified
+    "flagship_popular_user_clicks",  # green r01
+    "filter_eq",  # green r01
+    "filter_substring_ci",  # green r01
+    "filter_not_prefix",  # green r01
+    "filter_disjunction",  # green r01
+    "filter_having",  # green r01
+    "filter_null_safe",  # green r01
+    "filter_range_date",  # green r01
+    "project_subset",  # green r01
+    "project_json_prop",  # green r01
+    "project_json_struct",  # green r01
+    "scalar_string_funcs",  # green r01
+    "scalar_math_funcs",  # green r01
+    "scalar_case_when",  # green r01
+    "sort_topk",  # green r01
+    "sort_multi_col",  # green r01
+    "limit_deterministic",  # green r01
+    "join_inner_broadcast",  # green r01
+    "join_left_outer_agg",  # green r01
+    "join_semi",  # green r01
+    "join_anti",  # green r01
+    "join_full_outer",  # green r01
+    "join_cross",  # green r01
+    "join_multiway_dims",  # green r01
+    "join_fact_fact_revenue",  # green r01
+    "q1_pricing_summary",  # green r01
+    "agg_value_counts",  # green r01
+    "agg_global_count",  # green r01
+    "agg_multi_shared_scan",  # green r01
+    "agg_max_watermark",  # green r01
+    "agg_group_multi_key",  # green r01
+    "agg_distinct_per_group",  # green r01
+    "agg_rollup",  # green r01
+    "agg_cube",  # green r01
+    "agg_stats_per_nation",  # green r01
+    "agg_variance_deterministic",  # green r01
+    "trend_daily_counts",  # green r01
+    "trend_hourly_by_type",  # green r01
 ]
 
 
@@ -93,4 +95,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R6_WINDOW)
+_apply_rotation(_R7_WINDOW)

@@ -464,20 +464,24 @@ def join_bloom_prefilter(spark, sf_dir):
     )
 
 
-_BLOOM_P = 2**31 - 1
 _BLOOM_BITS = 1 << 16
-_BLOOM_COEFFS = (
-    (1103515245, 12345),
-    (69069, 362437),
-    (214013, 2531011),
-    (134775813, 1),
-)
+
+
+def _bloom_coeffs():
+    """The shared splitmix-derived affine family (dedup/curation use
+    seeds 7/11) with its own seed, so the three sketches are
+    independent but ONE generator defines them all."""
+    from .dedup import _affine_coeffs
+
+    return _affine_coeffs(4, seed=13)
 
 
 def _bloom_positions(h):
+    from .dedup import _MERSENNE_P
+
     return [
-        ((F.lit(a) * h + F.lit(b)) % F.lit(_BLOOM_P)) % F.lit(_BLOOM_BITS)
-        for a, b in _BLOOM_COEFFS
+        ((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(_BLOOM_BITS)
+        for a, b in _bloom_coeffs()
     ]
 
 
@@ -489,8 +493,25 @@ def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
     sides); may pass false positives, so the caller's exact join stays
     the final arbiter. The position collect is |keys|·4 ints — index
     metadata. At 100 TB the filter rides in the task binary and prunes
-    the fact stream before any join exchange."""
-    h_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_BLOOM_P))
+    the fact stream before any join exchange.
+
+    xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash differently),
+    so mismatched column types would make every probe a silent false
+    negative — exactly the bug class this helper promises away. The
+    guard raises instead of guessing a cast."""
+    from .dedup import _MERSENNE_P
+
+    f_type = fact.schema[fact_col].dataType
+    k_type = keys.schema[key_col].dataType
+    if f_type != k_type:
+        raise TypeError(
+            f"bloom_prefilter: {fact_col} is {f_type.simpleString()} but "
+            f"{key_col} is {k_type.simpleString()} — xxhash64 is "
+            "type-sensitive, so differing types silently drop every true "
+            "match; cast one side explicitly before calling"
+        )
+    n_hashes = len(_bloom_coeffs())
+    h_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_MERSENNE_P))
     pos_rows = (
         keys.select(F.explode(F.array(*_bloom_positions(h_key))).alias("pos"))
         .distinct()
@@ -501,8 +522,8 @@ def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
         words[row["pos"] // 32] |= 1 << (row["pos"] % 32)
     warr = F.array(*[F.lit(w) for w in words])
 
-    h_fact = F.pmod(F.xxhash64(F.col(fact_col)), F.lit(_BLOOM_P))
-    aux = ["__bw"] + [f"__p{i}" for i in range(len(_BLOOM_COEFFS))]
+    h_fact = F.pmod(F.xxhash64(F.col(fact_col)), F.lit(_MERSENNE_P))
+    aux = ["__bw"] + [f"__p{i}" for i in range(n_hashes)]
     probed = fact.select(
         "*",
         warr.alias("__bw"),
@@ -510,6 +531,6 @@ def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
     )
     member = " AND ".join(
         f"((element_at(__bw, CAST(__p{i} div 32 AS INT) + 1) >> (__p{i} % 32)) % 2) = 1"
-        for i in range(len(_BLOOM_COEFFS))
+        for i in range(n_hashes)
     )
     return probed.where(F.expr(member)).drop(*aux)

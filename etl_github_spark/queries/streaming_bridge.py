@@ -468,7 +468,7 @@ def stream_attribution_replay(spark, sf_dir):
                                      + (CAST(1.0 AS DOUBLE)
                                         - CAST(0.3 AS DOUBLE)) * a)
              END AS is_spike
-      FROM series, range(1, 4) t(i)
+      FROM series, LATERAL unnest(generate_series(1, len(cs))) AS t(i)
     )
     SELECT event_type, batch_count, ewma, is_spike FROM rows_out
     """,

@@ -251,9 +251,16 @@ def _update_attr(
     touch = state.get if state.exists else (None, None, None)
     out: dict[str, list] = {k.name: [] for k in ATTR_SCHEMA.fields}
     for pdf in pdfs:
-        # within-batch event-time order; ties break by event_id like the
-        # batch twin's (t_ts DESC, touch_id DESC) rank
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+        # within-batch event-time order. Purchases process BEFORE
+        # same-timestamp touches: the batch twin credits only touches
+        # with t_ts strictly < p_ts, so a tied touch must not overwrite
+        # the state (erasing the older in-window touch) before the
+        # purchase reads it. Among tied touches event_id asc means the
+        # highest id lands last in state = the batch (touch_id DESC)
+        # winner; tied purchases never interact.
+        pdf = pdf.assign(
+            __is_touch=(pdf["event_type"] != "purchase").astype("int8")
+        ).sort_values(["ts_us", "__is_touch", "event_id"])
         for ev_id, etype, ts_us in zip(
             pdf["event_id"], pdf["event_type"], pdf["ts_us"]
         ):

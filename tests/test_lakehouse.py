@@ -1181,13 +1181,16 @@ def test_delta_log_checkpoint_preferred_while_json_retained(spark, tmp_path):
         df = spark.range(i * 10, i * 10 + 3).selectExpr("id", "id * 2 AS v")
         write_delta(df, table, mode="append")
     before = snapshot_files(table)
+    at4_via_json = snapshot_files(table, version=4)  # pure-JSON replay, pre-checkpoint
     assert checkpoint_delta(table, version=4) == 4
     # garbage below the checkpoint — a replay-of-latest that parses it
     # would raise; the checkpoint path never opens it
     with open(_version_file(table, 2), "w") as fh:
         fh.write("NOT JSON {{{")
     assert snapshot_files(table) == before
-    assert snapshot_files(table, version=4) == sorted(before)[: len(snapshot_files(table, version=4))] or True
+    # checkpoint-path replay of v4 must equal the pure-JSON replay taken
+    # before the checkpoint existed (and must not touch the corrupt v2)
+    assert snapshot_files(table, version=4) == at4_via_json
     # time travel BELOW the checkpoint still walks the JSON chain and
     # hits the corruption — explicit failure, not a silent wrong answer
     with pytest.raises(Exception):

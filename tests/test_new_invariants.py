@@ -329,3 +329,24 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
         .collect()
     )
     assert sorted(map(tuple, exact_after)) == sorted(map(tuple, plain))
+
+
+def test_bloom_prefilter_rejects_mismatched_key_types(spark):
+    """xxhash64 is type-sensitive (int 5 and bigint 5 hash to different
+    values), so a type mismatch between the fact and key columns would
+    silently fail every membership probe — dropping every true match
+    before the exact join can repair it. The helper must raise, never
+    guess a cast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.queries._util import T
+    from etl_github_spark.queries.joins import bloom_prefilter
+
+    sf = "/root/testdata/sf0.001"
+    li = T(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("int").alias("l_suppkey")
+    )
+    keys = T(spark, sf, "supplier").select("s_suppkey")  # bigint
+    with pytest.raises(TypeError, match="type-sensitive"):
+        bloom_prefilter(li, "l_suppkey", keys, "s_suppkey")

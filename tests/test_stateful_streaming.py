@@ -282,3 +282,59 @@ def test_streaming_attribution_credits_last_touch_across_batches(spark, tmp_path
     assert rows[3]["attributed_type"] == "view"
     assert rows[3]["gap_us"] == 20 * 60 * 1_000_000
     assert rows[10]["attributed_event_id"] is None  # no touch for user 8
+
+
+def test_streaming_attribution_same_ts_touch_does_not_claim_purchase(
+    spark, tmp_path
+):
+    """A touch sharing its timestamp with a purchase must NOT be
+    credited (the batch twin requires t_ts strictly < p_ts) — and, just
+    as importantly, must not OVERWRITE the state before the purchase is
+    processed, which would erase the older in-window touch the purchase
+    rightfully credits. Purchases process before same-ts touches; the
+    tied touch still becomes state for LATER purchases."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.streaming.stateful import attribution_last_touch
+
+    indir = tmp_path / "in"
+    _write_batch(
+        indir,
+        "b1.json",
+        [
+            {"event_id": 1, "user_id": 7, "event_type": "click", "ts": "2024-01-01T00:00:00"},
+            # tied pair: touch event_id < purchase event_id, same second
+            {"event_id": 2, "user_id": 7, "event_type": "view", "ts": "2024-01-01T00:30:00"},
+            {"event_id": 3, "user_id": 7, "event_type": "purchase", "ts": "2024-01-01T00:30:00"},
+            # later purchase: the tied view IS its latest prior touch
+            {"event_id": 4, "user_id": 7, "event_type": "purchase", "ts": "2024-01-01T00:40:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    q = (
+        attribution_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName("attr_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["purchase_id"]: r for r in spark.sql("SELECT * FROM attr_tie").collect()
+    }
+    # tied purchase credits the STRICTLY-earlier click, not the tied view
+    assert rows[3]["attributed_event_id"] == 1
+    assert rows[3]["attributed_type"] == "click"
+    assert rows[3]["gap_us"] == 30 * 60 * 1_000_000
+    # the tied view still entered state for the later purchase
+    assert rows[4]["attributed_event_id"] == 2
+    assert rows[4]["gap_us"] == 10 * 60 * 1_000_000
