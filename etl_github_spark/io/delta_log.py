@@ -307,6 +307,7 @@ def write_delta(
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
     merge_schema: bool = False,
+    retries: int = 0,
 ) -> int:
     """Commit df to the Delta table at ``table`` (append or overwrite);
     returns the committed version. Version 0 carries protocol+metaData
@@ -330,90 +331,134 @@ def write_delta(
     the version race is lost, this attempt's staged data files are
     removed before FileExistsError propagates; once the version file is
     linked, the commit is irrevocable and later cleanup hiccups cannot
-    unstage it."""
+    unstage it.
+
+    ``retries`` (append only) is the real protocol's optimistic
+    concurrency: a BLIND append reads nothing, so it commutes with any
+    concurrent append/OPTIMIZE — on a lost version race the already-
+    staged files are re-validated against the NEW head (the winner may
+    have evolved the schema or created the table with a different
+    layout, which still raises) and re-committed at the next version.
+    Overwrite never retries: its remove-set was computed against the
+    old snapshot, and silently re-running it would drop the concurrent
+    winner's rows — the loser must re-read and re-decide."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     os.makedirs(table, exist_ok=True)
-    versions = _list_versions(table)
-    _check_contiguous(table, versions)  # never commit onto a gapped log
-    cp = _last_checkpoint(table)
-    latest = versions[-1] if versions else -1
-    if cp is not None:
-        latest = max(latest, cp["version"])
-    version = latest + 1
-    actions: list[dict] = []
-    if version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    adds: list[dict] | None = None
+    staged_layout: tuple[str, ...] | None = None
+    attempts = 1 + max(0, retries if mode == "append" else 0)
+    for attempt in range(attempts):
+        versions = _list_versions(table)
+        _check_contiguous(table, versions)  # never commit onto a gapped log
+        cp = _last_checkpoint(table)
+        latest = versions[-1] if versions else -1
+        if cp is not None:
+            latest = max(latest, cp["version"])
+        version = latest + 1
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(partition_by),
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+            layout = tuple(partition_by)
+        else:
+            # ONE metadata walk per commit (schema + layout both come off
+            # it) — with checkpointing every N commits the walk is O(tail),
+            # and not repeating it keeps an N-commit append loop O(N·tail)
+            try:
+                meta = _table_metadata(table)
+            except Exception:
+                if adds is not None:
+                    _remove_staged(table, adds)
+                raise
+            recorded = None if meta is None else meta["schemaString"]
+            if recorded is not None and _schema_shape(
+                json.loads(recorded)
+            ) != _schema_shape(json.loads(df.schema.json())):
+                if merge_schema and _is_additive_evolution(
+                    json.loads(recorded), json.loads(df.schema.json())
+                ):
+                    actions.append(
+                        {"metaData": {**meta, "schemaString": df.schema.json()}}
+                    )
+                else:
+                    if adds is not None:
+                        _remove_staged(table, adds)
+                    raise ValueError(
+                        f"schema mismatch writing to {table} (mode={mode}): the "
+                        "table's metaData schema differs from the DataFrame's in "
+                        "field names or types. Append and overwrite both enforce "
+                        "the recorded schema; pass merge_schema=True for the "
+                        "additive case (every recorded field kept with its "
+                        "recorded shape, new fields added) — drops, renames, "
+                        "and type changes always raise"
+                    )
+            recorded_parts = (
+                () if meta is None else tuple(meta.get("partitionColumns", []))
+            )
+            if partition_by and tuple(partition_by) != recorded_parts:
+                if adds is not None:
+                    _remove_staged(table, adds)
+                raise ValueError(
+                    f"partition mismatch writing to {table}: table is "
+                    f"partitioned by {recorded_parts}, write declared "
+                    f"{tuple(partition_by)}. Layout is fixed at version 0; "
+                    "pass partition_by=() to inherit it"
+                )
+            layout = recorded_parts
+            if mode == "overwrite":
+                for f in snapshot_files(table):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": f,
+                                "deletionTimestamp": 0,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+        if adds is not None and staged_layout != layout:
+            # lost a CREATE race to a winner with a different layout:
+            # the staged files' hive paths / partitionValues are wrong
+            _remove_staged(table, adds)
+            adds = None
+        if adds is None:  # stage ONCE; retries recommit the same files
+            adds = _stage_files(df, table, stats_cols, partition_by=layout)
+            staged_layout = layout
+        actions.extend({"add": a} for a in adds)
         actions.append(
             {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by),
-                    "configuration": {},
-                    "createdTime": 0,
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "timestamp": 0,
                 }
             }
         )
-    else:
-        # ONE metadata walk per commit (schema + layout both come off
-        # it) — with checkpointing every N commits the walk is O(tail),
-        # and not repeating it keeps an N-commit append loop O(N·tail)
-        meta = _table_metadata(table)
-        recorded = None if meta is None else meta["schemaString"]
-        if recorded is not None and _schema_shape(
-            json.loads(recorded)
-        ) != _schema_shape(json.loads(df.schema.json())):
-            if merge_schema and _is_additive_evolution(
-                json.loads(recorded), json.loads(df.schema.json())
-            ):
-                actions.append(
-                    {"metaData": {**meta, "schemaString": df.schema.json()}}
-                )
-            else:
-                raise ValueError(
-                    f"schema mismatch writing to {table} (mode={mode}): the "
-                    "table's metaData schema differs from the DataFrame's in "
-                    "field names or types. Append and overwrite both enforce "
-                    "the recorded schema; pass merge_schema=True for the "
-                    "additive case (every recorded field kept with its "
-                    "recorded shape, new fields added) — drops, renames, "
-                    "and type changes always raise"
-                )
-        recorded_parts = (
-            () if meta is None else tuple(meta.get("partitionColumns", []))
-        )
-        if partition_by and tuple(partition_by) != recorded_parts:
-            raise ValueError(
-                f"partition mismatch writing to {table}: table is "
-                f"partitioned by {recorded_parts}, write declared "
-                f"{tuple(partition_by)}. Layout is fixed at version 0; "
-                "pass partition_by=() to inherit it"
-            )
-        partition_by = recorded_parts
-        if mode == "overwrite":
-            for f in snapshot_files(table):
-                actions.append(
-                    {"remove": {"path": f, "deletionTimestamp": 0, "dataChange": True}}
-                )
-    adds = _stage_files(df, table, stats_cols, partition_by=tuple(partition_by))
-    actions.extend({"add": a} for a in adds)
-    actions.append(
-        {
-            "commitInfo": {
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode.upper()},
-                "timestamp": 0,
-            }
-        }
-    )
-    try:
-        _commit(table, version, actions)
-    except Exception:
-        _remove_staged(table, adds)  # lost race / failed publish: no orphans
-        raise
-    return version
+        try:
+            _commit(table, version, actions)
+        except FileExistsError:
+            if attempt + 1 < attempts:
+                continue  # lost the version race: re-validate, re-commit
+            _remove_staged(table, adds)
+            raise
+        except Exception:
+            _remove_staged(table, adds)  # failed publish: no orphans
+            raise
+        return version
 
 
 def _schema_shape(schema_dict):
@@ -784,6 +829,154 @@ def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
             shutil.rmtree(d, ignore_errors=True)
             reaped.append(os.path.basename(d))
     return sorted(reaped)
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Delta's OPTIMIZE (bin-packing compaction): within each
+    partition, pack live files smaller than ``target_bytes`` into bins
+    of up to ``target_bytes``, rewrite each ≥2-file bin as ONE file,
+    and commit the swap as remove+add actions with
+    ``dataChange: false`` — the snapshot's rows are untouched (real
+    Delta's semantics: incremental/streaming readers skip
+    no-data-change commits instead of re-processing rewritten rows).
+    Returns ``{"version": v | None, "removed": n, "added": m}``; a
+    table with nothing to compact commits NOTHING (version ``None``,
+    no empty commit polluting history).
+
+    Scale shape: planning is pure log metadata (O(live files) driver-
+    side — the same order every snapshot replay already pays); each bin
+    rewrite scans and writes only that bin's bytes; bins are
+    independent (parallelizable across partitions); the swap is one
+    atomic commit. The small-file pathology this fixes is the
+    reference's own backfill pattern — 9,504 hourly appends = 9,504
+    tiny files (gha.ipynb:19-29) — OPTIMIZE keeps a scan's task count
+    proportional to data volume, not commit history.
+
+    Concurrency: claims the next version like any writer; on a lost
+    race it raises with the staged files removed (the plan was computed
+    against a stale snapshot — a remove-carrying commit must re-plan,
+    never blind-retry; blind appends are the only commuting commits)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for path, add in sorted(_replay(table).items()):
+        key = tuple(sorted((add.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append((path, add))
+
+    removes: list[str] = []
+    adds: list[dict] = []
+    try:
+        for key, files in sorted(groups.items()):
+            small = [(p, a) for p, a in files if a.get("size", 0) < target_bytes]
+            bins: list[list[tuple[str, dict]]] = []
+            cur: list[tuple[str, dict]] = []
+            cur_bytes = 0
+            for p, a in small:  # deterministic first-fit in path order
+                if cur and cur_bytes + a.get("size", 0) > target_bytes:
+                    bins.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append((p, a))
+                cur_bytes += a.get("size", 0)
+            if cur:
+                bins.append(cur)
+            for b in bins:
+                if len(b) < 2:
+                    continue  # a 1-file bin is already optimal
+                # preserve whatever stats the inputs carried
+                stats_cols = tuple(
+                    sorted(
+                        {
+                            c
+                            for _, a in b
+                            for c in json.loads(a.get("stats", "{}")).get(
+                                "minValues", {}
+                            )
+                        }
+                    )
+                )
+                paths = [p for p, _ in b]
+                stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+                try:
+                    (
+                        spark.read.schema(data_schema)
+                        .parquet(*[os.path.join(table, p) for p in paths])
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(stage)
+                    )
+                    parts = sorted(
+                        f
+                        for f in os.listdir(stage)
+                        if f.startswith("part-") and f.endswith(".parquet")
+                    )
+                    if len(parts) != 1:  # pragma: no cover - coalesce(1) contract
+                        raise RuntimeError(
+                            f"OPTIMIZE bin rewrite produced {len(parts)} files"
+                        )
+                    src = os.path.join(stage, parts[0])
+                    md = pq.ParquetFile(src).metadata
+                    # same partitionValues ⇒ same hive dir as the inputs:
+                    # reuse it verbatim, no re-encoding to get wrong
+                    rel_dir = os.path.dirname(paths[0])
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    rel = f"{rel_dir}/{name}" if rel_dir else name
+                    shutil.move(src, os.path.join(table, rel))
+                finally:
+                    shutil.rmtree(stage, ignore_errors=True)
+                stats = _file_stats(md, stats_cols)
+                adds.append(
+                    {
+                        "path": rel,
+                        "partitionValues": dict(key),
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        **({"stats": json.dumps(stats)} if stats is not None else {}),
+                    }
+                )
+                removes.extend(paths)
+        if not adds:
+            return {"version": None, "removed": 0, "added": 0}
+        actions: list[dict] = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": False}}
+            for p in removes
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {"targetSize": target_bytes},
+                    "timestamp": 0,
+                }
+            }
+        )
+        versions = _list_versions(table)
+        _check_contiguous(table, versions)
+        cp = _last_checkpoint(table)
+        latest = versions[-1] if versions else -1
+        if cp is not None:
+            latest = max(latest, cp["version"])
+        version = latest + 1
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, adds)
+        raise
+    return {"version": version, "removed": len(removes), "added": len(adds)}
 
 
 def high_water_mark(table: str, col: str, version: int | None = None):

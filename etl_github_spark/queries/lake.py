@@ -899,3 +899,96 @@ def lake_delta_evolution(spark, sf_dir):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "version int, n_rows long, n_typed long")
+
+
+@query(
+    "lake_delta_optimize",
+    sql="""
+    WITH d AS (
+      -- filter on the ALIAS in an outer scope: DuckDB 1.0 rewrites an
+      -- inline CAST(ts AS DATE) IN (DATE ...) to a timestamp compare
+      -- that matches nothing
+      SELECT * FROM (SELECT CAST(ts AS DATE) AS day, event_id FROM events)
+      WHERE day IN (DATE '2024-01-07', DATE '2024-01-21')
+    ),
+    per_day AS (
+      SELECT day,
+             CAST(count(DISTINCT event_id % 4) AS INT) AS nb,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      FROM d GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           nb AS n_files_before,
+           CASE WHEN nb >= 2 THEN 1 ELSE nb END AS n_files_after,
+           n_rows, sum_event_id
+    FROM per_day
+    """,
+    tags=("lake", "delta", "optimize", "compaction"),
+)
+def lake_delta_optimize(spark, sf_dir):
+    """Delta OPTIMIZE (bin-packing compaction) under the driver hash —
+    the reference runs it as routine maintenance (preprocess.py:199-206
+    ``optimize.compact()`` + vacuum): commit events in four appends
+    partitioned by day (each day accumulates 4 small files — the
+    hourly-append small-file pathology in miniature), OPTIMIZE with a
+    large target, and answer per-day (file-count before/after, row
+    count, id sum) through partition-filtered scans of the compacted
+    snapshot. The oracle recomputes everything from the fixture: the
+    before-count is the number of id-mod-4 classes present that day,
+    the after-count must collapse to 1, and the aggregates only hash
+    equal if the rewrite lost and invented no rows. A cross-partition
+    merge, a dropped row, or a file left uncompacted flips the row.
+
+    Scale shape: OPTIMIZE planning is a driver-side fold over add
+    actions (O(live files) metadata, no listing); each bin rewrite
+    reads and writes only its own bytes; the swap commits atomically
+    with ``dataChange: false`` so downstream incremental readers skip
+    it. At the reference's 9,504-commit backfill this is what keeps
+    scan task counts proportional to data, not to commit count.
+    """
+    from ..io.delta_log import (
+        optimize_delta,
+        read_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    days = ("2024-01-07", "2024-01-21")
+    path = _scratch("delta_opt")
+    try:
+        for i in range(4):
+            write_delta(
+                e.where(F.col("event_id") % 4 == i).coalesce(1),
+                path,
+                mode="append",
+                stats_cols=("event_id",),
+                partition_by=("day",) if i == 0 else (),
+            )
+        before = {
+            d: len(snapshot_files(path, partition_filter={"day": d}))
+            for d in days
+        }
+        optimize_delta(spark, path, target_bytes=1 << 30)
+        rows = []
+        for d in days:
+            after = len(snapshot_files(path, partition_filter={"day": d}))
+            agg = (
+                read_delta(spark, path, partition_filter={"day": d})
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+                .first()
+            )
+            rows.append((d, before[d], after, agg["n"], agg["s"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "day string, n_files_before int, n_files_after int, "
+        "n_rows long, sum_event_id long",
+    )

@@ -1382,3 +1382,188 @@ def test_delta_log_schema_evolution(spark, tmp_path):
         spark.range(10, 11).selectExpr("id", "id * 2 AS v", "'y' AS tag"), table
     )
     assert read_delta(spark, table).count() == 11
+
+
+def test_delta_optimize_compacts_and_preserves_snapshot(spark, tmp_path):
+    """OPTIMIZE bin-packs each partition's small files into one,
+    commits the swap with dataChange=false, and changes NOTHING about
+    the snapshot's rows: read-back, stats-only high-water mark, and
+    time travel to the pre-OPTIMIZE version all still answer exactly.
+    The rewritten inputs stay on disk (vacuum owns deletion) so time
+    travel below the OPTIMIZE commit keeps working."""
+    from etl_github_spark.io.delta_log import (
+        high_water_mark,
+        history,
+        optimize_delta,
+        read_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dopt")
+    for i in range(4):
+        df = spark.range(i * 100, i * 100 + 50).selectExpr(
+            "id", "id % 2 AS grp", "CAST(id % 3 AS STRING) AS day"
+        ).coalesce(1)  # one file per day partition per append
+        write_delta(df, table, mode="append", stats_cols=("id",),
+                    partition_by=("day",) if i == 0 else ())
+    files_before = snapshot_files(table)
+    rows_before = sorted(
+        tuple(r) for r in read_delta(spark, table).collect()
+    )
+    assert len(files_before) == 12  # 4 appends x 3 day partitions
+
+    out = optimize_delta(spark, table, target_bytes=1 << 30)
+    assert out == {"version": 4, "removed": 12, "added": 3}
+
+    files_after = snapshot_files(table)
+    assert len(files_after) == 3  # one per partition
+    assert not set(files_after) & set(files_before)
+    rows_after = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert rows_after == rows_before
+    # stats survived the rewrite: hwm still answered from the log alone
+    assert high_water_mark(table, "id") == 349
+    # time travel below the OPTIMIZE commit still sees the old layout
+    assert snapshot_files(table, version=3) == files_before
+    rows_v3 = sorted(
+        tuple(r) for r in read_delta(spark, table, version=3).collect()
+    )
+    assert rows_v3 == rows_before
+    # the commit is flagged as no-data-change OPTIMIZE in history
+    h = {row["version"]: row for row in history(table)}
+    assert h[4]["operation"] == "OPTIMIZE"
+    # partition pruning still works through the rewritten files
+    one_day = read_delta(spark, table, partition_filter={"day": "1"})
+    assert one_day.count() == sum(1 for r in rows_before if r[2] == "1")
+
+
+def test_delta_optimize_nothing_to_do_commits_nothing(spark, tmp_path):
+    """An already-compact table (one file per partition) must not gain
+    an empty OPTIMIZE commit — version stays put, log untouched."""
+    from etl_github_spark.io.delta_log import (
+        optimize_delta,
+        snapshot_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dnoop")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1)
+    write_delta(df, table, mode="append", stats_cols=("id",))
+    before = snapshot_files(table)
+    out = optimize_delta(spark, table, target_bytes=1 << 30)
+    assert out == {"version": None, "removed": 0, "added": 0}
+    assert snapshot_files(table) == before
+
+
+def test_write_delta_append_retries_lost_version_race(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a blind append that loses the version
+    race re-validates against the new head and commits at the next
+    version — both writers' rows land, nothing is lost, no orphan
+    files. With retries=0 the loser still raises (old behavior)."""
+    import etl_github_spark.io.delta_log as dl
+
+    table = str(tmp_path / "drace")
+    write_delta_rows = spark.range(10).selectExpr("id", "id * 2 AS v")
+    dl.write_delta(write_delta_rows, table, mode="append")
+
+    real_commit = dl._commit
+    fired = {"n": 0}
+
+    def racing_commit(t, version, actions):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another writer snatches this exact version first
+            real_commit(
+                t,
+                version,
+                [
+                    {
+                        "commitInfo": {
+                            "operation": "WRITE",
+                            "operationParameters": {"mode": "APPEND"},
+                            "timestamp": 0,
+                        }
+                    }
+                ],
+            )
+        return real_commit(t, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    more = spark.range(10, 20).selectExpr("id", "id * 2 AS v")
+    v = dl.write_delta(more, table, mode="append", retries=2)
+    assert v == 2  # lost v1, won v2
+    monkeypatch.undo()
+    got = sorted(r["id"] for r in dl.read_delta(spark, table).collect())
+    assert got == list(range(20))
+
+    # retries=0 keeps the strict loser semantics
+    fired["n"] = 0
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        dl.write_delta(
+            spark.range(20, 30).selectExpr("id", "id * 2 AS v"),
+            table,
+            mode="append",
+            retries=0,
+        )
+
+
+def test_write_delta_create_race_restages_under_winner_layout(
+    spark, tmp_path, monkeypatch
+):
+    """Losing the CREATE race to a winner with a DIFFERENT partition
+    layout: the loser's staged files (wrong layout) must be thrown away
+    and restaged hive-partitioned per the winner's metaData — never
+    committed with empty partitionValues into a partitioned table."""
+    import json as _json
+    import uuid as _uuid
+
+    import etl_github_spark.io.delta_log as dl
+
+    table = str(tmp_path / "dcreate")
+    real_commit = dl._commit
+    fired = {"n": 0}
+
+    def racing_create(t, version, actions):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            real_commit(
+                t,
+                0,
+                [
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                    {
+                        "metaData": {
+                            "id": _uuid.uuid4().hex,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": spark.range(1)
+                            .selectExpr("id", "CAST(id AS STRING) AS day")
+                            .schema.json(),
+                            "partitionColumns": ["day"],
+                            "configuration": {},
+                            "createdTime": 0,
+                        }
+                    },
+                    {"commitInfo": {"operation": "WRITE",
+                                    "operationParameters": {"mode": "APPEND"},
+                                    "timestamp": 0}},
+                ],
+            )
+        return real_commit(t, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_create)
+    df = spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS day")
+    v = dl.write_delta(df, table, mode="append", retries=1)
+    assert v == 1
+    monkeypatch.undo()
+    # every committed file carries the winner's partitionValues and
+    # lives under a hive dir; the read round-trips
+    for add in dl._replay(table).values():
+        assert set(add["partitionValues"]) == {"day"}
+        assert add["path"].startswith("day=")
+    got = sorted(
+        (r["id"], r["day"]) for r in dl.read_delta(spark, table).collect()
+    )
+    assert got == [(i, str(i % 2)) for i in range(6)]
