@@ -992,3 +992,68 @@ def lake_delta_optimize(spark, sf_dir):
         "day string, n_files_before int, n_files_after int, "
         "n_rows long, sum_event_id long",
     )
+
+
+@query(
+    "lake_delta_change_feed",
+    sql="""
+    SELECT 1 AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT 3,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_id % 3 = 2
+    """,
+    tags=("lake", "delta", "change-feed", "incremental"),
+)
+def lake_delta_change_feed(spark, sf_dir):
+    """Incremental change-feed consumption off the Delta log, under
+    the driver hash: append events in three id-mod slices (versions
+    0–1), OPTIMIZE (version 2 — rewrites every earlier file with
+    ``dataChange: false``), append the last slice (version 3), then
+    read the changes SINCE version 0. The feed must deliver exactly
+    the version-1 and version-3 rows: the OPTIMIZE commit rewrote all
+    of versions 0–1's rows into new files, so a consumer that trusts
+    add-actions without honoring the dataChange flag re-delivers the
+    whole early table as "new" at version 2 — the classic compaction
+    double-count, and an extra output row here (rows mismatch). The
+    oracle states the two slices' closed forms with their commit
+    versions.
+
+    Scale shape: incremental processing cost is O(new data) — the plan
+    walks only the range's JSON commits driver-side and reads only
+    the files they added; table size and compaction history are
+    invisible. This is the log-native replacement for the reference's
+    high-water-mark + re-scan pattern (incremental.py): the log names
+    the new rows exactly, no timestamp column needed.
+    """
+    from ..io.delta_log import delta_changes, optimize_delta, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    path = _scratch("delta_cdf")
+    try:
+        write_delta(e.where(F.col("event_id") % 3 == 0).coalesce(1), path,
+                    mode="append", stats_cols=("event_id",))
+        write_delta(e.where(F.col("event_id") % 3 == 1).coalesce(1), path,
+                    mode="append", stats_cols=("event_id",))
+        out = optimize_delta(spark, path, target_bytes=1 << 30)
+        assert out["version"] == 2, out  # the rewrite commit exists
+        write_delta(e.where(F.col("event_id") % 3 == 2).coalesce(1), path,
+                    mode="append", stats_cols=("event_id",))
+        feed = (
+            delta_changes(spark, path, from_version=0)
+            .groupBy(F.col("_commit_version").cast("int").alias("commit_version"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+        )
+        rows = [tuple(r) for r in feed.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "commit_version int, n_rows long, sum_event_id long"
+    )

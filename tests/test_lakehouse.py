@@ -1567,3 +1567,63 @@ def test_write_delta_create_race_restages_under_winner_layout(
         (r["id"], r["day"]) for r in dl.read_delta(spark, table).collect()
     )
     assert got == [(i, str(i % 2)) for i in range(6)]
+
+
+def test_delta_change_feed_skips_optimize_and_refuses_removes(spark, tmp_path):
+    """delta_changes delivers exactly the rows added by data-changing
+    commits in the range: OPTIMIZE rewrites are skipped (no compaction
+    double-count), overwrites raise, a cleaned-up range raises, and an
+    empty range returns an empty typed frame."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        checkpoint_delta,
+        cleanup_log,
+        delta_changes,
+        optimize_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dcdf")
+    for lo, hi in ((0, 10), (10, 20)):
+        write_delta(
+            spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1),
+            table,
+            mode="append",
+        )
+    assert optimize_delta(spark, table, target_bytes=1 << 30)["version"] == 2
+    write_delta(
+        spark.range(20, 30).selectExpr("id", "id * 2 AS v").coalesce(1),
+        table,
+        mode="append",
+    )
+
+    got = delta_changes(spark, table, from_version=0).collect()
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["_commit_version"], []).append(r["id"])
+    assert sorted(by_v) == [1, 3]  # v2 (OPTIMIZE) contributed nothing
+    assert sorted(by_v[1]) == list(range(10, 20))
+    assert sorted(by_v[3]) == list(range(20, 30))
+
+    # empty range: typed empty frame, schema + marker column intact
+    empty = delta_changes(spark, table, from_version=3)
+    assert empty.columns == ["id", "v", "_commit_version"]
+    assert empty.count() == 0
+
+    # overwrite inside the range refuses (remove with dataChange=true)
+    write_delta(
+        spark.range(5).selectExpr("id", "id * 2 AS v").coalesce(1),
+        table,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        delta_changes(spark, table, from_version=3)
+    # ranges strictly after the overwrite still work
+    assert delta_changes(spark, table, from_version=4).count() == 0
+
+    # cleaned prefix inside the range refuses
+    checkpoint_delta(table)
+    cleanup_log(table)
+    with pytest.raises(ValueError, match="cleaned"):
+        delta_changes(spark, table, from_version=0, to_version=3)
