@@ -979,6 +979,167 @@ def optimize_delta(
     return {"version": version, "removed": len(removes), "added": len(adds)}
 
 
+def zorder_delta(
+    spark: SparkSession,
+    table: str,
+    zorder_by: tuple[str, ...],
+    n_files: int,
+    tiebreak: str,
+    bits: int = 21,
+) -> dict:
+    """OPTIMIZE ZORDER BY on the Delta log: rewrite the live snapshot
+    clustered by the Morton interleave of ``zorder_by`` (io/sink.py's
+    ``zorder_key`` — pure bitwise codegen, no UDF) into exactly
+    ``n_files`` rank-balanced files per partition, with add-action
+    stats on the clustered columns. Each file then covers a small
+    hyper-rectangle of the key space, so ``stats_filter`` scans prune
+    on ANY clustered column — the access-path property a 100 TB table
+    needs when one layout serves several predicates.
+
+    File boundaries are EXACT rank splits (row_number over (zkey,
+    ``tiebreak``) — the caller names a unique column), not
+    repartitionByRange's sampled boundaries: same data in, same file
+    contents and stats out, on every engine and every run. That
+    determinism is what lets an external oracle recompute which files
+    a box query must keep. The global rank sort is one exchange — the
+    same price any clustering rewrite pays; at production scale the
+    sampled-range variant (``write_table_zordered``) trades the
+    determinism back for a balanced parallel sort.
+
+    Commits remove+add with ``dataChange: false`` like OPTIMIZE (rows
+    unchanged, incremental readers skip it). Returns
+    ``{"version": v, "files": n}``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    from pyspark.sql.window import Window
+
+    from .sink import zorder_key
+
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    if set(zorder_by) & set(pcols):
+        raise ValueError("cannot z-order by a partition column")
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+
+    groups: dict[tuple, list[str]] = {}
+    for path, add in sorted(_replay(table).items()):
+        key = tuple(sorted((add.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(path)
+
+    removes: list[str] = []
+    adds: list[dict] = []
+    try:
+        for key, paths in sorted(groups.items()):
+            df = spark.read.schema(data_schema).parquet(
+                *[os.path.join(table, p) for p in paths]
+            )
+            n_rows = df.count()
+            if n_rows == 0:
+                continue
+            k = min(n_files, n_rows)
+            rn = F.row_number().over(
+                Window.orderBy(F.col("__zkey"), F.col(tiebreak))
+            )
+            clustered = (
+                df.withColumn("__zkey", zorder_key(tuple(zorder_by), bits))
+                .withColumn("__rn", rn)
+                # exact integer split: file i gets ranks (i*n/k, (i+1)*n/k]
+                .withColumn(
+                    "__zfile",
+                    F.expr(f"CAST(((__rn - 1) * {k}) DIV {n_rows} AS LONG)"),
+                )
+                .drop("__rn")
+            )
+            stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+            try:
+                (
+                    clustered.repartition(k, "__zfile")
+                    .sortWithinPartitions("__zfile", "__zkey", tiebreak)
+                    .drop("__zkey")
+                    .write.partitionBy("__zfile")
+                    .mode("overwrite")
+                    .parquet(stage)
+                )
+                import glob
+                import shutil
+
+                import pyarrow.parquet as pq
+
+                for zdir in sorted(os.listdir(stage)):
+                    if not zdir.startswith("__zfile="):
+                        continue
+                    parts = sorted(
+                        glob.glob(os.path.join(stage, zdir, "part-*.parquet"))
+                    )
+                    if len(parts) != 1:  # pragma: no cover - hash-group contract
+                        raise RuntimeError(
+                            f"z-order bucket {zdir} wrote {len(parts)} files"
+                        )
+                    md = pq.ParquetFile(parts[0]).metadata
+                    if md.num_rows == 0:  # pragma: no cover
+                        continue
+                    rel_dir = os.path.dirname(paths[0])
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    rel = f"{rel_dir}/{name}" if rel_dir else name
+                    shutil.move(parts[0], os.path.join(table, rel))
+                    stats = _file_stats(md, tuple(zorder_by))
+                    adds.append(
+                        {
+                            "path": rel,
+                            "partitionValues": dict(key),
+                            "size": os.path.getsize(os.path.join(table, rel)),
+                            "modificationTime": 0,
+                            "dataChange": False,
+                            **(
+                                {"stats": json.dumps(stats)}
+                                if stats is not None
+                                else {}
+                            ),
+                        }
+                    )
+            finally:
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
+            removes.extend(paths)
+        if not adds:
+            return {"version": None, "files": 0}
+        actions: list[dict] = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": False}}
+            for p in removes
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": list(zorder_by),
+                        "targetFiles": n_files,
+                    },
+                    "timestamp": 0,
+                }
+            }
+        )
+        versions = _list_versions(table)
+        _check_contiguous(table, versions)
+        cp = _last_checkpoint(table)
+        latest = versions[-1] if versions else -1
+        if cp is not None:
+            latest = max(latest, cp["version"])
+        version = latest + 1
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, adds)
+        raise
+    return {"version": version, "files": len(adds)}
+
+
 def delta_changes(
     spark: SparkSession,
     table: str,

@@ -1057,3 +1057,125 @@ def lake_delta_change_feed(spark, sf_dir):
     return spark.createDataFrame(
         rows, "commit_version int, n_rows long, sum_event_id long"
     )
+
+
+def _morton_sql(col_a: str, col_b: str, bits: int = 21) -> str:
+    """DuckDB replica of io/sink.py::zorder_key for two columns: bit b
+    of col j lands at position b*2+j (j=0 for ``col_a``). Disjoint bit
+    positions make the OR a plain sum."""
+    terms = []
+    for b in range(bits):
+        # fully parenthesized: SQL's + binds TIGHTER than <<, so a bare
+        # `x << 2 + y << 3` would parse as `x << (2 + y) << 3`
+        terms.append(f"((({col_a} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({col_b} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "lake_delta_zorder_skip",
+    sql=f"""
+    WITH bounds AS (
+      SELECT max(user_id) AS mu, max(event_id) AS me FROM events
+    ),
+    box AS (
+      SELECT mu // 4 AS lo_u, mu // 2 AS hi_u,
+             me // 4 AS lo_e, me // 2 AS hi_e
+      FROM bounds
+    ),
+    r AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               ORDER BY {_morton_sql('user_id', 'event_id')}, event_id
+             ) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    s AS (
+      SELECT ((rn - 1) * 8) // n AS zfile,
+             min(user_id) AS min_u, max(user_id) AS max_u,
+             min(event_id) AS min_e, max(event_id) AS max_e
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(8 AS INT) AS n_files,
+           (SELECT CAST(count(*) AS INT) FROM s, box
+            WHERE max_u >= lo_u AND min_u <= hi_u
+              AND max_e >= lo_e AND min_e <= hi_e) AS n_files_kept,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(e.event_id), 0) AS BIGINT) AS sum_event_id
+    FROM events e, box
+    WHERE e.user_id BETWEEN lo_u AND hi_u
+      AND e.event_id BETWEEN lo_e AND hi_e
+    """,
+    tags=("lake", "delta", "zorder", "skipping"),
+)
+def lake_delta_zorder_skip(spark, sf_dir):
+    """OPTIMIZE ZORDER BY under the driver hash: land events in one
+    Delta commit, re-cluster into 8 rank-balanced files by the Morton
+    interleave of (user_id, event_id), then answer a two-dimensional
+    box query through ``stats_filter`` — with every file the stats
+    provably exclude CLOBBERED first, so the scan dies if log-driven
+    skipping lists even one of them. The oracle recomputes the entire
+    layout symbolically: the same bit-interleave, the same exact rank
+    split into 8 files, each file's min/max on both columns, and which
+    files a correct zone-map check must keep — plus the box aggregate
+    itself. A different interleave, an off-by-one in the rank split,
+    stats recorded from the wrong column, or pruning that drops a
+    needed file (the aggregate loses rows) all flip the hash.
+
+    Why z-order: a single-key sort gives perfect skipping on that key
+    and none on the second; the interleave bounds BOTH dimensions per
+    file, so one layout serves both access paths — the property that
+    matters when re-clustering 100 TB is a once-a-quarter job serving
+    every reader. The exact-rank split (vs repartitionByRange's
+    sampled boundaries) is what makes the layout reproducible enough
+    to be oracle-checked; the sampled variant is the throughput path
+    (io/sink.py::write_table_zordered).
+    """
+    import os
+
+    from ..io.delta_log import (
+        read_delta,
+        snapshot_files,
+        write_delta,
+        zorder_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id")
+    m = e.agg(F.max("user_id"), F.max("event_id")).first()
+    lo_u, hi_u = m[0] // 4, m[0] // 2
+    lo_e, hi_e = m[1] // 4, m[1] // 2
+    path = _scratch("delta_zorder")
+    try:
+        write_delta(e.coalesce(1), path, mode="append")
+        out = zorder_delta(
+            spark, path, ("user_id", "event_id"), n_files=8,
+            tiebreak="event_id",
+        )
+        assert out["files"] == 8, out
+        preds = [
+            ("user_id", ">=", lo_u), ("user_id", "<=", hi_u),
+            ("event_id", ">=", lo_e), ("event_id", "<=", hi_e),
+        ]
+        kept = snapshot_files(path, stats_filter=preds)
+        for f in sorted(set(snapshot_files(path)) - set(kept)):
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"corrupt")  # a listed pruned file kills the scan
+        agg = (
+            read_delta(spark, path, stats_filter=preds)
+            .where(
+                F.col("user_id").between(lo_u, hi_u)
+                & F.col("event_id").between(lo_e, hi_e)
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("event_id"), F.lit(0)).cast("long").alias("s"),
+            )
+            .first()
+        )
+        rows = [(8, len(kept), agg["n"], agg["s"])]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_files int, n_files_kept int, n_rows long, sum_event_id long"
+    )

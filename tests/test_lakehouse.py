@@ -1627,3 +1627,48 @@ def test_delta_change_feed_skips_optimize_and_refuses_removes(spark, tmp_path):
     cleanup_log(table)
     with pytest.raises(ValueError, match="cleaned"):
         delta_changes(spark, table, from_version=0, to_version=3)
+
+
+def test_zorder_delta_clusters_per_partition_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: rewrites each partition into the requested
+    number of rank-balanced files, preserves every row, records stats
+    on BOTH clustered columns, and actually prunes a 2-D box query
+    (neither key alone could bound both dimensions per file)."""
+    import json as _json
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        read_delta,
+        snapshot_files,
+        write_delta,
+        zorder_delta,
+    )
+
+    table = str(tmp_path / "dz")
+    df = spark.range(4096).selectExpr(
+        "id AS a",
+        "CAST((id * 2654435761) % 4096 AS LONG) AS b",  # decorrelated dim
+        "CAST(id % 2 AS STRING) AS part",
+    ).coalesce(1)
+    write_delta(df, table, mode="append", partition_by=("part",))
+    out = zorder_delta(spark, table, ("a", "b"), n_files=4, tiebreak="a")
+    assert out["version"] == 1 and out["files"] == 8  # 4 per partition
+
+    rows = read_delta(spark, table)
+    assert rows.count() == 4096
+    for add in _replay(table).values():
+        stats = _json.loads(add["stats"])
+        assert set(stats["minValues"]) == {"a", "b"}
+        assert set(add["partitionValues"]) == {"part"}
+
+    # a box on (a, b) must keep strictly fewer than all files
+    preds = [("a", ">=", 0), ("a", "<=", 1023), ("b", ">=", 0), ("b", "<=", 1023)]
+    kept = snapshot_files(table, stats_filter=preds)
+    assert 0 < len(kept) < 8
+    got = (
+        read_delta(spark, table, stats_filter=preds)
+        .where("a BETWEEN 0 AND 1023 AND b BETWEEN 0 AND 1023")
+        .count()
+    )
+    want = rows.where("a BETWEEN 0 AND 1023 AND b BETWEEN 0 AND 1023").count()
+    assert got == want
