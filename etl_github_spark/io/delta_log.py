@@ -349,13 +349,7 @@ def write_delta(
     staged_layout: tuple[str, ...] | None = None
     attempts = 1 + max(0, retries if mode == "append" else 0)
     for attempt in range(attempts):
-        versions = _list_versions(table)
-        _check_contiguous(table, versions)  # never commit onto a gapped log
-        cp = _last_checkpoint(table)
-        latest = versions[-1] if versions else -1
-        if cp is not None:
-            latest = max(latest, cp["version"])
-        version = latest + 1
+        version = _next_version(table)  # refuses gapped logs
         actions: list[dict] = []
         if version == 0:
             actions.append(
@@ -560,6 +554,21 @@ def _latest_version(table: str) -> int:
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
     return latest
+
+
+def _next_version(table: str) -> int:
+    """The version a new commit must claim: latest + 1 over the
+    retained JSON and the checkpoint pointer, after refusing gapped
+    logs. THE one place the fold lives — write_delta/optimize/zorder
+    all route through it, so the claim-at-this-version O_EXCL link is
+    what turns any concurrent commit into an explicit conflict."""
+    versions = _list_versions(table)
+    _check_contiguous(table, versions)
+    cp = _last_checkpoint(table)
+    latest = versions[-1] if versions else -1
+    if cp is not None:
+        latest = max(latest, cp["version"])
+    return latest + 1
 
 
 def _replay(table: str, version: int | None = None) -> dict[str, dict]:
@@ -872,6 +881,11 @@ def optimize_delta(
     pcols = meta.get("partitionColumns", [])
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
 
+    # claim the version AT PLAN TIME: the plan is computed against this
+    # snapshot, and any commit landing in between must turn into an
+    # explicit O_EXCL conflict at _commit — a remove-carrying commit
+    # built over a stale snapshot would resurrect overwritten rows
+    version = _next_version(table)
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for path, add in sorted(_replay(table).items()):
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
@@ -965,14 +979,7 @@ def optimize_delta(
                 }
             }
         )
-        versions = _list_versions(table)
-        _check_contiguous(table, versions)
-        cp = _last_checkpoint(table)
-        latest = versions[-1] if versions else -1
-        if cp is not None:
-            latest = max(latest, cp["version"])
-        version = latest + 1
-        _commit(table, version, actions)
+        _commit(table, version, actions)  # version claimed at plan time
     except Exception:
         _remove_staged(table, adds)
         raise
@@ -1026,6 +1033,8 @@ def zorder_delta(
         raise ValueError("cannot z-order by a partition column")
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
 
+    # claim the version at plan time (same TOCTOU rule as optimize_delta)
+    version = _next_version(table)
     groups: dict[tuple, list[str]] = {}
     for path, add in sorted(_replay(table).items()):
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
@@ -1126,14 +1135,7 @@ def zorder_delta(
                 }
             }
         )
-        versions = _list_versions(table)
-        _check_contiguous(table, versions)
-        cp = _last_checkpoint(table)
-        latest = versions[-1] if versions else -1
-        if cp is not None:
-            latest = max(latest, cp["version"])
-        version = latest + 1
-        _commit(table, version, actions)
+        _commit(table, version, actions)  # version claimed at plan time
     except Exception:
         _remove_staged(table, adds)
         raise
@@ -1182,6 +1184,10 @@ def delta_changes(
             f"invalid change range ({from_version}, {to_version}] for "
             f"{table} at version {latest}"
         )
+    # a gapped log means lost commits: the schema lookup below could
+    # silently resolve past a vanished evolution commit, so refuse the
+    # whole table, not just ranges that touch the gap
+    _check_contiguous(table, _list_versions(table))
     retained = set(_list_versions(table))
     per_version: list[tuple[int, list[str]]] = []
     for v in range(from_version + 1, to_version + 1):
@@ -1292,6 +1298,19 @@ def history(table: str, allow_truncated: bool = False) -> list[dict]:
         if v == versions[0] and truncated_below is not None:
             row["truncated_below"] = truncated_below
         out.append(row)
+    if not out and truncated_below is not None:
+        # fully-cleaned log (checkpoint at latest): an empty list would
+        # be indistinguishable from "no commits ever" — emit a marker-
+        # only row so the opted-in caller still sees the truncation
+        out.append(
+            {
+                "version": None,
+                "operation": None,
+                "adds": 0,
+                "removes": 0,
+                "truncated_below": truncated_below,
+            }
+        )
     return out
 
 
@@ -1384,6 +1403,16 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     import pyarrow.parquet as pq
 
     version = _latest_version(table) if version is None else version
+    # _last_checkpoint must be monotone (real Delta keeps it
+    # increasing): checkpointing at-or-below the pointer must not
+    # repoint replay-of-latest back to a longer JSON tail, nor let a
+    # later cleanup_log keep a prefix the newer checkpoint had already
+    # made droppable. Nothing in this module ever reads a checkpoint
+    # the pointer doesn't name, so the whole write is skipped — and
+    # skipped BEFORE the O(live files) replay, not after it.
+    existing = _last_checkpoint(table)
+    if existing is not None and version <= existing["version"]:
+        return version
     live = _replay(table, version)  # raises on gaps / cleaned prefixes
     meta = _table_metadata(table, version)  # schema AS OF the checkpoint
     if meta is None:
@@ -1416,16 +1445,6 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
         },
         schema=_checkpoint_schema(),
     )
-    # _last_checkpoint must be monotone (real Delta keeps it
-    # increasing): checkpointing at-or-below the pointer must not
-    # repoint replay-of-latest back to a longer JSON tail, nor let a
-    # later cleanup_log keep a prefix the newer checkpoint had already
-    # made droppable. Nothing in this module ever reads a checkpoint
-    # the pointer doesn't name, so writing the older file would just
-    # leave an unreachable orphan — skip the whole write instead.
-    existing = _last_checkpoint(table)
-    if existing is not None and version <= existing["version"]:
-        return version
     dest = _checkpoint_file(table, version)
     tmp = dest + f".tmp-{uuid.uuid4().hex}"
     try:
