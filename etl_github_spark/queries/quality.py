@@ -939,3 +939,63 @@ def quality_oov_rate(spark, sf_dir):
             (oov_pm <= _OOV_KEEP_PERMILLE).alias("kept"),
         )
     )
+
+
+@query(
+    "quality_k_anonymity",
+    sql="""
+    WITH g AS (
+      SELECT lang, n_chars // 100 AS len_bucket,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT source) AS BIGINT) AS l
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(count(*) FILTER (WHERE k < 5) AS BIGINT) AS groups_below_k5,
+           CAST(coalesce(sum(k) FILTER (WHERE k < 5), 0) AS BIGINT)
+             AS docs_at_risk,
+           CAST(count(*) FILTER (WHERE l < 2) AS BIGINT) AS groups_l_below_2
+    FROM g
+    """,
+    tags=("quality", "privacy", "audit"),
+)
+def quality_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit — the privacy gate a
+    training-data release runs before publishing: group documents by
+    their quasi-identifiers (language, 100-char length bucket) and
+    report how identifiable the corpus is. ``min_k`` is the smallest
+    equivalence class (k-anonymity of the release as a whole),
+    ``groups_below_k5``/``docs_at_risk`` count the classes and rows a
+    k=5 policy would have to suppress or generalize, and
+    ``groups_l_below_2`` counts classes whose SENSITIVE attribute
+    (source) is constant — re-identification there discloses the
+    source even when k is large (l-diversity, the standard refinement
+    k-anonymity alone misses).
+
+    Shape: one partial+final hash aggregate on the quasi-identifier
+    key (map-side combinable — the shuffle carries one row per
+    equivalence class, not per document), then a scalar rollup over
+    |classes| rows. At 100 TB the class count is what bounds the
+    second stage, and it is the audit's own output dimension; the
+    distinct-source count per class rides the same shuffle as a
+    two-level aggregate. All-integer output, engine-exact.
+    """
+    g = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", F.expr("n_chars div 100").alias("len_bucket"))
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("source").alias("l"),
+        )
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.count(F.when(F.col("k") < 5, 1)).cast("long").alias("groups_below_k5"),
+        F.coalesce(F.sum(F.when(F.col("k") < 5, F.col("k"))), F.lit(0))
+        .cast("long")
+        .alias("docs_at_risk"),
+        F.count(F.when(F.col("l") < 2, 1)).cast("long").alias("groups_l_below_2"),
+    )

@@ -583,3 +583,185 @@ def dedup_winnow_overlap(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Unrolled ``k``-round BPE trainer in DuckDB SQL: each round picks
+    the most frequent adjacent symbol pair over the frequency-weighted
+    vocabulary (ties by (a, b) lexicographic) and merges it greedily
+    left-to-right — overlapping marks resolved by run parity (keep
+    even offsets within each run of consecutive marks), which equals
+    the greedy scan exactly."""
+    ctes = [
+        """seq_0 AS (
+      -- parallel unnests zip positionally in DuckDB (no WITH ORDINALITY)
+      SELECT word, wcount,
+             unnest(generate_series(1, len(syms))) AS pos,
+             unnest(syms) AS sym
+      FROM (
+        SELECT word, wcount, string_split(word, '') AS syms
+        FROM (
+          SELECT word, CAST(count(*) AS BIGINT) AS wcount
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) >= 2
+          GROUP BY word
+        )
+      )
+    )"""
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""lead_{r} AS (
+      SELECT word, wcount, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS lead_sym
+      FROM seq_{p}
+    ),
+    best_{r} AS (
+      SELECT sym AS a, lead_sym AS b, CAST(sum(wcount) AS BIGINT) AS cnt
+      FROM lead_{r} WHERE lead_sym IS NOT NULL
+      GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    marked_{r} AS (
+      SELECT l.word, l.wcount, l.pos, l.sym, l.lead_sym,
+             coalesce(l.sym = b.a AND l.lead_sym = b.b, FALSE) AS m
+      FROM lead_{r} l CROSS JOIN best_{r} b
+    ),
+    grp_{r} AS (
+      SELECT *, pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+                  AS grp
+      FROM marked_{r}
+    ),
+    keep_{r} AS (
+      SELECT *, m AND (row_number() OVER (PARTITION BY word, m, grp
+                                          ORDER BY pos) - 1) % 2 = 0 AS keep
+      FROM grp_{r}
+    ),
+    seq_{r} AS (
+      SELECT word, wcount,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             new_sym AS sym
+      FROM (
+        SELECT word, wcount, pos,
+               CASE WHEN keep THEN sym || lead_sym ELSE sym END AS new_sym,
+               coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                        FALSE) AS prev_keep
+        FROM keep_{r}
+      )
+      WHERE NOT prev_keep
+    )""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS step, a AS left_sym, b AS right_sym, cnt AS pair_count "
+        f"FROM best_{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+_BPE_TRAIN_K = 4
+
+
+@query(
+    "text_bpe_train_merges",
+    sql=_bpe_train_sql(_BPE_TRAIN_K),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark, sf_dir):
+    """A real BPE training LOOP (Sennrich et al. 2016), not just the
+    pair statistic: 4 rounds of pick-best-pair → greedy left-to-right
+    merge over the frequency-weighted vocabulary, returning the merge
+    table (step, left, right, count) — the artifact a tokenizer
+    trainer actually produces. Greedy overlap resolution (e.g. merging
+    (a,a) in "aaa" yields [aa, a]) is pinned by run parity: within
+    each run of consecutive marked positions only even offsets merge,
+    which equals the left-to-right scan exactly; the oracle replays
+    the identical 4 unrolled rounds in SQL, so a different tie-break,
+    an overlap double-merge, or a stale pair count after any round
+    flips the hash.
+
+    Scale shape: the corpus collapses to the VOCABULARY before
+    anything else (|corpus| → |vocab| partial agg — the reduction
+    every BPE trainer starts with), so all per-round work is
+    vocab-sized: one lead-window pass per round (shuffle keyed by
+    word), one pair partial-agg, and a single-row TakeOrdered collect
+    for the best pair (bounded driver metadata — the merge decision
+    IS the algorithm's serial dependency). localCheckpoint per round
+    keeps the 4-round lineage flat. K is the tokenizer's vocab-size
+    knob: rounds are sequential by definition, each O(vocab).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("word").orderBy("pos")
+    seq = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+        .select(
+            "word",
+            "wcount",
+            F.posexplode(F.split("word", "")).alias("pos0", "sym"),
+        )
+        .select("word", "wcount", (F.col("pos0") + 1).alias("pos"), "sym")
+    )
+    steps = []
+    for r in range(1, _BPE_TRAIN_K + 1):
+        led = seq.withColumn("lead_sym", F.lead("sym").over(w))
+        best = (
+            led.where(F.col("lead_sym").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("lead_sym").alias("b"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .first()
+        )
+        a, b, cnt = best["a"], best["b"], int(best["cnt"])
+        steps.append((r, a, b, cnt))
+        marked = led.withColumn(
+            "m",
+            F.coalesce(
+                (F.col("sym") == F.lit(a)) & (F.col("lead_sym") == F.lit(b)),
+                F.lit(False),
+            ),
+        )
+        grp = marked.withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word", "m").orderBy("pos")),
+        )
+        keep = grp.withColumn(
+            "keep",
+            F.col("m")
+            & (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("word", "m", "grp").orderBy("pos")
+                    )
+                    - 1
+                )
+                % 2
+                == 0
+            ),
+        )
+        seq = (
+            keep.withColumn(
+                "new_sym",
+                F.when(F.col("keep"), F.concat("sym", "lead_sym")).otherwise(
+                    F.col("sym")
+                ),
+            )
+            .withColumn(
+                "prev_keep",
+                F.coalesce(F.lag("keep").over(w), F.lit(False)),
+            )
+            .where(~F.col("prev_keep"))
+            .select(
+                "word",
+                "wcount",
+                F.row_number().over(w).alias("pos"),
+                F.col("new_sym").alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        steps, "step int, left_sym string, right_sym string, pair_count long"
+    )
