@@ -1179,3 +1179,61 @@ def lake_delta_zorder_skip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n_files int, n_files_kept int, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_matview_delta_feed",
+    sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("lake", "matview", "delta", "incremental"),
+)
+def lake_matview_delta_feed(spark, sf_dir):
+    """Incremental view maintenance driven by the Delta CHANGE FEED,
+    driver-checked end to end: append the even-id half of events to a
+    Delta table and refresh the per-type (count, cents-sum) view, then
+    OPTIMIZE the table (rewriting every file), append the odd half, and
+    refresh again. The second refresh consumes only the feed since the
+    first one — which must deliver the odd half ONCE and the OPTIMIZE
+    commit's rewritten files NEVER. A partition-listing refresher would
+    re-aggregate the compacted copy of the first batch here (the
+    double-count this variant exists to prevent) and the final view —
+    hashed against a one-shot aggregate over the fixture — would be
+    exactly one batch too heavy.
+
+    Scale shape: each refresh costs O(new rows + |view|); the log names
+    the new rows, so neither table size nor compaction history is ever
+    re-scanned. Money rides as exact integer cents.
+    """
+    from ..io.delta_log import optimize_delta, write_delta
+    from ..io.matview import read_view, refresh_view_delta
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    table, view = _scratch("mvd_t"), _scratch("mvd_v")
+    try:
+        write_delta(e.where(F.col("event_id") % 2 == 0).repartition(2), table)
+        refresh_view_delta(spark, table, view, ["event_type"], ["cents"])
+        assert optimize_delta(spark, table, target_bytes=1 << 30)["version"] == 1
+        write_delta(
+            e.where(F.col("event_id") % 2 == 1).repartition(2), table,
+            mode="append",
+        )
+        r = refresh_view_delta(spark, table, view, ["event_type"], ["cents"])
+        assert (r["from"], r["to"]) == (0, 2), r  # consumed ONLY the feed
+        out = read_view(spark, view).select(
+            "event_type", "cnt", F.col("sum_cents").alias("sum_cents")
+        )
+        rows = [(x["event_type"], x["cnt"], x["sum_cents"]) for x in out.collect()]
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(view, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, cnt long, sum_cents long"
+    )

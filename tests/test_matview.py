@@ -85,3 +85,47 @@ def test_refresh_crash_leaves_previous_view(spark, tmp_path):
     refresh_view(spark, t, v, ["k"], ["v"])
     assert _view(spark, v) == before | {("b", 1, 7.0)}
     assert not os.path.exists(v + "__refreshing")
+
+
+def test_refresh_view_delta_feed_contract(spark, tmp_path):
+    """The Delta-feed refresher: consumes exactly the new versions,
+    skips OPTIMIZE rewrites, no-ops when current, RAISES after a
+    history rewrite (instead of silently drifting), and full=True
+    resets the mark from the current snapshot."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.delta_log import optimize_delta, write_delta
+    from etl_github_spark.io.matview import read_view, refresh_view_delta
+
+    table, view = str(tmp_path / "t"), str(tmp_path / "v")
+    df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS k", "id AS v")
+    write_delta(df.where("id < 50").repartition(2), table)
+    r = refresh_view_delta(spark, table, view, ["k"], ["v"])
+    assert (r["from"], r["to"], r["scanned_rows"]) == (-1, 0, 50)
+
+    assert optimize_delta(spark, table, target_bytes=1 << 30)["version"] == 1
+    write_delta(df.where("id >= 50").repartition(2), table, mode="append")
+    r = refresh_view_delta(spark, table, view, ["k"], ["v"])
+    assert (r["from"], r["to"], r["scanned_rows"]) == (0, 2, 50)  # optimize skipped
+
+    got = {x["k"]: (x["cnt"], x["sum_v"]) for x in read_view(spark, view).collect()}
+    want = {
+        x["k"]: (x["cnt"], x["sum_v"])
+        for x in df.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+
+    # current → no-op
+    r = refresh_view_delta(spark, table, view, ["k"], ["v"])
+    assert r["scanned_rows"] == 0
+
+    # history rewrite → refresh refuses; full=True recovers
+    write_delta(df.where("id < 10"), table, mode="overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_view_delta(spark, table, view, ["k"], ["v"])
+    r = refresh_view_delta(spark, table, view, ["k"], ["v"], full=True)
+    assert r["scanned_rows"] == 10
+    assert sum(x["cnt"] for x in read_view(spark, view).collect()) == 10
