@@ -517,3 +517,87 @@ def stream_spike_gate_replay(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, batch_count long, ewma double, is_spike boolean"
     )
+
+
+@query(
+    "stream_interval_join_replay",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(p.ts_us - c.ts_us AS BIGINT) AS gap_us
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts_us > p.ts_us - 1800000000
+     AND c.ts_us <= p.ts_us
+    """,
+    tags=("streaming", "join", "stream-stream", "bridge"),
+)
+def stream_interval_join_replay(spark, sf_dir):
+    """STREAM-STREAM interval join under the driver hash
+    (`streaming/joins.py::stream_stream_interval_join`): purchases and
+    clicks arrive as two independent file-source streams over the same
+    three event-time slices, inner-joined on user with the click inside
+    (p_ts − 30 min, p_ts]. The replay's matched pairs must equal the
+    batch range join exactly — which pins the property that makes
+    stream-stream joins hard: a click buffered in batch b must still be
+    in state when its purchase arrives in batch b+1 (the 1 h watermark
+    exceeds the 30 min reach, so Spark's eviction bound — watermark
+    minus interval — can never drop a click a future purchase may still
+    claim). A state buffer evicted too early silently loses exactly the
+    cross-batch pairs, and the hash flips.
+
+    Scale shape: each side's state is rate × (watermark + interval) —
+    independent of stream lifetime — and each micro-batch shuffles only
+    its own rows by user. The batch twin is the range join; this pins
+    that the continuous form computes the same pairs.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.joins import stream_stream_interval_join
+
+    root = tempfile.mkdtemp(prefix="stream_ssj_")
+    try:
+        cols = ["event_id", "user_id", "event_type", "ts_us"]
+        ddl = "event_id long, user_id long, event_type string, ts_us long"
+        src1 = _staged_event_stream(spark, sf_dir, cols, ddl, root)
+        # second INDEPENDENT source over the same staged files (its own
+        # progress tracking — a genuine two-stream join, not a self-ref)
+        import os
+
+        src2 = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "in"))
+        )
+        left = src1.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.timestamp_micros(F.col("ts_us")).alias("l_ts"),
+        )
+        right = src2.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_id"),
+            F.timestamp_micros(F.col("ts_us")).alias("r_ts"),
+        )
+        joined = stream_stream_interval_join(
+            left, right, "user_id",
+            watermark="1 hour", interval="30 minutes",
+        ).select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("r_id").alias("click_id"),
+            (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, joined, "stream_ssj", mode="append")
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "purchase_id long, click_id long, gap_us long"
+    )
