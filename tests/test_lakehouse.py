@@ -1672,3 +1672,47 @@ def test_zorder_delta_clusters_per_partition_and_preserves_rows(spark, tmp_path)
     )
     want = rows.where("a BETWEEN 0 AND 1023 AND b BETWEEN 0 AND 1023").count()
     assert got == want
+
+
+def test_optimize_delta_lost_race_raises_and_unstages(spark, tmp_path, monkeypatch):
+    """OPTIMIZE plans against a snapshot; if any commit lands between
+    the plan and the publish, the version claim must CONFLICT (raise)
+    rather than committing a remove-set computed against stale state —
+    and the staged rewrite files must be cleaned up."""
+    import glob
+    import os
+
+    import pytest
+
+    import etl_github_spark.io.delta_log as dl
+
+    table = str(tmp_path / "doptrace")
+    for i in range(2):
+        dl.write_delta(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id", "id*2 AS v").coalesce(1),
+            table,
+            mode="append",
+        )
+    real_commit = dl._commit
+
+    def racing_commit(t, version, actions):
+        # a concurrent append snatches the version OPTIMIZE planned for
+        real_commit(t, version, [{"commitInfo": {"operation": "WRITE",
+                    "operationParameters": {"mode": "APPEND"}, "timestamp": 0}}])
+        return real_commit(t, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    with pytest.raises(FileExistsError):
+        dl.optimize_delta(spark, table, target_bytes=1 << 30)
+    monkeypatch.undo()
+    # no staged orphans left behind: every data file is log-referenced
+    live = set(dl._replay(table))
+    on_disk = {
+        os.path.relpath(f, table)
+        for f in glob.glob(os.path.join(table, "**", "part-*.parquet"),
+                           recursive=True)
+    }
+    assert on_disk == live
+    # the table still reads and a re-run (fresh plan) succeeds
+    assert dl.read_delta(spark, table).count() == 20
+    assert dl.optimize_delta(spark, table, target_bytes=1 << 30)["removed"] == 2
