@@ -657,6 +657,29 @@ def _bpe_train_sql(k: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
 
 
+def _bpe_apply_sql(k: int) -> str:
+    """The trainer's CTE chain, finalized as corpus TOKENIZATION: the
+    post-merge symbol count per vocab word, applied back to every word
+    occurrence (sub-2-char words tokenize to 1 symbol)."""
+    train = _bpe_train_sql(k)
+    ctes = train[: train.rindex(")") + 1]  # drop the merge-table SELECT
+    return f"""{ctes},
+    tok_len AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+      FROM seq_{k} GROUP BY word
+    ),
+    allw AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_tokens
+    FROM (SELECT * FROM allw WHERE word <> '') a
+    LEFT JOIN tok_len USING (word)
+    GROUP BY source
+    """
+
+
 _BPE_TRAIN_K = 4
 
 
@@ -688,6 +711,18 @@ def text_bpe_train_merges(spark, sf_dir):
     keeps the 4-round lineage flat. K is the tokenizer's vocab-size
     knob: rounds are sequential by definition, each O(vocab).
     """
+    steps, _seq = _bpe_train(spark, sf_dir, _BPE_TRAIN_K)
+    return spark.createDataFrame(
+        steps, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_train(spark, sf_dir, k):
+    """The shared trainer loop: k rounds of best-pair → greedy merge
+    over the frequency-weighted vocabulary. Returns ``(steps, seq)`` —
+    the merge table rows and the post-merge symbol sequences (word,
+    wcount, pos, sym). See text_bpe_train_merges for semantics and the
+    scale story."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("word").orderBy("pos")
@@ -705,7 +740,7 @@ def text_bpe_train_merges(spark, sf_dir):
         .select("word", "wcount", (F.col("pos0") + 1).alias("pos"), "sym")
     )
     steps = []
-    for r in range(1, _BPE_TRAIN_K + 1):
+    for r in range(1, k + 1):
         led = seq.withColumn("lead_sym", F.lead("sym").over(w))
         best = (
             led.where(F.col("lead_sym").isNotNull())
@@ -762,6 +797,45 @@ def text_bpe_train_merges(spark, sf_dir):
             )
             .localCheckpoint(eager=False)
         )
-    return spark.createDataFrame(
-        steps, "step int, left_sym string, right_sym string, pair_count long"
+    return steps, seq
+
+
+@query(
+    "text_bpe_apply_tokenize",
+    sql=_bpe_apply_sql(_BPE_TRAIN_K),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_apply_tokenize(spark, sf_dir):
+    """The trained tokenizer APPLIED: after the 4 BPE merge rounds, each
+    vocabulary word's token count is its post-merge symbol count; the
+    corpus tokenizes by mapping every word occurrence through that
+    table (sub-2-char words — below the trainer's floor — stay one
+    token). Output is per-source (word count, token count): the
+    fertility measurement a tokenizer evaluation actually reports, now
+    under the trained-on-this-corpus tokenizer instead of a fixed
+    external one (`text_tokenizer_fertility`). The oracle re-derives
+    the merges AND the application symbolically, so train/apply
+    inconsistency — e.g. applying merges in the wrong order, which
+    changes symbol counts — flips the hash.
+
+    Scale shape: training is vocab-sized (see text_bpe_train_merges);
+    application is a broadcast-sized (|vocab| rows) join onto the
+    exploded corpus followed by a per-source partial agg — the exact
+    shape of production tokenization: the merge table ships to every
+    executor, the corpus streams through once.
+    """
+    _, seq = _bpe_train(spark, sf_dir, _BPE_TRAIN_K)
+    tok_len = seq.groupBy("word").agg(F.count("*").alias("n_tok"))
+    words = (
+        par(T(spark, sf_dir, "documents"))
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(tok_len), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(1))).cast("long").alias("n_tokens"),
+        )
     )
