@@ -768,7 +768,14 @@ def read_delta(
     Schema is resolved AS OF the requested version: a snapshot below a
     merge_schema evolution commit reads under the old schema, at-or-
     above it under the widened one (pre-evolution files fill the new
-    columns with nulls — the parquet reader's missing-column rule)."""
+    columns with nulls — the parquet reader's missing-column rule).
+
+    Files carrying a deletion vector (merge-on-read deletes,
+    :func:`delete_delta_dv`) are read THROUGH it: their rows anti-join
+    the DV's (file, row_index) set before entering the result — the
+    protocol's read-side DV contract. DV-free files never pay the
+    metadata-column or join cost."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     # one metadata walk serves both schema and layout (the layout is
@@ -778,16 +785,293 @@ def read_delta(
         raise ValueError(f"no metaData action in version 0 of {table}")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
-    files = [
-        os.path.join(table, f)
-        for f in snapshot_files(table, version, partition_filter, stats_filter)
-    ]
-    if not files:
-        return spark.createDataFrame([], schema)
+    live = _replay(table, version)
+    if partition_filter:
+        bad = sorted(set(partition_filter) - set(pcols))
+        if bad:
+            raise ValueError(
+                f"partition_filter keys {bad} are not partition columns of "
+                f"{table} (partitioned by {sorted(pcols)})"
+            )
+    _check_stats_filter(stats_filter)
+    entries = sorted(
+        (p, a)
+        for p, a in live.items()
+        if _match_partition(a, partition_filter)
+        and not _stats_excludes(a, stats_filter)
+    )
+    cols = [f.name for f in schema.fields]
+    plain = [os.path.join(table, p) for p, a in entries if "deletionVector" not in a]
+    dvd = [(p, a["deletionVector"]) for p, a in entries if "deletionVector" in a]
     reader = spark.read.schema(schema)
     if pcols:
         reader = reader.option("basePath", table)
-    return reader.parquet(*files).select(*[f.name for f in schema.fields])
+    parts = []
+    if plain:
+        parts.append(reader.parquet(*plain).select(*cols))
+    if dvd:
+        dv_rows = spark.read.parquet(
+            *[os.path.join(table, dv["path"]) for _, dv in dvd]
+        ).select("dv_file", "row_index")
+        scan = (
+            reader.parquet(*[os.path.join(table, p) for p, _ in dvd])
+            .select(
+                *cols,
+                F.col("_metadata.file_name").alias("dv_file"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .join(dv_rows, ["dv_file", "row_index"], "left_anti")
+            .select(*cols)
+        )
+        parts.append(scan)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
+    """Merge-on-read DELETE via deletion vectors — the protocol piece
+    that makes deletes O(matching rows) instead of O(rewritten files):
+    rows matching ``predicate`` (a SQL expression over the table's
+    columns, partition columns included) are recorded as per-file
+    (file, row_index) sidecars, and each touched file's add action is
+    re-committed carrying a ``deletionVector`` reference. DATA FILES
+    ARE NOT TOUCHED — time travel below the delete still sees every
+    row from the same bytes, and a petabyte table deletes a single
+    user's rows without rewriting anything (the GDPR-erasure shape).
+    Re-deleting a file unions the new rows into a fresh sidecar (the
+    old one becomes vacuum-able garbage). Returns
+    ``{"version": v | None, "deleted_rows": n, "files": k}`` —
+    version ``None`` when nothing matched (no empty commit).
+
+    Consequences handled module-wide: reads anti-join the DV
+    (``read_delta``), stats become LOOSE bounds (``high_water_mark``
+    refuses stats-only answers for DV'd files — a deleted max must
+    not be reported), OPTIMIZE skips DV'd files and ZORDER refuses
+    them (:func:`materialize_deletes` is the purge that rewrites them
+    clean), and the append-only change feed raises on the delete
+    commit (it removes data, which the feed cannot represent).
+
+    Scale shape: the matching scan is one pushdown-filtered pass;
+    sidecar writes are distributed (one file per touched data file via
+    a partitioned stage); the only driver-side state is the touched-
+    file list and per-file cardinalities — O(|touched files|)
+    metadata. The commit claims its version at plan time, so a
+    concurrent commit conflicts explicitly."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    version = _next_version(table)  # claim at plan time (TOCTOU rule)
+    live = _replay(table)
+    if not live:
+        return {"version": None, "deleted_rows": 0, "files": 0}
+    by_name = {os.path.basename(p): p for p in live}
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    hits = (
+        reader.parquet(*[os.path.join(table, p) for p in sorted(live)])
+        .where(F.expr(predicate))
+        .select(
+            F.col("_metadata.file_name").alias("dv_file"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        # materialize the matched set ONCE (it is deleted-rows-sized);
+        # the three consumers below (touched files, per-file counts,
+        # new-row count) must not each re-run the filtered table scan
+        .localCheckpoint()
+    )
+    touched = sorted(r["dv_file"] for r in hits.select("dv_file").distinct().collect())
+    if not touched:
+        return {"version": None, "deleted_rows": 0, "files": 0}
+    # union pre-existing DVs of the touched files: the new sidecar is
+    # the FULL deleted set for its file (one DV per file, per protocol)
+    old_sidecars = [
+        os.path.join(table, live[by_name[t]]["deletionVector"]["path"])
+        for t in touched
+        if "deletionVector" in live[by_name[t]]
+    ]
+    dv = hits
+    if old_sidecars:
+        dv = dv.unionByName(
+            spark.read.parquet(*old_sidecars).select("dv_file", "row_index")
+        )
+    dv = dv.distinct()
+    stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+    new_adds: list[dict] = []
+    try:
+        (
+            dv.withColumn("pf", F.col("dv_file"))
+            .repartition(len(touched), "pf")
+            .sortWithinPartitions("pf", "row_index")
+            .write.partitionBy("pf")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        counts = {
+            r["dv_file"]: r["n"]
+            for r in dv.groupBy("dv_file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        actions: list[dict] = []
+        for t in touched:
+            parts = sorted(glob.glob(os.path.join(stage, f"pf={t}", "part-*.parquet")))
+            if len(parts) != 1:  # pragma: no cover - hash-group contract
+                raise RuntimeError(f"DV stage for {t} wrote {len(parts)} files")
+            rel = f"deletion-vector-{uuid.uuid4().hex}.parquet"
+            shutil.move(parts[0], os.path.join(table, rel))
+            new_adds.append({"path": rel})
+            old_add = live[by_name[t]]
+            actions.append(
+                {
+                    "remove": {
+                        "path": by_name[t],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "add": {
+                        **old_add,
+                        "dataChange": True,
+                        "deletionVector": {
+                            "path": rel,
+                            "cardinality": int(counts[t]),
+                        },
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate, "mode": "DV"},
+                    "timestamp": 0,
+                }
+            }
+        )
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, new_adds)
+        raise
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    new_deleted = int(hits.count())
+    return {
+        "version": version,
+        "deleted_rows": new_deleted,
+        "files": len(touched),
+    }
+
+
+def materialize_deletes(spark: SparkSession, table: str) -> dict:
+    """PURGE (Delta's ``REORG TABLE ... APPLY (PURGE)``): rewrite every
+    DV-carrying file with its deletion vector applied, committing the
+    swap with ``dataChange: false`` — the table's LOGICAL rows are
+    unchanged, so incremental readers skip the commit; the orphaned
+    sidecars and superseded data files become vacuum-able. This is the
+    step that re-enables ZORDER (which refuses DV'd files) and
+    restores tight stats bounds. Returns
+    ``{"version": v | None, "files": n}``."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    version = _next_version(table)  # claim at plan time
+    live = _replay(table)
+    targets = sorted(
+        (p, a) for p, a in live.items() if "deletionVector" in a
+    )
+    if not targets:
+        return {"version": None, "files": 0}
+    adds: list[dict] = []
+    removes: list[str] = []
+    try:
+        for p, a in targets:
+            stats_cols = tuple(
+                sorted(json.loads(a.get("stats", "{}")).get("minValues", {}))
+            )
+            dv_rows = spark.read.parquet(
+                os.path.join(table, a["deletionVector"]["path"])
+            ).select("row_index")
+            clean = (
+                spark.read.schema(data_schema)
+                .parquet(os.path.join(table, p))
+                .withColumn("row_index", F.col("_metadata.row_index"))
+                .join(dv_rows, "row_index", "left_anti")
+                .drop("row_index")
+            )
+            stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+            try:
+                clean.coalesce(1).write.mode("overwrite").parquet(stage)
+                parts = sorted(
+                    f
+                    for f in os.listdir(stage)
+                    if f.startswith("part-") and f.endswith(".parquet")
+                )
+                if len(parts) != 1:  # pragma: no cover - coalesce(1) contract
+                    raise RuntimeError("purge rewrite produced multiple files")
+                src = os.path.join(stage, parts[0])
+                md = pq.ParquetFile(src).metadata
+                rel_dir = os.path.dirname(p)
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                rel = f"{rel_dir}/{name}" if rel_dir else name
+                shutil.move(src, os.path.join(table, rel))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            stats = _file_stats(md, stats_cols)
+            adds.append(
+                {
+                    "path": rel,
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": os.path.getsize(os.path.join(table, rel)),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                    **({"stats": json.dumps(stats)} if stats is not None else {}),
+                }
+            )
+            removes.append(p)
+        actions: list[dict] = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": False}}
+            for p in removes
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "PURGE",
+                    "operationParameters": {},
+                    "timestamp": 0,
+                }
+            }
+        )
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, adds)
+        raise
+    return {"version": version, "files": len(targets)}
 
 
 def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
@@ -815,6 +1099,10 @@ def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
     if cp is not None:  # cleaned-prefix history survives via the checkpoint
         _, _, adds = _read_checkpoint(table, cp)
         live.update(a["path"] for a in adds)
+    if cp is not None:
+        live.update(
+            a["deletionVector"]["path"] for a in adds if a.get("deletionVector")
+        )
     for v in _list_versions(table):
         with open(_version_file(table, v)) as fh:
             for line in fh:
@@ -823,9 +1111,17 @@ def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
                 action = json.loads(line)
                 if "add" in action:
                     live.add(action["add"]["path"])
+                    dv = action["add"].get("deletionVector")
+                    if dv:  # sidecar stays reachable for time travel
+                        live.add(dv["path"])
     reaped = []
     for f in glob.glob(os.path.join(table, "**", "part-*.parquet"), recursive=True):
         rel = os.path.relpath(f, table).replace(os.sep, "/")
+        if rel not in live and os.path.getmtime(f) < cutoff:
+            os.remove(f)
+            reaped.append(rel)
+    for f in glob.glob(os.path.join(table, "deletion-vector-*.parquet")):
+        rel = os.path.basename(f)
         if rel not in live and os.path.getmtime(f) < cutoff:
             os.remove(f)
             reaped.append(rel)
@@ -895,7 +1191,14 @@ def optimize_delta(
     adds: list[dict] = []
     try:
         for key, files in sorted(groups.items()):
-            small = [(p, a) for p, a in files if a.get("size", 0) < target_bytes]
+            # DV-carrying files are skipped: compacting one from its raw
+            # bytes would resurrect deleted rows — materialize_deletes is
+            # the rewrite that applies the DV first
+            small = [
+                (p, a)
+                for p, a in files
+                if a.get("size", 0) < target_bytes and "deletionVector" not in a
+            ]
             bins: list[list[tuple[str, dict]]] = []
             cur: list[tuple[str, dict]] = []
             cur_bytes = 0
@@ -1031,6 +1334,12 @@ def zorder_delta(
     pcols = meta.get("partitionColumns", [])
     if set(zorder_by) & set(pcols):
         raise ValueError("cannot z-order by a partition column")
+    if any("deletionVector" in a for a in _replay(table).values()):
+        raise ValueError(
+            f"zorder_delta on {table}: live files carry deletion vectors — "
+            "clustering reads raw file bytes and would resurrect deleted "
+            "rows; run materialize_deletes first"
+        )
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
 
     # claim the version at plan time (same TOCTOU rule as optimize_delta)
@@ -1243,12 +1552,17 @@ def high_water_mark(table: str, col: str, version: int | None = None):
     """max(col) over the live snapshot answered from add-action STATS
     alone — zero data files opened (the reference's get_add_actions
     trick, preprocess.py:181-186). Returns None when any live file
-    lacks stats for the column (falling back to a scan is the caller's
-    choice — never silently wrong)."""
+    lacks stats for the column, OR carries a deletion vector — DV'd
+    stats are LOOSE bounds (the max row may be among the deleted), and
+    reporting a watermark that no longer exists is exactly the silent
+    wrongness this helper refuses (falling back to a scan is the
+    caller's choice)."""
     maxes = []
     for add in _replay(table, version).values():
         stats = json.loads(add["stats"]) if "stats" in add else None
         if not stats or col not in stats.get("maxValues", {}):
+            return None
+        if "deletionVector" in add:
             return None
         maxes.append(stats["maxValues"][col])
     return max(maxes) if maxes else None
@@ -1379,6 +1693,15 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("path", pa.string()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1433,6 +1756,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             "modificationTime": a.get("modificationTime", 0),
             "dataChange": False,
             "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
         }
         for _, a in sorted(live.items())
     ]
@@ -1481,7 +1805,16 @@ def _read_checkpoint(table: str, cp: dict) -> tuple[dict | None, dict | None, li
     meta, proto, adds = _read_checkpoint_cached(path, st.st_mtime_ns, st.st_size)
     copy_meta = None if meta is None else {**meta, "partitionColumns": list(meta["partitionColumns"]), "configuration": {}}
     copy_adds = [
-        {**a, "partitionValues": dict(a["partitionValues"])} for a in adds
+        {
+            **a,
+            "partitionValues": dict(a["partitionValues"]),
+            **(
+                {"deletionVector": dict(a["deletionVector"])}
+                if "deletionVector" in a
+                else {}
+            ),
+        }
+        for a in adds
     ]
     return copy_meta, (None if proto is None else dict(proto)), copy_adds
 
@@ -1510,6 +1843,8 @@ def _read_checkpoint_cached(
             a["dataChange"] = bool(a.get("dataChange"))
             if a.get("stats") is None:
                 a.pop("stats", None)
+            if a.get("deletionVector") is None:
+                a.pop("deletionVector", None)
             adds.append(a)
     return meta, proto, adds
 

@@ -1237,3 +1237,78 @@ def lake_matview_delta_feed(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, cnt long, sum_cents long"
     )
+
+
+@query(
+    "lake_delta_delete_dv",
+    sql="""
+    SELECT 'latest' AS snapshot, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_type <> 'click' GROUP BY event_type
+    UNION ALL
+    SELECT 'v0', event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events GROUP BY event_type
+    """,
+    tags=("lake", "delta", "delete", "deletion-vector"),
+)
+def lake_delta_delete_dv(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors under the driver
+    hash: land events in one Delta commit, delete every click row with
+    ``delete_delta_dv`` — which records per-file (file, row_index)
+    sidecars and REWRITES NO DATA FILE (asserted in-query: every data
+    file's byte size is unchanged) — then answer per-type rollups from
+    the latest snapshot (clicks must be invisible) AND from version 0
+    (clicks must all still be there, read from the same untouched
+    bytes). The oracle recomputes both snapshots from the fixture; a
+    read that ignores the vector, drops a non-matching row, or a
+    delete that physically rewrote files (breaking time travel) flips
+    the hash or the in-query assertion.
+
+    Scale shape: the delete is O(matching rows) — one pushdown-
+    filtered scan plus distributed sidecar writes — however large the
+    table; this is the GDPR-erasure shape (delete one user from a
+    petabyte without rewriting it). Reads pay one anti-join keyed
+    (file, row_index) on DV'd files only; `materialize_deletes` is the
+    offline purge that folds vectors back into clean files.
+    """
+    import os
+
+    from ..io.delta_log import (
+        _replay,
+        delete_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    path = _scratch("delta_dv")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        sizes_before = {
+            p: os.path.getsize(os.path.join(path, p)) for p in _replay(path)
+        }
+        out = delete_delta_dv(spark, path, "event_type = 'click'")
+        assert out["version"] == 1 and out["deleted_rows"] > 0, out
+        sizes_after = {
+            p: os.path.getsize(os.path.join(path, p))
+            for p in _replay(path)
+        }
+        assert sizes_after == sizes_before, "DV delete must not rewrite data"
+        rows = []
+        for label, v in (("latest", None), ("v0", 0)):
+            snap = (
+                read_delta(spark, path, version=v)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+            )
+            rows.extend((label, r["event_type"], r["n"], r["s"]) for r in snap.collect())
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
+    )

@@ -1716,3 +1716,124 @@ def test_optimize_delta_lost_race_raises_and_unstages(spark, tmp_path, monkeypat
     # the table still reads and a re-run (fresh plan) succeeds
     assert dl.read_delta(spark, table).count() == 20
     assert dl.optimize_delta(spark, table, target_bytes=1 << 30)["removed"] == 2
+
+
+def test_delta_deletion_vectors_lifecycle(spark, tmp_path):
+    """Merge-on-read DELETE: the DV commit touches ZERO data-file
+    bytes, reads anti-join the vector, time travel below the delete
+    sees every row, a second overlapping delete unions into a fresh
+    sidecar, stats-only watermarks refuse loose bounds, and PURGE
+    rewrites the files clean (logical rows unchanged, DVs gone,
+    z-order re-enabled)."""
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        delete_delta_dv,
+        delta_changes,
+        high_water_mark,
+        materialize_deletes,
+        optimize_delta,
+        read_delta,
+        write_delta,
+        zorder_delta,
+    )
+
+    table = str(tmp_path / "ddv")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    write_delta(df.repartition(2), table, stats_cols=("id",))
+    datafiles = sorted(_replay(table))
+    fingerprint = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in datafiles
+    }
+    assert high_water_mark(table, "id") == 99
+
+    out = delete_delta_dv(spark, table, "id % 3 = 0")
+    assert out["version"] == 1 and out["deleted_rows"] == 34
+    # the deleted rows are gone from the snapshot…
+    got = sorted(r["id"] for r in read_delta(spark, table).collect())
+    assert got == [i for i in range(100) if i % 3 != 0]
+    # …but NO data file was rewritten, and v0 still reads them raw
+    assert {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in datafiles
+    } == fingerprint
+    assert read_delta(spark, table, version=0).count() == 100
+    # stats are loose bounds now: the stats-only watermark must refuse
+    assert high_water_mark(table, "id") is None
+
+    # overlapping second delete unions into the per-file vector
+    out2 = delete_delta_dv(spark, table, "id % 5 = 0")
+    assert out2["version"] == 2
+    keep = [i for i in range(100) if i % 3 != 0 and i % 5 != 0]
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == keep
+    # intermediate version still answers between the two deletes
+    assert read_delta(spark, table, version=1).count() == 66
+
+    # the append-only change feed cannot represent the delete
+    with pytest.raises(ValueError, match="append-only"):
+        delta_changes(spark, table, from_version=0)
+    # clustering refuses raw bytes that would resurrect deleted rows
+    with pytest.raises(ValueError, match="materialize"):
+        zorder_delta(spark, table, ("id",), n_files=2, tiebreak="id")
+    # OPTIMIZE skips the DV'd files rather than resurrecting rows
+    assert optimize_delta(spark, table, target_bytes=1 << 30)["version"] is None
+
+    # PURGE: logical rows unchanged, DVs gone, stats tight again
+    out3 = materialize_deletes(spark, table)
+    assert out3 == {"version": 3, "files": 2}
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == keep
+    assert not any("deletionVector" in a for a in _replay(table).values())
+    assert high_water_mark(table, "id") == max(keep)
+    assert zorder_delta(spark, table, ("id",), n_files=2, tiebreak="id")[
+        "files"
+    ] == 2
+    # the purge commit is no-data-change: the feed delivers nothing new
+    assert delta_changes(spark, table, from_version=2).count() == 0
+
+
+def test_delta_dv_survives_checkpoint_and_vacuum(spark, tmp_path):
+    """DV references round-trip through parquet checkpoints (replay
+    from a cleaned log still filters), vacuum keeps referenced
+    sidecars and reaps superseded ones, and partition-filtered reads
+    compose with DV filtering."""
+    import glob
+    import os
+
+    from etl_github_spark.io.delta_log import (
+        checkpoint_delta,
+        cleanup_log,
+        delete_delta_dv,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "ddvc")
+    df = spark.range(90).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    write_delta(df.coalesce(1), table, partition_by=("part",))
+    delete_delta_dv(spark, table, "id % 2 = 0")        # DV v1
+    delete_delta_dv(spark, table, "id % 9 = 1")        # union → fresh sidecars, v2
+    keep = [i for i in range(90) if i % 2 != 0 and i % 9 != 1]
+
+    checkpoint_delta(table)
+    cleanup_log(table)
+    # replay is checkpoint-only now; DV filtering must survive it
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == keep
+    one_part = read_delta(spark, table, partition_filter={"part": "1"})
+    assert sorted(r["id"] for r in one_part.collect()) == [
+        i for i in keep if i % 3 == 1
+    ]
+
+    # vacuum: superseded v1 sidecars reaped, referenced v2 ones kept
+    n_sidecars_before = len(glob.glob(os.path.join(table, "deletion-vector-*")))
+    reaped = vacuum_delta(table, retention_seconds=0)
+    assert any(r.startswith("deletion-vector-") for r in reaped)
+    n_after = len(glob.glob(os.path.join(table, "deletion-vector-*")))
+    assert 0 < n_after < n_sidecars_before
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == keep
