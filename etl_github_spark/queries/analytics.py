@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ._util import T, par
+from ._util import T, fxp, par
 from .registry import query
 
 
@@ -710,18 +710,25 @@ def analytics_event_transitions(spark, sf_dir):
 _RFM_SQL = """
     WITH agg AS (
       SELECT user_id,
-             max(ts) AS last_ts,
+             epoch_us(max(ts)) AS last_us,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n_valued,
-             CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
                   AS BIGINT) AS monetary_cents
       FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, frequency, monetary_cents,
+             row_number() OVER (ORDER BY last_us, user_id) AS r_rn,
+             row_number() OVER (ORDER BY frequency, user_id) AS f_rn,
+             row_number() OVER (ORDER BY monetary_cents, user_id) AS m_rn,
+             count(*) OVER () AS n
+      FROM agg
     )
     SELECT user_id, frequency, monetary_cents,
-           CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS INTEGER) AS recency_q,
-           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INTEGER) AS frequency_q,
-           CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS INTEGER) AS monetary_q
-    FROM agg
+           CAST((r_rn - 1) * 4 // n + 1 AS INTEGER) AS recency_q,
+           CAST((f_rn - 1) * 4 // n + 1 AS INTEGER) AS frequency_q,
+           CAST((m_rn - 1) * 4 // n + 1 AS INTEGER) AS monetary_q
+    FROM r
     """
 
 
@@ -730,40 +737,59 @@ def analytics_rfm_segments(spark, sf_dir):
     """RFM user segmentation: per-user recency (last event time),
     frequency (event count), monetary (value sum), each bucketed into
     deterministic quartiles — the classic marketing/product
-    segmentation grid. Monetary sums go through exact integer cents
-    via floor(value*100 + 0.5) — half-up spelled as floor arithmetic,
-    identical IEEE-754 steps in every engine (Spark/DuckDB `round`
-    agree on paper but route through different code paths; after the
-    r4 driver hash mismatch the rounding is pinned to primitives) — so
-    the aggregation is order-independent and the quartile ORDER BY
-    keys are exact; every ntile orders by (metric, user_id) so ties
-    split identically in both engines. Values are non-negative in this
-    domain (floor(x+0.5) is round-half-toward-+inf, which differs from
-    half-away-from-zero only for negatives).
+    segmentation grid.
+
+    Determinism contract (this query went driver-red in r4–r6 with an
+    all-integer output that matched locally, so every engine-version-
+    sensitive construct is eliminated): NO ntile — its remainder-
+    distribution rule is an engine implementation detail — quartiles
+    are spelled as `(row_number − 1) * 4 DIV n + 1` over the total
+    order (metric, user_id), pure int64 arithmetic with truncating
+    division on positive operands, bit-identical on any engine; NO
+    direct timestamp comparisons — recency orders by epoch
+    MICROSECONDS as BIGINT (unix_micros ↔ epoch_us); monetary rides
+    the repo-canonical `fxp` idiom (round(value*100) → BIGINT, exact:
+    events.value is a true 2-decimal column, so value*100 is never
+    near a .5 boundary) and sums as exact int64.
 
     Shape: one partial+final agg keyed on user_id, then three window
     passes over the |users| aggregate (corpus-size-independent — users,
-    not events). At 100 TB the ntile global sort runs on the small
-    per-user table; if users themselves are huge, swap ntile for
+    not events). At 100 TB the global sorts run on the small per-user
+    table; if users themselves are huge, swap row_number for
     percent-rank thresholds on the same ordering.
     """
     e = par(T(spark, sf_dir, "events"))
     agg = e.groupBy("user_id").agg(
-        F.max("ts").alias("last_ts"),
+        F.expr(
+            # ts is TIMESTAMP_NTZ: diff from a fixed NTZ epoch gives
+            # micros with NO session-timezone shift (a cast to TIMESTAMP
+            # would apply the session zone and is not order-safe across
+            # DST fall-back); DuckDB's epoch_us is the same naive diff
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
+        ).alias("last_us"),
         F.count("*").alias("frequency"),
-        F.coalesce(
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")),
-            F.lit(0).cast("long"),
-        ).alias("monetary_cents"),
+        F.coalesce(F.sum(fxp("value")), F.lit(0).cast("long")).alias(
+            "monetary_cents"
+        ),
     )
-    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))  # noqa: E731
-    return agg.select(
+    rn = lambda col: F.row_number().over(Window.orderBy(col, "user_id"))  # noqa: E731
+    ranked = agg.select(
         "user_id",
         "frequency",
         "monetary_cents",
-        q("last_ts").cast("int").alias("recency_q"),
-        q("frequency").cast("int").alias("frequency_q"),
-        q("monetary_cents").cast("int").alias("monetary_q"),
+        rn("last_us").alias("r_rn"),
+        rn("frequency").alias("f_rn"),
+        rn("monetary_cents").alias("m_rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    quart = lambda c: F.expr(f"CAST(({c} - 1) * 4 DIV n + 1 AS INT)")  # noqa: E731
+    return ranked.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        quart("r_rn").alias("recency_q"),
+        quart("f_rn").alias("frequency_q"),
+        quart("m_rn").alias("monetary_q"),
     )
 
 
