@@ -861,9 +861,6 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
     file list and per-file cardinalities — O(|touched files|)
     metadata. The commit claims its version at plan time, so a
     concurrent commit conflicts explicitly."""
-    import glob
-    import shutil
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -877,16 +874,12 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
     if not live:
         return {"version": None, "deleted_rows": 0, "files": 0}
     by_name = {os.path.basename(p): p for p in live}
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", table)
     hits = (
-        reader.parquet(*[os.path.join(table, p) for p in sorted(live)])
+        # scan reads THROUGH existing DVs: a row that is already
+        # logically deleted must not match (and not re-count)
+        _scan_with_rowmeta(spark, table, schema, pcols, live)
         .where(F.expr(predicate))
-        .select(
-            F.col("_metadata.file_name").alias("dv_file"),
-            F.col("_metadata.row_index").alias("row_index"),
-        )
+        .select("dv_file", "row_index")
         # materialize the matched set ONCE (it is deleted-rows-sized);
         # the three consumers below (touched files, per-file counts,
         # new-row count) must not each re-run the filtered table scan
@@ -895,8 +888,52 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
     touched = sorted(r["dv_file"] for r in hits.select("dv_file").distinct().collect())
     if not touched:
         return {"version": None, "deleted_rows": 0, "files": 0}
-    # union pre-existing DVs of the touched files: the new sidecar is
-    # the FULL deleted set for its file (one DV per file, per protocol)
+    actions, new_adds = _stage_dv_actions(spark, table, hits, live, by_name, touched)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate, "mode": "DV"},
+                "timestamp": 0,
+            }
+        }
+    )
+    try:
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, new_adds)
+        raise
+    new_deleted = int(hits.count())
+    return {
+        "version": version,
+        "deleted_rows": new_deleted,
+        "files": len(touched),
+    }
+
+
+def _stage_dv_actions(
+    spark: SparkSession,
+    table: str,
+    hits,
+    live: dict[str, dict],
+    by_name: dict[str, str],
+    touched: list[str],
+) -> tuple[list[dict], list[dict]]:
+    """Stage one fresh deletion-vector sidecar per touched data file and
+    return ``(actions, new_sidecar_adds)``: per file a dataChange remove
+    of its current add entry plus the same entry re-added carrying the
+    new DV reference. ``hits`` is a (dv_file, row_index) DataFrame of
+    NEWLY deleted rows; pre-existing DVs of the touched files are
+    unioned in — the new sidecar is the FULL deleted set for its file
+    (one DV per file, per protocol). Sidecar writes are distributed
+    (one hash partition per touched file); callers own the commitInfo
+    and the ``_commit`` (and must ``_remove_staged(new_sidecar_adds)``
+    on a failed publish)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
     old_sidecars = [
         os.path.join(table, live[by_name[t]]["deletionVector"]["path"])
         for t in touched
@@ -955,26 +992,255 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
                     }
                 }
             )
-        actions.append(
-            {
-                "commitInfo": {
-                    "operation": "DELETE",
-                    "operationParameters": {"predicate": predicate, "mode": "DV"},
-                    "timestamp": 0,
-                }
-            }
-        )
-        _commit(table, version, actions)
     except Exception:
         _remove_staged(table, new_adds)
         raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    new_deleted = int(hits.count())
+    return actions, new_adds
+
+
+def _scan_with_rowmeta(spark, table: str, schema, pcols, live: dict[str, dict]):
+    """All LOGICALLY live rows of a snapshot with (dv_file, row_index)
+    metadata columns appended: files carrying a deletion vector are
+    read THROUGH it (their deleted rows anti-joined away before the
+    caller sees them), so predicate matches and merge-key matches can
+    never bind to a row that is already logically gone. DV-free files
+    skip the join entirely."""
+    from pyspark.sql import functions as F
+
+    cols = [f.name for f in schema.fields]
+    meta_cols = [
+        F.col("_metadata.file_name").alias("dv_file"),
+        F.col("_metadata.row_index").alias("row_index"),
+    ]
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    entries = sorted(live.items())
+    plain = [os.path.join(table, p) for p, a in entries if "deletionVector" not in a]
+    dvd = [(p, a["deletionVector"]) for p, a in entries if "deletionVector" in a]
+    parts = []
+    if plain:
+        parts.append(reader.parquet(*plain).select(*cols, *meta_cols))
+    if dvd:
+        dv_rows = spark.read.parquet(
+            *[os.path.join(table, dv["path"]) for _, dv in dvd]
+        ).select("dv_file", "row_index")
+        parts.append(
+            reader.parquet(*[os.path.join(table, p) for p, _ in dvd])
+            .select(*cols, *meta_cols)
+            .join(dv_rows, ["dv_file", "row_index"], "left_anti")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_delta_dv(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: tuple[str, ...] | list[str],
+    stats_cols: tuple[str, ...] = (),
+) -> dict:
+    """MERGE INTO with merge-on-read semantics (Delta's low-shuffle
+    DV merge): target rows whose ``on`` key appears in ``source`` are
+    DV-deleted in place — no data file is rewritten — and their
+    replacements (the full source row) land together with the
+    unmatched source rows as ordinary appended files, all in ONE
+    commit. This is the upsert every CDC/ingest pipeline runs hourly;
+    at 100 TB the cost is O(source + matching rows), never O(table).
+
+    Semantics pinned to the real protocol: the source must be
+    key-unique (several source rows binding one target row is Delta's
+    ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`` error — raised
+    here too); duplicate-key TARGET rows are all updated (each matched
+    target row is replaced, so target multiplicity is preserved);
+    rows already DV-deleted never match (the key scan reads through
+    existing vectors); matched rows are replaced unconditionally (no
+    change detection). Source schema must equal the table schema —
+    MERGE does not evolve. Returns ``{"version", "updated",
+    "inserted", "files_touched"}`` (version ``None`` on an empty
+    source: no empty commit).
+
+    Scale shape: ONE target scan with row metadata joined once against
+    the source (AQE picks broadcast vs shuffle by actual source size);
+    the join result is materialized once (source-sized, not
+    table-sized) and feeds the DV sidecars, the appended file stage,
+    and both counters. Version claimed at plan time (TOCTOU rule):
+    a concurrent commit conflicts explicitly rather than silently
+    merging against a stale snapshot."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", [])
+    on = list(on)
+    if not on:
+        raise ValueError("merge_delta_dv needs at least one join key")
+    missing = [k for k in on if k not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"merge keys {missing} are not columns of {table}")
+    cols = [f.name for f in schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} differ from "
+            f"{table}'s recorded columns {sorted(cols)} — MERGE does not "
+            "evolve schemas"
+        )
+    source = source.select(*cols)  # align order; shape check is order-free
+    if _schema_shape(json.loads(meta["schemaString"])) != _schema_shape(
+        json.loads(source.schema.json())
+    ):
+        raise ValueError(
+            f"merge source schema differs from {table}'s recorded schema "
+            "in field types — MERGE does not evolve schemas"
+        )
+    version = _next_version(table)  # claim at plan time (TOCTOU rule)
+    source = source.localCheckpoint()  # one pass, reused 4×
+    if (
+        source.groupBy(*on)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "merge source is not key-unique on "
+            f"{on}: several source rows would bind the same target row "
+            "(Delta's multiple-source-row-matching error)"
+        )
+    live = _replay(table)
+    by_name = {os.path.basename(p): p for p in live}
+    if live:
+        target_keys = _scan_with_rowmeta(spark, table, schema, pcols, live).select(
+            *on, "dv_file", "row_index"
+        )
+        merged = source.join(target_keys, on, "left").localCheckpoint()
+    else:
+        merged = source.select(
+            "*",
+            F.lit(None).cast("string").alias("dv_file"),
+            F.lit(None).cast("long").alias("row_index"),
+        ).localCheckpoint()
+    hits = merged.where(F.col("dv_file").isNotNull()).select("dv_file", "row_index")
+    updated = int(hits.count())
+    inserted = int(merged.count()) - updated
+    if updated + inserted == 0:
+        return {"version": None, "updated": 0, "inserted": 0, "files_touched": 0}
+    touched = sorted(
+        r["dv_file"] for r in hits.select("dv_file").distinct().collect()
+    )
+    actions: list[dict] = []
+    new_sidecars: list[dict] = []
+    if touched:
+        actions, new_sidecars = _stage_dv_actions(
+            spark, table, hits, live, by_name, touched
+        )
+    new_adds = _stage_files(
+        merged.select(*cols), table, stats_cols, partition_by=tuple(pcols)
+    )
+    actions.extend({"add": a} for a in new_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "MERGE",
+                "operationParameters": {"predicate": " AND ".join(on), "mode": "DV"},
+                "timestamp": 0,
+            }
+        }
+    )
+    try:
+        _commit(table, version, actions)
+    except Exception:
+        _remove_staged(table, new_sidecars)
+        _remove_staged(table, new_adds)
+        raise
     return {
         "version": version,
-        "deleted_rows": new_deleted,
-        "files": len(touched),
+        "updated": updated,
+        "inserted": inserted,
+        "files_touched": len(touched),
+    }
+
+
+def restore_delta(table: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — revert the live snapshot
+    (data AND schema) to an earlier version as a NEW commit, keeping
+    the full history: the protocol's answer to a bad write, priced at
+    O(|files changed since|) metadata — no data is copied, the commit
+    re-adds the old versions' still-on-disk files and removes the
+    newer ones. Files vacuumed since (data or DV sidecar) make the
+    restore impossible and raise BEFORE anything is committed — a
+    partial restore is silent corruption. Restoring to the current
+    live state is a no-op (``version: None``): no empty commits.
+    The add entries are copied verbatim from the target snapshot, so
+    deletion vectors, stats, and partition values all travel with the
+    restore; a later-evolved schema is reverted by re-committing the
+    as-of metaData action."""
+    latest = _latest_version(table)
+    if not 0 <= version <= latest:
+        raise ValueError(
+            f"cannot restore {table} to version {version}: latest is {latest}"
+        )
+    target = _replay(table, version)
+    current = _replay(table)
+    meta_at = _table_metadata(table, version)
+    meta_cur = _table_metadata(table)
+    if meta_at is None:
+        raise ValueError(f"no metaData action at-or-below version {version}")
+    to_add = {
+        p: a for p, a in target.items() if current.get(p) != a
+    }
+    to_remove = sorted(p for p in current if p not in target)
+    same_schema = _schema_shape(
+        json.loads(meta_at["schemaString"])
+    ) == _schema_shape(json.loads(meta_cur["schemaString"]))
+    if not to_add and not to_remove and same_schema:
+        return {"version": None, "restored_files": 0, "removed_files": 0}
+    missing = [
+        f
+        for p, a in sorted(to_add.items())
+        for f in [p] + (
+            [a["deletionVector"]["path"]] if "deletionVector" in a else []
+        )
+        if not os.path.exists(os.path.join(table, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {table} to version {version}: files "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} were "
+            "vacuumed — a partial restore would be silent corruption"
+        )
+    new_version = _next_version(table)
+    actions: list[dict] = []
+    if not same_schema:
+        actions.append({"metaData": {**meta_cur, "schemaString": meta_at["schemaString"]}})
+    for p in to_remove:
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+        )
+    for p, a in sorted(to_add.items()):
+        actions.append({"add": {**a, "dataChange": True}})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "timestamp": 0,
+            }
+        }
+    )
+    _commit(table, new_version, actions)
+    return {
+        "version": new_version,
+        "restored_files": len(to_add),
+        "removed_files": len(to_remove),
     }
 
 

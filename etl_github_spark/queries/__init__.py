@@ -20,7 +20,7 @@ string the driver diffs against at sf=0.01.
 # round-7 additions (Delta partitioned/checkpoint/stats-skip/evolution,
 # BFS, Holt, bloom join, patch plan, 3 stateful bridges) + 9 promoted
 # late-round additions (Delta OPTIMIZE, change feed, z-order skip,
-# DV delete, k-anonymity, BPE train+apply, delta-feed matview,
+# DV delete/merge/restore, k-anonymity, BPE train+apply, delta-feed matview,
 # stream-stream join) + 29 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -36,6 +36,8 @@ _R7_WINDOW = [
     "stream_interval_join_replay",  # never driver-verified (promoted)
     "text_bpe_apply_tokenize",  # never driver-verified (promoted)
     "lake_delta_delete_dv",  # never driver-verified (promoted)
+    "lake_delta_merge",  # never driver-verified (promoted)
+    "lake_delta_restore",  # never driver-verified (promoted)
     "multimodal_patch_plan",  # never driver-verified
     "join_bloom_prefilter",  # never driver-verified
     "trend_holt_linear_forecast",  # never driver-verified
@@ -74,8 +76,6 @@ _R7_WINDOW = [
     "join_fact_fact_revenue",  # green r01
     "q1_pricing_summary",  # green r01
     "agg_value_counts",  # green r01
-    "agg_global_count",  # green r01
-    "agg_multi_shared_scan",  # green r01
 ]
 
 

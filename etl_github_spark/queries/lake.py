@@ -1312,3 +1312,184 @@ def lake_delta_delete_dv(spark, sf_dir):
     return spark.createDataFrame(
         rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_merge",
+    sql="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    mx AS (SELECT max(event_id) AS m FROM events),
+    latest AS (
+      SELECT event_type, c FROM cents WHERE event_id % 7 <> 0
+      UNION ALL
+      SELECT 'adjusted', c + 1000 FROM cents WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT 'synthetic', CAST(m + s AS BIGINT) FROM mx, generate_series(1, 50) AS t(s)
+    ),
+    v0 AS (SELECT event_type, c FROM cents)
+    SELECT 'latest' AS snapshot, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM latest GROUP BY event_type
+    UNION ALL
+    SELECT 'v0', event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+    FROM v0 GROUP BY event_type
+    """,
+    tags=("lake", "delta", "merge", "deletion-vector"),
+)
+def lake_delta_merge(spark, sf_dir):
+    """MERGE INTO with merge-on-read DVs under the driver hash — the
+    hourly CDC upsert every lakehouse runs: land events as one Delta
+    commit, then merge a source of UPDATES (every ``event_id % 7 = 0``
+    re-typed 'adjusted' with cents bumped +1000) plus 50 brand-new
+    'synthetic' rows keyed past max(event_id). ``merge_delta_dv``
+    DV-deletes the matched rows in place — asserted in-query: NO data
+    file's byte size changes — and appends replacements + inserts in
+    the same commit. Rollups from the latest snapshot AND from v0
+    (time travel below the merge) are both hashed against a closed-form
+    oracle that recomputes the post-merge table from the fixture; a
+    resurrection through the vector, a lost insert, a double-applied
+    update, or a physically rewritten file flips the hash or the
+    in-query assertions.
+
+    Scale shape: merge cost is O(source + matching rows) — one
+    row-metadata target scan joined once against the source (AQE picks
+    the join strategy), distributed sidecar writes, one appended file
+    set. A petabyte table upserts an hourly slice without rewriting
+    anything; `materialize_deletes` is the offline purge.
+    """
+    import os
+
+    from ..io.delta_log import (
+        _replay,
+        merge_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    path = _scratch("delta_merge")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        sizes_before = {
+            p: os.path.getsize(os.path.join(path, p)) for p in _replay(path)
+        }
+        mx = e.agg(F.max("event_id").alias("m"))
+        updates = e.where("event_id % 7 = 0").select(
+            "event_id",
+            F.lit("adjusted").alias("event_type"),
+            (F.col("c") + 1000).alias("c"),
+        )
+        inserts = (
+            spark.range(1, 51)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("synthetic").alias("event_type"),
+                (F.col("m") + F.col("id")).alias("c"),
+            )
+        )
+        out = merge_delta_dv(
+            spark, path, updates.unionByName(inserts), on=("event_id",)
+        )
+        assert out["version"] == 1 and out["inserted"] == 50, out
+        sizes_after = {
+            p: os.path.getsize(os.path.join(path, p))
+            for p in sizes_before
+        }
+        assert sizes_after == sizes_before, "DV merge must not rewrite data"
+        rows = []
+        for label, v in (("latest", None), ("v0", 0)):
+            snap = (
+                read_delta(spark, path, version=v)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("c").cast("long").alias("s"),
+                )
+            )
+            rows.extend(
+                (label, r["event_type"], r["n"], r["s"]) for r in snap.collect()
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot string, event_type string, n_rows long, sum_cents long"
+    )
+
+
+@query(
+    "lake_delta_restore",
+    sql="""
+    SELECT 'latest' AS snapshot, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'v1', event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_type <> 'click' GROUP BY event_type
+    """,
+    tags=("lake", "delta", "restore", "time-travel"),
+)
+def lake_delta_restore(spark, sf_dir):
+    """RESTORE TABLE ... TO VERSION AS OF under the driver hash — the
+    bad-write undo: land events (v0), DV-delete every click (v1), then
+    ``restore_delta`` back to v0 as a NEW commit (v2) that re-adds the
+    files' PRE-DV add entries — O(metadata), no data copied, history
+    append-only (asserted in-query: three commits, the restore is v2).
+    The latest snapshot must equal v0 exactly (clicks are back —
+    restored THROUGH the vector reversion, not by rewriting), while
+    time travel to v1 still shows the deleted state. The oracle
+    recomputes both snapshots from the fixture; a restore that loses
+    the DV reversion, drops a file, or rewrites instead of re-adding
+    flips the hash or the assertions.
+
+    Scale shape: restore is a metadata diff of two snapshots —
+    O(|files changed since|) driver-side work and one commit, however
+    large the table; vacuumed files fail loudly before committing.
+    """
+    from ..io.delta_log import (
+        delete_delta_dv,
+        history,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    path = _scratch("delta_restore")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        out_del = delete_delta_dv(spark, path, "event_type = 'click'")
+        assert out_del["version"] == 1, out_del
+        out = restore_delta(path, 0)
+        assert out["version"] == 2 and out["removed_files"] == 0, out
+        assert [h["version"] for h in history(path)] == [0, 1, 2]
+        rows = []
+        for label, v in (("latest", None), ("v1", 1)):
+            snap = (
+                read_delta(spark, path, version=v)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+            )
+            rows.extend(
+                (label, r["event_type"], r["n"], r["s"]) for r in snap.collect()
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
+    )

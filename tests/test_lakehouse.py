@@ -1837,3 +1837,142 @@ def test_delta_dv_survives_checkpoint_and_vacuum(spark, tmp_path):
     n_after = len(glob.glob(os.path.join(table, "deletion-vector-*")))
     assert 0 < n_after < n_sidecars_before
     assert sorted(r["id"] for r in read_delta(spark, table).collect()) == keep
+
+
+def test_delta_merge_dv_lifecycle(spark, tmp_path):
+    """Merge-on-read MERGE: matched target rows are DV-deleted (zero
+    data-file rewrites), replacements + unmatched source rows append in
+    the SAME commit, duplicate target keys are all replaced, rows
+    already DV-deleted never match, key-duplicated sources raise, and
+    time travel below the merge sees the pre-merge rows."""
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        delete_delta_dv,
+        merge_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "mrg")
+    base = spark.range(10).selectExpr("id", "id * 10 AS v")
+    write_delta(base.repartition(2), table, stats_cols=("id",))
+    datafiles = sorted(_replay(table))
+    sizes = {f: os.path.getsize(os.path.join(table, f)) for f in datafiles}
+
+    src = spark.createDataFrame(
+        [(3, 999), (7, 888), (20, 111), (21, 222)], "id long, v long"
+    )
+    out = merge_delta_dv(spark, table, src, on=("id",))
+    assert out["version"] == 1
+    assert out["updated"] == 2 and out["inserted"] == 2
+    # the original files were NOT rewritten
+    assert {
+        f: os.path.getsize(os.path.join(table, f)) for f in datafiles
+    } == sizes
+    got = {r["id"]: r["v"] for r in read_delta(spark, table).collect()}
+    expect = {i: i * 10 for i in range(10)} | {3: 999, 7: 888, 20: 111, 21: 222}
+    assert got == expect
+    # time travel below the merge: pre-merge rows intact
+    assert {r["id"]: r["v"] for r in read_delta(spark, table, version=0).collect()} == {
+        i: i * 10 for i in range(10)
+    }
+
+    # a row DV-deleted earlier must NOT match (no resurrection-as-update)
+    delete_delta_dv(spark, table, "id = 20")
+    out2 = merge_delta_dv(
+        spark, table, spark.createDataFrame([(20, 555)], "id long, v long"), on=("id",)
+    )
+    assert out2["updated"] == 0 and out2["inserted"] == 1
+    assert {r["v"] for r in read_delta(spark, table).where("id = 20").collect()} == {555}
+
+    # duplicate-key TARGET rows are each replaced (multiplicity kept)
+    from etl_github_spark.io.delta_log import write_delta as _wd
+
+    _wd(spark.createDataFrame([(5, 1)], "id long, v long"), table)  # second id=5 row
+    out3 = merge_delta_dv(
+        spark, table, spark.createDataFrame([(5, 777)], "id long, v long"), on=("id",)
+    )
+    assert out3["updated"] == 2 and out3["inserted"] == 0
+    assert [r["v"] for r in read_delta(spark, table).where("id = 5").collect()] == [
+        777,
+        777,
+    ]
+
+    # key-duplicated source is Delta's multiple-source-row error
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_delta_dv(
+            spark,
+            table,
+            spark.createDataFrame([(1, 2), (1, 3)], "id long, v long"),
+            on=("id",),
+        )
+    # schema drift raises
+    with pytest.raises(ValueError, match="MERGE does not evolve"):
+        merge_delta_dv(
+            spark, table, spark.createDataFrame([(1, 2)], "id long, w long"), on=("id",)
+        )
+    # empty source: no empty commit
+    assert merge_delta_dv(
+        spark, table, spark.createDataFrame([], "id long, v long"), on=("id",)
+    )["version"] is None
+
+
+def test_delta_restore_lifecycle(spark, tmp_path):
+    """RESTORE: reverts data and schema to an as-of version as a NEW
+    commit (history preserved), copies DV references verbatim, no-ops
+    on the current state, and refuses when the needed files were
+    vacuumed (no partial restore)."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        delete_delta_dv,
+        history,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "rst")
+    write_delta(spark.range(10).selectExpr("id", "id AS v"), table)      # v0
+    write_delta(spark.range(10, 15).selectExpr("id", "id AS v"), table)  # v1
+    delete_delta_dv(spark, table, "id < 3")                              # v2 (DV)
+    # widen schema (additive evolution)                                  v3
+    write_delta(
+        spark.range(15, 16).selectExpr("id", "id AS v", "id AS extra"),
+        table,
+        merge_schema=True,
+    )
+
+    # restore to v2: DV reference must travel with the restore
+    out = restore_delta(table, 2)
+    assert out["version"] == 4 and out["removed_files"] == 1
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == list(
+        range(3, 15)
+    )
+    assert "extra" not in read_delta(spark, table).columns  # schema reverted
+    # restore to v0: the DV'd file's PRE-DV add entry returns
+    out0 = restore_delta(table, 0)
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == list(
+        range(10)
+    )
+    # history is append-only: every restore is a new commit
+    assert [h["version"] for h in history(table)][-2:] == [4, 5]
+    # no-op restore: already at v0's state
+    assert restore_delta(table, 0)["version"] is None
+    # restoring to the latest literal version is also a no-op
+    assert restore_delta(table, 5)["version"] is None
+
+    # a missing file (e.g. an aggressive external cleanup) makes a
+    # restore impossible — loudly, before anything is committed
+    import os as _os
+
+    from etl_github_spark.io.delta_log import _replay as _rp
+
+    victim = sorted(set(_rp(table, 3)) - set(_rp(table)))[0]
+    _os.remove(_os.path.join(table, victim))
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(table, 3)
