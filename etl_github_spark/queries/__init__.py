@@ -34,6 +34,7 @@ _R7_WINDOW = [
     "text_bpe_train_merges",  # never driver-verified (promoted)
     "lake_matview_delta_feed",  # never driver-verified (promoted)
     "stream_interval_join_replay",  # never driver-verified (promoted)
+    "stream_outer_join_replay",  # never driver-verified (promoted)
     "text_bpe_apply_tokenize",  # never driver-verified (promoted)
     "lake_delta_delete_dv",  # never driver-verified (promoted)
     "lake_delta_merge",  # never driver-verified (promoted)
@@ -75,7 +76,6 @@ _R7_WINDOW = [
     "join_multiway_dims",  # green r01
     "join_fact_fact_revenue",  # green r01
     "q1_pricing_summary",  # green r01
-    "agg_value_counts",  # green r01
 ]
 
 

@@ -601,3 +601,117 @@ def stream_interval_join_replay(spark, sf_dir):
     return spark.createDataFrame(
         rows, "purchase_id long, click_id long, gap_us long"
     )
+
+
+@query(
+    "stream_outer_join_replay",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(p.ts_us - c.ts_us AS BIGINT) AS gap_us
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts_us > p.ts_us - 1800000000
+     AND c.ts_us <= p.ts_us
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "bridge"),
+)
+def stream_outer_join_replay(spark, sf_dir):
+    """LEFT OUTER stream-stream join under the driver hash — the part
+    of streaming joins inner joins never exercise: an unmatched
+    purchase emits its null-click row ONLY when the watermark proves no
+    future click can still match it. The replay stages the three real
+    event-time slices plus a SENTINEL batch 3 h past the last real
+    event (one sentinel purchase + click on user −1, filtered from the
+    output): the sentinel advances both sides' watermarks beyond every
+    real purchase, so Spark's no-data batch flushes ALL pending outer
+    rows and the replay converges exactly to the batch LEFT JOIN. Lose
+    state too early → matched pairs missing; never flush → null rows
+    missing; flush unmatched rows that HAD matches → phantom nulls.
+    Each failure flips the hash.
+
+    Scale shape: identical to the inner form — per-side state is
+    rate × (watermark + interval), each micro-batch shuffles only its
+    own rows by user — plus outer-row emission bounded by watermark
+    progress (the production form of "when do I stop waiting").
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.joins import stream_stream_interval_join
+
+    root = tempfile.mkdtemp(prefix="stream_soj_")
+    try:
+        cols = ["event_id", "user_id", "event_type", "ts_us"]
+        ddl = "event_id long, user_id long, event_type string, ts_us long"
+        src1 = _staged_event_stream(spark, sf_dir, cols, ddl, root)
+        stream_dir = os.path.join(root, "in")
+        # sentinel batch: one purchase + click 3 h past the last real
+        # event — pushes wm(final) 2 h past every real purchase, so the
+        # closing no-data batch flushes every pending outer row
+        max_us = (
+            T(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+            .collect()[0][0]
+        )
+        # TWO sentinel batches: the watermark only advances at a batch
+        # END, and availableNow runs no closing no-data batch — so the
+        # flush of rows near max_us happens while PROCESSING the batch
+        # after the one that raised the watermark past them
+        for i in (1, 2):
+            s_us = max_us + 3 * i * 3600 * 1_000_000
+            stage = os.path.join(root, f"sentinel_stage{i}")
+            spark.createDataFrame(
+                [(-2 * i, -1, "purchase", s_us), (-2 * i - 1, -1, "click", s_us)],
+                ddl,
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            dest = os.path.join(stream_dir, f"b{2 + i}.parquet")
+            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], dest)
+            os.utime(dest, (time.time() + 120 * i, time.time() + 120 * i))
+
+        src2 = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        left = src1.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.timestamp_micros(F.col("ts_us")).alias("l_ts"),
+        )
+        right = src2.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_id"),
+            F.timestamp_micros(F.col("ts_us")).alias("r_ts"),
+        )
+        # NOTE: sentinels are dropped AFTER the replay, in plain Python —
+        # a `p_id >= 0` filter in the PLAN gets pushed through the outer
+        # join into the left parquet scan, where row-group stats (the
+        # sentinel file is all-negative ids) skip the whole file, the
+        # left watermark node never sees the sentinel, and the watermark
+        # stalls exactly `delay + interval` short of flushing the tail
+        joined = stream_stream_interval_join(
+            left, right, "user_id",
+            watermark="1 hour", interval="30 minutes", how="left_outer",
+        ).select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("r_id").alias("click_id"),
+            (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, joined, "stream_soj", mode="append")
+            if r["purchase_id"] >= 0
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "purchase_id long, click_id long, gap_us long"
+    )
