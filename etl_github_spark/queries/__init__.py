@@ -39,6 +39,8 @@ _R7_WINDOW = [
     "lake_delta_delete_dv",  # never driver-verified (promoted)
     "lake_delta_merge",  # never driver-verified (promoted)
     "lake_delta_restore",  # never driver-verified (promoted)
+    "multimodal_audio_frames",  # never driver-verified (promoted)
+    "stat_bootstrap_ci",  # never driver-verified (promoted)
     "multimodal_patch_plan",  # never driver-verified
     "join_bloom_prefilter",  # never driver-verified
     "trend_holt_linear_forecast",  # never driver-verified
@@ -74,8 +76,6 @@ _R7_WINDOW = [
     "join_full_outer",  # green r01
     "join_cross",  # green r01
     "join_multiway_dims",  # green r01
-    "join_fact_fact_revenue",  # green r01
-    "q1_pricing_summary",  # green r01
 ]
 
 

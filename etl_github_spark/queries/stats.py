@@ -1238,3 +1238,151 @@ def stat_theil_sen_daily_trend(spark, sf_dir):
             ols.alias("ols_slope"),
         )
     )
+
+
+_BS_B = 32  # bootstrap resamples
+#: Poisson(1) CDF cutoffs scaled to 1e6 — P(0)=.367879, P(<=1)=.735759,
+#: P(<=2)=.919699, P(<=3)=.981012; multiplicities above 4 are folded
+#: into 4 (P ≈ 0.4%, bias negligible, keeps the CASE closed-form)
+_BS_CUTS = (367879, 735759, 919699, 981012)
+
+_BOOTSTRAP_SQL = f"""
+    WITH d AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    r AS (
+      SELECT d.lang, t.b, d.x,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+                  || '#bs' || CAST(t.b AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000000 AS u
+      FROM d, generate_series(1, {_BS_B}) AS t(b)
+    ),
+    m AS (
+      SELECT lang, b, x,
+             CASE WHEN u < {_BS_CUTS[0]} THEN 0
+                  WHEN u < {_BS_CUTS[1]} THEN 1
+                  WHEN u < {_BS_CUTS[2]} THEN 2
+                  WHEN u < {_BS_CUTS[3]} THEN 3
+                  ELSE 4 END AS w
+      FROM r
+    ),
+    rm AS (
+      SELECT lang, b,
+             1000 * sum(w * x) // sum(w) AS mean_pm
+      FROM m GROUP BY lang, b HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT lang, mean_pm,
+             row_number() OVER (PARTITION BY lang ORDER BY mean_pm, b) AS rn
+      FROM rm
+    ),
+    full_s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             1000 * sum(x) // count(*) AS mean_permille
+      FROM d GROUP BY lang
+    )
+    SELECT f.lang, f.n_docs,
+           CAST(f.mean_permille AS BIGINT) AS mean_permille,
+           CAST(lo.mean_pm AS BIGINT) AS boot_lo_permille,
+           CAST(hi.mean_pm AS BIGINT) AS boot_hi_permille
+    FROM full_s f
+    JOIN ranked lo ON lo.lang = f.lang AND lo.rn = 2
+    JOIN ranked hi ON hi.lang = f.lang AND hi.rn = {_BS_B - 1}
+    """
+
+
+@query(
+    "stat_bootstrap_ci",
+    sql=_BOOTSTRAP_SQL,
+    tags=("stat", "bootstrap", "resampling", "scale-path"),
+)
+def stat_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the per-language mean document
+    length — resampling statistics made DETERMINISTIC and single-pass:
+    the classic n-with-replacement bootstrap needs global coordinated
+    sampling, but the POISSON bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012) replaces it
+    with an independent Poisson(1) multiplicity per (row, resample) —
+    embarrassingly parallel, no shuffle beyond the group-by, and the
+    100 TB form of "error bars on a metric". Randomness is the
+    engine-portable md5 idiom hashed on (doc_id, resample), so both
+    engines draw the SAME multiplicities; resample means ride exact
+    integer permille (1000·Σwx DIV Σw), and the 93.75% CI picks ranks
+    2 and 31 of the 32 ordered resample means (row_number with a (mean,
+    b) tie-break — no percentile interpolation to diverge on).
+
+    Shape: one fan-out of B=32 weighted copies (a projection, not a
+    shuffle), one (lang, b) partial+final agg, one window over the
+    |langs|·B tiny aggregate. At 100 TB the fan-out stays map-side;
+    B scales the cost linearly and independently of row count.
+    """
+    d = par(T(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    b = spark.range(1, _BS_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#bs"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    w = (
+        F.when(u < _BS_CUTS[0], 0)
+        .when(u < _BS_CUTS[1], 1)
+        .when(u < _BS_CUTS[2], 2)
+        .when(u < _BS_CUTS[3], 3)
+        .otherwise(4)
+    )
+    rm = (
+        d.crossJoin(F.broadcast(b))
+        .select("lang", "b", "x", w.alias("w"))
+        .groupBy("lang", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "lang", "b", F.expr("1000 * swx DIV sw").alias("mean_pm")
+        )
+    )
+    ranked = rm.select(
+        "lang",
+        "mean_pm",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("mean_pm", "b"))
+        .alias("rn"),
+    )
+    full_s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("1000 * sum(x) DIV count(*)").alias("mean_permille"),
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        "lang", F.col("mean_pm").alias("boot_lo_permille")
+    )
+    hi = ranked.where(F.col("rn") == _BS_B - 1).select(
+        "lang", F.col("mean_pm").alias("boot_hi_permille")
+    )
+    return (
+        full_s.join(lo, "lang")
+        .join(hi, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("mean_permille").cast("long").alias("mean_permille"),
+            F.col("boot_lo_permille").cast("long").alias("boot_lo_permille"),
+            F.col("boot_hi_permille").cast("long").alias("boot_hi_permille"),
+        )
+    )

@@ -678,3 +678,90 @@ def multimodal_patch_plan(spark, sf_dir, patch: int = 16):
             "coord_checksum",
         )
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    sql="""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 16000
+                                  WHEN 1 THEN 22050
+                                  ELSE 44100 END AS BIGINT) AS sample_rate,
+             CAST(500 + n_chars % 2000 AS BIGINT) AS dur_ms
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, sample_rate,
+             sample_rate * dur_ms // 1000 AS n_samples
+      FROM a
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           CAST(CASE WHEN n_samples >= 1024
+                     THEN (n_samples - 1024) // 512 + 1 ELSE 0 END
+                AS BIGINT) AS n_frames,
+           CAST(CASE WHEN n_samples >= 1024
+                     THEN ((n_samples - 1024) // 512) * 512 ELSE 0 END
+                AS BIGINT) AS last_frame_start,
+           CAST(CASE WHEN n_samples >= 1024
+                     THEN n_samples - (((n_samples - 1024) // 512) * 512 + 1024)
+                     ELSE n_samples END
+                AS BIGINT) AS tail_uncovered
+    FROM s
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_frames(spark, sf_dir):
+    """STFT frame-grid planning over an opaque AUDIO header — the audio
+    sibling of `multimodal_image_dims`: audio arrives as bytes, and the
+    first pipeline stage reads sample_rate and sample count from a
+    fixed-offset header (a WAV fmt/data chunk in real life) WITHOUT
+    decoding PCM. The fixture has no real audio, so the 8-byte header
+    ([sample_rate:4][n_samples:4] big-endian) is synthesized in-plan
+    from doc attributes (the multimodal stubbing contract,
+    `multimodal.py`); the PARSE path and the frame arithmetic are the
+    real product. Frame grid: 1024-sample windows, 512-sample hop,
+    center=False (librosa/torchaudio's non-padded STFT): n_frames,
+    the last frame's start offset, and the uncovered tail the hop
+    grid drops — the numbers a feature-extraction stage needs to size
+    its output tensor BEFORE touching payload bytes.
+
+    All integer arithmetic (truncating DIV on non-negatives), byte
+    slices via substring/conv — JVM-side, zero Python, scan-speed at
+    any scale; the payload column is never materialized (Parquet
+    column projection).
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sr = (
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(44100)
+        .cast("long")
+    )
+    dur_ms = (F.lit(500) + F.col("n_chars") % 2000).cast("long")
+    # encode: 8-byte big-endian header [sample_rate:4][n_samples:4];
+    # n_samples = sr * dur_ms DIV 1000 (exact int arithmetic, both engines)
+    hdr = F.unhex(
+        F.concat(
+            F.lpad(F.hex(sr), 8, "0"),
+            F.lpad(F.hex(F.floor(sr * dur_ms / 1000).cast("long")), 8, "0"),
+        )
+    )
+    enc = d.select("doc_id", hdr.alias("header"))
+    # parse: fixed-offset byte slices back to integers — frame math runs
+    # on the PARSED values, so an encode/endianness slip flips the hash
+    p_sr = "CAST(conv(substring(hex(header), 1, 8), 16, 10) AS BIGINT)"
+    p_ns = "CAST(conv(substring(hex(header), 9, 8), 16, 10) AS BIGINT)"
+    nf = f"CASE WHEN {p_ns} >= 1024 THEN ({p_ns} - 1024) DIV 512 + 1 ELSE 0 END"
+    ls = f"CASE WHEN {p_ns} >= 1024 THEN (({p_ns} - 1024) DIV 512) * 512 ELSE 0 END"
+    return enc.select(
+        "doc_id",
+        F.expr(p_sr).alias("sample_rate"),
+        F.expr(p_ns).alias("n_samples"),
+        F.expr(f"CAST({nf} AS BIGINT)").alias("n_frames"),
+        F.expr(f"CAST({ls} AS BIGINT)").alias("last_frame_start"),
+        F.expr(
+            f"CAST(CASE WHEN {p_ns} >= 1024 "
+            f"THEN {p_ns} - (({ls}) + 1024) ELSE {p_ns} END AS BIGINT)"
+        ).alias("tail_uncovered"),
+    )
