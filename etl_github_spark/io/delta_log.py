@@ -810,17 +810,18 @@ def read_delta(
     if plain:
         parts.append(reader.parquet(*plain).select(*cols))
     if dvd:
+        _check_dv_reserved(cols)
         dv_rows = spark.read.parquet(
             *[os.path.join(table, dv["path"]) for _, dv in dvd]
-        ).select("dv_file", "row_index")
+        ).select("__delta_dv_file", "__delta_dv_pos")
         scan = (
             reader.parquet(*[os.path.join(table, p) for p, _ in dvd])
             .select(
                 *cols,
-                F.col("_metadata.file_name").alias("dv_file"),
-                F.col("_metadata.row_index").alias("row_index"),
+                F.col("_metadata.file_name").alias("__delta_dv_file"),
+                F.col("_metadata.row_index").alias("__delta_dv_pos"),
             )
-            .join(dv_rows, ["dv_file", "row_index"], "left_anti")
+            .join(dv_rows, ["__delta_dv_file", "__delta_dv_pos"], "left_anti")
             .select(*cols)
         )
         parts.append(scan)
@@ -879,13 +880,13 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
         # logically deleted must not match (and not re-count)
         _scan_with_rowmeta(spark, table, schema, pcols, live)
         .where(F.expr(predicate))
-        .select("dv_file", "row_index")
+        .select("__delta_dv_file", "__delta_dv_pos")
         # materialize the matched set ONCE (it is deleted-rows-sized);
         # the three consumers below (touched files, per-file counts,
         # new-row count) must not each re-run the filtered table scan
         .localCheckpoint()
     )
-    touched = sorted(r["dv_file"] for r in hits.select("dv_file").distinct().collect())
+    touched = sorted(r["__delta_dv_file"] for r in hits.select("__delta_dv_file").distinct().collect())
     if not touched:
         return {"version": None, "deleted_rows": 0, "files": 0}
     actions, new_adds = _stage_dv_actions(spark, table, hits, live, by_name, touched)
@@ -942,29 +943,29 @@ def _stage_dv_actions(
     dv = hits
     if old_sidecars:
         dv = dv.unionByName(
-            spark.read.parquet(*old_sidecars).select("dv_file", "row_index")
+            spark.read.parquet(*old_sidecars).select("__delta_dv_file", "__delta_dv_pos")
         )
     dv = dv.distinct()
     stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     new_adds: list[dict] = []
     try:
         (
-            dv.withColumn("pf", F.col("dv_file"))
-            .repartition(len(touched), "pf")
-            .sortWithinPartitions("pf", "row_index")
-            .write.partitionBy("pf")
+            dv.withColumn("__delta_dv_pf", F.col("__delta_dv_file"))
+            .repartition(len(touched), "__delta_dv_pf")
+            .sortWithinPartitions("__delta_dv_pf", "__delta_dv_pos")
+            .write.partitionBy("__delta_dv_pf")
             .mode("overwrite")
             .parquet(stage)
         )
         counts = {
-            r["dv_file"]: r["n"]
-            for r in dv.groupBy("dv_file")
+            r["__delta_dv_file"]: r["n"]
+            for r in dv.groupBy("__delta_dv_file")
             .agg(F.count("*").alias("n"))
             .collect()
         }
         actions: list[dict] = []
         for t in touched:
-            parts = sorted(glob.glob(os.path.join(stage, f"pf={t}", "part-*.parquet")))
+            parts = sorted(glob.glob(os.path.join(stage, f"__delta_dv_pf={t}", "part-*.parquet")))
             if len(parts) != 1:  # pragma: no cover - hash-group contract
                 raise RuntimeError(f"DV stage for {t} wrote {len(parts)} files")
             rel = f"deletion-vector-{uuid.uuid4().hex}.parquet"
@@ -1000,6 +1001,22 @@ def _stage_dv_actions(
     return actions, new_adds
 
 
+#: internal column names used by the DV machinery (sidecar schema and
+#: row-metadata scans) — reserved like real Delta's __delta-prefixed
+#: names; a user column with one of these would make every DV join
+#: ambiguous, so the scan helpers refuse loudly instead
+_DV_RESERVED = ("__delta_dv_file", "__delta_dv_pos", "__delta_dv_pf")
+
+
+def _check_dv_reserved(cols) -> None:
+    clash = sorted(set(cols) & set(_DV_RESERVED))
+    if clash:
+        raise ValueError(
+            f"table columns {clash} collide with the deletion-vector "
+            f"machinery's reserved names {_DV_RESERVED}"
+        )
+
+
 def _scan_with_rowmeta(spark, table: str, schema, pcols, live: dict[str, dict]):
     """All LOGICALLY live rows of a snapshot with (dv_file, row_index)
     metadata columns appended: files carrying a deletion vector are
@@ -1010,9 +1027,10 @@ def _scan_with_rowmeta(spark, table: str, schema, pcols, live: dict[str, dict]):
     from pyspark.sql import functions as F
 
     cols = [f.name for f in schema.fields]
+    _check_dv_reserved(cols)
     meta_cols = [
-        F.col("_metadata.file_name").alias("dv_file"),
-        F.col("_metadata.row_index").alias("row_index"),
+        F.col("_metadata.file_name").alias("__delta_dv_file"),
+        F.col("_metadata.row_index").alias("__delta_dv_pos"),
     ]
     reader = spark.read.schema(schema)
     if pcols:
@@ -1026,11 +1044,11 @@ def _scan_with_rowmeta(spark, table: str, schema, pcols, live: dict[str, dict]):
     if dvd:
         dv_rows = spark.read.parquet(
             *[os.path.join(table, dv["path"]) for _, dv in dvd]
-        ).select("dv_file", "row_index")
+        ).select("__delta_dv_file", "__delta_dv_pos")
         parts.append(
             reader.parquet(*[os.path.join(table, p) for p, _ in dvd])
             .select(*cols, *meta_cols)
-            .join(dv_rows, ["dv_file", "row_index"], "left_anti")
+            .join(dv_rows, ["__delta_dv_file", "__delta_dv_pos"], "left_anti")
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1103,8 +1121,15 @@ def merge_delta_dv(
         )
     version = _next_version(table)  # claim at plan time (TOCTOU rule)
     source = source.localCheckpoint()  # one pass, reused 4×
+    # uniqueness only matters for keys that CAN bind a target row:
+    # null-keyed source rows never match (the join below never binds
+    # them — they are plain inserts), so Delta's multiple-source-row
+    # error does not apply to them
+    non_null = source
+    for k in on:
+        non_null = non_null.where(F.col(k).isNotNull())
     if (
-        source.groupBy(*on)
+        non_null.groupBy(*on)
         .agg(F.count("*").alias("n"))
         .where(F.col("n") > 1)
         .limit(1)
@@ -1119,22 +1144,22 @@ def merge_delta_dv(
     by_name = {os.path.basename(p): p for p in live}
     if live:
         target_keys = _scan_with_rowmeta(spark, table, schema, pcols, live).select(
-            *on, "dv_file", "row_index"
+            *on, "__delta_dv_file", "__delta_dv_pos"
         )
         merged = source.join(target_keys, on, "left").localCheckpoint()
     else:
         merged = source.select(
             "*",
-            F.lit(None).cast("string").alias("dv_file"),
-            F.lit(None).cast("long").alias("row_index"),
+            F.lit(None).cast("string").alias("__delta_dv_file"),
+            F.lit(None).cast("long").alias("__delta_dv_pos"),
         ).localCheckpoint()
-    hits = merged.where(F.col("dv_file").isNotNull()).select("dv_file", "row_index")
+    hits = merged.where(F.col("__delta_dv_file").isNotNull()).select("__delta_dv_file", "__delta_dv_pos")
     updated = int(hits.count())
     inserted = int(merged.count()) - updated
     if updated + inserted == 0:
         return {"version": None, "updated": 0, "inserted": 0, "files_touched": 0}
     touched = sorted(
-        r["dv_file"] for r in hits.select("dv_file").distinct().collect()
+        r["__delta_dv_file"] for r in hits.select("__delta_dv_file").distinct().collect()
     )
     actions: list[dict] = []
     new_sidecars: list[dict] = []
@@ -1188,6 +1213,10 @@ def restore_delta(table: str, version: int) -> dict:
         raise ValueError(
             f"cannot restore {table} to version {version}: latest is {latest}"
         )
+    new_version = _next_version(table)  # claim at plan time (TOCTOU rule):
+    # a commit landing after the snapshot diff below would otherwise be
+    # silently un-restored by a stale plan; claiming first makes the
+    # interleaving an explicit FileExistsError conflict instead
     target = _replay(table, version)
     current = _replay(table)
     meta_at = _table_metadata(table, version)
@@ -1217,7 +1246,6 @@ def restore_delta(table: str, version: int) -> dict:
             f"{missing[:3]}{'...' if len(missing) > 3 else ''} were "
             "vacuumed — a partial restore would be silent corruption"
         )
-    new_version = _next_version(table)
     actions: list[dict] = []
     if not same_schema:
         actions.append({"metaData": {**meta_cur, "schemaString": meta_at["schemaString"]}})
@@ -1281,13 +1309,13 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
             )
             dv_rows = spark.read.parquet(
                 os.path.join(table, a["deletionVector"]["path"])
-            ).select("row_index")
+            ).select("__delta_dv_pos")
             clean = (
                 spark.read.schema(data_schema)
                 .parquet(os.path.join(table, p))
-                .withColumn("row_index", F.col("_metadata.row_index"))
-                .join(dv_rows, "row_index", "left_anti")
-                .drop("row_index")
+                .withColumn("__delta_dv_pos", F.col("_metadata.row_index"))
+                .join(dv_rows, "__delta_dv_pos", "left_anti")
+                .drop("__delta_dv_pos")
             )
             stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
             try:
@@ -1301,6 +1329,13 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
                     raise RuntimeError("purge rewrite produced multiple files")
                 src = os.path.join(stage, parts[0])
                 md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    # the vector covered the WHOLE file: the purge of this
+                    # file is just its remove — committing a 0-row live
+                    # add would poison stats-only answers (empty min/max)
+                    # and leave junk live files forever
+                    removes.append(p)
+                    continue
                 rel_dir = os.path.dirname(p)
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 rel = f"{rel_dir}/{name}" if rel_dir else name
@@ -1365,7 +1400,6 @@ def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:
     if cp is not None:  # cleaned-prefix history survives via the checkpoint
         _, _, adds = _read_checkpoint(table, cp)
         live.update(a["path"] for a in adds)
-    if cp is not None:
         live.update(
             a["deletionVector"]["path"] for a in adds if a.get("deletionVector")
         )
@@ -1600,18 +1634,22 @@ def zorder_delta(
     pcols = meta.get("partitionColumns", [])
     if set(zorder_by) & set(pcols):
         raise ValueError("cannot z-order by a partition column")
-    if any("deletionVector" in a for a in _replay(table).values()):
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+
+    # claim the version at plan time (same TOCTOU rule as optimize_delta)
+    version = _next_version(table)
+    # the DV guard runs on the SAME post-claim replay the plan uses — a
+    # guard on an earlier replay would miss a delete_delta_dv commit
+    # landing in between, and the clustering would resurrect its rows
+    live_adds = _replay(table)
+    if any("deletionVector" in a for a in live_adds.values()):
         raise ValueError(
             f"zorder_delta on {table}: live files carry deletion vectors — "
             "clustering reads raw file bytes and would resurrect deleted "
             "rows; run materialize_deletes first"
         )
-    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-
-    # claim the version at plan time (same TOCTOU rule as optimize_delta)
-    version = _next_version(table)
     groups: dict[tuple, list[str]] = {}
-    for path, add in sorted(_replay(table).items()):
+    for path, add in sorted(live_adds.items()):
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
         groups.setdefault(key, []).append(path)
 
@@ -1787,6 +1825,19 @@ def delta_changes(
                         f"version {v} of {table} removes data (overwrite/"
                         "delete): this append-only change feed cannot "
                         "represent it — full CDF is out of scope"
+                    )
+                elif (
+                    action.get("commitInfo", {}).get("operation") == "RESTORE"
+                ):
+                    # a restore that only re-adds (e.g. reverting a DV
+                    # delete) carries no remove action, but its adds are
+                    # files whose rows consumers already processed —
+                    # delivering them again is the same double-count the
+                    # remove rule guards against
+                    raise ValueError(
+                        f"version {v} of {table} is a RESTORE: its adds "
+                        "re-deliver previously-consumed rows, which this "
+                        "append-only change feed cannot represent"
                     )
         if files:
             per_version.append((v, files))

@@ -14,14 +14,17 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 7: 1 latest-red (`analytics_rfm_segments`, root-caused
-# in 78ae358 — the oracle's HUGEINT column leaked float64 into the
-# driver's pandas canonicalization; re-verifying the fix) + the 11
-# round-7 additions (Delta partitioned/checkpoint/stats-skip/evolution,
-# BFS, Holt, bloom join, patch plan, 3 stateful bridges) + 9 promoted
-# late-round additions (Delta OPTIMIZE, change feed, z-order skip,
-# DV delete/merge/restore, k-anonymity, BPE train+apply, delta-feed matview,
-# stream-stream join) + 29 stale-green ballast.
+# staleness. Round 7: 1 latest-red (`analytics_rfm_segments`, red r4-r6
+# with local parity green — rewritten this round to drop every engine-
+# version-sensitive construct: ntile's remainder-distribution rule and
+# raw-timestamp ordering, replaced by row_number integer arithmetic
+# over epoch-micro longs) + 11 earlier round-7 additions (Delta
+# partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
+# patch plan, 3 stateful bridges) + 14 promoted late-round additions
+# (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
+# k-anonymity, BPE train+apply, delta-feed matview, stream-stream
+# inner+outer joins, audio frames, bootstrap CI) + 24 stale-green
+# ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 

@@ -1976,3 +1976,106 @@ def test_delta_restore_lifecycle(spark, tmp_path):
     _os.remove(_os.path.join(table, victim))
     with pytest.raises(ValueError, match="vacuumed"):
         restore_delta(table, 3)
+
+
+def test_delta_dv_review_fixes(spark, tmp_path):
+    """Pins the round-7 review findings: the change feed refuses RESTORE
+    commits (their adds re-deliver consumed rows), PURGE drops a fully-
+    deleted file instead of committing a 0-row live add (stats-only
+    watermarks stay tight), null-keyed merge-source rows are inserts
+    (not a false key-uniqueness error), and user columns colliding with
+    the DV machinery's reserved names raise loudly."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        delete_delta_dv,
+        delta_changes,
+        high_water_mark,
+        materialize_deletes,
+        merge_delta_dv,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    # change feed refuses RESTORE (re-adds without removes)
+    t1 = str(tmp_path / "cf")
+    write_delta(spark.range(10).selectExpr("id", "id AS v"), t1)
+    delete_delta_dv(spark, t1, "id < 4")
+    restore_delta(t1, 0)
+    with pytest.raises(ValueError, match="RESTORE"):
+        delta_changes(spark, t1, from_version=1)
+
+    # PURGE of a fully-deleted file commits only the remove
+    t2 = str(tmp_path / "pg")
+    write_delta(spark.range(5).selectExpr("id", "id AS v"), t2,
+                stats_cols=("id",))
+    write_delta(
+        spark.range(100, 105).selectExpr("id", "id AS v"), t2,
+        stats_cols=("id",),
+    )
+    delete_delta_dv(spark, t2, "id >= 100")
+    materialize_deletes(spark, t2)
+    live = _replay(t2)
+    assert not any("deletionVector" in a for a in live.values())
+    import json as _json
+
+    assert all(
+        _json.loads(a["stats"])["numRecords"] > 0
+        for a in live.values()
+        if "stats" in a
+    )
+    assert high_water_mark(t2, "id") == 4  # tight again, not None
+    assert sorted(r["id"] for r in read_delta(spark, t2).collect()) == list(range(5))
+
+    # null-keyed source rows are inserts, not a uniqueness error
+    out = merge_delta_dv(
+        spark,
+        t2,
+        spark.createDataFrame([(None, 7), (None, 8), (3, 33)], "id long, v long"),
+        on=("id",),
+    )
+    assert out["updated"] == 1 and out["inserted"] == 2
+    got = read_delta(spark, t2)
+    assert got.where("id IS NULL").count() == 2
+    assert got.where("id = 3").collect()[0]["v"] == 33
+
+    # reserved internal names refuse loudly before any DV join
+    t3 = str(tmp_path / "rsv")
+    write_delta(
+        spark.range(4).selectExpr("id", "id AS __delta_dv_pos"), t3
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        delete_delta_dv(spark, t3, "id = 1")
+
+
+def test_delta_restore_claims_version_at_plan_time(spark, tmp_path, monkeypatch):
+    """A commit landing after restore's snapshot diff must surface as an
+    explicit version conflict, never a silently stale 'restore'."""
+    import pytest
+
+    from etl_github_spark.io import delta_log as dl
+
+    table = str(tmp_path / "rc")
+    dl.write_delta(spark.range(5).selectExpr("id", "id AS v"), table)
+    dl.write_delta(spark.range(5, 8).selectExpr("id", "id AS v"), table)
+
+    real_replay = dl._replay
+    raced = {"done": False}
+
+    def replay_with_race(t, version=None):
+        out = real_replay(t, version)
+        if not raced["done"] and version is None:
+            raced["done"] = True  # concurrent append lands mid-plan
+            dl.write_delta(
+                spark.range(100, 101).selectExpr("id", "id AS v"), table
+            )
+        return out
+
+    monkeypatch.setattr(dl, "_replay", replay_with_race)
+    with pytest.raises(FileExistsError):
+        dl.restore_delta(table, 0)
+    monkeypatch.undo()
+    # nothing was committed by the loser; the racer's row is intact
+    assert dl.read_delta(spark, table).where("id = 100").count() == 1
