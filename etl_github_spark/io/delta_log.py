@@ -300,6 +300,39 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
         pass
 
 
+def last_txn_version(table: str, app_id: str) -> int | None:
+    """Latest ``txn`` action version recorded for ``app_id`` — the
+    protocol's idempotent-writer bookkeeping (a streaming sink asks
+    "did I already commit this micro-batch?" here before writing).
+    Returns None when no txn for the app is recorded in the retained
+    JSON log; raises when the log prefix was checkpoint-cleaned and no
+    retained txn exists — a vanished commit might have carried the
+    app's txn, and guessing "never written" would double-apply a batch
+    (txn persistence through parquet checkpoints is documented out of
+    scope; keep the JSON tail longer than the app's replay horizon)."""
+    versions = _list_versions(table)
+    latest: int | None = None
+    for v in versions:
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    latest = max(latest or txn["version"], txn["version"])
+    if latest is None:
+        cp = _last_checkpoint(table)
+        if cp is not None and (not versions or min(versions) > 0):
+            raise ValueError(
+                f"txn visibility for app {app_id!r} on {table} is lost: "
+                "the JSON log below the checkpoint was cleaned and no "
+                "retained commit carries the app's txn — cannot decide "
+                "idempotency safely"
+            )
+    return latest
+
+
 def write_delta(
     df: DataFrame,
     table: str,
@@ -308,7 +341,8 @@ def write_delta(
     partition_by: tuple[str, ...] = (),
     merge_schema: bool = False,
     retries: int = 0,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit df to the Delta table at ``table`` (append or overwrite);
     returns the committed version. Version 0 carries protocol+metaData
     like real Delta (including ``partitionColumns`` when
@@ -341,14 +375,32 @@ def write_delta(
     layout, which still raises) and re-committed at the next version.
     Overwrite never retries: its remove-set was computed against the
     old snapshot, and silently re-running it would drop the concurrent
-    winner's rows — the loser must re-read and re-decide."""
+    winner's rows — the loser must re-read and re-decide.
+
+    ``txn=(app_id, txn_version)`` (append only) records the protocol's
+    transaction-identifier action alongside the data, making the write
+    IDEMPOTENT: if the table already carries a txn for ``app_id`` at
+    or above ``txn_version``, the write is skipped and None returned —
+    the exactly-once contract a streaming micro-batch sink needs on
+    at-least-once redelivery. The check re-runs on every retry attempt,
+    so losing a version race to a DUPLICATE of yourself (the crashed
+    predecessor's commit) also resolves to a skip, not a double-write."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
+    if txn is not None and mode != "append":
+        raise ValueError("txn idempotency is defined for append commits only")
     os.makedirs(table, exist_ok=True)
     adds: list[dict] | None = None
     staged_layout: tuple[str, ...] | None = None
     attempts = 1 + max(0, retries if mode == "append" else 0)
     for attempt in range(attempts):
+        if txn is not None and os.path.isdir(_log_path(table)):
+            app_id, txn_version = txn
+            seen = last_txn_version(table, app_id)
+            if seen is not None and seen >= txn_version:
+                if adds is not None:  # staged in a lost-race prior attempt
+                    _remove_staged(table, adds)
+                return None
         version = _next_version(table)  # refuses gapped logs
         actions: list[dict] = []
         if version == 0:
@@ -433,6 +485,8 @@ def write_delta(
             adds = _stage_files(df, table, stats_cols, partition_by=layout)
             staged_layout = layout
         actions.extend({"add": a} for a in adds)
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
         actions.append(
             {
                 "commitInfo": {

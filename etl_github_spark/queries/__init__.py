@@ -20,11 +20,11 @@ string the driver diffs against at sf=0.01.
 # raw-timestamp ordering, replaced by row_number integer arithmetic
 # over epoch-micro longs) + 11 earlier round-7 additions (Delta
 # partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 14 promoted late-round additions
+# patch plan, 3 stateful bridges) + 15 promoted late-round additions
 # (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
 # k-anonymity, BPE train+apply, delta-feed matview, stream-stream
-# inner+outer joins, audio frames, bootstrap CI) + 24 stale-green
-# ballast.
+# inner+outer joins, exactly-once txn sink, audio frames, bootstrap
+# CI) + 23 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -38,6 +38,7 @@ _R7_WINDOW = [
     "lake_matview_delta_feed",  # never driver-verified (promoted)
     "stream_interval_join_replay",  # never driver-verified (promoted)
     "stream_outer_join_replay",  # never driver-verified (promoted)
+    "stream_delta_sink_exactly_once",  # never driver-verified (promoted)
     "text_bpe_apply_tokenize",  # never driver-verified (promoted)
     "lake_delta_delete_dv",  # never driver-verified (promoted)
     "lake_delta_merge",  # never driver-verified (promoted)
@@ -78,7 +79,6 @@ _R7_WINDOW = [
     "join_anti",  # green r01
     "join_full_outer",  # green r01
     "join_cross",  # green r01
-    "join_multiway_dims",  # green r01
 ]
 
 

@@ -715,3 +715,87 @@ def stream_outer_join_replay(spark, sf_dir):
     return spark.createDataFrame(
         rows, "purchase_id long, click_id long, gap_us long"
     )
+
+
+@query(
+    "stream_delta_sink_exactly_once",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "lake", "delta", "exactly-once", "txn", "bridge"),
+)
+def stream_delta_sink_exactly_once(spark, sf_dir):
+    """EXACTLY-ONCE under the driver hash: the events fixture streams
+    through `streaming/pipeline.py::stream_delta_txn_sink` into a
+    scratch Delta table — three micro-batches, each committed WITH the
+    protocol's ``txn`` action — then the ENTIRE STREAM RUNS AGAIN from
+    a fresh checkpoint (the worst redelivery case: every batch replays)
+    and, for good measure, one batch is re-committed directly. The
+    table must hold each row exactly once — the rollup hashes against
+    the plain batch closed form, so any double-applied batch flips
+    n_rows and sum_event_id. In-query assertions additionally pin that
+    run 2 committed NOTHING (version count unchanged) and that the
+    txn high-water mark reads back per app.
+
+    Scale shape: idempotency costs a driver-side JSON-tail walk per
+    batch — no data read, no table scan; the failure mode it kills
+    (checkpoint/sink disagreement after a crash) is otherwise
+    unfixable at any scale without rewriting the table.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.delta_log import (
+        _latest_version,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+    from ..streaming.pipeline import stream_delta_txn_sink
+
+    root = tempfile.mkdtemp(prefix="stream_eo_")
+    table = f"{root}/tbl"
+    try:
+        cols = ["event_id", "event_type", "ts_us"]
+        ddl = "event_id long, event_type string, ts_us long"
+        for run in (1, 2):  # run 2 = full replay from a fresh checkpoint
+            src = (
+                _staged_event_stream(spark, sf_dir, cols, ddl, root)
+                if run == 1
+                else spark.readStream.schema(ddl)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{root}/in")
+            )
+            q = stream_delta_txn_sink(
+                src.select("event_id", "event_type"),
+                table,
+                f"{root}/ckpt{run}",
+                app_id="ingest",
+            )
+            q.awaitTermination()
+            q.stop()
+            if run == 1:
+                v_after_first = _latest_version(table)
+        assert _latest_version(table) == v_after_first, "replay re-committed"
+        assert last_txn_version(table, "ingest") == 2
+        assert last_txn_version(table, "other-app") is None
+        # a direct duplicate of batch 1 is also skipped
+        dup = read_delta(spark, table).limit(5)
+        assert write_delta(dup, table, txn=("ingest", 1)) is None
+        out = (
+            read_delta(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows long, sum_event_id long"
+    )

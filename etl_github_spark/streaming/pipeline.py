@@ -247,3 +247,47 @@ def stream_distinct_users_sketch(events, window: str = "1 hour", lg_k: int = 12)
             "approx_users",
         )
     )
+
+
+def stream_delta_txn_sink(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str,
+    stats_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming append into the Delta log via the
+    protocol's ``txn`` action: every micro-batch commits its data
+    together with ``{"txn": {appId, version: batch_id}}``, and
+    :func:`~etl_github_spark.io.delta_log.write_delta` skips any batch
+    the table has already recorded at-or-above — so at-least-once
+    redelivery (crash between sink commit and checkpoint advance, a
+    checkpoint wiped and the whole stream replayed, a zombie executor
+    re-running a batch) lands each batch's rows exactly once. This is
+    how real Delta streaming sinks get exactly-once on top of an
+    at-least-once engine (the idempotent-writer half of the contract;
+    the version race is settled by the log's O_EXCL commit claim).
+
+    Scale shape: the txn check is a driver-side walk of the retained
+    JSON tail (O(commits), no data read); each batch pays only its own
+    distributed write. Blind appends commute, so concurrent apps
+    interleave freely — their txn lines are per-appId."""
+    from ..io.delta_log import write_delta
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        write_delta(
+            batch_df,
+            table,
+            stats_cols=stats_cols,
+            txn=(app_id, batch_id),
+            retries=10,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

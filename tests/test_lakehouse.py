@@ -2079,3 +2079,53 @@ def test_delta_restore_claims_version_at_plan_time(spark, tmp_path, monkeypatch)
     monkeypatch.undo()
     # nothing was committed by the loser; the racer's row is intact
     assert dl.read_delta(spark, table).where("id = 100").count() == 1
+
+
+def test_delta_txn_idempotent_writes(spark, tmp_path, monkeypatch):
+    """The protocol's txn action: duplicate (appId, version) appends are
+    skipped, higher versions commit, per-app bookkeeping is isolated, a
+    lost version race against your own crashed duplicate resolves to a
+    skip (not a double-write), and checkpoint-cleaned txn visibility
+    raises instead of guessing."""
+    import pytest
+
+    from etl_github_spark.io import delta_log as dl
+
+    table = str(tmp_path / "txn")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    assert dl.write_delta(df, table, txn=("app", 0)) == 0
+    assert dl.write_delta(df, table, txn=("app", 0)) is None  # duplicate
+    assert dl.read_delta(spark, table).count() == 5
+    assert dl.write_delta(df, table, txn=("app", 1)) == 1  # next batch
+    assert dl.write_delta(df, table, txn=("app", 1)) is None
+    assert dl.write_delta(df, table, txn=("other", 0)) == 2  # per-app
+    assert dl.last_txn_version(table, "app") == 1
+    assert dl.last_txn_version(table, "other") == 0
+    assert dl.last_txn_version(table, "nobody") is None
+    assert dl.read_delta(spark, table).count() == 15
+    with pytest.raises(ValueError, match="append commits only"):
+        dl.write_delta(df, table, mode="overwrite", txn=("app", 9))
+
+    # losing the version race to your own duplicate resolves to a skip:
+    # the duplicate commits between this attempt's txn check and its
+    # _commit; the retry re-checks and returns None
+    real_next = dl._next_version
+    raced = {"done": False}
+
+    def next_with_duplicate_race(t):
+        v = real_next(t)
+        if not raced["done"]:
+            raced["done"] = True
+            dl.write_delta(df, table, txn=("app", 2))  # the zombie twin
+        return v
+
+    monkeypatch.setattr(dl, "_next_version", next_with_duplicate_race)
+    assert dl.write_delta(df, table, txn=("app", 2), retries=3) is None
+    monkeypatch.undo()
+    assert dl.read_delta(spark, table).count() == 20  # twin's rows only
+
+    # checkpoint-cleaned prefix with no retained txn => loud refusal
+    dl.checkpoint_delta(table)
+    dl.cleanup_log(table)
+    with pytest.raises(ValueError, match="visibility"):
+        dl.last_txn_version(table, "app")
