@@ -1390,7 +1390,10 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
                     # and leave junk live files forever
                     removes.append(p)
                     continue
-                rel_dir = os.path.dirname(p)
+                # a shallow-cloned file has an ABSOLUTE source path: its
+                # purged rewrite must land under THIS table's root (the
+                # clone's copy-on-write), never back in the source dir
+                rel_dir = "" if os.path.isabs(p) else os.path.dirname(p)
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 rel = f"{rel_dir}/{name}" if rel_dir else name
                 shutil.move(src, os.path.join(table, rel))
@@ -1427,6 +1430,81 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
         _remove_staged(table, adds)
         raise
     return {"version": version, "files": len(targets)}
+
+
+def clone_delta(src: str, dst: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE — a zero-copy writable fork of ``src``'s snapshot
+    (optionally as-of ``version``): ``dst`` gets a fresh version-0 log
+    whose add actions point at the SOURCE's data files by absolute
+    path; no bytes move. Writes to the clone are copy-on-write — new
+    commits, OPTIMIZE rewrites, DV sidecars, and purges all land under
+    the clone's own root (source files are only ever dereferenced,
+    never touched), and the clone's vacuum reaps only clone-local
+    files. This is the dev/test-table primitive: fork a petabyte table
+    in O(|files|) metadata, experiment destructively, drop the dir.
+
+    Same caveat as real Delta shallow clones: VACUUM ON THE SOURCE can
+    delete files the clone still references — clones are working
+    copies, not backups. Stats, and deletion-vector references travel
+    verbatim (sidecar paths are absolutized too, so a clone of a DV'd
+    snapshot reads through the same vectors). Partitioned sources are
+    refused: the reader derives hive partition values under the
+    TABLE's basePath, which cloned absolute paths live outside of
+    (DEEP clone / path-rewrite is the out-of-scope fix)."""
+    meta = _table_metadata(src, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {src}")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            f"shallow clone of partitioned table {src} is not supported: "
+            "hive partition derivation needs files under the clone's "
+            "basePath — use a deep copy"
+        )
+    if os.path.exists(dst) and (
+        os.path.isdir(_log_path(dst)) or os.listdir(dst)
+    ):
+        raise ValueError(f"clone destination {dst} already exists")
+    live = _replay(src, version)
+    src_root = os.path.abspath(src)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                **meta,
+                "id": uuid.uuid4().hex,  # a clone is a NEW table
+            }
+        },
+    ]
+    n_files = 0
+    for p, a in sorted(live.items()):
+        entry = dict(a)
+        entry["path"] = p if os.path.isabs(p) else os.path.join(src_root, p)
+        dv = entry.get("deletionVector")
+        if dv and not os.path.isabs(dv["path"]):
+            entry["deletionVector"] = {
+                **dv,
+                "path": os.path.join(src_root, dv["path"]),
+            }
+        actions.append({"add": entry})
+        n_files += 1
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_root,
+                    "sourceVersion": (
+                        _latest_version(src) if version is None else version
+                    ),
+                    "isShallow": True,
+                },
+                "timestamp": 0,
+            }
+        }
+    )
+    os.makedirs(dst, exist_ok=True)
+    _commit(dst, 0, actions)
+    return {"version": 0, "files": n_files}
 
 
 def vacuum_delta(table: str, retention_seconds: float = 24 * 3600) -> list[str]:

@@ -1493,3 +1493,95 @@ def lake_delta_restore(spark, sf_dir):
     return spark.createDataFrame(
         rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_clone",
+    sql="""
+    WITH mx AS (SELECT max(event_id) AS m FROM events)
+    SELECT 'src' AS snapshot, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'clone', event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM (
+      SELECT event_id, event_type FROM events WHERE event_type <> 'click'
+      UNION ALL
+      SELECT CAST(m + s AS BIGINT), 'synthetic'
+      FROM mx, generate_series(1, 50) AS t(s)
+    ) GROUP BY event_type
+    """,
+    tags=("lake", "delta", "clone", "zero-copy"),
+)
+def lake_delta_clone(spark, sf_dir):
+    """SHALLOW CLONE under the driver hash — the zero-copy dev-table
+    fork: land events as a Delta table, `clone_delta` it (asserted
+    in-query: the clone holds ZERO data files — its v0 log just points
+    at the source's bytes), then diverge the clone destructively
+    (DV-delete every click, append 50 synthetic rows) and hash BOTH
+    tables' rollups. The source must still read its original content
+    from byte-identical files (mtimes asserted) — a clone that leaks a
+    write back, shares a sidecar, or deep-copies instead of
+    referencing flips an assertion or the hash.
+
+    Scale shape: the clone is O(|files|) driver-side metadata and one
+    commit — a petabyte fork in milliseconds; divergence costs only
+    what the clone writes (copy-on-write into the clone's root).
+    """
+    import glob as _glob
+    import os
+
+    from ..io.delta_log import (
+        clone_delta,
+        delete_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    root = _scratch("delta_clone")
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    try:
+        write_delta(e.repartition(4), src, stats_cols=("event_id",))
+        src_state = {
+            f: os.path.getmtime(f)
+            for f in _glob.glob(os.path.join(src, "*.parquet"))
+        }
+        clone_delta(src, dst)
+        assert not _glob.glob(os.path.join(dst, "part-*.parquet")), (
+            "shallow clone must copy no data files"
+        )
+        delete_delta_dv(spark, dst, "event_type = 'click'")
+        mx = e.agg(F.max("event_id").alias("m"))
+        synth = (
+            spark.range(1, 51)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("synthetic").alias("event_type"),
+            )
+        )
+        write_delta(synth, dst)
+        assert {
+            f: os.path.getmtime(f) for f in src_state
+        } == src_state, "clone divergence must not touch source files"
+        rows = []
+        for label, table in (("src", src), ("clone", dst)):
+            snap = (
+                read_delta(spark, table)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("s"),
+                )
+            )
+            rows.extend(
+                (label, r["event_type"], r["n"], r["s"]) for r in snap.collect()
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
+    )

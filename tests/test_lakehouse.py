@@ -2129,3 +2129,71 @@ def test_delta_txn_idempotent_writes(spark, tmp_path, monkeypatch):
     dl.cleanup_log(table)
     with pytest.raises(ValueError, match="visibility"):
         dl.last_txn_version(table, "app")
+
+
+def test_delta_shallow_clone_lifecycle(spark, tmp_path):
+    """Shallow clone: zero bytes copied, clone reads the source snapshot
+    (DVs included), writes/deletes/purges on the clone are copy-on-write
+    into the clone's root, the source log and files stay byte-identical,
+    and the clone's vacuum never reaches into the source."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        clone_delta,
+        delete_delta_dv,
+        materialize_deletes,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(
+        spark.range(20).selectExpr("id", "id * 2 AS v"), src,
+        stats_cols=("id",),
+    )
+    delete_delta_dv(spark, src, "id >= 15")  # clone must read through this
+    src_files = {
+        f: os.path.getmtime(os.path.join(src, f))
+        for f in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    }
+    out = clone_delta(src, dst)
+    assert out["version"] == 0 and out["files"] >= 1
+    # zero-copy: no data files under the clone yet
+    assert not glob.glob(os.path.join(dst, "part-*.parquet"))
+    assert sorted(r["id"] for r in read_delta(spark, dst).collect()) == list(range(15))
+
+    # copy-on-write: append + delete + purge land under the CLONE
+    write_delta(spark.range(100, 105).selectExpr("id", "id * 2 AS v"), dst)
+    delete_delta_dv(spark, dst, "id < 5")
+    materialize_deletes(spark, dst)
+    keep = list(range(5, 15)) + list(range(100, 105))
+    assert sorted(r["id"] for r in read_delta(spark, dst).collect()) == keep
+    # the source never changed: same log tip, same file mtimes
+    assert sorted(r["id"] for r in read_delta(spark, src).collect()) == list(range(15))
+    assert {
+        f: os.path.getmtime(os.path.join(src, f))
+        for f in src_files
+    } == src_files
+    # clone's vacuum reaps only clone-local garbage
+    reaped = vacuum_delta(dst, retention_seconds=0)
+    assert all(not r.startswith("/") for r in reaped)
+    assert sorted(r["id"] for r in read_delta(spark, src).collect()) == list(range(15))
+
+    # partitioned sources are refused loudly
+    psrc = str(tmp_path / "psrc")
+    write_delta(
+        spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS part"),
+        psrc,
+        partition_by=("part",),
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        clone_delta(psrc, str(tmp_path / "pdst"))
+    # existing destinations are refused
+    with pytest.raises(ValueError, match="already exists"):
+        clone_delta(src, dst)
