@@ -452,6 +452,13 @@ def write_delta(
                         "recorded shape, new fields added) — drops, renames, "
                         "and type changes always raise"
                     )
+            try:  # CHECK constraints (re-read per attempt: the winner of
+                # a lost race may have added one)
+                _check_constraints(df, meta)
+            except ValueError:
+                if adds is not None:
+                    _remove_staged(table, adds)
+                raise
             recorded_parts = (
                 () if meta is None else tuple(meta.get("partitionColumns", []))
             )
@@ -1175,6 +1182,7 @@ def merge_delta_dv(
         )
     version = _next_version(table)  # claim at plan time (TOCTOU rule)
     source = source.localCheckpoint()  # one pass, reused 4×
+    _check_constraints(source, meta)  # MERGE's appended rows obey CHECKs
     # uniqueness only matters for keys that CAN bind a target row:
     # null-keyed source rows never match (the join below never binds
     # them — they are plain inserts), so Delta's multiple-source-row
@@ -1430,6 +1438,120 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
         _remove_staged(table, adds)
         raise
     return {"version": version, "files": len(targets)}
+
+
+def _table_constraints(meta: dict | None) -> dict[str, str]:
+    """CHECK constraints recorded in the metaData configuration under
+    the protocol's ``delta.constraints.<name>`` keys."""
+    if not meta:
+        return {}
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def _check_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Refuse a write whose rows violate any recorded CHECK constraint —
+    ONE combined violation scan (all constraints OR'd, limit 1), then a
+    per-constraint count only on the failure path for a useful error.
+    NULL evaluation follows SQL CHECK semantics: a row violates only
+    when the expression is definitively FALSE (UNKNOWN passes)."""
+    from pyspark.sql import functions as F
+
+    constraints = _table_constraints(meta)
+    if not constraints:
+        return
+    clauses = [f"NOT coalesce(({expr}), true)" for expr in constraints.values()]
+    if df.where(F.expr(" OR ".join(clauses))).limit(1).count():
+        detail = {
+            name: df.where(F.expr(f"NOT coalesce(({expr}), true)")).count()
+            for name, expr in sorted(constraints.items())
+        }
+        bad = {n: c for n, c in detail.items() if c}
+        raise ValueError(
+            f"write violates CHECK constraint(s) {bad}: "
+            + "; ".join(f"{n}: CHECK ({constraints[n]})" for n in bad)
+        )
+
+
+def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): records the
+    constraint in the metaData configuration (the protocol's
+    ``delta.constraints.`` namespace) AFTER verifying every CURRENTLY
+    LIVE row satisfies it — adding a constraint existing data violates
+    would make the table lie about itself. Later writes (append,
+    overwrite, MERGE's appended rows) are refused if any row fails the
+    check; deletes and rewrites of already-valid rows are unaffected.
+    Returns the commit version.
+
+    Scale shape: validation is one pushdown-friendly scan with
+    limit(1) short-circuit; enforcement on writes costs one extra
+    filter pass over the WRITE's rows only, never the table."""
+    from pyspark.sql import functions as F
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    if name in _table_constraints(meta):
+        raise ValueError(f"constraint {name!r} already exists on {table}")
+    version = _next_version(table)  # claim at plan time
+    existing = read_delta(spark, table)
+    n_bad = existing.where(F.expr(f"NOT coalesce(({expr}), true)")).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r} to {table}: {n_bad} existing "
+            f"row(s) violate CHECK ({expr})"
+        )
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    _commit(
+        table,
+        version,
+        [
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: removes the recorded check (a
+    metaData-only commit). Unknown names raise — silently 'dropping'
+    a typo would leave the real constraint enforced."""
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"no constraint {name!r} on {table}")
+    version = _next_version(table)
+    del conf[key]
+    _commit(
+        table,
+        version,
+        [
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
 
 
 def clone_delta(src: str, dst: str, version: int | None = None) -> dict:

@@ -1585,3 +1585,101 @@ def lake_delta_clone(spark, sf_dir):
     return spark.createDataFrame(
         rows, "snapshot string, event_type string, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_constraints",
+    sql="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    mx AS (SELECT max(event_id) AS m FROM events),
+    final AS (
+      SELECT event_type, c FROM cents
+      UNION ALL
+      SELECT 'audited', CAST(m + s AS BIGINT)
+      FROM mx, generate_series(1, 50) AS t(s)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type
+    """,
+    tags=("lake", "delta", "constraints", "quality"),
+)
+def lake_delta_constraints(spark, sf_dir):
+    """CHECK-constraint enforcement under the driver hash — the
+    write-time data-quality gate: land events as a Delta table, ALTER
+    in two constraints (non-negative cents, non-null type), then prove
+    the gate holds — a violating append MUST raise and commit NOTHING
+    (version pinned in-query), a conforming append lands, and the
+    final rollup hashes against the closed form of exactly
+    fixture + conforming rows. A gate that half-commits, lets the bad
+    batch through, or rejects the good one flips an assertion or the
+    hash.
+
+    Scale shape: enforcement costs one OR-combined filter with a
+    limit(1) short-circuit over the WRITE's rows only — the table is
+    never re-scanned; ADD CONSTRAINT validates existing data with one
+    pushdown-friendly scan.
+    """
+    from ..io.delta_log import (
+        _latest_version,
+        add_constraint,
+        read_delta,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    path = _scratch("delta_ck")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        add_constraint(spark, path, "c_nonneg", "c >= 0")
+        add_constraint(spark, path, "typed", "event_type IS NOT NULL")
+        v_before = _latest_version(path)
+        mx = e.agg(F.max("event_id").alias("m"))
+        bad = (
+            spark.range(1, 3)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("audited").alias("event_type"),
+                F.lit(-1).cast("long").alias("c"),
+            )
+        )
+        try:
+            write_delta(bad, path)
+            raise AssertionError("violating append must raise")
+        except ValueError as exc:
+            assert "c_nonneg" in str(exc)
+        assert _latest_version(path) == v_before, "half-committed bad batch"
+        good = (
+            spark.range(1, 51)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("audited").alias("event_type"),
+                (F.col("m") + F.col("id")).alias("c"),
+            )
+        )
+        write_delta(good, path)
+        out = (
+            read_delta(spark, path)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("c").cast("long").alias("sum_cents"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows long, sum_cents long"
+    )

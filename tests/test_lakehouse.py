@@ -2197,3 +2197,63 @@ def test_delta_shallow_clone_lifecycle(spark, tmp_path):
     # existing destinations are refused
     with pytest.raises(ValueError, match="already exists"):
         clone_delta(src, dst)
+
+
+def test_delta_check_constraints(spark, tmp_path):
+    """CHECK constraints: existing violations block ADD CONSTRAINT,
+    appends/overwrites/merges of violating rows are refused with the
+    per-constraint counts, UNKNOWN (null) passes per SQL semantics,
+    DROP removes enforcement, and the clone inherits the source's
+    constraints via the copied metaData."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        add_constraint,
+        clone_delta,
+        drop_constraint,
+        merge_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "ck")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, None)], "id long, v long"), table
+    )
+    # UNKNOWN passes: the null-v row does not block v >= 0
+    add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="existing row"):
+        add_constraint(spark, table, "id_big", "id >= 100")
+
+    # violating append refused, nothing committed
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta(
+            spark.createDataFrame([(3, -1)], "id long, v long"), table
+        )
+    assert read_delta(spark, table).count() == 2
+    # violating MERGE source refused too
+    with pytest.raises(ValueError, match="v_nonneg"):
+        merge_delta_dv(
+            spark,
+            table,
+            spark.createDataFrame([(1, -5)], "id long, v long"),
+            on=("id",),
+        )
+    # valid rows (and nulls) land
+    write_delta(spark.createDataFrame([(3, None)], "id long, v long"), table)
+    assert read_delta(spark, table).count() == 3
+
+    # the clone inherits the constraint
+    dst = str(tmp_path / "ck_clone")
+    clone_delta(table, dst)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta(spark.createDataFrame([(9, -9)], "id long, v long"), dst)
+
+    # drop removes enforcement (and unknown names raise)
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(table, "nope")
+    drop_constraint(table, "v_nonneg")
+    write_delta(spark.createDataFrame([(4, -1)], "id long, v long"), table)
+    assert read_delta(spark, table).where("v < 0").count() == 1
