@@ -392,6 +392,7 @@ def write_delta(
     os.makedirs(table, exist_ok=True)
     adds: list[dict] | None = None
     staged_layout: tuple[str, ...] | None = None
+    staged_mapping: str | None = None  # physical-name map used at staging
     attempts = 1 + max(0, retries if mode == "append" else 0)
     for attempt in range(attempts):
         if txn is not None and os.path.isdir(_log_path(table)):
@@ -403,6 +404,7 @@ def write_delta(
                 return None
         version = _next_version(table)  # refuses gapped logs
         actions: list[dict] = []
+        mapped_meta: dict | None = None
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -434,6 +436,13 @@ def write_delta(
             if recorded is not None and _schema_shape(
                 json.loads(recorded)
             ) != _schema_shape(json.loads(df.schema.json())):
+                if merge_schema and _mapping_on(meta):
+                    if adds is not None:
+                        _remove_staged(table, adds)
+                    raise ValueError(
+                        "schema evolution on a column-mapped table is not "
+                        "supported (new fields need column-id assignment)"
+                    )
                 if merge_schema and _is_additive_evolution(
                     json.loads(recorded), json.loads(df.schema.json())
                 ):
@@ -459,6 +468,7 @@ def write_delta(
                 if adds is not None:
                     _remove_staged(table, adds)
                 raise
+            mapped_meta = meta if _mapping_on(meta) else None
             recorded_parts = (
                 () if meta is None else tuple(meta.get("partitionColumns", []))
             )
@@ -483,14 +493,38 @@ def write_delta(
                             }
                         }
                     )
-        if adds is not None and staged_layout != layout:
-            # lost a CREATE race to a winner with a different layout:
-            # the staged files' hive paths / partitionValues are wrong
+        mapping_key = (
+            None if mapped_meta is None else mapped_meta["schemaString"]
+        )
+        if adds is not None and (
+            staged_layout != layout or staged_mapping != mapping_key
+        ):
+            # lost a CREATE race to a winner with a different layout or
+            # column mapping: the staged files' hive paths /
+            # partitionValues / physical column names are wrong
             _remove_staged(table, adds)
             adds = None
         if adds is None:  # stage ONCE; retries recommit the same files
-            adds = _stage_files(df, table, stats_cols, partition_by=layout)
+            stage_df, stage_stats = df, stats_cols
+            if mapped_meta is not None:
+                # column mapping: data files store PHYSICAL names; the
+                # caller's frame (and stats_cols) speak logical
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import StructType as _ST
+
+                fields = _ST.fromJson(
+                    json.loads(mapped_meta["schemaString"])
+                ).fields
+                phys_of = {f.name: _physical_name(f) for f in fields}
+                stage_df = df.select(
+                    *[F.col(n).alias(phys_of[n]) for n in df.columns]
+                )
+                stage_stats = tuple(phys_of.get(c, c) for c in stats_cols)
+            adds = _stage_files(
+                stage_df, table, stage_stats, partition_by=layout
+            )
             staged_layout = layout
+            staged_mapping = mapping_key
         actions.extend({"add": a} for a in adds)
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -854,6 +888,16 @@ def read_delta(
                 f"partition_filter keys {bad} are not partition columns of "
                 f"{table} (partitioned by {sorted(pcols)})"
             )
+    mapped = _mapping_on(meta)
+    if mapped and stats_filter:
+        # stats keys are PHYSICAL names (written from the physical df):
+        # translate the caller's logical predicate columns
+        phys_of = {
+            f.name: _physical_name(f) for f in schema.fields
+        }
+        stats_filter = [
+            (phys_of.get(c, c), op, v) for c, op, v in stats_filter
+        ]
     _check_stats_filter(stats_filter)
     entries = sorted(
         (p, a)
@@ -861,10 +905,11 @@ def read_delta(
         if _match_partition(a, partition_filter)
         and not _stats_excludes(a, stats_filter)
     )
-    cols = [f.name for f in schema.fields]
+    read_schema = _physical_schema(schema) if mapped else schema
+    cols = [f.name for f in read_schema.fields]
     plain = [os.path.join(table, p) for p, a in entries if "deletionVector" not in a]
     dvd = [(p, a["deletionVector"]) for p, a in entries if "deletionVector" in a]
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(read_schema)
     if pcols:
         reader = reader.option("basePath", table)
     parts = []
@@ -891,6 +936,13 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if mapped:  # physical file names → the snapshot's logical names
+        out = out.select(
+            *[
+                F.col(_physical_name(f)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     return out
 
 
@@ -929,6 +981,7 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "delete_delta_dv")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     version = _next_version(table)  # claim at plan time (TOCTOU rule)
@@ -1157,6 +1210,7 @@ def merge_delta_dv(
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "merge_delta_dv")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     on = list(on)
@@ -1285,6 +1339,8 @@ def restore_delta(table: str, version: int) -> dict:
     meta_cur = _table_metadata(table)
     if meta_at is None:
         raise ValueError(f"no metaData action at-or-below version {version}")
+    _refuse_mapping(meta_cur, "restore_delta")
+    _refuse_mapping(meta_at, "restore_delta")
     to_add = {
         p: a for p, a in target.items() if current.get(p) != a
     }
@@ -1352,6 +1408,7 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "materialize_deletes")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
@@ -1438,6 +1495,197 @@ def materialize_deletes(spark: SparkSession, table: str) -> dict:
         _remove_staged(table, adds)
         raise
     return {"version": version, "files": len(targets)}
+
+
+_CM_MODE_KEY = "delta.columnMapping.mode"
+_CM_ID_KEY = "delta.columnMapping.id"
+_CM_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _mapping_on(meta: dict | None) -> bool:
+    return bool(meta) and (meta.get("configuration") or {}).get(
+        _CM_MODE_KEY
+    ) == "name"
+
+
+def _physical_name(field) -> str:
+    return (field.metadata or {}).get(_CM_PHYS_KEY, field.name)
+
+
+def _physical_schema(schema):
+    """The schema as the DATA FILES store it: logical field names
+    replaced by their recorded physicalName (types unchanged)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(_physical_name(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _refuse_mapping(meta: dict | None, op: str) -> None:
+    """Column mapping is supported on the read/append/overwrite/stats
+    paths; the rewrite-shaped operations refuse loudly instead of
+    guessing at physical-name plumbing they were not built for."""
+    if _mapping_on(meta):
+        raise ValueError(
+            f"{op} does not support column-mapped tables (mode=name); "
+            "read/append/overwrite/rename/drop are the supported surface"
+        )
+
+
+def enable_column_mapping(table: str) -> int:
+    """Upgrade the table to column mapping mode 'name' (the protocol's
+    rename/drop-without-rewrite feature): every schema field gets a
+    stable ``physicalName`` — for an upgraded table, its CURRENT name,
+    so every existing data file remains readable — plus a column id.
+    From then on data files are written under physical names and the
+    logical schema is free to rename or drop without touching a byte.
+    Partitioned tables are refused (hive-path derivation speaks
+    physical names — out of scope)."""
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    if _mapping_on(meta):
+        raise ValueError(f"column mapping already enabled on {table}")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "column mapping on partitioned tables is not supported"
+        )
+    version = _next_version(table)
+    schema = json.loads(meta["schemaString"])
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        md[_CM_ID_KEY] = i
+        md[_CM_PHYS_KEY] = f["name"]
+        f["metadata"] = md
+    conf = dict(meta.get("configuration") or {})
+    conf[_CM_MODE_KEY] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
+    _commit(
+        table,
+        version,
+        [
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": json.dumps(schema),
+                    "configuration": conf,
+                }
+            },
+            {
+                "commitInfo": {
+                    "operation": "UPGRADE COLUMN MAPPING",
+                    "operationParameters": {"mode": "name"},
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
+
+
+def _constraint_references(meta: dict, column: str) -> list[str]:
+    import re
+
+    pat = re.compile(rf"\b{re.escape(column)}\b")
+    return sorted(
+        name
+        for name, expr in _table_constraints(meta).items()
+        if pat.search(expr)
+    )
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — a metaData-only commit (zero
+    bytes rewritten): the logical name changes, the recorded
+    physicalName keeps pointing at the same parquet column. Requires
+    column mapping; refuses when a CHECK constraint references the old
+    name (its expression would silently stop binding)."""
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    if not _mapping_on(meta):
+        raise ValueError(
+            f"rename_column needs column mapping: run "
+            f"enable_column_mapping({table!r}) first"
+        )
+    refs = _constraint_references(meta, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: CHECK constraint(s) {refs} reference it"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} on {table}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists on {table}")
+    version = _next_version(table)
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    _commit(
+        table,
+        version,
+        [
+            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+            {
+                "commitInfo": {
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"from": old, "to": new},
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
+
+
+def drop_column(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metaData-only (the data files keep
+    the bytes; readers under the new schema simply never select the
+    physical column, and time travel below the drop still sees it).
+    Requires column mapping; refuses constraint-referenced columns and
+    dropping the last column."""
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    if not _mapping_on(meta):
+        raise ValueError(
+            f"drop_column needs column mapping: run "
+            f"enable_column_mapping({table!r}) first"
+        )
+    refs = _constraint_references(meta, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: CHECK constraint(s) {refs} reference it"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} on {table}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    version = _next_version(table)
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    _commit(
+        table,
+        version,
+        [
+            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+            {
+                "commitInfo": {
+                    "operation": "DROP COLUMN",
+                    "operationParameters": {"name": name},
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
 
 
 def _table_constraints(meta: dict | None) -> dict[str, str]:
@@ -1576,6 +1824,7 @@ def clone_delta(src: str, dst: str, version: int | None = None) -> dict:
     meta = _table_metadata(src, version)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {src}")
+    _refuse_mapping(meta, "clone_delta")
     if meta.get("partitionColumns"):
         raise ValueError(
             f"shallow clone of partitioned table {src} is not supported: "
@@ -1727,6 +1976,7 @@ def optimize_delta(
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "optimize_delta")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
@@ -1884,6 +2134,7 @@ def zorder_delta(
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "zorder_delta")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     if set(zorder_by) & set(pcols):
@@ -2099,6 +2350,7 @@ def delta_changes(
     if meta is None:
         raise ValueError(f"no metaData action at-or-below version "
                          f"{to_version} of {table}")
+    _refuse_mapping(meta, "delta_changes")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     out = None
@@ -2128,6 +2380,16 @@ def high_water_mark(table: str, col: str, version: int | None = None):
     reporting a watermark that no longer exists is exactly the silent
     wrongness this helper refuses (falling back to a scan is the
     caller's choice)."""
+    meta = _table_metadata(table, version)
+    if _mapping_on(meta):
+        from pyspark.sql.types import StructType as _ST
+
+        for f in _ST.fromJson(json.loads(meta["schemaString"])).fields:
+            if f.name == col:  # stats are keyed by PHYSICAL name
+                col = _physical_name(f)
+                break
+        else:
+            raise ValueError(f"no column {col!r} on {table}")
     maxes = []
     for add in _replay(table, version).values():
         stats = json.loads(add["stats"]) if "stats" in add else None

@@ -20,12 +20,12 @@ string the driver diffs against at sf=0.01.
 # raw-timestamp ordering, replaced by row_number integer arithmetic
 # over epoch-micro longs) + 11 earlier round-7 additions (Delta
 # partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 17 promoted late-round additions
+# patch plan, 3 stateful bridges) + 18 promoted late-round additions
 # (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
-# shallow clone, CHECK constraints,
+# shallow clone, CHECK constraints, column mapping,
 # k-anonymity, BPE train+apply, delta-feed matview, stream-stream
 # inner+outer joins, exactly-once txn sink, audio frames, bootstrap
-# CI) + 21 stale-green ballast.
+# CI) + 20 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -46,6 +46,7 @@ _R7_WINDOW = [
     "lake_delta_restore",  # never driver-verified (promoted)
     "lake_delta_clone",  # never driver-verified (promoted)
     "lake_delta_constraints",  # never driver-verified (promoted)
+    "lake_delta_column_mapping",  # never driver-verified (promoted)
     "multimodal_audio_frames",  # never driver-verified (promoted)
     "stat_bootstrap_ci",  # never driver-verified (promoted)
     "multimodal_patch_plan",  # never driver-verified
@@ -79,7 +80,6 @@ _R7_WINDOW = [
     "join_inner_broadcast",  # green r01
     "join_left_outer_agg",  # green r01
     "join_semi",  # green r01
-    "join_anti",  # green r01
 ]
 
 

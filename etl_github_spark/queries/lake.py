@@ -1683,3 +1683,102 @@ def lake_delta_constraints(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_rows long, sum_cents long"
     )
+
+
+@query(
+    "lake_delta_column_mapping",
+    sql="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    mx AS (SELECT max(event_id) AS m FROM events),
+    final AS (
+      SELECT event_type, c FROM cents
+      UNION ALL
+      SELECT 'renamed', CAST(m + s AS BIGINT)
+      FROM mx, generate_series(1, 50) AS t(s)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type
+    """,
+    tags=("lake", "delta", "column-mapping", "rename"),
+)
+def lake_delta_column_mapping(spark, sf_dir):
+    """Column mapping under the driver hash — rename and drop WITHOUT
+    rewriting a byte: land events (with a disposable user_id column),
+    upgrade to mapping mode 'name', RENAME the cents column and DROP
+    the disposable one — both metaData-only commits, asserted in-query
+    by data-file mtime stability — then append new rows under the NEW
+    logical name and hash the full rollup. Time travel below the
+    rename must still present the OLD logical schema (asserted). A
+    mapping that rewrites files, loses the physical binding (rows
+    read as null), or leaks the dropped column flips an assertion or
+    the hash.
+
+    Scale shape: rename/drop are O(1) metaData commits at any table
+    size — the operation every schema-migration-on-a-petabyte needs;
+    reads pay only a select-alias; stats stay keyed by physical name
+    so data skipping survives renames.
+    """
+    import glob as _glob
+    import os
+
+    from ..io.delta_log import (
+        drop_column,
+        enable_column_mapping,
+        read_delta,
+        rename_column,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "user_id",
+    )
+    path = _scratch("delta_cm")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        enable_column_mapping(path)
+        files = {
+            f: os.path.getmtime(f)
+            for f in _glob.glob(os.path.join(path, "part-*.parquet"))
+        }
+        rename_column(path, "c", "cents")
+        drop_column(path, "user_id")
+        assert {
+            f: os.path.getmtime(f) for f in files
+        } == files, "rename/drop must not rewrite data files"
+        assert read_delta(spark, path, version=0).columns == [
+            "event_id", "event_type", "c", "user_id",
+        ], "time travel below the rename must keep the old logical schema"
+        mx = e.agg(F.max("event_id").alias("m"))
+        synth = (
+            spark.range(1, 51)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("renamed").alias("event_type"),
+                (F.col("m") + F.col("id")).alias("cents"),
+            )
+        )
+        write_delta(synth, path, stats_cols=("event_id",))
+        out = (
+            read_delta(spark, path)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows long, sum_cents long"
+    )

@@ -2257,3 +2257,97 @@ def test_delta_check_constraints(spark, tmp_path):
     drop_constraint(table, "v_nonneg")
     write_delta(spark.createDataFrame([(4, -1)], "id long, v long"), table)
     assert read_delta(spark, table).where("v < 0").count() == 1
+
+
+def test_delta_column_mapping_lifecycle(spark, tmp_path):
+    """Column mapping mode 'name': rename and drop are metaData-only
+    (zero bytes rewritten), appends after a rename land under stable
+    physical names, time travel below the rename/drop sees the old
+    logical schema, stats-only watermarks survive renames, constraints
+    block renames/drops of referenced columns, and the rewrite-shaped
+    ops refuse mapped tables loudly."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        add_constraint,
+        delete_delta_dv,
+        drop_column,
+        drop_constraint,
+        enable_column_mapping,
+        high_water_mark,
+        optimize_delta,
+        read_delta,
+        rename_column,
+        write_delta,
+    )
+
+    table = str(tmp_path / "cm")
+    write_delta(
+        spark.range(10).selectExpr("id", "id * 2 AS v", "id % 3 AS grp"),
+        table,
+        stats_cols=("id",),
+    )                                      # v0
+    with pytest.raises(ValueError, match="column mapping"):
+        rename_column(table, "v", "val")   # not enabled yet
+    enable_column_mapping(table)           # v1
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(table, "part-*.parquet"))
+    }
+    rename_column(table, "v", "val")       # v2, metaData-only
+    assert {
+        f: os.path.getmtime(f)
+        for f in files_before
+    } == files_before
+    got = read_delta(spark, table)
+    assert got.columns == ["id", "val", "grp"]
+    assert sorted(r["val"] for r in got.collect()) == [i * 2 for i in range(10)]
+    # time travel below the rename: old logical name
+    assert read_delta(spark, table, version=0).columns == ["id", "v", "grp"]
+    # stats watermark survives (physical key unchanged)
+    assert high_water_mark(table, "id") == 9
+
+    # appends after the rename use the LOGICAL name and stay readable
+    write_delta(
+        spark.range(10, 12).selectExpr("id", "id * 2 AS val", "id % 3 AS grp"),
+        table,
+        stats_cols=("id",),
+    )                                      # v3
+    assert read_delta(spark, table).count() == 12
+    assert high_water_mark(table, "id") == 11
+    # the old logical name is gone
+    with pytest.raises(Exception, match="v"):
+        write_delta(
+            spark.range(1).selectExpr("id", "id AS v", "id % 3 AS grp"), table
+        )
+
+    # drop: metaData-only, time travel still sees the column
+    drop_column(table, "grp")              # v4
+    assert read_delta(spark, table).columns == ["id", "val"]
+    assert read_delta(spark, table, version=3).columns == ["id", "val", "grp"]
+
+    # constraints guard rename/drop of referenced columns
+    add_constraint(spark, table, "val_nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        rename_column(table, "val", "value")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        drop_column(table, "val")
+    drop_constraint(table, "val_nonneg")
+    rename_column(table, "val", "value")
+    assert read_delta(spark, table).columns == ["id", "value"]
+
+    # rewrite-shaped ops refuse mapped tables loudly
+    with pytest.raises(ValueError, match="column-mapped"):
+        delete_delta_dv(spark, table, "id = 1")
+    with pytest.raises(ValueError, match="column-mapped"):
+        optimize_delta(spark, table)
+    # schema evolution refuses too (column-id assignment out of scope)
+    with pytest.raises(ValueError, match="column-mapped|column-id"):
+        write_delta(
+            spark.range(1).selectExpr("id", "id AS value", "id AS extra"),
+            table,
+            merge_schema=True,
+        )
