@@ -844,3 +844,106 @@ def curate_curriculum_stages(spark, sf_dir):
         .cast("int")
         .alias("stage"),
     )
+
+
+_SPLIT_LEAK_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b'
+                  THEN 'train' ELSE 'val' END AS split,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, split,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 6),
+               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' '
+                 || toks[CAST(i + 2 AS INT)] || ' ' || toks[CAST(i + 3 AS INT)] || ' '
+                 || toks[CAST(i + 4 AS INT)] || ' ' || toks[CAST(i + 5 AS INT)] || ' '
+                 || toks[CAST(i + 6 AS INT)] || ' ' || toks[CAST(i + 7 AS INT)]
+             ))) AS sh
+      FROM d WHERE len(toks) >= 8
+    ),
+    train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+    val_docs AS (
+      SELECT doc_id, lang, count(*) AS n_sh,
+             count(*) FILTER (WHERE sh IN (SELECT sh FROM train_sh)) AS n_hit
+      FROM sh WHERE split = 'val' GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_val_docs,
+           CAST(count(*) FILTER (WHERE n_hit > 0) AS BIGINT) AS n_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS n_leaked_shingles,
+           CAST(sum(n_sh) AS BIGINT) AS n_val_shingles
+    FROM val_docs GROUP BY lang
+    """
+
+
+@query(
+    "curate_split_leakage",
+    sql=_SPLIT_LEAK_SQL,
+    tags=("curation", "dedup", "contamination", "training-prep"),
+)
+def curate_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit — the check every training run
+    owes its eval numbers: after the deterministic content-hash
+    train/val split (`text_train_val_split`'s md5-nibble rule), count
+    the val documents sharing any 8-gram with ANY train document (the
+    n-gram decontamination rule of GPT-3/PaLM appendixes, applied
+    between a pipeline's OWN splits rather than against an external
+    benchmark — near-dups straddling the split boundary are the
+    leading cause of inflated validation scores). Reports, per
+    language: val docs, contaminated val docs, leaked/total distinct
+    val 8-grams.
+
+    Shape: shingle both splits in one pass (zip-of-slices, no UDF),
+    dedup (shingle, doc), then a LEFT-SEMI join of val shingles
+    against distinct train shingles — banded-bucket join, no
+    all-pairs. At 100 TB the distinct-train-shingle side is the big
+    term: it partitions by shingle hash and the semi-join stays
+    shuffle-balanced; the repo's MinHash family is the cheaper
+    screen when exact n-gram evidence isn't required.
+    """
+    from .dedup import _shingle_strings
+
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.substring(F.md5("text"), 1, 1).between("0", "b"), "train"
+            )
+            .otherwise("val")
+            .alias("split"),
+            F.split("text", " ").alias("w"),
+        )
+        .where(F.size("w") >= 8)
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(_shingle_strings(F.col("w"), n=8)).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=False)
+    train_sh = sh.where(F.col("split") == "train").select("sh").distinct()
+    val_sh = sh.where(F.col("split") == "val")
+    hits = val_sh.join(train_sh, "sh", "left_semi")
+    per_doc = (
+        val_sh.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_sh"))
+        .join(
+            hits.groupBy("doc_id").agg(F.count("*").alias("n_hit")),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"n_hit": 0})
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_val_docs"),
+        F.sum((F.col("n_hit") > 0).cast("long")).cast("long").alias("n_contaminated"),
+        F.sum("n_hit").cast("long").alias("n_leaked_shingles"),
+        F.sum("n_sh").cast("long").alias("n_val_shingles"),
+    )

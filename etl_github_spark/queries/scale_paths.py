@@ -1534,3 +1534,104 @@ def sim_ivf_store_upsert(spark, sf_dir, nprobe: int = 3):
         late.write.partitionBy("cell").mode("append").parquet(path)
 
     return _probe_cell_store(spark, write, probe, q_vec, "ivf_upsert_")
+
+
+def _mips_sql() -> str:
+    from .similarity import _fold_dot_sql
+
+    return """
+    WITH m AS (SELECT max({nn}) AS m2 FROM embeddings e),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (0, 1, 2)),
+    s AS (
+      SELECT q.q_id, e.vec_id,
+             {dot} AS ip,
+             {dot} / (sqrt(m.m2) * sqrt({qq})) AS aug_cos
+      FROM embeddings e, q, m
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, ip,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY aug_cos DESC, vec_id) AS rk
+      FROM s
+    )
+    SELECT q_id, vec_id, ip, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """.format(
+        nn=_fold_dot_sql("e.embedding", "e.embedding"),
+        dot=_fold_dot_sql("e.embedding", "q.qe"),
+        qq=_fold_dot_sql("q.qe", "q.qe"),
+    )
+
+
+@query(
+    "sim_mips_augmented",
+    sql=_mips_sql(),
+    tags=("similarity", "topk", "mips", "scale-path"),
+)
+def sim_mips_augmented(spark, sf_dir):
+    """Maximum-inner-product search via the NORM-AUGMENTATION reduction
+    (Bachrach et al., RecSys 2014): MIPS is not a metric problem —
+    inner product violates the triangle inequality, so cosine/L2 index
+    structures (LSH, IVF) cannot serve it directly. The classic fix
+    appends one dimension: x' = [x, sqrt(M² − |x|²)] with M = max
+    corpus norm, q' = [q, 0]; then |x'| = M for every x, so ANGULAR
+    ranking of x' equals INNER-PRODUCT ranking of x — and the whole
+    cosine/LSH toolbox (the `sim_lsh_bucketed_topk` / `sim_ivf_*`
+    machinery in this repo) becomes MIPS-capable unchanged. This query
+    runs the reduction end to end: top-5 per query by the AUGMENTED
+    angular score, asserting in-plan that the ranking is identical to
+    direct inner-product order, and emitting the raw inner product
+    (deterministic left-fold, bit-identical both engines).
+
+    Determinism: aug_cos = ip / (sqrt(M²)·|q|) divides every candidate
+    of a query by the SAME positive constant — and the oracle replays
+    the exact augmented arithmetic, so even rounding ties rank
+    identically. Scale shape: M² is one map-side max; scoring is the
+    broadcast-query pattern (one corpus scan for all queries); at
+    100 TB the scan hands off to the LSH/IVF candidate path, which is
+    the point of the reduction.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import fold_dot
+
+    emb = T(spark, sf_dir, "embeddings")
+    m = emb.agg(
+        F.max(fold_dot(F.col("embedding"), F.col("embedding"))).alias("m2")
+    )
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        fold_dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "q_id",
+            "vec_id",
+            fold_dot(F.col("embedding"), F.col("qe")).alias("ip"),
+            (
+                fold_dot(F.col("embedding"), F.col("qe"))
+                / (F.sqrt(F.col("m2")) * F.sqrt(F.col("qq")))
+            ).alias("aug_cos"),
+        )
+    )
+    w_aug = Window.partitionBy("q_id").orderBy(F.desc("aug_cos"), "vec_id")
+    w_ip = Window.partitionBy("q_id").orderBy(F.desc("ip"), "vec_id")
+    ranked = s.select(
+        "q_id",
+        "vec_id",
+        "ip",
+        F.row_number().over(w_aug).alias("rk"),
+        F.row_number().over(w_ip).alias("rk_mips"),
+    ).localCheckpoint()
+    # the reduction's correctness claim, checked in-query: augmented
+    # angular order IS inner-product order
+    n_diverged = ranked.where(F.col("rk") != F.col("rk_mips")).count()
+    assert n_diverged == 0, f"augmentation reordered {n_diverged} rows"
+    return (
+        ranked.where(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "ip", F.col("rk").cast("int").alias("rk"))
+    )
