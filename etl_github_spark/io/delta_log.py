@@ -312,7 +312,12 @@ def last_txn_version(table: str, app_id: str) -> int | None:
     scope; keep the JSON tail longer than the app's replay horizon)."""
     versions = _list_versions(table)
     latest: int | None = None
-    for v in versions:
+    # newest-first, first hit wins: write_delta enforces per-app txn
+    # monotonicity (at-or-below is skipped), so the newest commit
+    # carrying the app's txn holds its max — a streaming sink's
+    # per-batch check is O(commits since the app's last write), not
+    # O(whole retained log)
+    for v in reversed(versions):
         with open(_version_file(table, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -320,7 +325,10 @@ def last_txn_version(table: str, app_id: str) -> int | None:
                 action = json.loads(line)
                 txn = action.get("txn")
                 if txn and txn.get("appId") == app_id:
-                    latest = max(latest or txn["version"], txn["version"])
+                    latest = txn["version"]
+                    break
+        if latest is not None:
+            break
     if latest is None:
         cp = _last_checkpoint(table)
         if cp is not None and (not versions or min(versions) > 0):
@@ -397,7 +405,12 @@ def write_delta(
     for attempt in range(attempts):
         if txn is not None and os.path.isdir(_log_path(table)):
             app_id, txn_version = txn
-            seen = last_txn_version(table, app_id)
+            try:
+                seen = last_txn_version(table, app_id)
+            except ValueError:
+                if adds is not None:  # no-orphan invariant holds on the
+                    _remove_staged(table, adds)  # visibility-lost path too
+                raise
             if seen is not None and seen >= txn_version:
                 if adds is not None:  # staged in a lost-race prior attempt
                     _remove_staged(table, adds)
@@ -618,6 +631,32 @@ def _table_metadata(table: str, version: int | None = None) -> dict | None:
     return None
 
 
+def _table_protocol(table: str, version: int | None = None) -> dict:
+    """The table's protocol action AS OF ``version`` — newest at-or-
+    below wins (feature commits like CHECK constraints and column
+    mapping upgrade it); falls back to the checkpoint's carried
+    protocol, then to the module's base (1, 2)."""
+    versions = _list_versions(table)
+    cp = _last_checkpoint(table)
+    cpv = None if cp is None else cp["version"]
+    if version is None:
+        version = max(versions[-1] if versions else -1, cpv if cpv is not None else -1)
+    lo = cpv if (cpv is not None and version >= cpv) else -1
+    for v in (v for v in reversed(versions) if lo < v <= version):
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    return dict(action["protocol"])
+    if cpv is not None and cpv <= version:
+        _, proto, _ = _read_checkpoint(table, cp)
+        if proto is not None:
+            return dict(proto)
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
 def partition_columns(table: str) -> list[str]:
     """The partition layout recorded at table creation (metaData's
     partitionColumns — [] for unpartitioned tables; schema evolution
@@ -816,6 +855,9 @@ def snapshot_files(
                 f"partition_filter keys {bad} are not partition columns of "
                 f"{table} (partitioned by {sorted(pcols)})"
             )
+    stats_filter = _translate_stats_filter(
+        _table_metadata(table, version), stats_filter
+    )
     _check_stats_filter(stats_filter)
     return sorted(
         p
@@ -889,15 +931,7 @@ def read_delta(
                 f"{table} (partitioned by {sorted(pcols)})"
             )
     mapped = _mapping_on(meta)
-    if mapped and stats_filter:
-        # stats keys are PHYSICAL names (written from the physical df):
-        # translate the caller's logical predicate columns
-        phys_of = {
-            f.name: _physical_name(f) for f in schema.fields
-        }
-        stats_filter = [
-            (phys_of.get(c, c), op, v) for c, op, v in stats_filter
-        ]
+    stats_filter = _translate_stats_filter(meta, stats_filter)
     _check_stats_filter(stats_filter)
     entries = sorted(
         (p, a)
@@ -1310,7 +1344,9 @@ def merge_delta_dv(
     }
 
 
-def restore_delta(table: str, version: int) -> dict:
+def restore_delta(
+    table: str, version: int, spark: SparkSession | None = None
+) -> dict:
     """RESTORE TABLE ... TO VERSION AS OF — revert the live snapshot
     (data AND schema) to an earlier version as a NEW commit, keeping
     the full history: the protocol's answer to a bad write, priced at
@@ -1323,7 +1359,15 @@ def restore_delta(table: str, version: int) -> dict:
     The add entries are copied verbatim from the target snapshot, so
     deletion vectors, stats, and partition values all travel with the
     restore; a later-evolved schema is reverted by re-committing the
-    as-of metaData action."""
+    as-of metaData action.
+
+    CHECK constraints added since the target version still bind: the
+    restored snapshot's rows are re-validated against the CURRENT
+    constraints before anything commits (pass ``spark`` — a
+    constrained restore without a session raises rather than skipping
+    the check), and a restore that would ALSO revert the schema under
+    recorded constraints raises: their expressions were written
+    against the current columns."""
     latest = _latest_version(table)
     if not 0 <= version <= latest:
         raise ValueError(
@@ -1350,6 +1394,23 @@ def restore_delta(table: str, version: int) -> dict:
     ) == _schema_shape(json.loads(meta_cur["schemaString"]))
     if not to_add and not to_remove and same_schema:
         return {"version": None, "restored_files": 0, "removed_files": 0}
+    constraints = _table_constraints(meta_cur)
+    if constraints:
+        # a restore is a WRITE of the target snapshot: rows the current
+        # constraints forbid must not silently reappear (r7 review)
+        if not same_schema:
+            raise ValueError(
+                f"cannot restore {table} to version {version}: CHECK "
+                f"constraint(s) {sorted(constraints)} are recorded against "
+                "the CURRENT schema, which the restore would revert"
+            )
+        if spark is None:
+            raise ValueError(
+                f"restoring {table} needs a SparkSession: CHECK "
+                f"constraint(s) {sorted(constraints)} must re-validate the "
+                "restored rows"
+            )
+        _check_constraints(read_delta(spark, table, version=version), meta_cur)
     missing = [
         f
         for p, a in sorted(to_add.items())
@@ -1564,10 +1625,14 @@ def enable_column_mapping(table: str) -> int:
     conf = dict(meta.get("configuration") or {})
     conf[_CM_MODE_KEY] = "name"
     conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
+    proto = _table_protocol(table)
+    proto["minReaderVersion"] = max(proto.get("minReaderVersion", 1), 2)
+    proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 5)
     _commit(
         table,
         version,
         [
+            {"protocol": proto},  # spec: columnMapping needs (2, 5)
             {
                 "metaData": {
                     **meta,
@@ -1688,6 +1753,21 @@ def drop_column(table: str, name: str) -> int:
     return version
 
 
+def _translate_stats_filter(meta: dict | None, stats_filter):
+    """Column-mapped tables key their add-action stats by PHYSICAL
+    name; callers speak logical — translate predicate columns so data
+    skipping keeps working after a rename (identity when unmapped)."""
+    if not stats_filter or not _mapping_on(meta):
+        return stats_filter
+    from pyspark.sql.types import StructType as _ST
+
+    phys_of = {
+        f.name: _physical_name(f)
+        for f in _ST.fromJson(json.loads(meta["schemaString"])).fields
+    }
+    return [(phys_of.get(c, c), op, v) for c, op, v in stats_filter]
+
+
 def _table_constraints(meta: dict | None) -> dict[str, str]:
     """CHECK constraints recorded in the metaData configuration under
     the protocol's ``delta.constraints.<name>`` keys."""
@@ -1755,11 +1835,18 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
         )
     conf = dict(meta.get("configuration") or {})
     conf[f"delta.constraints.{name}"] = expr
+    proto = _table_protocol(table)
+    actions: list[dict] = []
+    if proto.get("minWriterVersion", 2) < 3:  # spec: CHECKs need writer 3
+        actions.append(
+            {"protocol": {**proto, "minWriterVersion": 3}}
+        )
+    actions.append({"metaData": {**meta, "configuration": conf}})
     _commit(
         table,
         version,
-        [
-            {"metaData": {**meta, "configuration": conf}},
+        actions
+        + [
             {
                 "commitInfo": {
                     "operation": "ADD CONSTRAINT",
@@ -2051,8 +2138,15 @@ def optimize_delta(
                     src = os.path.join(stage, parts[0])
                     md = pq.ParquetFile(src).metadata
                     # same partitionValues ⇒ same hive dir as the inputs:
-                    # reuse it verbatim, no re-encoding to get wrong
-                    rel_dir = os.path.dirname(paths[0])
+                    # reuse it verbatim, no re-encoding to get wrong.
+                    # A shallow-cloned input has an ABSOLUTE source
+                    # path: its rewrite must land under THIS table's
+                    # root, never back in the source dir (r7 review)
+                    rel_dir = (
+                        ""
+                        if os.path.isabs(paths[0])
+                        else os.path.dirname(paths[0])
+                    )
                     name = f"part-{uuid.uuid4().hex}.parquet"
                     rel = f"{rel_dir}/{name}" if rel_dir else name
                     shutil.move(src, os.path.join(table, rel))
@@ -2210,7 +2304,13 @@ def zorder_delta(
                     md = pq.ParquetFile(parts[0]).metadata
                     if md.num_rows == 0:  # pragma: no cover
                         continue
-                    rel_dir = os.path.dirname(paths[0])
+                    # cloned inputs carry absolute source paths: the
+                    # clustered rewrite is copy-on-write into THIS root
+                    rel_dir = (
+                        ""
+                        if os.path.isabs(paths[0])
+                        else os.path.dirname(paths[0])
+                    )
                     name = f"part-{uuid.uuid4().hex}.parquet"
                     rel = f"{rel_dir}/{name}" if rel_dir else name
                     shutil.move(parts[0], os.path.join(table, rel))
@@ -2512,6 +2612,7 @@ def _checkpoint_schema():
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -2573,12 +2674,15 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     meta = _table_metadata(table, version)  # schema AS OF the checkpoint
     if meta is None:
         raise ValueError(f"no metaData action found for {table}")
-    proto_row = {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto_row = _table_protocol(table, version)
     meta_row = {
         "id": meta["id"],
         "format": {"provider": meta.get("format", {}).get("provider", "parquet")},
         "schemaString": meta["schemaString"],
         "partitionColumns": meta.get("partitionColumns", []),
+        # constraints and column mapping live here: a checkpoint that
+        # dropped configuration would silently disable both (r7 review)
+        "configuration": list((meta.get("configuration") or {}).items()),
         "createdTime": meta.get("createdTime", 0),
     }
     add_rows = [
@@ -2636,7 +2740,15 @@ def _read_checkpoint(table: str, cp: dict) -> tuple[dict | None, dict | None, li
     path = _checkpoint_file(table, cp["version"])
     st = os.stat(path)
     meta, proto, adds = _read_checkpoint_cached(path, st.st_mtime_ns, st.st_size)
-    copy_meta = None if meta is None else {**meta, "partitionColumns": list(meta["partitionColumns"]), "configuration": {}}
+    copy_meta = (
+        None
+        if meta is None
+        else {
+            **meta,
+            "partitionColumns": list(meta["partitionColumns"]),
+            "configuration": dict(meta.get("configuration") or {}),
+        }
+    )
     copy_adds = [
         {
             **a,
@@ -2666,7 +2778,9 @@ def _read_checkpoint_cached(
             proto = r["protocol"]
         if r.get("metaData"):
             m = dict(r["metaData"])
-            m["configuration"] = {}
+            # old checkpoints (pre-configuration column) deserialize to
+            # None; new ones carry the map as a list of (k, v) pairs
+            m["configuration"] = dict(m.get("configuration") or {})
             adds_pc = m.get("partitionColumns")
             m["partitionColumns"] = list(adds_pc) if adds_pc else []
             meta = m

@@ -2351,3 +2351,90 @@ def test_delta_column_mapping_lifecycle(spark, tmp_path):
             table,
             merge_schema=True,
         )
+
+
+def test_delta_r7_review_fixes_second_pass(spark, tmp_path):
+    """Pins the second r7 review batch: checkpoints carry metaData
+    configuration (constraints + column mapping survive log cleanup),
+    OPTIMIZE/ZORDER on a shallow clone rewrite into the CLONE's root,
+    restore re-validates current CHECK constraints, and feature commits
+    bump the protocol action per spec."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _table_protocol,
+        add_constraint,
+        checkpoint_delta,
+        cleanup_log,
+        clone_delta,
+        enable_column_mapping,
+        optimize_delta,
+        read_delta,
+        rename_column,
+        restore_delta,
+        write_delta,
+        zorder_delta,
+    )
+
+    # constraints survive a checkpoint + log cleanup
+    t1 = str(tmp_path / "ckpt_conf")
+    write_delta(spark.range(5).selectExpr("id", "id AS v"), t1)
+    add_constraint(spark, t1, "v_nonneg", "v >= 0")
+    assert _table_protocol(t1)["minWriterVersion"] >= 3  # spec bump
+    checkpoint_delta(t1)
+    cleanup_log(t1)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta(spark.createDataFrame([(9, -1)], "id long, v long"), t1)
+
+    # column mapping survives a checkpoint + log cleanup
+    t2 = str(tmp_path / "ckpt_map")
+    write_delta(spark.range(5).selectExpr("id", "id * 3 AS v"), t2)
+    enable_column_mapping(t2)
+    proto = _table_protocol(t2)
+    assert proto["minReaderVersion"] >= 2 and proto["minWriterVersion"] >= 5
+    rename_column(t2, "v", "val")
+    checkpoint_delta(t2)
+    cleanup_log(t2)
+    got = read_delta(spark, t2)
+    assert got.columns == ["id", "val"]
+    assert sorted(r["val"] for r in got.collect()) == [0, 3, 6, 9, 12]
+    write_delta(spark.createDataFrame([(9, 99)], "id long, val long"), t2)
+    assert read_delta(spark, t2).where("val = 99").count() == 1
+
+    # OPTIMIZE and ZORDER on a shallow clone stay copy-on-write
+    src = str(tmp_path / "cow_src")
+    for lo in (0, 5, 10):
+        write_delta(
+            spark.range(lo, lo + 5).selectExpr("id", "id AS v"), src,
+            stats_cols=("id",),
+        )
+    src_files = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    dst1 = str(tmp_path / "cow_opt")
+    clone_delta(src, dst1)
+    assert optimize_delta(spark, dst1, target_bytes=1 << 30)["version"] == 1
+    assert set(glob.glob(os.path.join(src, "part-*.parquet"))) == src_files
+    assert glob.glob(os.path.join(dst1, "part-*.parquet"))  # landed HERE
+    assert read_delta(spark, dst1).count() == 15
+    dst2 = str(tmp_path / "cow_z")
+    clone_delta(src, dst2)
+    zorder_delta(spark, dst2, ("id",), n_files=2, tiebreak="id")
+    assert set(glob.glob(os.path.join(src, "part-*.parquet"))) == src_files
+    assert len(glob.glob(os.path.join(dst2, "part-*.parquet"))) == 2
+    assert read_delta(spark, dst2).count() == 15
+
+    # restore re-validates CURRENT constraints against restored rows
+    t3 = str(tmp_path / "rst_ck")
+    write_delta(spark.createDataFrame([(1, -5)], "id long, v long"), t3)  # v0
+    write_delta(
+        spark.createDataFrame([(2, 7)], "id long, v long"), t3,
+        mode="overwrite",
+    )                                                                     # v1
+    add_constraint(spark, t3, "v_nonneg", "v >= 0")                       # v2
+    with pytest.raises(ValueError, match="SparkSession"):
+        restore_delta(t3, 0)  # constrained restore needs a session
+    with pytest.raises(ValueError, match="v_nonneg"):
+        restore_delta(t3, 0, spark=spark)  # v0 has v=-5: refused
+    assert read_delta(spark, t3).count() == 1  # nothing committed
