@@ -418,6 +418,8 @@ def write_delta(
         version = _next_version(table)  # refuses gapped logs
         actions: list[dict] = []
         mapped_meta: dict | None = None
+        df_eff = df  # generated columns may extend this per attempt
+        gen_key = ""
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -445,10 +447,17 @@ def write_delta(
                 if adds is not None:
                     _remove_staged(table, adds)
                 raise
+            try:  # generated columns: compute absent, verify present
+                df_eff = _apply_generated_columns(df, meta)
+            except ValueError:
+                if adds is not None:
+                    _remove_staged(table, adds)
+                raise
+            gen_key = json.dumps(_generated_columns(meta), sort_keys=True)
             recorded = None if meta is None else meta["schemaString"]
             if recorded is not None and _schema_shape(
                 json.loads(recorded)
-            ) != _schema_shape(json.loads(df.schema.json())):
+            ) != _schema_shape(json.loads(df_eff.schema.json())):
                 if merge_schema and _mapping_on(meta):
                     if adds is not None:
                         _remove_staged(table, adds)
@@ -457,10 +466,10 @@ def write_delta(
                         "supported (new fields need column-id assignment)"
                     )
                 if merge_schema and _is_additive_evolution(
-                    json.loads(recorded), json.loads(df.schema.json())
+                    json.loads(recorded), json.loads(df_eff.schema.json())
                 ):
                     actions.append(
-                        {"metaData": {**meta, "schemaString": df.schema.json()}}
+                        {"metaData": {**meta, "schemaString": df_eff.schema.json()}}
                     )
                 else:
                     if adds is not None:
@@ -476,7 +485,7 @@ def write_delta(
                     )
             try:  # CHECK constraints (re-read per attempt: the winner of
                 # a lost race may have added one)
-                _check_constraints(df, meta)
+                _check_constraints(df_eff, meta)
             except ValueError:
                 if adds is not None:
                     _remove_staged(table, adds)
@@ -507,7 +516,8 @@ def write_delta(
                         }
                     )
         mapping_key = (
-            None if mapped_meta is None else mapped_meta["schemaString"]
+            None if mapped_meta is None else mapped_meta["schemaString"],
+            gen_key,
         )
         if adds is not None and (
             staged_layout != layout or staged_mapping != mapping_key
@@ -518,7 +528,7 @@ def write_delta(
             _remove_staged(table, adds)
             adds = None
         if adds is None:  # stage ONCE; retries recommit the same files
-            stage_df, stage_stats = df, stats_cols
+            stage_df, stage_stats = df_eff, stats_cols
             if mapped_meta is not None:
                 # column mapping: data files store PHYSICAL names; the
                 # caller's frame (and stats_cols) speak logical
@@ -529,8 +539,8 @@ def write_delta(
                     json.loads(mapped_meta["schemaString"])
                 ).fields
                 phys_of = {f.name: _physical_name(f) for f in fields}
-                stage_df = df.select(
-                    *[F.col(n).alias(phys_of[n]) for n in df.columns]
+                stage_df = df_eff.select(
+                    *[F.col(n).alias(phys_of[n]) for n in df_eff.columns]
                 )
                 stage_stats = tuple(phys_of.get(c, c) for c in stats_cols)
             adds = _stage_files(
@@ -1271,6 +1281,8 @@ def merge_delta_dv(
     version = _next_version(table)  # claim at plan time (TOCTOU rule)
     source = source.localCheckpoint()  # one pass, reused 4×
     _check_constraints(source, meta)  # MERGE's appended rows obey CHECKs
+    # (merge sources carry the full schema, so this only VERIFIES)
+    _apply_generated_columns(source, meta)
     # uniqueness only matters for keys that CAN bind a target row:
     # null-keyed source rows never match (the join below never binds
     # them — they are plain inserts), so Delta's multiple-source-row
@@ -1766,6 +1778,110 @@ def _translate_stats_filter(meta: dict | None, stats_filter):
         for f in _ST.fromJson(json.loads(meta["schemaString"])).fields
     }
     return [(phys_of.get(c, c), op, v) for c, op, v in stats_filter]
+
+
+_GEN_KEY = "delta.generationExpression"
+
+
+def _generated_columns(meta: dict | None) -> dict[str, str]:
+    """Generated columns recorded as per-field ``delta.
+    generationExpression`` metadata (the protocol's writer-enforced
+    derived columns)."""
+    if not meta:
+        return {}
+    schema = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {})[_GEN_KEY]
+        for f in schema.get("fields", [])
+        if _GEN_KEY in (f.get("metadata") or {})
+    }
+
+
+def set_generated_column(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """Declare an EXISTING column as generated from ``expr`` (the
+    protocol's generated-columns feature, writer version 4): from this
+    commit on, every write either omits the column — the writer
+    computes it — or provides values the writer VERIFIES equal the
+    expression (a mismatch raises; a silently divergent derived column
+    is a lie every downstream consumer inherits). Current rows are
+    validated first, like :func:`add_constraint`. The expression may
+    reference any non-generated column of the row."""
+    from pyspark.sql import functions as F
+
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    _refuse_mapping(meta, "set_generated_column")
+    schema = json.loads(meta["schemaString"])
+    field = next((f for f in schema["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(f"no column {name!r} on {table}")
+    if _GEN_KEY in (field.get("metadata") or {}):
+        raise ValueError(f"column {name!r} is already generated")
+    version = _next_version(table)
+    existing = read_delta(spark, table)
+    n_bad = existing.where(
+        F.expr(f"({expr}) IS DISTINCT FROM {name}")
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot declare {name!r} generated from ({expr}): {n_bad} "
+            "existing row(s) diverge from the expression"
+        )
+    field["metadata"] = {**(field.get("metadata") or {}), _GEN_KEY: expr}
+    proto = _table_protocol(table)
+    actions: list[dict] = []
+    if proto.get("minWriterVersion", 2) < 4:  # spec: generated cols → 4
+        actions.append({"protocol": {**proto, "minWriterVersion": 4}})
+    actions.append({"metaData": {**meta, "schemaString": json.dumps(schema)}})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "SET GENERATED COLUMN",
+                "operationParameters": {"name": name, "expr": expr},
+                "timestamp": 0,
+            }
+        }
+    )
+    _commit(table, version, actions)
+    return version
+
+
+def _apply_generated_columns(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Writer-side generated-column contract: absent columns are
+    COMPUTED from their expressions; present ones are VERIFIED equal
+    (null-safe) — one OR-combined limit(1) scan, per-column counts only
+    on the failure path."""
+    from pyspark.sql import functions as F
+
+    gen = _generated_columns(meta)
+    if not gen:
+        return df
+    checks = []
+    for name, expr in gen.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            checks.append((name, expr))
+    if checks:
+        clause = " OR ".join(
+            f"(({expr}) IS DISTINCT FROM {name})" for name, expr in checks
+        )
+        if df.where(F.expr(clause)).limit(1).count():
+            detail = {
+                name: df.where(
+                    F.expr(f"({expr}) IS DISTINCT FROM {name}")
+                ).count()
+                for name, expr in checks
+            }
+            bad = {n: c for n, c in detail.items() if c}
+            raise ValueError(
+                f"write diverges from generated column(s) {bad}: "
+                + "; ".join(
+                    f"{n} := {dict(checks)[n]}" for n in bad
+                )
+            )
+    return df
 
 
 def _table_constraints(meta: dict | None) -> dict[str, str]:

@@ -20,13 +20,13 @@ string the driver diffs against at sf=0.01.
 # raw-timestamp ordering, replaced by row_number integer arithmetic
 # over epoch-micro longs) + 11 earlier round-7 additions (Delta
 # partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 20 promoted late-round additions
+# patch plan, 3 stateful bridges) + 21 promoted late-round additions
 # (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
-# shallow clone, CHECK constraints, column mapping,
+# shallow clone, CHECK constraints, column mapping, generated cols,
 # k-anonymity, BPE train+apply, delta-feed matview, stream-stream
 # inner+outer joins, exactly-once txn sink, audio frames, MIPS
 # augmentation, split-leakage audit, bootstrap
-# CI) + 18 stale-green ballast.
+# CI) + 17 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -48,6 +48,7 @@ _R7_WINDOW = [
     "lake_delta_clone",  # never driver-verified (promoted)
     "lake_delta_constraints",  # never driver-verified (promoted)
     "lake_delta_column_mapping",  # never driver-verified (promoted)
+    "lake_delta_generated",  # never driver-verified (promoted)
     "multimodal_audio_frames",  # never driver-verified (promoted)
     "stat_bootstrap_ci",  # never driver-verified (promoted)
     "sim_mips_augmented",  # never driver-verified (promoted)
@@ -80,7 +81,6 @@ _R7_WINDOW = [
     "sort_topk",  # green r01
     "sort_multi_col",  # green r01
     "limit_deterministic",  # green r01
-    "join_inner_broadcast",  # green r01
 ]
 
 

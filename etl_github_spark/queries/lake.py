@@ -1782,3 +1782,103 @@ def lake_delta_column_mapping(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_rows long, sum_cents long"
     )
+
+
+@query(
+    "lake_delta_generated",
+    sql="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    mx AS (SELECT max(event_id) AS m FROM events),
+    final AS (
+      SELECT event_type, c FROM cents
+      UNION ALL
+      SELECT 'derived', CAST((m + s) * 100 AS BIGINT)
+      FROM mx, generate_series(1, 50) AS t(s)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type
+    """,
+    tags=("lake", "delta", "generated-columns"),
+)
+def lake_delta_generated(spark, sf_dir):
+    """GENERATED columns under the driver hash — the schema-level
+    derived-column contract (Delta's generationExpression, writer
+    version 4): land events with a cents column, DECLARE it generated
+    from ``round(value * 100)`` (existing rows validated first), then
+    append 50 rows WITHOUT the column — the WRITER computes it — and
+    prove a divergent explicit value is refused with nothing committed
+    (version pinned in-query). The rollup hashes fixture + computed
+    rows against the closed form; a writer that skips the computation,
+    mis-evaluates the expression, or lets a divergent value through
+    flips the hash or an assertion.
+
+    Scale shape: computation is one map-side withColumn on the write's
+    rows; verification of provided values is an OR-combined limit(1)
+    filter over the write only. The table is never re-scanned except
+    at declaration time (one pushdown-friendly pass).
+    """
+    from ..io.delta_log import (
+        _latest_version,
+        read_delta,
+        set_generated_column,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch("delta_gen")
+    try:
+        write_delta(e.repartition(4), path, stats_cols=("event_id",))
+        set_generated_column(
+            spark, path, "cents", "CAST(round(value * 100) AS BIGINT)"
+        )
+        v_before = _latest_version(path)
+        mx = e.agg(F.max("event_id").alias("m"))
+        bad = (
+            spark.range(1, 2)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("derived").alias("event_type"),
+                (F.col("m") + F.col("id")).cast("double").alias("value"),
+                F.lit(1).cast("long").alias("cents"),  # divergent on purpose
+            )
+        )
+        try:
+            write_delta(bad, path)
+            raise AssertionError("divergent generated value must raise")
+        except ValueError as exc:
+            assert "cents" in str(exc)
+        assert _latest_version(path) == v_before, "half-committed bad batch"
+        good = (
+            spark.range(1, 51)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("m") + F.col("id")).alias("event_id"),
+                F.lit("derived").alias("event_type"),
+                (F.col("m") + F.col("id")).cast("double").alias("value"),
+            )  # no cents column: the WRITER computes it
+        )
+        write_delta(good, path)
+        out = (
+            read_delta(spark, path)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows long, sum_cents long"
+    )

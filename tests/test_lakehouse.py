@@ -2438,3 +2438,62 @@ def test_delta_r7_review_fixes_second_pass(spark, tmp_path):
     with pytest.raises(ValueError, match="v_nonneg"):
         restore_delta(t3, 0, spark=spark)  # v0 has v=-5: refused
     assert read_delta(spark, t3).count() == 1  # nothing committed
+
+
+def test_delta_generated_columns(spark, tmp_path):
+    """Generated columns: declaring validates existing rows, writes
+    omitting the column get it computed, writes providing divergent
+    values are refused with per-column counts, merge sources are
+    verified, the protocol bumps to writer 4, and the declaration
+    survives checkpoint + log cleanup."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _table_protocol,
+        checkpoint_delta,
+        cleanup_log,
+        merge_delta_dv,
+        read_delta,
+        set_generated_column,
+        write_delta,
+    )
+
+    table = str(tmp_path / "gen")
+    write_delta(
+        spark.createDataFrame([(1, 10, 20), (2, 30, 60)], "id long, v long, d long"),
+        table,
+    )
+    with pytest.raises(ValueError, match="diverge"):
+        set_generated_column(spark, table, "d", "v * 3")  # existing rows fail
+    set_generated_column(spark, table, "d", "v * 2")
+    assert _table_protocol(table)["minWriterVersion"] >= 4
+    with pytest.raises(ValueError, match="already generated"):
+        set_generated_column(spark, table, "d", "v * 2")
+
+    # omitted → computed
+    write_delta(spark.createDataFrame([(3, 50)], "id long, v long"), table)
+    got = {r["id"]: r["d"] for r in read_delta(spark, table).collect()}
+    assert got == {1: 20, 2: 60, 3: 100}
+    # provided-but-divergent → refused, nothing committed
+    with pytest.raises(ValueError, match="generated"):
+        write_delta(
+            spark.createDataFrame([(4, 5, 11)], "id long, v long, d long"), table
+        )
+    assert read_delta(spark, table).count() == 3
+    # provided-and-correct → fine
+    write_delta(
+        spark.createDataFrame([(4, 5, 10)], "id long, v long, d long"), table
+    )
+    # merge sources are verified too
+    with pytest.raises(ValueError, match="generated"):
+        merge_delta_dv(
+            spark,
+            table,
+            spark.createDataFrame([(1, 7, 15)], "id long, v long, d long"),
+            on=("id",),
+        )
+    # declaration survives checkpoint + cleanup
+    checkpoint_delta(table)
+    cleanup_log(table)
+    write_delta(spark.createDataFrame([(9, 100)], "id long, v long"), table)
+    assert read_delta(spark, table).where("id = 9").collect()[0]["d"] == 200
