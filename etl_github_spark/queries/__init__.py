@@ -20,13 +20,14 @@ string the driver diffs against at sf=0.01.
 # raw-timestamp ordering, replaced by row_number integer arithmetic
 # over epoch-micro longs) + 11 earlier round-7 additions (Delta
 # partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 21 promoted late-round additions
+# patch plan, 3 stateful bridges) + 22 promoted late-round additions
 # (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
 # shallow clone, CHECK constraints, column mapping, generated cols,
 # k-anonymity, BPE train+apply, delta-feed matview, stream-stream
-# inner+outer joins, exactly-once txn sink, audio frames, MIPS
+# inner+outer joins, exactly-once txn sink + delta-source replay,
+# audio frames, MIPS
 # augmentation, split-leakage audit, bootstrap
-# CI) + 17 stale-green ballast.
+# CI) + 16 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -41,6 +42,7 @@ _R7_WINDOW = [
     "stream_interval_join_replay",  # never driver-verified (promoted)
     "stream_outer_join_replay",  # never driver-verified (promoted)
     "stream_delta_sink_exactly_once",  # never driver-verified (promoted)
+    "stream_delta_source_replay",  # never driver-verified (promoted)
     "text_bpe_apply_tokenize",  # never driver-verified (promoted)
     "lake_delta_delete_dv",  # never driver-verified (promoted)
     "lake_delta_merge",  # never driver-verified (promoted)
@@ -71,7 +73,6 @@ _R7_WINDOW = [
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
-    "filter_range_date",  # green r01
     "project_subset",  # green r01
     "project_json_prop",  # green r01
     "project_json_struct",  # green r01

@@ -799,3 +799,126 @@ def stream_delta_sink_exactly_once(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "stream_delta_source_replay",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    tagged AS (
+      SELECT event_id, event_type,
+             CASE WHEN ts_us < 1704931200000000 THEN 1
+                  WHEN ts_us < 1705795200000000 THEN 2
+                  ELSE 3 END AS commit_version
+      FROM ev
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM tagged GROUP BY commit_version, event_type
+    """,
+    tags=("streaming", "lake", "delta", "source", "bridge"),
+)
+def stream_delta_source_replay(spark, sf_dir):
+    """Delta table consumed AS A STREAM under the driver hash — the
+    read-side twin of the exactly-once sink: three event-time slices
+    land as three Delta commits (versions 1–3 after the empty create),
+    then the LOG (not a directory listing) enumerates each commit's
+    data files in commit order and feeds them to the real file-source
+    streaming engine one micro-batch per commit; rows re-acquire their
+    commit version by joining `_metadata.file_name` against a
+    broadcast file→version map derived from the same log — exactly how
+    a Delta streaming source attributes rows to log offsets. The
+    per-(version, type) rollup hashes against the closed form; a
+    misattributed file, a stray uncommitted file leaking in, or a
+    commit delivered out of order flips the hash.
+
+    Scale shape: the source's incremental state is a log OFFSET — per
+    micro-batch cost is the new commit's files only, never a listing
+    of the table (the property that makes Delta-as-a-source scale
+    where file-listing sources die at millions of objects).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..io.delta_log import write_delta
+
+    root = tempfile.mkdtemp(prefix="stream_dsrc_")
+    table = os.path.join(root, "tbl")
+    try:
+        base = T(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        b_expr = (
+            F.when(F.col("ts_us") < _SLICE_US[0], 1)
+            .when(F.col("ts_us") < _SLICE_US[1], 2)
+            .otherwise(3)
+        )
+        # an empty create (version 0), then one commit per slice
+        write_delta(
+            base.where(F.lit(False)).select("event_id", "event_type"), table
+        )
+        for b in (1, 2, 3):
+            write_delta(
+                base.where(b_expr == b).select("event_id", "event_type"),
+                table,
+            )
+        # the LOG enumerates each commit's files (commit order = the
+        # stream's offset order); stage them with monotone mtimes so
+        # FileStreamSource delivers one commit per micro-batch
+        import json as _json
+
+        from ..io.delta_log import _list_versions, _version_file
+
+        file_version: dict[str, int] = {}
+        for v in _list_versions(table):
+            with open(_version_file(table, v)) as fh:
+                for line in fh:
+                    if line.strip():
+                        a = _json.loads(line)
+                        if "add" in a:
+                            file_version[os.path.basename(a["add"]["path"])] = v
+        stream_dir = os.path.join(root, "in")
+        os.makedirs(stream_dir)
+        now = time.time()
+        for name, v in sorted(file_version.items(), key=lambda kv: kv[1]):
+            dest = os.path.join(stream_dir, name)
+            os.link(os.path.join(table, name), dest)
+            os.utime(dest, (now + 30 * v,) * 2)
+        vmap = spark.createDataFrame(
+            list(file_version.items()), "fname string, commit_version long"
+        )
+        src = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .select(
+                "event_id",
+                "event_type",
+                F.col("_metadata.file_name").alias("fname"),
+            )
+        )
+        agg = (
+            src.join(F.broadcast(vmap), "fname")
+            .groupBy("commit_version", "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, agg, "stream_dsrc", mode="complete")
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "commit_version long, event_type string, n_rows long, sum_event_id long",
+    )
