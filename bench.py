@@ -200,6 +200,21 @@ EXTENDED = [
     "join_bloom_prefilter",
     "lake_delta_evolution",
     "trend_holt_linear_forecast",
+    # round-7 late additions
+    "lake_delta_delete_dv",
+    "lake_delta_merge",
+    "lake_delta_restore",
+    "lake_delta_clone",
+    "lake_delta_constraints",
+    "lake_delta_column_mapping",
+    "lake_delta_generated",
+    "stream_outer_join_replay",
+    "stream_delta_sink_exactly_once",
+    "stream_delta_source_replay",
+    "sim_mips_augmented",
+    "curate_split_leakage",
+    "stat_bootstrap_ci",
+    "multimodal_audio_frames",
 ]
 
 
