@@ -215,6 +215,7 @@ EXTENDED = [
     "curate_split_leakage",
     "stat_bootstrap_ci",
     "multimodal_audio_frames",
+    "graph_label_propagation",
 ]
 
 

@@ -20,14 +20,14 @@ string the driver diffs against at sf=0.01.
 # raw-timestamp ordering, replaced by row_number integer arithmetic
 # over epoch-micro longs) + 11 earlier round-7 additions (Delta
 # partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 22 promoted late-round additions
+# patch plan, 3 stateful bridges) + 23 promoted late-round additions
 # (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
 # shallow clone, CHECK constraints, column mapping, generated cols,
 # k-anonymity, BPE train+apply, delta-feed matview, stream-stream
 # inner+outer joins, exactly-once txn sink + delta-source replay,
-# audio frames, MIPS
+# audio frames, LPA communities, MIPS
 # augmentation, split-leakage audit, bootstrap
-# CI) + 16 stale-green ballast.
+# CI) + 15 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -62,6 +62,7 @@ _R7_WINDOW = [
     "lake_delta_checkpoint",  # never driver-verified
     "lake_delta_stats_skip",  # never driver-verified
     "lake_delta_evolution",  # never driver-verified
+    "graph_label_propagation",  # never driver-verified (promoted)
     "graph_bfs_shortest_paths",  # never driver-verified
     "stream_heavy_hitters_replay",  # never driver-verified
     "stream_attribution_replay",  # never driver-verified
@@ -72,7 +73,6 @@ _R7_WINDOW = [
     "filter_not_prefix",  # green r01
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
-    "filter_null_safe",  # green r01
     "project_subset",  # green r01
     "project_json_prop",  # green r01
     "project_json_struct",  # green r01

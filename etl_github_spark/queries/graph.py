@@ -566,3 +566,116 @@ def graph_bfs_shortest_paths(spark, sf_dir, max_hops: int = 4):
         visited = visited.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     return visited
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    blocks = ["l0 AS (SELECT node, node AS label FROM nodes)"]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+    v{r} AS (
+      SELECT e.dst AS node, l.label, count(*) AS n
+      FROM edges e JOIN l{r - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label
+    ),
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rk
+        FROM v{r}
+      ) WHERE rk = 1
+    )""")
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ),
+    {",".join(blocks)}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE node LIKE 'C%') AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE node LIKE 'S%') AS BIGINT) AS n_suppliers
+    FROM l{rounds} GROUP BY label
+    """
+
+
+@query(
+    "graph_label_propagation",
+    sql=_lpa_sql(),
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark, sf_dir, rounds: int = 3):
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the undirected customer↔supplier purchase graph, made
+    DETERMINISTIC: synchronous updates (every round reads only the
+    previous round's labels), neighbor-majority vote with ties broken
+    by MINIMUM label — the two choices that turn LPA's notorious
+    run-to-run instability into a pure function of the graph, which is
+    what lets a DuckDB oracle replay all three unrolled rounds
+    exactly. Emits each surviving community with member / customer /
+    supplier counts — the communities a curation pipeline uses to
+    split correlated data between train and eval (`split_by_cluster`'s
+    graph-shaped sibling).
+
+    Scale shape: per round ONE join of the label frame against the
+    edge list (edges hash-partitioned ONCE by join key and
+    localCheckpointed — the BFS lesson: without it every round
+    re-shuffles the full edge list) plus a (node, label) count and an
+    argmax window keyed on node. Per-round shuffle is O(edges);
+    rounds are a fixed hyperparameter. Labels are node-id strings, so
+    min-tie-breaks compare identically in any engine.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("node2").orderBy(F.desc("n"), "label")
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("node2").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("node").startswith("C").cast("long"))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.col("node").startswith("S").cast("long"))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
