@@ -400,7 +400,8 @@ def write_delta(
     os.makedirs(table, exist_ok=True)
     adds: list[dict] | None = None
     staged_layout: tuple[str, ...] | None = None
-    staged_mapping: str | None = None  # physical-name map used at staging
+    staged_mapping: tuple[str | None, str] | None = None  # (physical-name
+    # map, generated-columns key) in effect when the files were staged
     attempts = 1 + max(0, retries if mode == "append" else 0)
     for attempt in range(attempts):
         if txn is not None and os.path.isdir(_log_path(table)):
@@ -449,7 +450,7 @@ def write_delta(
                 raise
             try:  # generated columns: compute absent, verify present
                 df_eff = _apply_generated_columns(df, meta)
-            except ValueError:
+            except Exception:
                 if adds is not None:
                     _remove_staged(table, adds)
                 raise
@@ -1407,22 +1408,26 @@ def restore_delta(
     if not to_add and not to_remove and same_schema:
         return {"version": None, "restored_files": 0, "removed_files": 0}
     constraints = _table_constraints(meta_cur)
-    if constraints:
+    generated = _generated_columns(meta_cur)
+    if constraints or generated:
         # a restore is a WRITE of the target snapshot: rows the current
-        # constraints forbid must not silently reappear (r7 review)
+        # constraints forbid — or that diverge from a generation
+        # expression declared since — must not silently reappear
+        declared = sorted(constraints) + sorted(generated)
         if not same_schema:
             raise ValueError(
                 f"cannot restore {table} to version {version}: CHECK "
-                f"constraint(s) {sorted(constraints)} are recorded against "
-                "the CURRENT schema, which the restore would revert"
+                f"constraint(s)/generated column(s) {declared} are recorded "
+                "against the CURRENT schema, which the restore would revert"
             )
         if spark is None:
             raise ValueError(
-                f"restoring {table} needs a SparkSession: CHECK "
-                f"constraint(s) {sorted(constraints)} must re-validate the "
-                "restored rows"
+                f"restoring {table} needs a SparkSession: "
+                f"{declared} must re-validate the restored rows"
             )
-        _check_constraints(read_delta(spark, table, version=version), meta_cur)
+        restored = read_delta(spark, table, version=version)
+        _check_constraints(restored, meta_cur)
+        _apply_generated_columns(restored, meta_cur)  # full schema: verifies
     missing = [
         f
         for p, a in sorted(to_add.items())
@@ -1618,6 +1623,10 @@ def enable_column_mapping(table: str) -> int:
     logical schema is free to rename or drop without touching a byte.
     Partitioned tables are refused (hive-path derivation speaks
     physical names — out of scope)."""
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
@@ -1627,7 +1636,13 @@ def enable_column_mapping(table: str) -> int:
         raise ValueError(
             "column mapping on partitioned tables is not supported"
         )
-    version = _next_version(table)
+    gen = _generated_columns(meta)
+    if gen:
+        raise ValueError(
+            f"column mapping on a table with generated column(s) "
+            f"{sorted(gen)} is not supported: a later rename would unbind "
+            "their expressions"
+        )
     schema = json.loads(meta["schemaString"])
     for i, f in enumerate(schema["fields"], start=1):
         md = dict(f.get("metadata") or {})
@@ -1665,14 +1680,23 @@ def enable_column_mapping(table: str) -> int:
 
 
 def _constraint_references(meta: dict, column: str) -> list[str]:
+    """Names of CHECK constraints and generated columns whose
+    expressions reference ``column`` — renaming or dropping it would
+    silently unbind them (generated hits are tagged ``generated:``)."""
     import re
 
     pat = re.compile(rf"\b{re.escape(column)}\b")
-    return sorted(
+    hits = sorted(
         name
         for name, expr in _table_constraints(meta).items()
         if pat.search(expr)
     )
+    hits += sorted(
+        f"generated:{name}"
+        for name, expr in _generated_columns(meta).items()
+        if pat.search(expr)
+    )
+    return hits
 
 
 def rename_column(table: str, old: str, new: str) -> int:
@@ -1681,6 +1705,10 @@ def rename_column(table: str, old: str, new: str) -> int:
     physicalName keeps pointing at the same parquet column. Requires
     column mapping; refuses when a CHECK constraint references the old
     name (its expression would silently stop binding)."""
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
@@ -1700,7 +1728,6 @@ def rename_column(table: str, old: str, new: str) -> int:
         raise ValueError(f"no column {old!r} on {table}")
     if new in names:
         raise ValueError(f"column {new!r} already exists on {table}")
-    version = _next_version(table)
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new
@@ -1727,6 +1754,10 @@ def drop_column(table: str, name: str) -> int:
     physical column, and time travel below the drop still sees it).
     Requires column mapping; refuses constraint-referenced columns and
     dropping the last column."""
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
@@ -1746,7 +1777,6 @@ def drop_column(table: str, name: str) -> int:
         raise ValueError(f"no column {name!r} on {table}")
     if len(names) == 1:
         raise ValueError("cannot drop the last column")
-    version = _next_version(table)
     schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
     _commit(
         table,
@@ -1808,6 +1838,10 @@ def set_generated_column(spark: SparkSession, table: str, name: str, expr: str) 
     reference any non-generated column of the row."""
     from pyspark.sql import functions as F
 
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
@@ -1818,7 +1852,17 @@ def set_generated_column(spark: SparkSession, table: str, name: str, expr: str) 
         raise ValueError(f"no column {name!r} on {table}")
     if _GEN_KEY in (field.get("metadata") or {}):
         raise ValueError(f"column {name!r} is already generated")
-    version = _next_version(table)
+    import re as _re
+
+    existing_gen = _generated_columns(meta)
+    for ref in [name, *existing_gen]:
+        if _re.search(rf"\b{_re.escape(ref)}\b", expr):
+            raise ValueError(
+                f"generation expression for {name!r} references {ref!r}: "
+                "expressions may only use plain (non-generated, non-self) "
+                "columns — chained or self-referencing generation breaks "
+                "writes that omit the columns"
+            )
     existing = read_delta(spark, table)
     n_bad = existing.where(
         F.expr(f"({expr}) IS DISTINCT FROM {name}")
@@ -1858,11 +1902,22 @@ def _apply_generated_columns(df: DataFrame, meta: dict | None) -> DataFrame:
     if not gen:
         return df
     checks = []
+    computed = False
     for name, expr in gen.items():
         if name not in df.columns:
             df = df.withColumn(name, F.expr(expr))
+            computed = True
         else:
             checks.append((name, expr))
+    if computed:
+        # withColumn APPENDS: re-select into the recorded field order, or
+        # the order-sensitive schema check spuriously rejects any write
+        # whose omitted generated column is not the trailing field
+        recorded = [
+            f["name"] for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        if sorted(df.columns) == sorted(recorded):
+            df = df.select(*recorded)
     if checks:
         clause = " OR ".join(
             f"(({expr}) IS DISTINCT FROM {name})" for name, expr in checks
@@ -1936,12 +1991,15 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
     filter pass over the WRITE's rows only, never the table."""
     from pyspark.sql import functions as F
 
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
     if name in _table_constraints(meta):
         raise ValueError(f"constraint {name!r} already exists on {table}")
-    version = _next_version(table)  # claim at plan time
     existing = read_delta(spark, table)
     n_bad = existing.where(F.expr(f"NOT coalesce(({expr}), true)")).count()
     if n_bad:
@@ -1979,6 +2037,10 @@ def drop_constraint(table: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: removes the recorded check (a
     metaData-only commit). Unknown names raise — silently 'dropping'
     a typo would leave the real constraint enforced."""
+    version = _next_version(table)  # claim BEFORE the metadata
+    # read (TOCTOU rule): a commit landing in between would be
+    # clobbered by re-committing stale metaData; claiming first
+    # turns the interleaving into an explicit version conflict
     meta = _table_metadata(table)
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
@@ -1986,7 +2048,6 @@ def drop_constraint(table: str, name: str) -> int:
     conf = dict(meta.get("configuration") or {})
     if key not in conf:
         raise ValueError(f"no constraint {name!r} on {table}")
-    version = _next_version(table)
     del conf[key]
     _commit(
         table,
@@ -2041,7 +2102,9 @@ def clone_delta(src: str, dst: str, version: int | None = None) -> dict:
     live = _replay(src, version)
     src_root = os.path.abspath(src)
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # the clone's metaData may demand constraint/generated/mapping
+        # enforcement: carry the source's protocol, not the base (1, 2)
+        {"protocol": _table_protocol(src, version)},
         {
             "metaData": {
                 **meta,

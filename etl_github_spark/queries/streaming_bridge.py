@@ -832,8 +832,11 @@ def stream_delta_source_replay(spark, sf_dir):
     broadcast file→version map derived from the same log — exactly how
     a Delta streaming source attributes rows to log offsets. The
     per-(version, type) rollup hashes against the closed form; a
-    misattributed file, a stray uncommitted file leaking in, or a
-    commit delivered out of order flips the hash.
+    misattributed file or a wrong/partial log enumeration flips the
+    hash. (Bound honestly: the complete-mode rollup is order-
+    insensitive, so delivery ORDER is exercised but not hash-pinned,
+    and maxFilesPerTrigger batches FILES — one batch per commit holds
+    because each commit here stages exactly one file.)
 
     Scale shape: the source's incremental state is a log OFFSET — per
     micro-batch cost is the new commit's files only, never a listing

@@ -2497,3 +2497,63 @@ def test_delta_generated_columns(spark, tmp_path):
     cleanup_log(table)
     write_delta(spark.createDataFrame([(9, 100)], "id long, v long"), table)
     assert read_delta(spark, table).where("id = 9").collect()[0]["d"] == 200
+
+
+def test_delta_generated_columns_third_pass_fixes(spark, tmp_path):
+    """Pins the third r7 review batch: omitted generated columns work in
+    ANY schema position (not just trailing), self-/chained-generation
+    expressions are refused, restore re-validates generation
+    expressions, clones carry the source protocol, and rename/drop of
+    expression-referenced columns are refused."""
+    import pytest
+
+    from etl_github_spark.io.delta_log import (
+        _table_protocol,
+        clone_delta,
+        delete_delta_dv,
+        drop_column,
+        enable_column_mapping,
+        read_delta,
+        restore_delta,
+        set_generated_column,
+        write_delta,
+    )
+
+    # omitted MIDDLE column computed + reordered to the recorded schema
+    t = str(tmp_path / "gen_mid")
+    write_delta(
+        spark.createDataFrame([(1, 20, 10)], "id long, d long, v long"), t
+    )
+    set_generated_column(spark, t, "d", "v * 2")
+    write_delta(spark.createDataFrame([(2, 30)], "id long, v long"), t)
+    got = {r["id"]: (r["d"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {1: (20, 10), 2: (60, 30)}
+
+    # self-reference and generated-chaining refused
+    with pytest.raises(ValueError, match="references"):
+        set_generated_column(spark, t, "id", "id")
+    with pytest.raises(ValueError, match="references"):
+        set_generated_column(spark, t, "id", "d + 1")  # d is generated
+
+    # restore re-validates generation expressions
+    t2 = str(tmp_path / "gen_rst")
+    write_delta(
+        spark.createDataFrame([(1, 999, 10)], "id long, d long, v long"), t2
+    )                                                   # v0: d diverges
+    delete_delta_dv(spark, t2, "id = 1")                # v1: row gone
+    write_delta(
+        spark.createDataFrame([(2, 14, 7)], "id long, d long, v long"), t2
+    )                                                   # v2: clean row
+    set_generated_column(spark, t2, "d", "v * 2")       # v3: validates live
+    with pytest.raises(ValueError, match="generated"):
+        restore_delta(t2, 0, spark=spark)               # would resurrect 999
+
+    # the clone carries the source's (bumped) protocol
+    dst = str(tmp_path / "gen_clone")
+    clone_delta(t2, dst)
+    assert _table_protocol(dst)["minWriterVersion"] >= 4
+
+    # enabling column mapping on a generated table is refused (a later
+    # rename could unbind the expression)
+    with pytest.raises(ValueError, match="generated"):
+        enable_column_mapping(t2)
