@@ -8,6 +8,7 @@ partial aggregation is what keeps shuffle volume ~|groups| not |rows|.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._util import T, davg, davg_sql, dsum, dsum_sql, fxp, fxp_sql, par
@@ -629,4 +630,150 @@ def agg_mode_per_group(spark, sf_dir):
     )
     return r.where(F.col("rn") == 1).select(
         "day", F.col("event_type").alias("mode_type"), F.col("cnt").alias("mode_cnt")
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price_cents, qty,
+             sum(qty) OVER (PARTITION BY flag ORDER BY price_cents) AS cumw,
+             sum(qty) OVER (PARTITION BY flag) AS totw
+      FROM w
+    )
+    SELECT flag,
+           CAST(min(CASE WHEN 2 * cumw >= totw THEN price_cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(sum(qty) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """
+
+
+@query("agg_weighted_median", sql=_WMEDIAN_SQL, tags=("agg", "median"))
+def agg_weighted_median(spark, sf_dir):
+    """Per-flag WEIGHTED median: the smallest price whose cumulative
+    quantity-weight reaches half the group's total weight — the
+    "median unit price per unit sold" a revenue analyst wants, where
+    a 50-unit line counts 50×, not 1× (the exact-median sibling
+    `agg_median_exact` weighs lines equally).
+
+    Determinism: the cumulative window orders by price_cents with the
+    default RANGE frame, so every member of a price tie-group gets the
+    SAME cumulative weight (a ROWS frame would make it depend on the
+    engine's tie order); the selected value is then a pure function of
+    the (value → weight) distribution. All weights are exact int64
+    (quantity is a whole number stored as double; price rides fxp).
+
+    Shape: one corpus-sized per-group sort window (the price order is
+    the irreducible cost of an exact weighted median), then a
+    partial+final min/sum agg. At 100 TB swap in the per-partition
+    weighted-histogram merge (`agg_quantile_sketch_rollup`) — this
+    query is the exact oracle the sketch is audited against.
+    """
+    w = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        fxp("l_extendedprice").alias("price_cents"),
+        fxp("l_quantity", 0).alias("qty"),
+    )
+    c = w.select(
+        "flag",
+        "price_cents",
+        "qty",
+        F.sum("qty")
+        .over(Window.partitionBy("flag").orderBy("price_cents"))
+        .alias("cumw"),
+        F.sum("qty").over(Window.partitionBy("flag")).alias("totw"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price_cents"))
+        ).alias("wmedian_cents"),
+        F.sum("qty").alias("total_weight"),
+    )
+
+
+# Higher-moment shape statistics: one shared textual expression (used
+# verbatim by BOTH engines via F.expr / the oracle SQL) guarantees the
+# identical IEEE evaluation order; inputs are exact int64 raw moments,
+# and the only non-arithmetic op is sqrt (correctly rounded by IEEE —
+# unlike pow/ln, which may differ in the last ulp between libm builds).
+_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MU} * {_MU})"
+_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0 * {_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2.0 * {_MU} * {_MU} * {_MU})"
+)
+_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4.0 * {_MU} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6.0 * {_MU} * {_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3.0 * {_MU} * {_MU} * {_MU} * {_MU})"
+)
+_SKEW_EXPR = f"{_M3} / ({_M2} * sqrt({_M2}))"
+_KURT_EXPR = f"{_M4} / ({_M2} * {_M2}) - 3.0"
+
+_SHAPE_SQL = f"""
+    WITH q AS (
+      SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM q GROUP BY flag
+    )
+    SELECT flag, n,
+           {_SKEW_EXPR} AS skewness,
+           {_KURT_EXPR} AS kurtosis_excess
+    FROM m
+    """
+
+
+@query("agg_skew_kurtosis", sql=_SHAPE_SQL, tags=("agg", "moments"))
+def agg_skew_kurtosis(spark, sf_dir):
+    """Per-group distribution SHAPE: population skewness g1 = m3/m2^1.5
+    and excess kurtosis g2 = m4/m2² − 3 over quantity — the two
+    moments after mean/variance that data-quality monitors track (a
+    skew flip or kurtosis spike flags a source whose value
+    distribution changed shape while its mean stayed put).
+
+    Spark's built-in `skewness()`/`kurtosis()` use a streaming
+    one-pass update whose float result depends on partition order —
+    unusable under a cross-engine hash. Here the AGGREGATION is exact:
+    Σx..Σx⁴ as int64 (quantity ≤ 50 → x⁴ ≤ 6.25e6, exact through
+    ~1.4e12 rows per group), and the float part is one fixed textual
+    expression evaluated identically by both engines (m2^1.5 spelled
+    as m2·sqrt(m2) — sqrt is correctly rounded, pow is not).
+
+    Shape: single scan, partial+final agg to 5 int64s per group; the
+    shape math runs on |groups| rows. Map-side combine keeps shuffle
+    volume at |groups| regardless of corpus size.
+    """
+    q = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        fxp("l_quantity", 0).alias("x"),
+    )
+    x = F.col("x")
+    m = q.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    return m.select(
+        "flag",
+        "n",
+        F.expr(_SKEW_EXPR).alias("skewness"),
+        F.expr(_KURT_EXPR).alias("kurtosis_excess"),
     )

@@ -947,3 +947,46 @@ def curate_split_leakage(spark, sf_dir):
         F.sum("n_hit").cast("long").alias("n_leaked_shingles"),
         F.sum("n_sh").cast("long").alias("n_val_shingles"),
     )
+
+
+_SHARD_SQL = """
+    SELECT substr(md5(text), 1, 1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(doc_id) AS BIGINT) AS membership_pin
+    FROM documents GROUP BY shard
+    """
+
+
+@query("curate_shard_assignment", sql=_SHARD_SQL, tags=("curate", "shards"))
+def curate_shard_assignment(spark, sf_dir):
+    """Deterministic training-shard assignment: every doc lands in one
+    of 16 shards keyed by the first hex digit of md5(text) — the
+    content-keyed "global shuffle" a training pipeline needs before
+    writing tokenized shards. Content hashing (vs random or
+    row-number assignment) is rerun-stable, join-free, order-free,
+    and independent of input partitioning, so a backfill and an
+    incremental run place the same doc in the same shard; it also
+    uniformly mixes sources/time within each shard, which is the
+    point of the pre-training shuffle. The output is the shard
+    BALANCE AUDIT (doc/token/char counts per shard) plus a
+    membership pin (sum of doc_ids) so the driver hash certifies the
+    exact assignment, not just the sizes.
+
+    Shape: one scan, one 16-group partial+final agg — shuffle volume
+    is 16 rows regardless of corpus size. The actual shard WRITE at
+    scale is `df.withColumn(shard).repartition(shard).write
+    .partitionBy(shard)` on the same key; md5's avalanche keeps the
+    16 output files within ~1/√(n/16) of equal size (the audit
+    verifies exactly that).
+    """
+    d = par(T(spark, sf_dir, "documents"))
+    return d.groupBy(
+        F.substring(F.md5("text"), 1, 1).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("doc_id").alias("membership_pin"),
+    )

@@ -679,3 +679,86 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
         .cast("long")
         .alias("n_suppliers"),
     )
+
+
+_RA_SQL = """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    d AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS deg FROM cp GROUP BY c
+    ),
+    ok AS (SELECT c, deg FROM d WHERE deg BETWEEN 2 AND 20),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, 1000000000000 // ok.deg AS w
+      FROM cp a
+      JOIN cp b ON a.c = b.c AND a.p < b.p
+      JOIN ok ON ok.c = a.c
+    )
+    SELECT part_a, part_b,
+           CAST(count(*) AS BIGINT) AS common_customers,
+           CAST(sum(w) AS BIGINT) AS ra_score_e12
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY ra_score_e12 DESC, part_a, part_b LIMIT 50
+    """
+
+
+@query("graph_resource_allocation", sql=_RA_SQL, tags=("graph", "link-prediction"))
+def graph_resource_allocation(spark, sf_dir):
+    """Link prediction on the customer–part co-purchase graph via the
+    Resource-Allocation index (Zhou/Lü/Zhang 2009): for part pairs
+    (a, b), RA = Σ_{c ∈ Γ(a)∩Γ(b)} 1/deg(c) — each shared customer
+    contributes inversely to how promiscuous they are, so "both
+    bought by a 3-part specialist" beats "both bought by a buy-
+    everything hub". Top-50 candidate links, uniquely tiebroken.
+
+    Determinism: 1/deg is the ONLY float in the textbook formula and
+    the sum over shared neighbors would be order-sensitive — so the
+    weight is the exact integer 1e12 DIV deg (truncating integer
+    division, identical everywhere) and scores sum as int64:
+    bit-stable under any partitioning, overflow-safe to ~9e6 shared
+    neighbors per pair (cap-bounded far below that).
+
+    Shape + scale contract: wedge enumeration is Σ_c deg(c)² — the
+    degree cap (2..20, documented like the PPJoin df-caps) bounds it
+    at 400 pairs/customer, linear in customers; hubs above the cap
+    carry negligible RA weight (< 1/20 each) by the measure's own
+    design. The pair agg is partial+final on (part_a, part_b); the
+    result is a TakeOrdered top-50, never a global sort materialized.
+    """
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p")
+    )
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("c", "p")
+        .distinct()
+    )
+    ok = (
+        cp.groupBy("c")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg").between(2, 20))
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .join(ok.alias("ok"), F.col("ok.c") == F.col("a.c"))
+        .select(
+            F.col("a.p").alias("part_a"),
+            F.col("b.p").alias("part_b"),
+            F.expr("1000000000000 DIV deg").alias("w"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("common_customers"),
+            F.sum("w").alias("ra_score_e12"),
+        )
+        .orderBy(F.desc("ra_score_e12"), "part_a", "part_b")
+        .limit(50)
+    )

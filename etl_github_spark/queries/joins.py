@@ -534,3 +534,45 @@ def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
         for i in range(n_hashes)
     )
     return probed.where(F.expr(member)).drop(*aux)
+
+
+_NULL_SAFE_SQL = """
+    WITH keyed AS (
+      SELECT event_id, nullif(CAST(json_extract(props, '$.k') AS INTEGER), 0) AS k_id
+      FROM events
+    ),
+    freq AS (
+      SELECT k_id, CAST(count(*) AS BIGINT) AS k_freq
+      FROM keyed GROUP BY k_id
+    )
+    SELECT e.event_id, e.k_id, f.k_freq
+    FROM keyed e JOIN freq f ON e.k_id IS NOT DISTINCT FROM f.k_id
+    """
+
+
+@query("join_null_safe_eq", sql=_NULL_SAFE_SQL, tags=("joins", "null-safe"))
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): frequency-
+    encode a nullable key where NULL is a real category, not a
+    drop-the-row marker. The key is `nullif(props.k, 0)` — the
+    "0 means unknown → NULL" cleaning rule — and a plain equi-join
+    would silently drop every NULL-keyed event (NULL = NULL is NULL in
+    3VL); `eqNullSafe` keeps them matched to the NULL frequency row,
+    the behavior feature-encoding pipelines need.
+
+    Shape: one agg over |keys|+1 groups, then a broadcast-able join of
+    the tiny freq dim back to the fact. Spark plans eqNullSafe as a
+    hash join on a null-safe key wrapper — same shuffle profile as the
+    plain equi-join, no fallback to nested-loop.
+    """
+    keyed = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(0)
+        ).alias("k_id"),
+    )
+    freq = keyed.groupBy("k_id").agg(F.count("*").alias("k_freq"))
+    return keyed.alias("e").join(
+        F.broadcast(freq).alias("f"),
+        F.col("e.k_id").eqNullSafe(F.col("f.k_id")),
+    ).select("e.event_id", "e.k_id", "f.k_freq")

@@ -1386,3 +1386,82 @@ def stat_bootstrap_ci(spark, sf_dir):
             F.col("boot_hi_permille").cast("long").alias("boot_hi_permille"),
         )
     )
+
+
+_SPEARMAN_SQL = """
+    WITH ranked AS (
+      SELECT lang,
+             2 * rank() OVER (PARTITION BY lang ORDER BY n_chars)
+               + CAST(count(*) OVER (PARTITION BY lang, n_chars) AS BIGINT)
+               - count(*) OVER (PARTITION BY lang) - 2 AS cx,
+             2 * rank() OVER (PARTITION BY lang ORDER BY doc_id)
+               + 1
+               - count(*) OVER (PARTITION BY lang) - 2 AS cy
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cx * cy) AS BIGINT) AS sxy,
+             CAST(sum(cx * cx) AS BIGINT) AS sxx,
+             CAST(sum(cy * cy) AS BIGINT) AS syy
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(sxy AS DOUBLE)
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+             AS spearman_rho
+    FROM m
+    """
+
+
+@query("stat_spearman_rank", sql=_SPEARMAN_SQL, tags=("stats", "correlation"))
+def stat_spearman_rank(spark, sf_dir):
+    """Per-language Spearman rank correlation of (doc_id, n_chars) —
+    the monotone-association companion of `stat_corr_per_lang`'s
+    Pearson on the same pair (together they flag nonlinear drift:
+    Pearson ≈ 0 with |rho| >> 0 means a monotone-but-curved trend).
+
+    Ties use the standard AVERAGE-rank convention, kept integer by
+    working in doubled-and-centered ranks: with rank() = 1 + |{v' < v}|
+    and t = |tie group|, 2·avg_rank = 2·rank + t − 1, and centering by
+    the constant (n+1) gives c = 2·rank + t − n − 2 with Σc = 0 exactly
+    (tie-averaging preserves the rank sum). rho is then Pearson on the
+    c's: Σcxcy / (√Σcx² · √Σcy²) from exact int64 moments — no float
+    reduction anywhere, and the final BIGINT→DOUBLE casts + one fixed
+    expression are deterministic cross-engine (doc_id is unique per
+    row, so its tie term is the literal 1).
+
+    Shape: two per-lang sort windows over the corpus (the unavoidable
+    cost of exact global ranks — rank() and both count() windows share
+    the same partition so Spark plans two Window nodes, not four),
+    then one partial+final agg to 5 int64 moments per lang. Overflow
+    envelope: |c| ≤ n, so Σc² ≤ n³ — exact through ~2M docs per
+    language; beyond that, rank on a deterministic md5 sample or swap
+    the moments to decimal(38,0).
+    """
+    d = T(spark, sf_dir, "documents")
+    n = F.count("*").over(Window.partitionBy("lang")).cast("long")
+    cx = (
+        2 * F.rank().over(Window.partitionBy("lang").orderBy("n_chars"))
+        + F.count("*").over(Window.partitionBy("lang", "n_chars")).cast("long")
+        - n
+        - 2
+    )
+    cy = (
+        2 * F.rank().over(Window.partitionBy("lang").orderBy("doc_id"))
+        + 1
+        - n
+        - 2
+    )
+    ranked = d.select("lang", cx.alias("cx"), cy.alias("cy"))
+    m = ranked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+    )
+    rho = F.col("sxy").cast("double") / (
+        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    )
+    return m.select("lang", "n", rho.alias("spearman_rho"))

@@ -839,3 +839,97 @@ def text_bpe_apply_tokenize(spark, sf_dir):
             F.sum(F.coalesce(F.col("n_tok"), F.lit(1))).cast("long").alias("n_tokens"),
         )
     )
+
+
+_KN_P = (
+    "greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)"
+    " + (0.75 * CAST(nl AS DOUBLE) / CAST(c1 AS DOUBLE))"
+    " * (CAST(nr AS DOUBLE) / CAST(tt AS DOUBLE))"
+)
+
+_KN_SQL = f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+                   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+            FROM toks)
+      GROUP BY w1, w2
+    ),
+    lstat AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS nl
+      FROM bg GROUP BY w1
+    ),
+    rstat AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM bg GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bg)
+    SELECT bg.w1, bg.w2, bg.c12, {_KN_P} AS p_kn
+    FROM bg JOIN lstat USING (w1) JOIN rstat USING (w2) CROSS JOIN tot
+    WHERE bg.c12 >= 20
+    ORDER BY bg.c12 DESC, bg.w1, bg.w2 LIMIT 100
+    """
+
+
+@query("text_kneser_ney_bigram", sql=_KN_SQL, tags=("text", "lm"))
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount
+    D = 0.75): P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) +
+    (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/|bigram types|) — the smoothing
+    that backs off to CONTINUATION counts ("how many contexts does w2
+    complete?") rather than raw unigram frequency, the standard
+    n-gram LM for corpus-quality scoring before a neural pass
+    (`quality_perplexity_bigram` is the add-k sibling; KN is what you
+    ship). Top-100 most frequent bigrams, uniquely tiebroken.
+
+    Determinism: every count is an exact int64 aggregate; P assembles
+    them in ONE shared textual expression (used verbatim by both
+    engines) of IEEE +,·,/ and greatest — no float reductions, no
+    pow/ln. D is the literal 0.75 (exactly representable).
+
+    Shape: one bigram explode + partial+final count (the corpus-sized
+    work), then vocab-sized left/right continuation aggs DERIVED from
+    the bigram table (no second corpus scan), a 1-row type-count
+    broadcast cross join, and a TakeOrdered top-100. At 100 TB the
+    bigram table is the working set — it shards on (w1, w2) and every
+    downstream agg is map-side combinable; the c12 ≥ 20 prefilter
+    shrinks the join inputs before any stats join.
+    """
+    w = F.col("w")
+    toks = (
+        par(T(spark, sf_dir, "documents"))
+        .select(F.split(F.col("text"), " ").alias("w"))
+        .where(F.size(w) >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    bg = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.transform(idx, lambda i: F.element_at(w, i)).alias("w1"),
+                    F.transform(idx, lambda i: F.element_at(w, i + 1)).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    lstat = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nl")
+    )
+    rstat = bg.groupBy("w2").agg(F.count("*").alias("nr"))
+    tot = bg.agg(F.count("*").alias("tt"))
+    return (
+        bg.where(F.col("c12") >= 20)
+        .join(lstat, "w1")
+        .join(rstat, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", F.expr(_KN_P).alias("p_kn"))
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(100)
+    )
