@@ -216,6 +216,14 @@ EXTENDED = [
     "stat_bootstrap_ci",
     "multimodal_audio_frames",
     "graph_label_propagation",
+    # round-7 final batch
+    "join_null_safe_eq",
+    "stat_spearman_rank",
+    "agg_weighted_median",
+    "agg_skew_kurtosis",
+    "curate_shard_assignment",
+    "graph_resource_allocation",
+    "text_kneser_ney_bigram",
 ]
 
 

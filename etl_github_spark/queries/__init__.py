@@ -15,75 +15,74 @@ string the driver diffs against at sf=0.01.
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
 # staleness. Round 7: 1 latest-red (`analytics_rfm_segments`, red r4-r6
-# with local parity green — rewritten this round to drop every engine-
-# version-sensitive construct: ntile's remainder-distribution rule and
-# raw-timestamp ordering, replaced by row_number integer arithmetic
-# over epoch-micro longs) + 11 earlier round-7 additions (Delta
-# partitioned/checkpoint/stats-skip/evolution, BFS, Holt, bloom join,
-# patch plan, 3 stateful bridges) + 23 promoted late-round additions
-# (Delta OPTIMIZE, change feed, z-order skip, DV delete/merge/restore,
-# shallow clone, CHECK constraints, column mapping, generated cols,
-# k-anonymity, BPE train+apply, delta-feed matview, stream-stream
-# inner+outer joins, exactly-once txn sink + delta-source replay,
-# audio frames, LPA communities, MIPS
-# augmentation, split-leakage audit, bootstrap
-# CI) + 15 stale-green ballast.
+# with local parity green — root-caused this round to the driver's
+# pandas canonicalization leaking DuckDB HUGEINT sums as float64, and
+# rewritten on BOTH sides: BIGINT-cast oracle sums + row_number integer
+# quartile arithmetic over epoch-micro longs, no ntile) + all 41
+# never-driver-verified round-7 additions (the Delta protocol family:
+# partitioned/checkpoint/stats-skip/evolution/OPTIMIZE/change feed/
+# z-order/DV delete/merge/restore/clone/constraints/column mapping/
+# generated cols; BFS + LPA + resource-allocation link prediction;
+# 7 streaming replays incl. exactly-once txn sink and delta-source;
+# BPE train+apply + Kneser-Ney bigram LM; k-anonymity, split-leakage,
+# bootstrap CI, Spearman, weighted median, skew/kurtosis, null-safe
+# join, MIPS augmentation, audio frames, patch plan, Holt forecast,
+# bloom prefilter, shard assignment) + 8 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
 _R7_WINDOW = [
     "analytics_rfm_segments",  # RED r06
-    "lake_delta_optimize",  # never driver-verified (promoted)
-    "lake_delta_change_feed",  # never driver-verified (promoted)
-    "lake_delta_zorder_skip",  # never driver-verified (promoted)
-    "quality_k_anonymity",  # never driver-verified (promoted)
-    "text_bpe_train_merges",  # never driver-verified (promoted)
-    "lake_matview_delta_feed",  # never driver-verified (promoted)
-    "stream_interval_join_replay",  # never driver-verified (promoted)
-    "stream_outer_join_replay",  # never driver-verified (promoted)
-    "stream_delta_sink_exactly_once",  # never driver-verified (promoted)
-    "stream_delta_source_replay",  # never driver-verified (promoted)
-    "text_bpe_apply_tokenize",  # never driver-verified (promoted)
-    "lake_delta_delete_dv",  # never driver-verified (promoted)
-    "lake_delta_merge",  # never driver-verified (promoted)
-    "lake_delta_restore",  # never driver-verified (promoted)
-    "lake_delta_clone",  # never driver-verified (promoted)
-    "lake_delta_constraints",  # never driver-verified (promoted)
-    "lake_delta_column_mapping",  # never driver-verified (promoted)
-    "lake_delta_generated",  # never driver-verified (promoted)
-    "multimodal_audio_frames",  # never driver-verified (promoted)
-    "stat_bootstrap_ci",  # never driver-verified (promoted)
-    "sim_mips_augmented",  # never driver-verified (promoted)
-    "curate_split_leakage",  # never driver-verified (promoted)
     "multimodal_patch_plan",  # never driver-verified
+    "multimodal_audio_frames",  # never driver-verified
     "join_bloom_prefilter",  # never driver-verified
+    "join_null_safe_eq",  # never driver-verified
+    "agg_weighted_median",  # never driver-verified
+    "agg_skew_kurtosis",  # never driver-verified
+    "sim_mips_augmented",  # never driver-verified
+    "text_bpe_train_merges",  # never driver-verified
+    "text_bpe_apply_tokenize",  # never driver-verified
+    "text_kneser_ney_bigram",  # never driver-verified
+    "curate_split_leakage",  # never driver-verified
+    "curate_shard_assignment",  # never driver-verified
+    "stat_bootstrap_ci",  # never driver-verified
+    "stat_spearman_rank",  # never driver-verified
+    "quality_k_anonymity",  # never driver-verified
     "trend_holt_linear_forecast",  # never driver-verified
     "lake_delta_partitioned",  # never driver-verified
     "lake_delta_checkpoint",  # never driver-verified
     "lake_delta_stats_skip",  # never driver-verified
     "lake_delta_evolution",  # never driver-verified
-    "graph_label_propagation",  # never driver-verified (promoted)
+    "lake_delta_optimize",  # never driver-verified
+    "lake_delta_change_feed",  # never driver-verified
+    "lake_delta_zorder_skip",  # never driver-verified
+    "lake_matview_delta_feed",  # never driver-verified
+    "lake_delta_delete_dv",  # never driver-verified
+    "lake_delta_merge",  # never driver-verified
+    "lake_delta_restore",  # never driver-verified
+    "lake_delta_clone",  # never driver-verified
+    "lake_delta_constraints",  # never driver-verified
+    "lake_delta_column_mapping",  # never driver-verified
+    "lake_delta_generated",  # never driver-verified
     "graph_bfs_shortest_paths",  # never driver-verified
+    "graph_label_propagation",  # never driver-verified
+    "graph_resource_allocation",  # never driver-verified
     "stream_heavy_hitters_replay",  # never driver-verified
     "stream_attribution_replay",  # never driver-verified
     "stream_spike_gate_replay",  # never driver-verified
+    "stream_interval_join_replay",  # never driver-verified
+    "stream_outer_join_replay",  # never driver-verified
+    "stream_delta_sink_exactly_once",  # never driver-verified
+    "stream_delta_source_replay",  # never driver-verified
     "flagship_popular_user_clicks",  # green r01
     "filter_eq",  # green r01
     "filter_substring_ci",  # green r01
     "filter_not_prefix",  # green r01
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
-    "project_subset",  # green r01
-    "project_json_prop",  # green r01
-    "project_json_struct",  # green r01
-    "scalar_string_funcs",  # green r01
-    "scalar_math_funcs",  # green r01
-    "scalar_case_when",  # green r01
-    "sort_topk",  # green r01
-    "sort_multi_col",  # green r01
-    "limit_deterministic",  # green r01
+    "filter_null_safe",  # green r01
+    "filter_range_date",  # green r01
 ]
-
 
 def _apply_rotation(window: list[str]) -> None:
     """Reorder the registry dict so `window` occupies the first slots.
