@@ -224,6 +224,8 @@ EXTENDED = [
     "curate_shard_assignment",
     "graph_resource_allocation",
     "text_kneser_ney_bigram",
+    "stream_scd2_replay",
+    "stat_kendall_tau_daily",
 ]
 
 

@@ -1465,3 +1465,87 @@ def stat_spearman_rank(spark, sf_dir):
         F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
     )
     return m.select("lang", "n", rho.alias("spearman_rho"))
+
+
+_TAU_EXPR = (
+    "(CAST(c AS DOUBLE) - CAST(d AS DOUBLE)) / sqrt("
+    "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+    " * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0"
+    " - CAST(ty AS DOUBLE)))"
+)
+
+_KENDALL_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.n_ev > a.n_ev THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN b.n_ev < a.n_ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN b.n_ev = a.n_ev THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    )
+    SELECT event_type, n, c AS concordant, d AS discordant, ty AS ties_y,
+           {_TAU_EXPR} AS kendall_tau_b
+    FROM p JOIN cnt USING (event_type)
+    """
+
+
+@query("stat_kendall_tau_daily", sql=_KENDALL_SQL, tags=("stats", "correlation"))
+def stat_kendall_tau_daily(spark, sf_dir):
+    """Kendall tau-b monotone-trend test on each event type's daily
+    volume series — the rank statistic behind the Mann-Kendall trend
+    test ops teams run on activity series (is this event type's
+    volume drifting up, beyond what Theil-Sen's slope alone says?).
+    tau-b = (C − D)/√(n0(n0 − Ty)) with n0 = n(n−1)/2 and the tie
+    correction Ty for equal daily counts (days are unique, so the
+    x-tie term is zero exactly — `stat_theil_sen_daily_trend` holds
+    the matching slope estimator).
+
+    Determinism: C/D/Ty are exact int64 pair counts; tau assembles
+    them in one shared textual expression of IEEE ops (sqrt only —
+    correctly rounded). No float reduction exists anywhere.
+
+    Shape + scale contract: the corpus-sized work is the daily
+    partial+final count agg; the O(days²) pair self-join runs on the
+    DAYS-sized series (≤ 366 rows/type/year → ≤ 67k pairs — same
+    documented contract as Theil-Sen), broadcast-joined per type. At
+    100 TB the series length doesn't grow with corpus bytes, only
+    with calendar span; a multi-decade span would switch to the
+    merge-sort O(n log n) inversion count over the same series.
+    """
+    daily = (
+        par(T(spark, sf_dir, "events"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_ev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(F.col("b.n_ev") > F.col("a.n_ev"), 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("b.n_ev") < F.col("a.n_ev"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("b.n_ev") == F.col("a.n_ev"), 1).otherwise(0)).alias("ty"),
+        )
+    )
+    cnt = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    return p.join(cnt, "event_type").select(
+        "event_type",
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("ty").alias("ties_y"),
+        F.expr(_TAU_EXPR).alias("kendall_tau_b"),
+    )

@@ -925,3 +925,124 @@ def stream_delta_source_replay(spark, sf_dir):
         rows,
         "commit_version long, event_type string, n_rows long, sum_event_id long",
     )
+
+
+@query(
+    "stream_scd2_replay",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) < {_SLICE_US[0]} THEN 0
+                  WHEN epoch_us(ts) < {_SLICE_US[1]} THEN 1
+                  ELSE 2 END AS b
+      FROM events
+    ),
+    v AS (SELECT b, CAST(max(ts_us) AS BIGINT) AS vb FROM ev GROUP BY b),
+    latest AS (
+      SELECT user_id, b, event_type AS tier
+      FROM (SELECT user_id, b, event_type,
+                   row_number() OVER (PARTITION BY user_id, b
+                                      ORDER BY ts_us DESC) AS rn
+            FROM ev) t
+      WHERE rn = 1
+    ),
+    s AS (
+      SELECT user_id,
+             max(CASE WHEN b = 0 THEN tier END) AS t0,
+             max(CASE WHEN b = 1 THEN tier END) AS t1,
+             max(CASE WHEN b = 2 THEN tier END) AS t2
+      FROM latest GROUP BY user_id
+    ),
+    vs AS (
+      SELECT (SELECT vb FROM v WHERE b = 0) AS v0,
+             (SELECT vb FROM v WHERE b = 1) AS v1,
+             (SELECT vb FROM v WHERE b = 2) AS v2
+    )
+    SELECT user_id, t0 AS tier, v0 AS valid_from,
+           CASE WHEN t1 IS NOT NULL AND t1 <> t0 THEN v1
+                WHEN coalesce(t1, t0) = t0 AND t2 IS NOT NULL AND t2 <> t0
+                  THEN v2 END AS valid_to,
+           CASE WHEN (t1 IS NOT NULL AND t1 <> t0)
+                  OR (coalesce(t1, t0) = t0 AND t2 IS NOT NULL AND t2 <> t0)
+                THEN 0 ELSE 1 END AS is_current
+    FROM s CROSS JOIN vs WHERE t0 IS NOT NULL
+    UNION ALL
+    SELECT user_id, t1, v1,
+           CASE WHEN t2 IS NOT NULL AND t2 <> t1 THEN v2 END,
+           CASE WHEN t2 IS NOT NULL AND t2 <> t1 THEN 0 ELSE 1 END
+    FROM s CROSS JOIN vs
+    WHERE t1 IS NOT NULL AND (t0 IS NULL OR t1 <> t0)
+    UNION ALL
+    SELECT user_id, t2, v2, CAST(NULL AS BIGINT), 1
+    FROM s CROSS JOIN vs
+    WHERE t2 IS NOT NULL
+      AND (coalesce(t1, t0) IS NULL OR t2 <> coalesce(t1, t0))
+    """,
+    tags=("streaming", "scd2", "bridge"),
+)
+def stream_scd2_replay(spark, sf_dir):
+    """The streaming SCD2 dimension sink under the driver hash: replay
+    the events fixture as three event-time-ordered micro-batches
+    through `streaming/cdc.py::stream_scd2_sink` (foreachBatch →
+    `io/sink.py::scd2_apply`, tier = the user's latest event_type per
+    batch, version = the batch's max event-time seq) and return the
+    FULL resulting dimension — every open and closed history row.
+
+    The oracle is the SCD2 fold written as a closed form over the
+    same three slices: per user, the batch-latest tier chain
+    (t0 → t1 → t2) opens a row when the value CHANGES (scd2_apply's
+    unchanged-value no-op rule — coalesce walks the carry-forward),
+    closes the predecessor at the closing batch's global version
+    stamp, and leaves exactly one is_current row per user. This pins
+    the pieces pytest alone asserted before this round: bootstrap
+    stamps all first-batch keys at v0, closes stamp the CLOSING
+    batch's version (not the row's own), unchanged churn inserts
+    nothing, and a brand-new key in a later batch opens without
+    closing anything.
+
+    At scale: each micro-batch shuffles only its own rows by key; the
+    dimension rewrite is dimension-sized by contract (scd2_apply
+    docstring) and the crash-safe rename-aside swap makes redelivered
+    batches idempotent — replayed here via availableNow over the same
+    checkpoint dir the production job would use.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.cdc import stream_scd2_sink
+
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    try:
+        stream = _staged_event_stream(
+            spark,
+            sf_dir,
+            ["event_id", "user_id", "event_type", "ts_us"],
+            "event_id long, user_id long, event_type string, ts_us long",
+            root,
+        )
+        changes = stream.select(
+            "user_id", F.col("event_type").alias("tier"), "ts_us"
+        )
+        table = f"{root}/dim"
+        q = stream_scd2_sink(
+            changes,
+            table,
+            f"{root}/ckpt",
+            key_col="user_id",
+            attr_cols=("tier",),
+            seq_col="ts_us",
+        )
+        q.awaitTermination()
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(table)
+            .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, tier string, valid_from long, valid_to long, "
+        "is_current int",
+    )
