@@ -226,6 +226,7 @@ EXTENDED = [
     "text_kneser_ney_bigram",
     "stream_scd2_replay",
     "stat_kendall_tau_daily",
+    "trend_holt_winters_seasonal",
 ]
 
 

@@ -2420,3 +2420,148 @@ def trend_holt_linear_forecast(spark, sf_dir):
         folded["b"].alias("trend"),
         (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7d"),
     )
+
+
+@query(
+    "trend_holt_winters_seasonal",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(c ORDER BY day) AS cs FROM daily GROUP BY 1
+      HAVING count(*) >= 14
+    ),
+    init AS (
+      SELECT event_type, cs,
+             (CAST(cs[1] AS DOUBLE) + CAST(cs[2] AS DOUBLE)
+              + CAST(cs[3] AS DOUBLE) + CAST(cs[4] AS DOUBLE)
+              + CAST(cs[5] AS DOUBLE) + CAST(cs[6] AS DOUBLE)
+              + CAST(cs[7] AS DOUBLE)) / 7.0 AS l0,
+             ((CAST(cs[8] AS DOUBLE) + CAST(cs[9] AS DOUBLE)
+               + CAST(cs[10] AS DOUBLE) + CAST(cs[11] AS DOUBLE)
+               + CAST(cs[12] AS DOUBLE) + CAST(cs[13] AS DOUBLE)
+               + CAST(cs[14] AS DOUBLE))
+              - (CAST(cs[1] AS DOUBLE) + CAST(cs[2] AS DOUBLE)
+                 + CAST(cs[3] AS DOUBLE) + CAST(cs[4] AS DOUBLE)
+                 + CAST(cs[5] AS DOUBLE) + CAST(cs[6] AS DOUBLE)
+                 + CAST(cs[7] AS DOUBLE))) / 49.0 AS b0
+      FROM series
+    ),
+    hw(event_type, i, l, b, s) AS (
+      SELECT event_type, 7, l0, b0,
+             [CAST(cs[1] AS DOUBLE) - l0, CAST(cs[2] AS DOUBLE) - l0,
+              CAST(cs[3] AS DOUBLE) - l0, CAST(cs[4] AS DOUBLE) - l0,
+              CAST(cs[5] AS DOUBLE) - l0, CAST(cs[6] AS DOUBLE) - l0,
+              CAST(cs[7] AS DOUBLE) - l0]
+      FROM init
+      UNION ALL
+      SELECT h.event_type, h.i + 1,
+             0.5 * (CAST(n.cs[h.i + 1] AS DOUBLE) - h.s[1])
+               + 0.5 * (h.l + h.b),
+             0.25 * ((0.5 * (CAST(n.cs[h.i + 1] AS DOUBLE) - h.s[1])
+                      + 0.5 * (h.l + h.b)) - h.l)
+               + 0.75 * h.b,
+             list_append(h.s[2:7],
+               0.5 * (CAST(n.cs[h.i + 1] AS DOUBLE)
+                      - (0.5 * (CAST(n.cs[h.i + 1] AS DOUBLE) - h.s[1])
+                         + 0.5 * (h.l + h.b)))
+                 + 0.5 * h.s[1])
+      FROM hw h JOIN series n USING (event_type)
+      WHERE h.i < len(n.cs)
+    )
+    SELECT h.event_type, CAST(t.n AS BIGINT) AS n_days,
+           h.l AS level, h.b AS trend, h.s[7] AS season_last,
+           h.l + 7.0 * h.b + h.s[7] AS forecast_7d
+    FROM hw h JOIN (SELECT event_type, len(cs) AS n FROM series) t
+      USING (event_type)
+    WHERE h.i = t.n
+    """,
+    tags=("trend", "forecast"),
+)
+def trend_holt_winters_seasonal(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level +
+    linear trend + weekly seasonality, α = 0.5, β = 0.25, γ = 0.5,
+    m = 7) per event type, with the 7-day-ahead forecast — the full
+    seasonal upgrade of `trend_holt_linear_forecast` for series where
+    the weekday cycle dominates (page views, job submissions). Init
+    is the classical two-period recipe: l₀ = mean of week 1, b₀ =
+    (mean of week 2 − mean of week 1)/7, s₁..₇ = week-1 residuals;
+    types with < 14 days are excluded on both sides.
+
+    Determinism: same contract as the Holt-linear twin — the
+    recurrence is a sequential fold, so Spark runs it as F.aggregate
+    over the per-type ordered array with a struct(level, trend,
+    seasonal-ring array<double>) accumulator (JVM-side, whole-stage
+    codegen), and DuckDB replays the IDENTICAL expression tree as a
+    recursive CTE carrying a LIST column (plain columns, never the
+    in-place struct_pack accumulator quirk the linear twin's
+    docstring documents). All constants are exactly-representable
+    binary fractions; the init means divide exact integer sums.
+
+    Scale shape: one shuffle to (type, day) counts; everything after
+    is a days-bounded fold per type — O(calendar), not O(corpus). The
+    m-element ring rides inside the accumulator, so state is 9 doubles
+    however long the series runs.
+    """
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("cs")
+        )
+        .where(F.size("cs") >= 14)
+    )
+    cs = F.col("cs")
+    wk = lambda lo: sum(  # noqa: E731 — fixed left-to-right 7-term sum
+        (F.element_at(cs, i) for i in range(lo + 1, lo + 7)),
+        F.element_at(cs, lo),
+    )
+    l0 = (wk(1) / F.lit(7.0)).alias("l0")
+    b0 = ((wk(8) - wk(1)) / F.lit(49.0)).alias("b0")
+    init = series.select("event_type", "cs", l0, b0)
+    s0 = F.array(
+        *[F.element_at(cs, i) - F.col("l0") for i in range(1, 8)]
+    )
+    A, B, G = F.lit(0.5), F.lit(0.25), F.lit(0.5)
+    one = F.lit(1.0)
+
+    def step(a, x):
+        sold = F.element_at(a["s"], 1)
+        lnew_e = A * (x - sold) + (one - A) * (a["l"] + a["b"])
+        bnew = B * ((A * (x - sold) + (one - A) * (a["l"] + a["b"])) - a["l"]) + (
+            one - B
+        ) * a["b"]
+        snew = (
+            G * (x - (A * (x - sold) + (one - A) * (a["l"] + a["b"])))
+            + (one - G) * sold
+        )
+        return F.struct(
+            lnew_e.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(a["s"], 2, 6), F.array(snew)).alias("s"),
+        )
+
+    acc0 = F.struct(
+        F.col("l0").alias("l"), F.col("b0").alias("b"), s0.alias("s")
+    )
+    folded = F.aggregate(F.slice(cs, 8, F.size(cs) - 7), acc0, step)
+    return init.select(
+        "event_type",
+        F.size("cs").cast("long").alias("n_days"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+        F.element_at(folded["s"], 7).alias("season_last"),
+        (folded["l"] + F.lit(7.0) * folded["b"] + F.element_at(folded["s"], 7)).alias(
+            "forecast_7d"
+        ),
+    )
