@@ -227,6 +227,7 @@ EXTENDED = [
     "stream_scd2_replay",
     "stat_kendall_tau_daily",
     "trend_holt_winters_seasonal",
+    "analytics_markov_attribution",
 ]
 
 

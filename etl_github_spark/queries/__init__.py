@@ -18,7 +18,7 @@ string the driver diffs against at sf=0.01.
 # with local parity green — root-caused this round to the driver's
 # pandas canonicalization leaking DuckDB HUGEINT sums as float64, and
 # rewritten on BOTH sides: BIGINT-cast oracle sums + row_number integer
-# quartile arithmetic over epoch-micro longs, no ntile) + all 44
+# quartile arithmetic over epoch-micro longs, no ntile) + all 45
 # never-driver-verified round-7 additions (the Delta protocol family:
 # partitioned/checkpoint/stats-skip/evolution/OPTIMIZE/change feed/
 # z-order/DV delete/merge/restore/clone/constraints/column mapping/
@@ -28,7 +28,8 @@ string the driver diffs against at sf=0.01.
 # bootstrap CI, Spearman, weighted median, skew/kurtosis, null-safe
 # join, MIPS augmentation, audio frames, patch plan, Holt forecast,
 # bloom prefilter, shard assignment, Kendall tau-b, Holt-Winters
-# seasonal, streaming SCD2 replay) + 5 stale-green ballast.
+# seasonal, Markov removal-effect attribution, streaming SCD2
+# replay) + 4 stale-green ballast.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -52,6 +53,7 @@ _R7_WINDOW = [
     "quality_k_anonymity",  # never driver-verified
     "trend_holt_linear_forecast",  # never driver-verified
     "trend_holt_winters_seasonal",  # never driver-verified
+    "analytics_markov_attribution",  # never driver-verified
     "lake_delta_partitioned",  # never driver-verified
     "lake_delta_checkpoint",  # never driver-verified
     "lake_delta_stats_skip",  # never driver-verified
@@ -82,7 +84,6 @@ _R7_WINDOW = [
     "filter_eq",  # green r01
     "filter_substring_ci",  # green r01
     "filter_not_prefix",  # green r01
-    "filter_disjunction",  # green r01
 ]
 
 def _apply_rotation(window: list[str]) -> None:

@@ -2565,3 +2565,259 @@ def trend_holt_winters_seasonal(spark, sf_dir):
             "forecast_7d"
         ),
     )
+
+
+# --- Markov removal-effect attribution -------------------------------------
+#
+# Shared textual fragments: both engines assemble probabilities, the
+# absorption iteration, and the removal effects from the SAME strings
+# (Spark via F.expr / mirrored Column trees), so every double operation
+# has an identical expression tree — the repo's determinism contract
+# for iterative float math (see trend_holt_winters_seasonal).
+_MK_TOUCH = ("view", "click", "signup", "error")
+_MK_FROM = ("start",) + _MK_TOUCH
+_MK_TO = _MK_TOUCH + ("conv", "nul")
+_MK_K = 32  # fixed iteration count: identical on both engines, so the
+# result is bit-equal whether or not the chain has fully converged
+
+
+def _mk_prob_exprs() -> list[str]:
+    out = []
+    for s in _MK_FROM:
+        tot = " + ".join(f"n_{s}_{t}" for t in _MK_TO)
+        out.append(f"({tot}) AS n_{s}")
+    for s in _MK_FROM:
+        for t in _MK_TOUCH + ("conv",):
+            out.append(
+                f"(CASE WHEN n_{s} = 0 THEN 0.0 "
+                f"ELSE CAST(n_{s}_{t} AS DOUBLE) / CAST(n_{s} AS DOUBLE) END)"
+                f" AS p_{s}_{t}"
+            )
+    return out
+
+
+def _mk_mask_exprs() -> list[str]:
+    out = []
+    for s in _MK_FROM:
+        for t in _MK_TOUCH:
+            out.append(
+                f"(CASE WHEN scenario = '{t}' THEN 0.0 ELSE p_{s}_{t} END)"
+                f" AS q_{s}_{t}"
+            )
+        out.append(f"p_{s}_conv AS q_{s}_conv")
+    return out
+
+
+def _mk_step_sql(s: str, v: dict[str, str]) -> str:
+    """One absorption update for state `s`: q_s_conv + Σ_t q_s_t · v_t,
+    terms in the fixed (conv, view, click, signup, error) order."""
+    return f"q_{s}_conv + " + " + ".join(
+        f"q_{s}_{t} * {v[t]}" for t in _MK_TOUCH
+    )
+
+
+_MK_EFFECTS = [
+    f"(1.0 - v_{t} / v_base) AS e_{t}" for t in _MK_TOUCH
+]
+_MK_TOTAL = "(((e_view + e_click) + e_signup) + e_error)"
+
+_MK_COUNT_CELLS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN f = '{s.upper() if s == 'start' else s}' "
+    f"AND t = '{t.upper() if t in ('conv', 'nul') else t}' THEN n END), 0) AS BIGINT)"
+    f" AS n_{s}_{t}"
+    for s in _MK_FROM
+    for t in _MK_TO
+)
+
+_MARKOV_SQL = f"""
+    WITH RECURSIVE fp AS (
+      SELECT user_id, min(ts) AS fpts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    kept AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             fp.fpts IS NOT NULL AS has_conv
+      FROM events e LEFT JOIN fp USING (user_id)
+      WHERE fp.fpts IS NULL OR e.ts < fp.fpts
+    ),
+    seq AS (
+      SELECT user_id, event_type AS f, has_conv,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM kept
+    ),
+    trans AS (
+      SELECT f, coalesce(nxt, CASE WHEN has_conv THEN 'CONV' ELSE 'NUL' END) AS t,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq GROUP BY 1, 2
+      UNION ALL
+      SELECT 'START', f, CAST(count(*) AS BIGINT) FROM seq WHERE rn = 1 GROUP BY 2
+      UNION ALL
+      SELECT 'START', 'CONV', CAST(count(*) AS BIGINT)
+      FROM fp LEFT JOIN (SELECT DISTINCT user_id FROM kept) k USING (user_id)
+      WHERE k.user_id IS NULL
+      HAVING count(*) > 0
+    ),
+    cells AS (SELECT {_MK_COUNT_CELLS} FROM trans),
+    probs AS (SELECT *, {", ".join(_mk_prob_exprs())} FROM cells),
+    scen AS (
+      SELECT *, {", ".join(_mk_mask_exprs())}
+      FROM probs, (SELECT unnest(['BASE', 'view', 'click', 'signup', 'error'])
+                   AS scenario) s
+    ),
+    it(scenario, i, vv, vc, vs, ve) AS (
+      SELECT scenario, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM scen
+      UNION ALL
+      SELECT it.scenario, it.i + 1,
+             {_mk_step_sql("view", dict(view="it.vv", click="it.vc", signup="it.vs", error="it.ve"))},
+             {_mk_step_sql("click", dict(view="it.vv", click="it.vc", signup="it.vs", error="it.ve"))},
+             {_mk_step_sql("signup", dict(view="it.vv", click="it.vc", signup="it.vs", error="it.ve"))},
+             {_mk_step_sql("error", dict(view="it.vv", click="it.vc", signup="it.vs", error="it.ve"))}
+      FROM it JOIN scen USING (scenario) WHERE it.i < {_MK_K}
+    ),
+    vstart AS (
+      SELECT it.scenario,
+             {_mk_step_sql("start", dict(view="it.vv", click="it.vc", signup="it.vs", error="it.ve"))}
+               AS v
+      FROM it JOIN scen USING (scenario) WHERE it.i = {_MK_K}
+    ),
+    wide AS (
+      SELECT max(CASE WHEN scenario = 'BASE' THEN v END) AS v_base,
+             {", ".join(f"max(CASE WHEN scenario = '{t}' THEN v END) AS v_{t}" for t in _MK_TOUCH)}
+      FROM vstart
+    ),
+    eff AS (SELECT *, {", ".join(_MK_EFFECTS)} FROM wide)
+    {" UNION ALL ".join(
+        f"SELECT '{t}' AS channel, e_{t} AS removal_effect, "
+        f"e_{t} / {_MK_TOTAL} AS attribution_share, v_base AS base_cvr FROM eff"
+        for t in _MK_TOUCH)}
+    """
+
+
+@query("analytics_markov_attribution", sql=_MARKOV_SQL, tags=("analytics", "attribution"))
+def analytics_markov_attribution(spark, sf_dir):
+    """Markov-chain (removal-effect) multi-touch attribution — the
+    data-driven successor to last-touch/linear credit: model each
+    user's pre-conversion journey as a first-order chain over touch
+    states {view, click, signup, error} with absorbing CONV/NULL,
+    compute the START→CONV absorption probability, then re-compute it
+    with each channel REMOVED (transitions into it become lost mass);
+    a channel's credit is its removal effect 1 − v̂/v, normalized.
+    Journeys truncate at the first purchase; users whose first event
+    is a purchase contribute a direct START→CONV edge.
+
+    Determinism: transition counts are exact int64; probabilities and
+    the K = 32 fixed-point absorption iterations (v ← P·v + p_conv,
+    v₀ = 0 — monotone convergent, but the pin is the FIXED K, not
+    convergence) evaluate the same generated expression text on both
+    engines — Spark folds a length-K sequence with an array<double>
+    accumulator (the `trend_holt_winters_seasonal` pattern), DuckDB
+    runs the identical arithmetic as a recursive CTE over the 5
+    scenario rows (BASE + 4 removals).
+
+    Scale shape: the corpus-sized work is one per-user window pass +
+    a transition count (partial+final, ≤ 7×7 groups). Everything
+    after runs on ONE 30-cell row — the iteration is O(K·|states|²)
+    driver-free constant work however large the corpus is.
+    """
+    ev = T(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    j = ev.join(fp, "user_id", "left")
+    kept = j.where(F.col("fpts").isNull() | (F.col("ts") < F.col("fpts"))).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("fpts").isNotNull().alias("has_conv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = kept.select(
+        "user_id",
+        F.col("event_type").alias("f"),
+        "has_conv",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint(eager=False)
+    t_mid = seq.groupBy(
+        "f",
+        F.coalesce(
+            "nxt", F.when(F.col("has_conv"), "CONV").otherwise("NUL")
+        ).alias("t"),
+    ).agg(F.count("*").alias("n"))
+    t_start = (
+        seq.where(F.col("rn") == 1)
+        .groupBy(F.col("f").alias("t"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("START").alias("f"), "t", "n")
+    )
+    t_direct = (
+        fp.join(kept.select("user_id").distinct(), "user_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 0)
+        .select(F.lit("START").alias("f"), F.lit("CONV").alias("t"), "n")
+    )
+    trans = t_mid.unionByName(t_start).unionByName(t_direct)
+    cells = trans.agg(*[F.expr(e) for e in _MK_COUNT_CELLS.split(", CAST")[:1]]) if False else trans.selectExpr("f", "t", "n").agg(
+        *[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN f = '{'START' if s == 'start' else s}' "
+                f"AND t = '{t.upper() if t in ('conv', 'nul') else t}' THEN n END), 0) AS BIGINT)"
+            ).alias(f"n_{s}_{t}")
+            for s in _MK_FROM
+            for t in _MK_TO
+        ]
+    )
+    probs = cells.select("*", *[F.expr(e) for e in _mk_prob_exprs()])
+    scen = probs.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(x) for x in ("BASE", "view", "click", "signup", "error")])
+        ).alias("scenario"),
+    ).select("*", *[F.expr(e) for e in _mk_mask_exprs()])
+
+    def step(a, _x):
+        v = {t: F.element_at(a, i + 1) for i, t in enumerate(_MK_TOUCH)}
+
+        def upd(s):
+            acc = F.col(f"q_{s}_conv")
+            for t in _MK_TOUCH:
+                acc = acc + F.col(f"q_{s}_{t}") * v[t]
+            return acc
+
+        return F.array(*[upd(s) for s in _MK_TOUCH])
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MK_K)),
+        F.array(*[F.lit(0.0) for _ in _MK_TOUCH]),
+        step,
+    )
+    v = {t: F.element_at(folded, i + 1) for i, t in enumerate(_MK_TOUCH)}
+    vstart = F.col("q_start_conv")
+    for t in _MK_TOUCH:
+        vstart = vstart + F.col(f"q_start_{t}") * v[t]
+    per_scen = scen.select("scenario", vstart.alias("v"))
+    wide = per_scen.agg(
+        F.max(F.when(F.col("scenario") == "BASE", F.col("v"))).alias("v_base"),
+        *[
+            F.max(F.when(F.col("scenario") == t, F.col("v"))).alias(f"v_{t}")
+            for t in _MK_TOUCH
+        ],
+    )
+    eff = wide.select("*", *[F.expr(e) for e in _MK_EFFECTS])
+    return eff.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"'{t}', e_{t}, e_{t} / {_MK_TOTAL}" for t in _MK_TOUCH
+            )
+            + ") AS (channel, removal_effect, attribution_share)"
+        ),
+        F.col("v_base").alias("base_cvr"),
+    )

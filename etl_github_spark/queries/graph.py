@@ -733,10 +733,18 @@ def graph_resource_allocation(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("p")
     )
+    # one shuffle serves everything downstream: partitioning by c alone
+    # satisfies the (c, p) distinct's clustering requirement AND the
+    # self-join/degree-agg distributions, so EnsureRequirements inserts
+    # no further exchange; localCheckpoint materializes the edge set
+    # once instead of re-running the scan+join for each of its three
+    # consumers (a-side, b-side, degree table)
     cp = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select("c", "p")
-        .distinct()
+        .repartition("c")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     ok = (
         cp.groupBy("c")
