@@ -715,8 +715,11 @@ _M4 = (
     f" + 6.0 * {_MU} * {_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
     f" - 3.0 * {_MU} * {_MU} * {_MU} * {_MU})"
 )
-_SKEW_EXPR = f"{_M3} / ({_M2} * sqrt({_M2}))"
-_KURT_EXPR = f"{_M4} / ({_M2} * {_M2}) - 3.0"
+# constant-valued groups give m2 = 0 exactly (integer moments divide
+# back to the constant), and x/0.0 is engine-version-sensitive (NULL,
+# NaN, or an ANSI error depending on build) — guard to NULL instead
+_SKEW_EXPR = f"CASE WHEN {_M2} = 0.0 THEN NULL ELSE {_M3} / ({_M2} * sqrt({_M2})) END"
+_KURT_EXPR = f"CASE WHEN {_M2} = 0.0 THEN NULL ELSE {_M4} / ({_M2} * {_M2}) - 3.0 END"
 
 _SHAPE_SQL = f"""
     WITH q AS (

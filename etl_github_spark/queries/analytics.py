@@ -2616,10 +2616,20 @@ def _mk_step_sql(s: str, v: dict[str, str]) -> str:
     )
 
 
+# a corpus with zero conversions gives v_base = 0 exactly (every term
+# in the absorption sum is 0); x/0.0 is engine-version-sensitive, so
+# effects (and the shares derived from them) degrade to NULL instead
 _MK_EFFECTS = [
-    f"(1.0 - v_{t} / v_base) AS e_{t}" for t in _MK_TOUCH
+    f"(CASE WHEN v_base = 0.0 THEN NULL ELSE 1.0 - v_{t} / v_base END) AS e_{t}"
+    for t in _MK_TOUCH
 ]
 _MK_TOTAL = "(((e_view + e_click) + e_signup) + e_error)"
+# share = e_t / total: NULL effects propagate through total naturally;
+# an exactly-zero total (effects cancelling) is the one residual 0/0
+_MK_SHARE = {
+    t: f"CASE WHEN {_MK_TOTAL} = 0.0 THEN NULL ELSE e_{t} / {_MK_TOTAL} END"
+    for t in _MK_TOUCH
+}
 
 _MK_COUNT_CELLS = ", ".join(
     f"CAST(coalesce(sum(CASE WHEN f = '{s.upper() if s == 'start' else s}' "
@@ -2692,7 +2702,7 @@ _MARKOV_SQL = f"""
     eff AS (SELECT *, {", ".join(_MK_EFFECTS)} FROM wide)
     {" UNION ALL ".join(
         f"SELECT '{t}' AS channel, e_{t} AS removal_effect, "
-        f"e_{t} / {_MK_TOTAL} AS attribution_share, v_base AS base_cvr FROM eff"
+        f"{_MK_SHARE[t]} AS attribution_share, v_base AS base_cvr FROM eff"
         for t in _MK_TOUCH)}
     """
 
@@ -2815,7 +2825,7 @@ def analytics_markov_attribution(spark, sf_dir):
         F.expr(
             "stack(4, "
             + ", ".join(
-                f"'{t}', e_{t}, e_{t} / {_MK_TOTAL}" for t in _MK_TOUCH
+                f"'{t}', e_{t}, {_MK_SHARE[t]}" for t in _MK_TOUCH
             )
             + ") AS (channel, removal_effect, attribution_share)"
         ),

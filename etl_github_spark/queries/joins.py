@@ -538,7 +538,9 @@ def bloom_prefilter(fact, fact_col: str, keys, key_col: str):
 
 _NULL_SAFE_SQL = """
     WITH keyed AS (
-      SELECT event_id, nullif(CAST(json_extract(props, '$.k') AS INTEGER), 0) AS k_id
+      SELECT event_id,
+             nullif(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0)
+               AS k_id
       FROM events
     ),
     freq AS (
@@ -568,7 +570,7 @@ def join_null_safe_eq(spark, sf_dir):
     keyed = T(spark, sf_dir, "events").select(
         "event_id",
         F.nullif(
-            F.get_json_object("props", "$.k").cast("int"), F.lit(0)
+            F.get_json_object("props", "$.k").try_cast("int"), F.lit(0)
         ).alias("k_id"),
     )
     freq = keyed.groupBy("k_id").agg(F.count("*").alias("k_freq"))

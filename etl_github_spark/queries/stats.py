@@ -1388,7 +1388,13 @@ def stat_bootstrap_ci(spark, sf_dir):
     )
 
 
-_SPEARMAN_SQL = """
+_RHO_EXPR = (
+    "CASE WHEN sxx = 0 OR syy = 0 THEN NULL "
+    "ELSE CAST(sxy AS DOUBLE) "
+    "/ (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) END"
+)
+
+_SPEARMAN_SQL = f"""
     WITH ranked AS (
       SELECT lang,
              2 * rank() OVER (PARTITION BY lang ORDER BY n_chars)
@@ -1407,10 +1413,7 @@ _SPEARMAN_SQL = """
              CAST(sum(cy * cy) AS BIGINT) AS syy
       FROM ranked GROUP BY lang
     )
-    SELECT lang, n,
-           CAST(sxy AS DOUBLE)
-             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
-             AS spearman_rho
+    SELECT lang, n, {_RHO_EXPR} AS spearman_rho
     FROM m
     """
 
@@ -1461,17 +1464,15 @@ def stat_spearman_rank(spark, sf_dir):
         F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
         F.sum(F.col("cy") * F.col("cy")).alias("syy"),
     )
-    rho = F.col("sxy").cast("double") / (
-        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
-    )
-    return m.select("lang", "n", rho.alias("spearman_rho"))
+    return m.select("lang", "n", F.expr(_RHO_EXPR).alias("spearman_rho"))
 
 
 _TAU_EXPR = (
+    "CASE WHEN n <= 1 OR ty >= n * (n - 1) / 2 THEN NULL ELSE "
     "(CAST(c AS DOUBLE) - CAST(d AS DOUBLE)) / sqrt("
     "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
     " * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0"
-    " - CAST(ty AS DOUBLE)))"
+    " - CAST(ty AS DOUBLE))) END"
 )
 
 _KENDALL_SQL = f"""
@@ -1521,10 +1522,14 @@ def stat_kendall_tau_daily(spark, sf_dir):
     with calendar span; a multi-decade span would switch to the
     merge-sort O(n log n) inversion count over the same series.
     """
+    # localCheckpoint: the days-sized aggregate feeds THREE consumers
+    # (both self-join sides + the per-type count) — materialize the one
+    # corpus-sized pass instead of re-running the scan+agg per branch
     daily = (
         par(T(spark, sf_dir, "events"))
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n_ev"))
+        .localCheckpoint(eager=False)
     )
     a, b = daily.alias("a"), daily.alias("b")
     p = (

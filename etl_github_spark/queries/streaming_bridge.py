@@ -931,18 +931,19 @@ def stream_delta_source_replay(spark, sf_dir):
     "stream_scd2_replay",
     sql=f"""
     WITH ev AS (
-      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_type,
+             epoch_us(ts) * 4096 + event_id % 4096 AS seq,
              CASE WHEN epoch_us(ts) < {_SLICE_US[0]} THEN 0
                   WHEN epoch_us(ts) < {_SLICE_US[1]} THEN 1
                   ELSE 2 END AS b
       FROM events
     ),
-    v AS (SELECT b, CAST(max(ts_us) AS BIGINT) AS vb FROM ev GROUP BY b),
+    v AS (SELECT b, CAST(max(seq) AS BIGINT) AS vb FROM ev GROUP BY b),
     latest AS (
       SELECT user_id, b, event_type AS tier
       FROM (SELECT user_id, b, event_type,
                    row_number() OVER (PARTITION BY user_id, b
-                                      ORDER BY ts_us DESC) AS rn
+                                      ORDER BY seq DESC) AS rn
             FROM ev) t
       WHERE rn = 1
     ),
@@ -1020,8 +1021,17 @@ def stream_scd2_replay(spark, sf_dir):
             "event_id long, user_id long, event_type string, ts_us long",
             root,
         )
+        # seq widens event time with an event_id low word: fixture
+        # timestamps are tie-free per user, but the sink's
+        # _latest_per_key contract requires a UNIQUE winning seq per
+        # (key, batch) and raises on violation — the composite keeps
+        # that guard unreachable for same-microsecond pairs (ids would
+        # have to collide mod 4096 too, and even then it fails loudly,
+        # never silently). 2024-epoch micros × 4096 ≈ 7e18 < int64 max.
         changes = stream.select(
-            "user_id", F.col("event_type").alias("tier"), "ts_us"
+            "user_id",
+            F.col("event_type").alias("tier"),
+            (F.col("ts_us") * 4096 + F.col("event_id") % 4096).alias("seq"),
         )
         table = f"{root}/dim"
         q = stream_scd2_sink(
@@ -1030,7 +1040,7 @@ def stream_scd2_replay(spark, sf_dir):
             f"{root}/ckpt",
             key_col="user_id",
             attr_cols=("tier",),
-            seq_col="ts_us",
+            seq_col="seq",
         )
         q.awaitTermination()
         rows = [

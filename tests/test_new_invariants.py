@@ -350,3 +350,35 @@ def test_bloom_prefilter_rejects_mismatched_key_types(spark):
     keys = T(spark, sf, "supplier").select("s_suppkey")  # bigint
     with pytest.raises(TypeError, match="type-sensitive"):
         bloom_prefilter(li, "l_suppkey", keys, "s_suppkey")
+
+
+def test_degenerate_group_guards_null_on_both_engines(spark):
+    """Constant-valued / single-row groups must yield NULL — never an
+    engine-version-sensitive 0/0 (NULL vs NaN vs ANSI error) — from
+    the shared shape/correlation expressions. The guard text is the
+    SAME string both engines evaluate, so assert both."""
+    import duckdb
+
+    from etl_github_spark.queries.aggregates import _KURT_EXPR, _SKEW_EXPR
+    from etl_github_spark.queries.stats import _RHO_EXPR, _TAU_EXPR
+
+    cases = [
+        # constant x = 3 over n = 5 rows: s_k = 5 * 3^k → m2 = 0
+        (f"SELECT {_SKEW_EXPR} AS v FROM "
+         "(SELECT 5 AS n, 15 AS s1, 45 AS s2, 135 AS s3, 405 AS s4)"),
+        (f"SELECT {_KURT_EXPR} AS v FROM "
+         "(SELECT 5 AS n, 15 AS s1, 45 AS s2, 135 AS s3, 405 AS s4)"),
+        # all-tied x ranks: sxx = 0
+        (f"SELECT {_RHO_EXPR} AS v FROM "
+         "(SELECT 4 AS n, 0 AS sxy, 0 AS sxx, 20 AS syy)"),
+        # single-day series and fully-tied series
+        (f"SELECT {_TAU_EXPR} AS v FROM "
+         "(SELECT 1 AS n, 0 AS c, 0 AS d, 0 AS ty)"),
+        (f"SELECT {_TAU_EXPR} AS v FROM "
+         "(SELECT 5 AS n, 0 AS c, 0 AS d, 10 AS ty)"),
+    ]
+    con = duckdb.connect()
+    for q in cases:
+        assert spark.sql(q).first()["v"] is None, q
+        assert con.sql(q).fetchone()[0] is None, q
+    con.close()

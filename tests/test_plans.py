@@ -844,3 +844,59 @@ def test_cep_journey_single_user_day_shuffle(spark):
     p = plan_of(spark, "analytics_event_pattern_cep")
     assert "Join" not in p
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """eqNullSafe must plan as a hash join on the (coalesce, isnull)
+    key wrapper — a BroadcastNestedLoopJoin here would be O(n·|keys|)
+    at scale for what is semantically an equi-join."""
+    p = plan_of(spark, "join_null_safe_eq")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_resource_allocation_single_edge_shuffle(spark):
+    """The RA edge set repartitions by c ONCE; the (c,p) distinct, the
+    degree agg, and both self-join sides must all reuse that
+    clustering — EnsureRequirements adding exchanges on c or (c,p)
+    would triple the corpus shuffle at scale."""
+    p = plan_of(spark, "graph_resource_allocation")
+    assert "Cartesian" not in p
+    # exchanges: the explicit repartition(c) + the (part_a, part_b)
+    # pair agg + the single-partition TakeOrdered feed; anything on
+    # (c, p) means the distinct stopped reusing the c clustering
+    assert not re.search(r"hashpartitioning\(c#\d+L?, p#", p)
+
+
+def test_weighted_median_range_frame_and_one_sort(spark):
+    """The cumulative weight must use the RANGE frame (tie-group
+    stable, engine-portable) and the per-group value sort should
+    appear once — a second sort means the totw window stopped sharing
+    the partitioning."""
+    p = plan_of(spark, "agg_weighted_median")
+    assert re.search(r"RangeFrame, unboundedpreceding\$\(\), currentrow\$\(\)", p)
+    # ONE exchange + ONE sort feed both Window nodes (cumw shares its
+    # (flag, price) sort with the totw full-partition frame)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+
+
+def test_markov_iteration_off_corpus(spark):
+    """The K=32 absorption solve must run on the ONE-row cells frame:
+    no window or join may appear after the transition count aggs —
+    the corpus contributes exactly the journey window + count."""
+    p = plan_of(spark, "analytics_markov_attribution")
+    assert "Cartesian" not in p
+    # the scenario explode is a Generate over a 1-row input; the
+    # iteration itself is pure projection (aggregate HOF) — assert no
+    # sort-merge join anywhere (all joins are tiny broadcasts)
+    assert "SortMergeJoin" not in p
+
+
+def test_holt_winters_fold_is_projection(spark):
+    """The seasonal fold must stay a whole-stage projection over the
+    per-type series arrays — a Python UDF or extra shuffle here means
+    the recurrence left the JVM."""
+    p = plan_of(spark, "trend_holt_winters_seasonal")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"hashpartitioning\(event_type#", p)) <= 2
