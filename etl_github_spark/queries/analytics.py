@@ -2631,13 +2631,23 @@ _MK_SHARE = {
     for t in _MK_TOUCH
 }
 
-_MK_COUNT_CELLS = ", ".join(
-    f"CAST(coalesce(sum(CASE WHEN f = '{s.upper() if s == 'start' else s}' "
-    f"AND t = '{t.upper() if t in ('conv', 'nul') else t}' THEN n END), 0) AS BIGINT)"
-    f" AS n_{s}_{t}"
-    for s in _MK_FROM
-    for t in _MK_TO
-)
+def _mk_count_cell_exprs() -> list[str]:
+    """One exact-BIGINT count cell per (from, to) transition.
+
+    The SAME expression text feeds the DuckDB oracle CTE (joined into
+    ``_MK_COUNT_CELLS``) and the Spark ``agg`` (one ``F.expr`` per cell),
+    so the two engines' cell definitions cannot drift apart.
+    """
+    return [
+        f"CAST(coalesce(sum(CASE WHEN f = '{'START' if s == 'start' else s}' "
+        f"AND t = '{t.upper() if t in ('conv', 'nul') else t}' THEN n END), 0) AS BIGINT)"
+        f" AS n_{s}_{t}"
+        for s in _MK_FROM
+        for t in _MK_TO
+    ]
+
+
+_MK_COUNT_CELLS = ", ".join(_mk_count_cell_exprs())
 
 _MARKOV_SQL = f"""
     WITH RECURSIVE fp AS (
@@ -2774,16 +2784,7 @@ def analytics_markov_attribution(spark, sf_dir):
         .select(F.lit("START").alias("f"), F.lit("CONV").alias("t"), "n")
     )
     trans = t_mid.unionByName(t_start).unionByName(t_direct)
-    cells = trans.agg(*[F.expr(e) for e in _MK_COUNT_CELLS.split(", CAST")[:1]]) if False else trans.selectExpr("f", "t", "n").agg(
-        *[
-            F.expr(
-                f"CAST(coalesce(sum(CASE WHEN f = '{'START' if s == 'start' else s}' "
-                f"AND t = '{t.upper() if t in ('conv', 'nul') else t}' THEN n END), 0) AS BIGINT)"
-            ).alias(f"n_{s}_{t}")
-            for s in _MK_FROM
-            for t in _MK_TO
-        ]
-    )
+    cells = trans.agg(*[F.expr(e) for e in _mk_count_cell_exprs()])
     probs = cells.select("*", *[F.expr(e) for e in _mk_prob_exprs()])
     scen = probs.select(
         "*",

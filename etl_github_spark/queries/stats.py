@@ -1397,7 +1397,7 @@ _RHO_EXPR = (
 _SPEARMAN_SQL = f"""
     WITH ranked AS (
       SELECT lang,
-             2 * rank() OVER (PARTITION BY lang ORDER BY n_chars)
+             2 * rank() OVER (PARTITION BY lang ORDER BY n_chars NULLS LAST)
                + CAST(count(*) OVER (PARTITION BY lang, n_chars) AS BIGINT)
                - count(*) OVER (PARTITION BY lang) - 2 AS cx,
              2 * rank() OVER (PARTITION BY lang ORDER BY doc_id)
@@ -1433,7 +1433,10 @@ def stat_spearman_rank(spark, sf_dir):
     c's: Σcxcy / (√Σcx² · √Σcy²) from exact int64 moments — no float
     reduction anywhere, and the final BIGINT→DOUBLE casts + one fixed
     expression are deterministic cross-engine (doc_id is unique per
-    row, so its tie term is the literal 1).
+    row, so its tie term is the literal 1). Null ordering is pinned
+    NULLS LAST on both engines — Spark ranks nulls FIRST ascending by
+    default while DuckDB ranks them LAST, so an unpinned rank would
+    silently diverge the moment n_chars turns nullable.
 
     Shape: two per-lang sort windows over the corpus (the unavoidable
     cost of exact global ranks — rank() and both count() windows share
@@ -1446,7 +1449,9 @@ def stat_spearman_rank(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     n = F.count("*").over(Window.partitionBy("lang")).cast("long")
     cx = (
-        2 * F.rank().over(Window.partitionBy("lang").orderBy("n_chars"))
+        2 * F.rank().over(
+            Window.partitionBy("lang").orderBy(F.asc_nulls_last("n_chars"))
+        )
         + F.count("*").over(Window.partitionBy("lang", "n_chars")).cast("long")
         - n
         - 2
