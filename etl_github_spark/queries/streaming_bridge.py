@@ -76,21 +76,35 @@ def _replay(spark, agg_df, sink_prefix: str, mode: str = "complete"):
     watermark emission; the aggregation plan is identical). Update mode
     (required by arbitrary-state operators like applyInPandasWithState)
     APPENDS each batch's updates to the sink: the caller sees the whole
-    update history and reduces it to the final state itself."""
+    update history and reduces it to the final state itself.
+
+    State-partition count: stateful operators shard their state store
+    by `spark.sql.shuffle.partitions`, FIXED at query start. A bounded
+    fixture replay with the session default (32) pays 32 tasks × N
+    state stores × N micro-batches of pure checkpoint overhead for a
+    few MB of state, so the replay pins it to 4 for the stream's
+    lifetime and restores the session value after. Production
+    unbounded runs size this to the cluster (it is a per-query knob,
+    not a semantic one — results are partition-count-invariant)."""
     sink = f"{sink_prefix}_{next(_SINK_IDS)}"
-    q = (
-        agg_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.awaitTermination()
-        rows = spark.sql(f"SELECT * FROM {sink}").collect()
+        q = (
+            agg_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            rows = spark.sql(f"SELECT * FROM {sink}").collect()
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)  # never leak the sink's state
     finally:
-        q.stop()
-        spark.catalog.dropTempView(sink)  # never leak the sink's state
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return rows
 
 
@@ -335,13 +349,20 @@ def _staged_event_stream(spark, sf_dir, cols, schema_ddl, root):
     stream_dir = os.path.join(root, "in")
     os.makedirs(stream_dir)
     now = time.time()
+    # ONE scan + one 3-partition shuffle writes all three slices
+    # (repartition by the slice key → exactly one part file per b=
+    # directory); the per-slice filter+coalesce(1) alternative costs
+    # three full passes over the fixture
+    stage = os.path.join(root, "stage_all")
+    base.withColumn("b", b_expr).repartition(3, F.col("b")).write.partitionBy(
+        "b"
+    ).mode("overwrite").parquet(stage)
     for b in range(3):
-        part = os.path.join(root, f"stage{b}")
-        base.withColumn("b", b_expr).where(F.col("b") == b).drop("b").coalesce(
-            1
-        ).write.mode("overwrite").parquet(part)
+        parts = glob.glob(os.path.join(stage, f"b={b}", "part-*.parquet"))
+        if len(parts) != 1:  # empty or multi-file slice breaks batch order
+            raise AssertionError(f"slice {b}: expected 1 staged file, got {parts}")
         dest = os.path.join(stream_dir, f"b{b}.parquet")
-        shutil.move(glob.glob(os.path.join(part, "part-*.parquet"))[0], dest)
+        shutil.move(parts[0], dest)
         os.utime(dest, (now + 30 * b, now + 30 * b))
     return (
         spark.readStream.schema(schema_ddl)
@@ -656,9 +677,12 @@ def stream_outer_join_replay(spark, sf_dir):
         # sentinel batch: one purchase + click 3 h past the last real
         # event — pushes wm(final) 2 h past every real purchase, so the
         # closing no-data batch flushes every pending outer row
+        # global max ts == max of the tail slice (b2 holds everything
+        # >= _SLICE_US[1] by construction) — read the small staged file
+        # instead of re-scanning the whole fixture
         max_us = (
-            T(spark, sf_dir, "events")
-            .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+            spark.read.parquet(os.path.join(stream_dir, "b2.parquet"))
+            .agg(F.max("ts_us"))
             .collect()[0][0]
         )
         # TWO sentinel batches: the watermark only advances at a batch
