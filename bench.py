@@ -228,6 +228,12 @@ EXTENDED = [
     "stat_kendall_tau_daily",
     "trend_holt_winters_seasonal",
     "analytics_markov_attribution",
+    # round-8 additions
+    "agg_reservoir_sample",
+    "analytics_decayed_leaderboard",
+    "stat_ljung_box",
+    "multimodal_video_scene_cuts",
+    "text_hashing_trick_features",
 ]
 
 

@@ -14,76 +14,66 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 7: 1 latest-red (`analytics_rfm_segments`, red r4-r6
-# with local parity green — root-caused this round to the driver's
-# pandas canonicalization leaking DuckDB HUGEINT sums as float64, and
-# rewritten on BOTH sides: BIGINT-cast oracle sums + row_number integer
-# quartile arithmetic over epoch-micro longs, no ntile) + all 45
-# never-driver-verified round-7 additions (the Delta protocol family:
-# partitioned/checkpoint/stats-skip/evolution/OPTIMIZE/change feed/
-# z-order/DV delete/merge/restore/clone/constraints/column mapping/
-# generated cols; BFS + LPA + resource-allocation link prediction;
-# 7 streaming replays incl. exactly-once txn sink and delta-source;
-# BPE train+apply + Kneser-Ney bigram LM; k-anonymity, split-leakage,
-# bootstrap CI, Spearman, weighted median, skew/kurtosis, null-safe
-# join, MIPS augmentation, audio frames, patch plan, Holt forecast,
-# bloom prefilter, shard assignment, Kendall tau-b, Holt-Winters
-# seasonal, Markov removal-effect attribution, streaming SCD2
-# replay) + 4 stale-green ballast.
+# staleness. Round 8: all 333 r7-era queries are driver-green and the
+# backlog is EMPTY, so the window = this round's 5 promoted additions
+# (hash-rank reservoir sample, exact power-of-two decayed leaderboard,
+# Ljung-Box white-noise test, perceptual-hash scene cuts, hashing-trick
+# feature profile) + 45 stalest greens (r01/r02 vintage) for
+# re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R7_WINDOW = [
-    "analytics_rfm_segments",  # RED r06
-    "multimodal_patch_plan",  # never driver-verified
-    "multimodal_audio_frames",  # never driver-verified
-    "join_bloom_prefilter",  # never driver-verified
-    "join_null_safe_eq",  # never driver-verified
-    "agg_weighted_median",  # never driver-verified
-    "agg_skew_kurtosis",  # never driver-verified
-    "sim_mips_augmented",  # never driver-verified
-    "text_bpe_train_merges",  # never driver-verified
-    "text_bpe_apply_tokenize",  # never driver-verified
-    "text_kneser_ney_bigram",  # never driver-verified
-    "curate_split_leakage",  # never driver-verified
-    "curate_shard_assignment",  # never driver-verified
-    "stat_bootstrap_ci",  # never driver-verified
-    "stat_spearman_rank",  # never driver-verified
-    "stat_kendall_tau_daily",  # never driver-verified
-    "quality_k_anonymity",  # never driver-verified
-    "trend_holt_linear_forecast",  # never driver-verified
-    "trend_holt_winters_seasonal",  # never driver-verified
-    "analytics_markov_attribution",  # never driver-verified
-    "lake_delta_partitioned",  # never driver-verified
-    "lake_delta_checkpoint",  # never driver-verified
-    "lake_delta_stats_skip",  # never driver-verified
-    "lake_delta_evolution",  # never driver-verified
-    "lake_delta_optimize",  # never driver-verified
-    "lake_delta_change_feed",  # never driver-verified
-    "lake_delta_zorder_skip",  # never driver-verified
-    "lake_matview_delta_feed",  # never driver-verified
-    "lake_delta_delete_dv",  # never driver-verified
-    "lake_delta_merge",  # never driver-verified
-    "lake_delta_restore",  # never driver-verified
-    "lake_delta_clone",  # never driver-verified
-    "lake_delta_constraints",  # never driver-verified
-    "lake_delta_column_mapping",  # never driver-verified
-    "lake_delta_generated",  # never driver-verified
-    "graph_bfs_shortest_paths",  # never driver-verified
-    "graph_label_propagation",  # never driver-verified
-    "graph_resource_allocation",  # never driver-verified
-    "stream_heavy_hitters_replay",  # never driver-verified
-    "stream_attribution_replay",  # never driver-verified
-    "stream_spike_gate_replay",  # never driver-verified
-    "stream_interval_join_replay",  # never driver-verified
-    "stream_outer_join_replay",  # never driver-verified
-    "stream_delta_sink_exactly_once",  # never driver-verified
-    "stream_delta_source_replay",  # never driver-verified
-    "stream_scd2_replay",  # never driver-verified
-    "flagship_popular_user_clicks",  # green r01
-    "filter_eq",  # green r01
-    "filter_substring_ci",  # green r01
-    "filter_not_prefix",  # green r01
+_R8_WINDOW = [
+    "agg_reservoir_sample",  # never driver-verified (promoted)
+    "analytics_decayed_leaderboard",  # never driver-verified (promoted)
+    "stat_ljung_box",  # never driver-verified (promoted)
+    "multimodal_video_scene_cuts",  # never driver-verified (promoted)
+    "text_hashing_trick_features",  # never driver-verified (promoted)
+    "filter_disjunction",  # green r01
+    "filter_having",  # green r01
+    "filter_null_safe",  # green r01
+    "filter_range_date",  # green r01
+    "project_subset",  # green r01
+    "project_json_prop",  # green r01
+    "project_json_struct",  # green r01
+    "scalar_string_funcs",  # green r01
+    "scalar_math_funcs",  # green r01
+    "scalar_case_when",  # green r01
+    "sort_topk",  # green r01
+    "sort_multi_col",  # green r01
+    "limit_deterministic",  # green r01
+    "join_inner_broadcast",  # green r01
+    "join_left_outer_agg",  # green r01
+    "join_semi",  # green r01
+    "join_anti",  # green r01
+    "join_full_outer",  # green r01
+    "join_cross",  # green r01
+    "join_multiway_dims",  # green r01
+    "join_fact_fact_revenue",  # green r01
+    "q1_pricing_summary",  # green r01
+    "agg_value_counts",  # green r01
+    "agg_global_count",  # green r01
+    "agg_multi_shared_scan",  # green r01
+    "agg_max_watermark",  # green r01
+    "agg_group_multi_key",  # green r01
+    "agg_distinct_per_group",  # green r01
+    "agg_rollup",  # green r01
+    "agg_cube",  # green r01
+    "agg_stats_per_nation",  # green r01
+    "agg_variance_deterministic",  # green r01
+    "trend_daily_counts",  # green r01
+    "trend_hourly_by_type",  # green r01
+    "trend_year_month_orders",  # green r01
+    "window_rank_topn_per_group",  # green r01
+    "window_rank_dense",  # green r01
+    "window_lag_lead",  # green r01
+    "window_moving_sum",  # green r01
+    "window_cumulative_share",  # green r01
+    "window_time_range_count",  # green r01
+    "window_percent_rank",  # green r01
+    "window_ntile_quartiles",  # green r01
+    "text_token_count",  # green r02
+    "text_word_freq",  # green r02
 ]
 
 def _apply_rotation(window: list[str]) -> None:
@@ -104,4 +94,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R7_WINDOW)
+_apply_rotation(_R8_WINDOW)

@@ -780,3 +780,49 @@ def agg_skew_kurtosis(spark, sf_dir):
         F.expr(_SKEW_EXPR).alias("skewness"),
         F.expr(_KURT_EXPR).alias("kurtosis_excess"),
     )
+
+
+_RESERVOIR_K = 100
+
+
+@query(
+    "agg_reservoir_sample",
+    sql=f"""
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key
+    LIMIT {_RESERVOIR_K}
+    """,
+    tags=("agg", "sampling", "training-prep"),
+)
+def agg_reservoir_sample(spark, sf_dir):
+    """Deterministic distributed uniform sample (k = 100 documents) —
+    the reservoir-sampling shape every corpus inspection / eval-split /
+    labeling queue starts from, made reproducible: rank every row by
+    md5 of its unique key and keep the global k smallest. A hash of a
+    unique id is a uniform draw, so this IS a uniform k-sample, but one
+    that replays identically across engines, runs, and partitionings —
+    no RNG state, no seed plumbing (the same determinism rule the
+    bootstrap/minhash family follows; at 100 TB swap xxhash64 in for
+    md5, one expression).
+
+    Scale shape: orderBy(key).limit(k) plans as TakeOrderedAndProject —
+    each partition keeps its local top-k heap and the driver merges
+    n_partitions·k candidate rows, which is exactly the distributed
+    reservoir algorithm (Vitter's Algorithm R's merge form) with ZERO
+    full shuffle: no global sort, no range exchange, corpus scanned
+    once. md5(doc_id) is unique, so the k-boundary is never ambiguous
+    and the row set is engine-independent.
+    """
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key")
+        .limit(_RESERVOIR_K)
+    )

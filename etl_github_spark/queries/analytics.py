@@ -2832,3 +2832,71 @@ def analytics_markov_attribution(spark, sf_dir):
         ),
         F.col("v_base").alias("base_cvr"),
     )
+
+
+_DECAY_TOPK = 20
+
+
+@query(
+    "analytics_decayed_leaderboard",
+    sql=f"""
+    WITH spine AS (
+      SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(1 AS BIGINT)
+               << least(CAST(date_diff('day', spine.d0,
+                                       CAST(date_trunc('day', ts) AS DATE))
+                              AS INTEGER), 62) AS wt,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events, spine
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wt) AS BIGINT) AS decayed_score,
+           max(day) AS last_day
+    FROM w GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT {_DECAY_TOPK}
+    """,
+    tags=("analytics", "trend", "leaderboard"),
+)
+def analytics_decayed_leaderboard(spark, sf_dir):
+    """Exponentially time-decayed activity leaderboard — the "trending
+    now" ranking where yesterday's burst outweighs last month's grind:
+    each event contributes weight decay^age with half-life = 1 day.
+    Because the decay base is 2, the weight is EXACTLY 1 << (day − d0)
+    — pure int64 arithmetic, no float accumulation anywhere, so the
+    scores (not just the ranking) are bit-identical across engines and
+    reduction orders. The shift is capped at 62 to stay in int64; a
+    window wider than ~62 half-lives would rebase d0 to the window
+    start instead (events older than that carry ~0 weight anyway).
+
+    Scale shape: one map-side-combinable groupBy(user) over the corpus
+    (the weight is a per-row projection off a broadcast scalar d0),
+    then TakeOrderedAndProject for the top-k — no global sort, no
+    second shuffle. Ties break on user_id so the LIMIT row set is
+    engine-independent.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    w = ev.join(F.broadcast(d0)).select(
+        "user_id",
+        "day",
+        F.expr("shiftleft(CAST(1 AS BIGINT), least(datediff(day, d0), 62))").alias(
+            "wt"
+        ),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("wt").cast("long").alias("decayed_score"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(_DECAY_TOPK)
+    )

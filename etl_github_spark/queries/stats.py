@@ -1559,3 +1559,159 @@ def stat_kendall_tau_daily(spark, sf_dir):
         F.col("ty").alias("ties_y"),
         F.expr(_TAU_EXPR).alias("kendall_tau_b"),
     )
+
+
+_LB_MAX_LAG = 7
+_LB_CHI2_CRIT = 14.0671  # chi-square 95% critical value, df = 7
+
+#: shared Ljung-Box expression — identical text evaluated by BOTH
+#: engines over identical exact-int64 inputs (n, c0, c1..c7), so the
+#: double result is bit-identical: rk = ck/c0 (the n² centering scale
+#: cancels), Q = n(n+2)·Σ rk²/(n−k) with the lag sum written as a
+#: fixed-order chain (never an aggregate — aggregation order differs).
+_LB_Q_EXPR = (
+    f"CASE WHEN n <= {_LB_MAX_LAG} OR c0 = 0 THEN NULL ELSE "
+    "CAST(n AS DOUBLE) * (n + 2) * ("
+    + " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        f" * (CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE)) / (n - {k})"
+        for k in range(1, _LB_MAX_LAG + 1)
+    )
+    + ") END"
+)
+
+
+@query(
+    "stat_ljung_box",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    cent AS (
+      SELECT d.event_type,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS idx,
+             t.n * d.c - t.s AS dv, t.n
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    lagged AS (
+      SELECT a.event_type, CAST(l.i AS INTEGER) AS lag,
+             CAST(sum(a.dv * b.dv) AS BIGINT) AS ck
+      FROM cent a
+      CROSS JOIN range(1, {_LB_MAX_LAG + 1}) l(i)
+      JOIN cent b ON b.event_type = a.event_type
+                 AND b.idx = a.idx + CAST(l.i AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.event_type, any_value(c.n) AS n,
+             CAST(sum(c.dv * c.dv) AS BIGINT) AS c0
+      FROM cent c GROUP BY 1
+    ),
+    wide AS (
+      SELECT m.event_type, m.n, m.c0,
+             {", ".join(
+                 f"coalesce(max(CASE WHEN l.lag = {k} THEN l.ck END), 0) AS c{k}"
+                 for k in range(1, _LB_MAX_LAG + 1))}
+      FROM m LEFT JOIN lagged l USING (event_type)
+      GROUP BY m.event_type, m.n, m.c0
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           {_LB_Q_EXPR} AS q_lb,
+           ({_LB_Q_EXPR}) > {_LB_CHI2_CRIT} AS white_noise_rejected
+    FROM wide
+    """,
+    tags=("stats", "timeseries", "diagnostics"),
+)
+def stat_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test per event-type daily series — the
+    "is this just noise?" gate run before fitting any forecast model
+    (`trend_holt_*`) or alerting on `trend_autocorr_daily`'s spikes:
+    Q = n(n+2)·Σ_{{k≤7}} r_k²/(n−k) against the χ²(7) 95% critical
+    value. A rejected null says the series carries real structure
+    (weekly cycle, trend); an accepted one says the autocorr plot is
+    sampling noise and downstream seasonal models would overfit.
+
+    Exactness: autocovariances are computed on n²-scaled centered
+    values dv_t = n·x_t − S (integers — the mean never becomes a
+    float), so every c_k is an exact int64 and r_k = c_k/c0 is one
+    double division of exact integers; the lag sum is a fixed-order
+    expression chain shared verbatim with the oracle. Series shorter
+    than 8 days or constant (c0 = 0) yield NULL, not a division error.
+
+    Scale shape: the corpus-sized work is the map-combinable daily
+    count; everything after runs on a DAYS×TYPES-sized frame (the
+    self-join is per-type over ≤ n rows with a broadcast lag spine).
+    """
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    cent = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            .alias("idx"),
+            (F.col("n") * F.col("c") - F.col("s")).alias("dv"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = cent.select(
+        "event_type",
+        "idx",
+        F.col("dv").alias("da"),
+        F.explode(F.sequence(F.lit(1), F.lit(_LB_MAX_LAG))).alias("lag"),
+    )
+    b = cent.select(
+        F.col("event_type").alias("b_type"),
+        F.col("idx").alias("b_idx"),
+        F.col("dv").alias("db"),
+    )
+    lagged = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_idx") == F.col("idx") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("ck"))
+    )
+    m = cent.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("c0"),
+    )
+    wide = (
+        m.join(lagged, "event_type", "left")
+        .groupBy("event_type", "n", "c0")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("lag") == k, F.col("ck"))), F.lit(0)
+                ).alias(f"c{k}")
+                for k in range(1, _LB_MAX_LAG + 1)
+            ]
+        )
+    )
+    q = F.expr(_LB_Q_EXPR)
+    return wide.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        q.alias("q_lb"),
+        (q > _LB_CHI2_CRIT).alias("white_noise_rejected"),
+    )

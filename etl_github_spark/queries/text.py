@@ -765,3 +765,101 @@ def multimodal_audio_frames(spark, sf_dir):
             f"THEN {p_ns} - (({ls}) + 1024) ELSE {p_ns} END AS BIGINT)"
         ).alias("tail_uncovered"),
     )
+
+
+_CUT_HAM = 36  # scene-cut threshold: Hamming > 36 of 60 bits (μ=30, σ≈3.9)
+
+
+def _scene_sig_sql(i: str) -> str:
+    """60-bit per-frame signature (DuckDB form) — stands in for a
+    perceptual hash (pHash/dHash) of the decoded frame."""
+    return (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST({i} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    sql=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(100 + doc_id % 900 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i
+      FROM (SELECT doc_id, unnest(range(0, n_frames, {_FRAME_STRIDE})) AS i
+            FROM meta)
+    ),
+    d AS (
+      SELECT doc_id, i,
+             CASE WHEN i = 0 THEN NULL
+                  ELSE bit_count(xor({_scene_sig_sql("i")},
+                                     {_scene_sig_sql(f"i - {_FRAME_STRIDE}")}))
+             END AS ham
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(count(*) FILTER (WHERE ham > {_CUT_HAM}) AS BIGINT) AS n_cuts,
+           CAST(min(CASE WHEN ham > {_CUT_HAM} THEN i END) AS BIGINT)
+             AS first_cut_idx,
+           CAST(max(ham) AS BIGINT) AS max_jump
+    FROM d GROUP BY doc_id
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over the sampled frame plan — the shot-
+    boundary pass a video training pipeline runs to segment clips
+    before captioning/dedup: perceptual-hash each sampled frame, flag a
+    cut wherever consecutive signatures differ in > 36 of 60 bits
+    (random-frame Hamming is Binomial(60,½): μ=30, σ≈3.9 — the
+    threshold is ~1.5σ). The decode+pHash itself lives behind the
+    multimodal codec stub; here the signature is the deterministic fake
+    (md5 of (doc, frame)) so the WHOLE distance/threshold/segment
+    pipeline is real and oracle-checked.
+
+    Plan shape the real decoder inherits: because the previous sampled
+    index is closed-form (i − stride), the pairwise distance is a pure
+    per-row projection — NO self-join, NO lag window, no shuffle before
+    the final per-doc aggregate; with a real pHash column the same plan
+    reads (i, sig) rows and one lag window is the only addition. Fan-out
+    is bounded (n_frames/stride rows per clip), aggregation is
+    map-side combinable — scan-shaped at 100 TB.
+    """
+    d = T(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (100 + F.col("doc_id") % 900).cast("long") - 1,
+                F.lit(_FRAME_STRIDE),
+            )
+        ).alias("i"),
+    )
+
+    def sig(i):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ham = F.when(
+        F.col("i") > 0,
+        F.bit_count(sig(F.col("i")).bitwiseXOR(sig(F.col("i") - _FRAME_STRIDE))),
+    ).cast("long")
+    per = frames.select("doc_id", "i", ham.alias("ham"))
+    return per.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.count(F.when(F.col("ham") > _CUT_HAM, 1)).cast("long").alias("n_cuts"),
+        F.min(F.when(F.col("ham") > _CUT_HAM, F.col("i")))
+        .cast("long")
+        .alias("first_cut_idx"),
+        F.max("ham").cast("long").alias("max_jump"),
+    )

@@ -933,3 +933,62 @@ def text_kneser_ney_bigram(spark, sf_dir):
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(100)
     )
+
+
+_HASH_DIM = 64  # feature-vector width for the hashing trick
+
+
+@query(
+    "text_hashing_trick_features",
+    sql=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT tok,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+               % {_HASH_DIM} AS bucket
+      FROM tok WHERE tok <> ''
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           min(tok) AS first_token
+    FROM b GROUP BY bucket
+    """,
+    tags=("text", "features", "training-prep"),
+)
+def text_hashing_trick_features(spark, sf_dir):
+    """Hashing-trick (hashingTF) feature construction — the fixed-width
+    token→bucket map behind fastText-style quality classifiers and
+    online LR filters, where a vocabulary table would be a mutable
+    multi-TB dimension: bucket = h(token) mod 64. Emits the corpus
+    column profile of that feature space — per-bucket occurrence mass,
+    distinct-token load (the collision rate that sizes the dimension:
+    E[distinct/bucket] = |vocab|/dim), and the lexicographically first
+    token as a stable witness.
+
+    The hash is the corpus-wide md5-60bit family (cross-engine exact,
+    like the minhash/simhash ops; production swaps xxhash64 — one
+    expression — which is also what Spark MLlib's HashingTF does with
+    murmur3). No vocabulary state, no join: per-doc vectors downstream
+    are a pure projection, and this profile is one explode + one
+    map-combinable groupBy of at most `dim` groups — shuffle volume is
+    O(dim · n_partitions) whatever the corpus size.
+    """
+    d = par(T(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    b = tok.select(
+        "tok",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % _HASH_DIM
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+        F.min("tok").alias("first_token"),
+    )

@@ -900,3 +900,30 @@ def test_holt_winters_fold_is_projection(spark):
     p = plan_of(spark, "trend_holt_winters_seasonal")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert len(re.findall(r"hashpartitioning\(event_type#", p)) <= 2
+
+
+def test_reservoir_sample_avoids_global_sort(spark):
+    """The hash-rank reservoir must plan as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a range-partitioned
+    global sort — that IS the distributed-reservoir claim."""
+    p = plan_of(spark, "agg_reservoir_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_decayed_leaderboard_single_shuffle(spark):
+    """One groupBy(user) exchange + top-k merge; the d0 scalar joins as
+    a broadcast, and the final ranking never range-partitions."""
+    p = plan_of(spark, "analytics_decayed_leaderboard")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_scene_cuts_no_join_no_window(spark):
+    """Consecutive-frame distance is closed-form per row — the plan
+    must contain NO join and NO window, just explode + aggregate."""
+    p = plan_of(spark, "multimodal_video_scene_cuts")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
