@@ -234,6 +234,9 @@ EXTENDED = [
     "stat_ljung_box",
     "multimodal_video_scene_cuts",
     "text_hashing_trick_features",
+    "sim_knn_join_bucketed",
+    "graph_personalized_pagerank",
+    "stat_ab_srm_guardrail",
 ]
 
 

@@ -770,3 +770,173 @@ def graph_resource_allocation(spark, sf_dir):
         .orderBy(F.desc("ra_score_e12"), "part_a", "part_b")
         .limit(50)
     )
+
+
+def _ppr_sql() -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    seeds AS (
+      SELECT DISTINCT 'C' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 1
+    ),
+    sn AS (
+      SELECT node FROM nodes WHERE node IN (SELECT node FROM seeds)
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sn),
+    r0 AS (
+      SELECT n.node,
+             CASE WHEN sn.node IS NOT NULL THEN CAST({scale} // ns.k AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS r
+      FROM nodes n LEFT JOIN sn ON sn.node = n.node, ns
+    )"""
+    it = """,
+    d{i} AS (
+      SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+      FROM r{p} LEFT JOIN deg USING (node) WHERE outdeg IS NULL
+    ),
+    in{i} AS (
+      SELECT e.dst AS node, CAST(sum(r.r // deg.outdeg) AS BIGINT) AS m
+      FROM edges e
+      JOIN r{p} r ON r.node = e.src
+      JOIN deg ON deg.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(CASE WHEN sn.node IS NOT NULL
+                       THEN (15 * ({scale} // ns.k)) // 100
+                          + (85 * (coalesce(in{i}.m, 0) + d{i}.dm // ns.k)) // 100
+                       ELSE (85 * coalesce(in{i}.m, 0)) // 100 END
+               AS BIGINT) AS r
+      FROM nodes n
+      CROSS JOIN ns CROSS JOIN d{i}
+      LEFT JOIN sn ON sn.node = n.node
+      LEFT JOIN in{i} ON in{i}.node = n.node
+    )"""
+    parts = [head.format(scale=_SCALE)]
+    for i in range(1, _ITERS + 1):
+        parts.append(it.format(i=i, p=i - 1, scale=_SCALE))
+    parts.append(
+        f"""
+    SELECT node, r AS ppr_q12 FROM r{_ITERS}
+    WHERE r > 0 AND node LIKE 'S%'
+    ORDER BY r DESC, node LIMIT {_TOP}
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_personalized_pagerank", sql=_ppr_sql(), tags=("graph", "iterative", "recs"))
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a seed cohort (nation-1 customers):
+    teleport mass restarts at the SEEDS instead of uniformly, so ranks
+    measure proximity to the cohort — the "suppliers this segment
+    gravitates to" recommendation primitive (also the expansion step in
+    graph-sampled curation: grow a topical corpus from a seed set).
+    Emits the top-20 reachable suppliers by fixed-point rank.
+
+    Same integer fixed-point contract as `graph_pagerank_purchases`
+    (mass scaled 1e12, every division integral, bit-exact under any
+    reduction order): r' at a seed = (15·(S div k)) div 100 +
+    (85·(in + dm div k)) div 100, at a non-seed = (85·in) div 100 —
+    dangling mass (suppliers have no out-edges) teleports back to the
+    seeds, which is what keeps PPR mass LOCAL to the cohort instead of
+    leaking uniformly. Non-seed customers stay at 0 in a bipartite
+    C→S graph (nothing points at them) and unreached suppliers are
+    filtered — the result is the cohort's neighborhood, not the graph.
+
+    Scale shape: identical to pagerank — per round one combinable agg
+    keyed by dst with rank/degree frames broadcast into the edge scan,
+    plus a 1-row dangling broadcast; the seed flag is one more small
+    broadcast. At 100 TB with many cohorts, batch the seed vectors into
+    one frame keyed by (cohort, node) and the same plan ranks all
+    cohorts in one pass.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    seeds = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 1)
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+        .distinct()
+        .join(nodes, "node")  # only seeds that exist in the graph
+        .select("node", F.lit(1).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    kcnt = seeds.agg(F.count("*").cast("long").alias("k"))
+    base = nodes.join(F.broadcast(seeds), "node", "left").localCheckpoint(eager=False)
+    ranks = base.join(F.broadcast(kcnt)).select(
+        "node",
+        F.when(F.col("is_seed").isNotNull(), F.expr(f"{_SCALE} div k"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(_ITERS):
+        ranks = ranks.localCheckpoint(eager=False)
+        dang = (
+            ranks.join(
+                F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
+            )
+            .where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        inm = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            base.join(F.broadcast(kcnt))
+            .join(F.broadcast(dang))
+            .join(inm, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("is_seed").isNotNull(),
+                    F.expr(
+                        f"(15 * ({_SCALE} div k)) div 100"
+                        " + (85 * (coalesce(m, 0) + dm div k)) div 100"
+                    ),
+                )
+                .otherwise(F.expr("(85 * coalesce(m, 0)) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.where((F.col("r") > 0) & F.col("node").startswith("S"))
+        .orderBy(F.col("r").desc(), "node")
+        .limit(_TOP)
+        .select("node", F.col("r").alias("ppr_q12"))
+    )

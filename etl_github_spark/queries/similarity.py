@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ._util import T
+from ._util import T, par
 from .registry import query
 
 _DIM = 64  # fixture embedding dimensionality (FIXTURES.md §A)
@@ -663,4 +663,84 @@ def sim_topk_binary_hamming(spark, sf_dir):
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+_KNN_K = 3
+_KNN_PLANES = 6
+
+
+def _knn_join_sql() -> str:
+    bucket = _srp_bucket_sql("e", _srp_planes(_KNN_PLANES, _DIM))
+    return f"""
+    WITH bk AS (
+      SELECT e.vec_id, e.embedding, {bucket} AS bucket FROM embeddings e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS b_id,
+             {_fold_dot_sql('a.embedding', 'b.embedding')}
+               / (sqrt({_fold_dot_sql('a.embedding', 'a.embedding')})
+                  * sqrt({_fold_dot_sql('b.embedding', 'b.embedding')})) AS cos_sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, b_id AS neighbor_id
+    FROM (
+      SELECT vec_id, b_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, b_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_KNN_K}
+    """
+
+
+@query("sim_knn_join_bucketed", sql=_knn_join_sql(), tags=("similarity", "lsh", "knn-join"))
+def sim_knn_join_bucketed(spark, sf_dir):
+    """kNN JOIN — every vector's top-3 neighbors, corpus vs corpus (the
+    all-pairs sibling of `sim_lsh_bucketed_topk`'s one-query form):
+    the primitive behind SemDeDup-style semantic dedup, kNN-graph
+    clustering, and split-contamination sweeps, where the output is a
+    neighbor GRAPH, not a query answer. SRP-bucket (6 planes) every
+    vector, self-join on the bucket, exact cosine inside the bucket,
+    per-vector rank window. Vectors whose true neighbors land in other
+    buckets get fewer/farther neighbors — the standard LSH recall
+    trade, measured for this plane family by `sim_ann_recall_audit`;
+    more bands = OR-amplified recall (`dedup_embedding_lsh_pairs`).
+
+    Scale shape: the self-join shuffles BOTH sides by bucket once —
+    co-located quadratic work is per-bucket O((N/2^p)²), tuned by p;
+    the rank window rides the same bucket partitioning (vec_id is a
+    subset-key of the bucket co-partition... it is not, so the window
+    re-shuffles by vec_id — at 100 TB that exchange carries only
+    (vec_id, b_id, cos) scalars, never embeddings). Buckets and
+    cosines are the JVM fold family — bit-identical to the oracle's
+    list_reduce, so ranks (the only output) replay exactly; the numpy
+    `srp_bucketize` kernel is the loader-time bulk path.
+    """
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = _srp_planes(_KNN_PLANES, _DIM)
+    bk = par(emb).select(
+        "vec_id", "embedding", srp_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    a = bk.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_e"), "bucket"
+    )
+    b = bk.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_e"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("a_e"), F.col("b_e")).alias("cos_sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), "b_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("b_id").alias("neighbor_id"),
+        )
     )

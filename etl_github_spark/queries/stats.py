@@ -1715,3 +1715,72 @@ def stat_ljung_box(spark, sf_dir):
         q.alias("q_lb"),
         (q > _LB_CHI2_CRIT).alias("white_noise_rejected"),
     )
+
+
+_SRM_CHI2_CRIT = 3.8415  # chi-square 95% critical value, df = 1
+
+
+@query(
+    "stat_ab_srm_guardrail",
+    sql=f"""
+    WITH assigned AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    daily AS (
+      SELECT day,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+      FROM assigned GROUP BY day
+    )
+    SELECT day, n_a, n_b,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+           END AS srm_chi2,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                     > {_SRM_CHI2_CRIT}
+           END AS srm_flag
+    FROM daily
+    """,
+    tags=("stats", "experimentation", "quality"),
+)
+def stat_ab_srm_guardrail(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the first check every A/B
+    platform runs before reading a single metric: assign users to arms
+    by a deterministic hash (md5 parity — the same stateless-assignment
+    trick `text_train_val_split`/`curate_shard_assignment` use), count
+    daily exposures per arm, and test the observed split against the
+    designed 50/50 with a df=1 chi-square. A flagged day means the
+    assignment or logging pipeline is biased and every downstream
+    experiment readout that day is untrustworthy.
+
+    For an equal split the statistic collapses to (n_a−n_b)²/(n_a+n_b)
+    — computed as ONE double division of exact int64 counts, so both
+    engines agree bitwise. Scale shape: a per-row hash projection +
+    one map-combinable groupBy(day); no joins, no windows — scan-speed
+    at any corpus size, and the arm assignment never needs a user
+    dimension table.
+    """
+    ev = T(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(arm == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(arm == 1, 1)).cast("long").alias("n_b"),
+    )
+    chi2 = F.when(
+        (F.col("n_a") + F.col("n_b")) > 0,
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+            "double"
+        )
+        / (F.col("n_a") + F.col("n_b")),
+    )
+    return daily.select(
+        "day", "n_a", "n_b", chi2.alias("srm_chi2"), (chi2 > _SRM_CHI2_CRIT).alias("srm_flag")
+    )
