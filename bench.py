@@ -237,6 +237,9 @@ EXTENDED = [
     "sim_knn_join_bucketed",
     "graph_personalized_pagerank",
     "stat_ab_srm_guardrail",
+    "dedup_soft_downweight",
+    "stat_cuped_adjusted_means",
+    "trend_forecast_backtest_mase",
 ]
 
 

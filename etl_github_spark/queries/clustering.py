@@ -311,3 +311,62 @@ def dedup_fuzzy_corpus(spark, sf_dir):
             "is_survivor"
         ),
     )
+
+
+@query(
+    "dedup_soft_downweight",
+    sql=_COMPONENTS_CTE
+    + """
+, w AS (
+  SELECT d.source,
+         CASE WHEN s.cnt IS NULL THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(1000000 // s.cnt AS BIGINT) END AS w_ppm
+  FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  LEFT JOIN (SELECT cluster_id, count(*) AS cnt FROM comp GROUP BY cluster_id) s
+    ON s.cluster_id = c.cluster_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w_ppm) AS BIGINT) AS eff_docs_ppm,
+       CAST(count(*) AS DOUBLE) * 1000000 / sum(w_ppm) AS dup_inflation
+FROM w GROUP BY source
+""",
+    tags=("dedup", "clustering", "training-prep"),
+)
+def dedup_soft_downweight(spark, sf_dir):
+    """Soft dedup — DOWN-WEIGHT near-duplicate clusters instead of
+    dropping them: each doc in a near-dup cluster of size s trains with
+    weight 1/s (so every cluster contributes exactly one doc's worth of
+    gradient, but the surface-form diversity inside the cluster is
+    kept), unclustered docs keep weight 1. The alternative to
+    `dedup_cluster_survivors`' hard keep-one rule, used when near-dups
+    carry real variation (translations, revisions, boilerplate-framed
+    copies). Emits per-source raw count, effective corpus mass, and the
+    duplication inflation factor raw/effective — the number that says
+    how over-represented a source would be WITHOUT the weighting.
+
+    Weights are exact ppm integers (1e6 div s, the fixed-point rule) so
+    the per-source mass sums are reduction-order-free; the single final
+    ratio is one double division. Scale shape: the cluster membership
+    is the same bounded propagation as `dedup_cluster_components`
+    (LSH-bounded edges at 100 TB); the weighting itself is a broadcast-
+    joinable |clusters|-sized dimension against the doc scan.
+    """
+    lab = _cluster_membership(spark, sf_dir)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("cnt"))
+    wdim = lab.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST(1000000 div cnt AS BIGINT)").alias("w_ppm"),
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    w = d.join(F.broadcast(wdim), "doc_id", "left").select(
+        "source", F.coalesce("w_ppm", F.lit(1000000).cast("long")).alias("w_ppm")
+    )
+    return w.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w_ppm").cast("long").alias("eff_docs_ppm"),
+        (F.count("*").cast("double") * 1000000 / F.sum("w_ppm")).alias(
+            "dup_inflation"
+        ),
+    )

@@ -1784,3 +1784,225 @@ def stat_ab_srm_guardrail(spark, sf_dir):
     return daily.select(
         "day", "n_a", "n_b", chi2.alias("srm_chi2"), (chi2 > _SRM_CHI2_CRIT).alias("srm_flag")
     )
+
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period < split <= experiment period
+
+_CUPED_THETA = (
+    "CASE WHEN n * sxx - sx * sx = 0 THEN NULL "
+    "ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END"
+)
+#: shared final expressions — identical text both engines evaluate over
+#: identical exact-int64 moment columns, so the doubles match bitwise.
+_CUPED_ADJ = (
+    f"CAST(sy_arm AS DOUBLE) / n_arm - ({_CUPED_THETA})"
+    " * (CAST(sx_arm AS DOUBLE) / n_arm - CAST(sx AS DOUBLE) / n)"
+)
+_CUPED_RHO2 = (
+    "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL "
+    "ELSE CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END"
+)
+
+
+@query(
+    "stat_cuped_adjusted_means",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}')
+                  AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                                     AND event_type = 'purchase')
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(x) AS BIGINT) AS sx_arm,
+             CAST(sum(y) AS BIGINT) AS sy_arm
+      FROM u GROUP BY arm
+    )
+    SELECT arm, n_arm AS n_users,
+           CAST(sy_arm AS DOUBLE) / n_arm AS mean_y,
+           {_CUPED_ADJ} AS mean_y_cuped,
+           {_CUPED_THETA} AS theta,
+           {_CUPED_RHO2} AS var_reduction
+    FROM a, g
+    """,
+    tags=("stats", "experimentation"),
+)
+def stat_cuped_adjusted_means(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    the adjustment every mature A/B platform applies before comparing
+    arms: regress the experiment-period metric (per-user purchase
+    count) on a pre-period covariate (per-user activity before the
+    split), and report each arm's mean shifted by θ·(x̄_arm − x̄). The
+    covariate is balanced across arms by randomization, so the
+    adjustment removes its variance share (ρ², also emitted) without
+    biasing the treatment effect — tighter CIs from the same data.
+    Pairs with `stat_ab_srm_guardrail`: SRM gates the readout, CUPED
+    sharpens it.
+
+    Exactness: per-user (x, y) are integer counts; all moments are
+    exact int64 sums; θ, the adjusted means, and ρ² are fixed shared
+    expressions over those integers — bitwise-identical cross-engine.
+    Scale shape: ONE groupBy(user) over the corpus (both periods in
+    one conditional-aggregate pass, no self-join), then moments over
+    the users frame (map-combinable partial+final), then arithmetic on
+    a 2-row frame with the 1-row global moments broadcast in.
+    """
+    ev = T(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.count(F.when(F.to_date("ts") < split, 1)).cast("long").alias("x"),
+        F.count(
+            F.when(
+                (F.to_date("ts") >= split) & (F.col("event_type") == "purchase"), 1
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    g = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_arm"),
+        F.sum("x").cast("long").alias("sx_arm"),
+        F.sum("y").cast("long").alias("sy_arm"),
+    )
+    return a.join(F.broadcast(g)).select(
+        "arm",
+        F.col("n_arm").alias("n_users"),
+        (F.col("sy_arm").cast("double") / F.col("n_arm")).alias("mean_y"),
+        F.expr(_CUPED_ADJ).alias("mean_y_cuped"),
+        F.expr(_CUPED_THETA).alias("theta"),
+        F.expr(_CUPED_RHO2).alias("var_reduction"),
+    )
+
+
+_MASE_M = 7  # seasonal period (weekly) — also the holdout horizon
+
+_MASE_EXPR = (
+    "CASE WHEN n_in = 0 OR sae_in = 0 OR n_hold = 0 THEN NULL "
+    "ELSE (CAST(sae_hold AS DOUBLE) / n_hold) / (CAST(sae_in AS DOUBLE) / n_in) END"
+)
+
+
+@query(
+    "trend_forecast_backtest_mase",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idxd AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, a.mx,
+             CASE WHEN a.idx > a.mx - {_MASE_M} THEN 1 ELSE 0 END AS is_hold,
+             abs(a.c - b.c) AS ae
+      FROM idxd a JOIN idxd b
+        ON b.event_type = a.event_type AND b.idx = a.idx - {_MASE_M}
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN is_hold = 1 THEN ae END) AS BIGINT) AS sae_hold,
+             CAST(count(*) FILTER (WHERE is_hold = 1) AS BIGINT) AS n_hold,
+             CAST(sum(CASE WHEN is_hold = 0 THEN ae END) AS BIGINT) AS sae_in,
+             CAST(count(*) FILTER (WHERE is_hold = 0) AS BIGINT) AS n_in
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n_hold, sae_hold, n_in, sae_in,
+           {_MASE_EXPR} AS mase
+    FROM m
+    """,
+    tags=("trend", "forecast", "evaluation"),
+)
+def trend_forecast_backtest_mase(spark, sf_dir):
+    """Forecast BACKTEST — the evaluation half the forecasting ops
+    (`trend_holt_*`, seasonal decompose) need before anyone trusts
+    them: hold out the final week per event-type series, forecast it
+    with the seasonal-naive baseline ŷ_t = y_{{t−7}}, and score MASE
+    (Hyndman & Koehler 2006) = holdout MAE ÷ in-sample MAE of the same
+    seasonal-naive — the scale-free skill score where < 1 beats the
+    naive repeat-last-week rule. Holdout forecasts only read days at or
+    before the split (t−7 ≤ split for every holdout t), so the backtest
+    is genuinely out-of-sample.
+
+    Exactness: absolute errors of integer daily counts are exact int64;
+    both SAE sums are reduction-order-free; MASE is ONE shared double
+    expression over four integers. Scale shape: corpus work is the
+    map-combinable daily count; the lag join and scoring run on the
+    DAYS×TYPES frame (same self-join spine as `stat_ljung_box`).
+    """
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wt = Window.partitionBy("event_type")
+    idxd = daily.select(
+        "event_type",
+        "c",
+        F.row_number().over(wt.orderBy("day")).alias("idx"),
+        F.count("*").over(wt).cast("long").alias("mx"),
+    ).localCheckpoint(eager=False)
+    b = idxd.select(
+        F.col("event_type").alias("b_type"),
+        F.col("idx").alias("b_idx"),
+        F.col("c").alias("b_c"),
+    )
+    pairs = idxd.join(
+        F.broadcast(b),
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_idx") == F.col("idx") - _MASE_M),
+    ).select(
+        "event_type",
+        (F.col("idx") > F.col("mx") - _MASE_M).cast("int").alias("is_hold"),
+        F.abs(F.col("c") - F.col("b_c")).alias("ae"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_hold") == 1, F.col("ae"))).cast("long").alias("sae_hold"),
+        F.count(F.when(F.col("is_hold") == 1, 1)).cast("long").alias("n_hold"),
+        F.sum(F.when(F.col("is_hold") == 0, F.col("ae"))).cast("long").alias("sae_in"),
+        F.count(F.when(F.col("is_hold") == 0, 1)).cast("long").alias("n_in"),
+    )
+    return m.select(
+        "event_type",
+        "n_hold",
+        "sae_hold",
+        "n_in",
+        "sae_in",
+        F.expr(_MASE_EXPR).alias("mase"),
+    )
