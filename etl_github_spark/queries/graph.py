@@ -628,8 +628,10 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
     Scale shape: per round ONE join of the label frame against the
     edge list (edges hash-partitioned ONCE by join key and
     localCheckpointed — the BFS lesson: without it every round
-    re-shuffles the full edge list) plus a (node, label) count and an
-    argmax window keyed on node. Per-round shuffle is O(edges);
+    re-shuffles the full edge list) plus a (node, label) count and a
+    sort-free min(struct(-n, label)) argmax keyed on node — one
+    aggregate, no per-round partition sort. Per-round shuffle is
+    O(edges);
     rounds are a fixed hyperparameter. Labels are node-id strings, so
     min-tie-breaks compare identically in any engine.
     """
@@ -646,7 +648,10 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
     edges = (
         und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .repartition(F.col("src"))
+        # checkpoint only — with labels broadcast into the edge scan
+        # each round, edges never join-shuffle, so pre-partitioning by
+        # src would be a wasted exchange (contrast BFS, whose frontier
+        # join is shuffle-planned)
         .localCheckpoint(eager=False)
     )
     labels = (
@@ -655,19 +660,27 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
-    from pyspark.sql import Window
-
     for _ in range(rounds):
+        # label frame is |nodes|×2 strings — broadcast it INTO the edge
+        # scan (the pagerank/HITS rule): each round is a map-side join
+        # plus one combinable aggregate; beyond broadcastable node
+        # counts a deployment drops the hint and AQE plans the shuffle
         votes = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"), "label")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("node2").orderBy(F.desc("n"), "label")
+        # argmax by (n desc, label asc) as ONE sort-free aggregate:
+        # min(struct(-n, label)) — same semantics as the oracle's
+        # row_number window, without the per-round partition sort
         labels = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("node2").alias("node"), "label")
+            votes.groupBy("node2")
+            .agg(
+                F.min(F.struct((-F.col("n")).alias("nn"), F.col("label"))).alias(
+                    "m"
+                )
+            )
+            .select(F.col("node2").alias("node"), F.col("m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(

@@ -660,7 +660,6 @@ def stream_outer_join_replay(spark, sf_dir):
     own rows by user — plus outer-row emission bounded by watermark
     progress (the production form of "when do I stop waiting").
     """
-    import glob as _glob
     import os
     import shutil
     import tempfile
@@ -678,26 +677,46 @@ def stream_outer_join_replay(spark, sf_dir):
         # event — pushes wm(final) 2 h past every real purchase, so the
         # closing no-data batch flushes every pending outer row
         # global max ts == max of the tail slice (b2 holds everything
-        # >= _SLICE_US[1] by construction) — read the small staged file
-        # instead of re-scanning the whole fixture
-        max_us = (
-            spark.read.parquet(os.path.join(stream_dir, "b2.parquet"))
-            .agg(F.max("ts_us"))
-            .collect()[0][0]
+        # >= _SLICE_US[1] by construction) — the parquet FOOTER stats of
+        # the staged file carry the exact column max: no scan, no job
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(os.path.join(stream_dir, "b2.parquet")).metadata
+        ts_idx = meta.schema.names.index("ts_us")
+        max_us = max(
+            meta.row_group(g).column(ts_idx).statistics.max
+            for g in range(meta.num_row_groups)
         )
         # TWO sentinel batches: the watermark only advances at a batch
         # END, and availableNow runs no closing no-data batch — so the
         # flush of rows near max_us happens while PROCESSING the batch
-        # after the one that raised the watermark past them
+        # after the one that raised the watermark past them. The 2-row
+        # sentinel files are written by pyarrow directly (driver-local,
+        # zero Spark jobs); FileStreamSource only needs the schema to
+        # match the declared DDL.
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("ts_us", pa.int64()),
+            ]
+        )
         for i in (1, 2):
             s_us = max_us + 3 * i * 3600 * 1_000_000
-            stage = os.path.join(root, f"sentinel_stage{i}")
-            spark.createDataFrame(
-                [(-2 * i, -1, "purchase", s_us), (-2 * i - 1, -1, "click", s_us)],
-                ddl,
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
             dest = os.path.join(stream_dir, f"b{2 + i}.parquet")
-            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], dest)
+            tbl = pa.table(
+                {
+                    "event_id": [-2 * i, -2 * i - 1],
+                    "user_id": [-1, -1],
+                    "event_type": ["purchase", "click"],
+                    "ts_us": [s_us, s_us],
+                },
+                schema=arrow_schema,
+            )
+            pq.write_table(tbl, dest)
             os.utime(dest, (time.time() + 120 * i, time.time() + 120 * i))
 
         src2 = (
