@@ -240,6 +240,9 @@ EXTENDED = [
     "dedup_soft_downweight",
     "stat_cuped_adjusted_means",
     "trend_forecast_backtest_mase",
+    "dedup_threshold_sweep",
+    "stat_power_analysis_mde",
+    "stream_interval_join_replay",
 ]
 
 

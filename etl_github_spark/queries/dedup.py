@@ -1451,3 +1451,114 @@ def dedup_cross_source_syndication(spark, sf_dir):
         .where(F.col("n_sources") >= 2)
         .select("canonical_id", "n_copies", "n_sources")
     )
+
+
+# the shared CTE chain (sh/ex/pairs) without the pair-emitting SELECT —
+# the sweep adds its own threshold-spine tail
+_SWEEP_CTES = JACCARD_PAIRS_SQL[: JACCARD_PAIRS_SQL.index("SELECT doc_a")].rstrip()
+
+
+@query(
+    "dedup_threshold_sweep",
+    sql=_SWEEP_CTES
+    + """,
+    t AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS threshold_decile),
+    hits AS (
+      SELECT t.threshold_decile, p.doc_a, p.doc_b
+      FROM pairs p JOIN t
+        ON 10 * p.shared >= t.threshold_decile * (p.n_a + p.n_b - p.shared)
+    ),
+    pc AS (
+      SELECT threshold_decile, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM hits GROUP BY 1
+    ),
+    dc AS (
+      SELECT threshold_decile, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT threshold_decile, doc_a AS d FROM hits
+            UNION ALL SELECT threshold_decile, doc_b FROM hits)
+      GROUP BY 1
+    )
+    SELECT t.threshold_decile,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs, 0) AS n_docs
+    FROM t LEFT JOIN pc USING (threshold_decile)
+    LEFT JOIN dc USING (threshold_decile)
+    """,
+    tags=("dedup", "neardup", "tuning"),
+)
+def dedup_threshold_sweep(spark, sf_dir, df_cap: int = _DF_CAP):
+    """Dedup-rate sensitivity curve — the tuning sweep run BEFORE fixing
+    a near-dup threshold: for each Jaccard decile t/10 (t = 1..9), how
+    many candidate pairs and how many distinct documents would be
+    flagged at-or-above it. The curve's knee is where a pipeline sets
+    its threshold (too low → real content merged, too high → boilerplate
+    twins survive); re-running it per corpus snapshot catches drift in
+    the duplicate structure itself.
+
+    ONE pass over the same capped shingle self-join as
+    `dedup_jaccard_pairs` serves all nine thresholds — the decile test
+    is the INTEGER comparison 10·shared ≥ t·(union): no float Jaccard
+    ever materializes, so decile boundaries cannot disagree between
+    engines. The 9-way explode happens on the (already tiny) pair
+    frame, never on the shingle fan-out; thresholds with zero hits
+    still emit their row via the spine left-join.
+    """
+    d = (
+        par(T(spark, sf_dir, "documents"))
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+    )
+    sh = d.select("doc_id", _hashed_shingles(F.col("w")).alias("hs")).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
+    sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > df_cap)
+    ).select("sh")
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    hits = pairs.select(
+        F.explode(
+            F.sequence(F.lit(1).cast("int"), F.lit(9).cast("int"))
+        ).alias("threshold_decile"),
+        "doc_a",
+        "doc_b",
+        "shared",
+        "n_a",
+        "n_b",
+    ).where(
+        10 * F.col("shared")
+        >= F.col("threshold_decile") * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    ).localCheckpoint(eager=False)
+    pc = hits.groupBy("threshold_decile").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    dc = (
+        hits.select("threshold_decile", F.col("doc_a").alias("d"))
+        .unionAll(hits.select("threshold_decile", F.col("doc_b").alias("d")))
+        .groupBy("threshold_decile")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("threshold_decile"))
+    return (
+        spine.join(F.broadcast(pc), "threshold_decile", "left")
+        .join(F.broadcast(dc), "threshold_decile", "left")
+        .select(
+            "threshold_decile",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        )
+    )

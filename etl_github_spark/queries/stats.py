@@ -2006,3 +2006,76 @@ def trend_forecast_backtest_mase(spark, sf_dir):
         "sae_in",
         F.expr(_MASE_EXPR).alias("mase"),
     )
+
+
+_MDE_Z = "2.801585"  # z_{0.975} + z_{0.80}: 80% power at alpha = 0.05
+
+_MDE_VAR = (
+    "CASE WHEN n <= 1 THEN NULL ELSE "
+    "CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) END"
+)
+_MDE_ABS = f"{_MDE_Z} * sqrt(2.0 * ({_MDE_VAR}) / (n / 2))"
+_MDE_REL = (
+    f"CASE WHEN sy = 0 THEN NULL ELSE ({_MDE_ABS}) / (CAST(sy AS DOUBLE) / n) END"
+)
+
+
+@query(
+    "stat_power_analysis_mde",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u
+    )
+    SELECT n AS n_users, CAST(n // 2 AS BIGINT) AS n_per_arm,
+           CAST(sy AS DOUBLE) / n AS mean_y,
+           {_MDE_VAR} AS var_y,
+           {_MDE_ABS} AS mde_abs,
+           {_MDE_REL} AS mde_rel
+    FROM m
+    """,
+    tags=("stats", "experimentation"),
+)
+def stat_power_analysis_mde(spark, sf_dir):
+    """Pre-experiment power analysis — the minimum detectable effect a
+    50/50 split of the CURRENT user base could resolve at alpha = 0.05
+    with 80% power: MDE = (z₀.₉₇₅ + z₀.₈)·√(2σ²/n_arm), with σ² taken
+    from the live per-user purchase-count distribution rather than a
+    guess. The third leg of the experimentation set: `stat_ab_srm_*`
+    gates a running test, `stat_cuped_*` sharpens its readout, and this
+    op decides — BEFORE launch — whether the test is worth running at
+    all (an MDE above the plausible effect size means the experiment
+    cannot conclude). mde_rel expresses it as a fraction of the current
+    mean, the number product teams actually reason about.
+
+    Exactness: per-user counts and both moments are exact int64; σ²,
+    MDE, and the relative form are fixed shared expressions (the z-sum
+    is a single literal). Scale: one map-combinable groupBy(user), one
+    moment reduction, arithmetic on a 1-row frame.
+    """
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y")
+    )
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(n div 2 AS BIGINT)").alias("n_per_arm"),
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        F.expr(_MDE_VAR).alias("var_y"),
+        F.expr(_MDE_ABS).alias("mde_abs"),
+        F.expr(_MDE_REL).alias("mde_rel"),
+    )
