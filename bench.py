@@ -243,6 +243,9 @@ EXTENDED = [
     "dedup_threshold_sweep",
     "stat_power_analysis_mde",
     "stream_interval_join_replay",
+    "analytics_ltv_cohort_revenue",
+    "text_code_detect_heuristic",
+    "lake_delta_commit_history",
 ]
 
 

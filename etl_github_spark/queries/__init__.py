@@ -15,14 +15,15 @@ string the driver diffs against at sf=0.01.
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
 # staleness. Round 8: all 333 r7-era queries are driver-green and the
-# backlog is EMPTY, so the window = this round's 13 promoted additions
+# backlog is EMPTY, so the window = this round's 16 promoted additions
 # (hash-rank reservoir sample, exact power-of-two decayed leaderboard,
 # Ljung-Box white-noise test, perceptual-hash scene cuts, hashing-trick
 # feature profile, LSH kNN join, personalized PageRank, the A/B
 # experimentation trio — SRM guardrail, CUPED adjusted means, MDE power
 # analysis — soft-dedup downweighting, seasonal-naive MASE backtest,
-# and the integer-decile dedup threshold sweep) + 37 stalest greens
-# (r01/r02 vintage) for re-verification.
+# the integer-decile dedup threshold sweep, cohort LTV curves, the
+# code-vs-prose router, and DESCRIBE HISTORY under the hash) + 34
+# stalest greens (r01/r02 vintage) for re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -40,6 +41,9 @@ _R8_WINDOW = [
     "trend_forecast_backtest_mase",  # never driver-verified (promoted)
     "dedup_threshold_sweep",  # never driver-verified (promoted)
     "stat_power_analysis_mde",  # never driver-verified (promoted)
+    "analytics_ltv_cohort_revenue",  # never driver-verified (promoted)
+    "text_code_detect_heuristic",  # never driver-verified (promoted)
+    "lake_delta_commit_history",  # never driver-verified (promoted)
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
@@ -74,9 +78,6 @@ _R8_WINDOW = [
     "agg_variance_deterministic",  # green r01
     "trend_daily_counts",  # green r01
     "trend_hourly_by_type",  # green r01
-    "trend_year_month_orders",  # green r01
-    "window_rank_topn_per_group",  # green r01
-    "window_rank_dense",  # green r01
 ]
 
 def _apply_rotation(window: list[str]) -> None:

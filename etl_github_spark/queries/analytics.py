@@ -2900,3 +2900,107 @@ def analytics_decayed_leaderboard(spark, sf_dir):
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(_DECAY_TOPK)
     )
+
+
+@query(
+    "analytics_ltv_cohort_revenue",
+    sql="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ),
+    rev AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', f.cohort_day) // 7
+                  AS BIGINT) AS cohort_week,
+             CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS week_offset,
+             e.user_id,
+             CASE WHEN e.event_type = 'purchase'
+                  THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events e JOIN f USING (user_id)
+    ),
+    cell AS (
+      SELECT cohort_week, week_offset,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM rev GROUP BY 1, 2
+    ),
+    size_ AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', cohort_day) // 7
+                  AS BIGINT) AS cohort_week,
+             CAST(count(*) AS BIGINT) AS cohort_users
+      FROM f GROUP BY 1
+    )
+    SELECT c.cohort_week, c.week_offset, s.cohort_users, c.n_active,
+           CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort_week
+                                       ORDER BY c.week_offset
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort_week
+                                       ORDER BY c.week_offset
+                                       ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / (100.0 * s.cohort_users) AS ltv_per_user
+    FROM cell c JOIN size_ s USING (cohort_week)
+    """,
+    tags=("analytics", "revenue", "cohort"),
+)
+def analytics_ltv_cohort_revenue(spark, sf_dir):
+    """Cohort LTV curves — cumulative purchase revenue per signup
+    cohort by week-of-life, normalized per cohort user: the payback /
+    lifetime-value read every growth team lays over CAC, and the
+    revenue-weighted companion of `cohort_retention` (same epoch-anchored
+    integer week indexing, so the two matrices align cell-for-cell).
+
+    Money stays exact: purchase values are true 2-decimal doubles, so
+    round(value·100) recovers integer cents (the fxp rule) and every
+    sum — per cell and the running cumulative — is int64; the only
+    double is the final per-user normalization. Scale shape: first-seen
+    is one user-keyed agg joined back co-partitioned; the cell grid is
+    |cohorts|×|offsets|; the cumulative window runs over that tiny
+    grid, never the event scan.
+    """
+    e = T(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    epoch = F.lit("2024-01-01").cast("date")
+    rev = e.join(f, "user_id").select(
+        F.floor(F.datediff(F.col("cohort_day"), epoch) / 7)
+        .cast("long")
+        .alias("cohort_week"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cents"),
+    )
+    cell = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count_distinct("user_id").cast("long").alias("n_active"),
+    )
+    size = f.groupBy(
+        F.floor(F.datediff(F.col("cohort_day"), epoch) / 7)
+        .cast("long")
+        .alias("cohort_week")
+    ).agg(F.count("*").cast("long").alias("cohort_users"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = cell.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_users",
+        "n_active",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+        (
+            F.sum("rev_cents").over(w).cast("double")
+            / (F.lit(100.0) * F.col("cohort_users"))
+        ).alias("ltv_per_user"),
+    )
+    return out

@@ -1882,3 +1882,74 @@ def lake_delta_generated(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_rows long, sum_cents long"
     )
+
+
+@query(
+    "lake_delta_commit_history",
+    sql="""
+    SELECT 0 AS version, 'WRITE' AS operation,
+           CAST(1 AS BIGINT) AS n_files_added,
+           CAST(0 AS BIGINT) AS n_files_removed,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_id % 3 = 0) AS n_rows
+    UNION ALL
+    SELECT 1, 'WRITE', 1, 0,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_id % 3 IN (0, 1))
+    UNION ALL
+    SELECT 2, 'OPTIMIZE', 1, 2,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_id % 3 IN (0, 1))
+    UNION ALL
+    SELECT 3, 'WRITE', 1, 1,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_id % 3 = 2)
+    """,
+    tags=("lake", "delta", "audit"),
+)
+def lake_delta_commit_history(spark, sf_dir):
+    """DESCRIBE HISTORY under the driver hash — the table-lifecycle
+    audit surface (`io/delta_log.py::history`): run a 4-commit life
+    (create, append, OPTIMIZE, overwrite — each staged as exactly one
+    file so action counts are layout-deterministic) and emit, per
+    version, the commitInfo operation, the add/remove ACTION counts
+    read from the raw log, and the snapshot row count at that version.
+    The oracle states the whole ledger as closed forms over the
+    fixture, so every row pins a different contract: a missing
+    commitInfo flips an operation cell, OPTIMIZE must swap exactly
+    remove-2/add-1 while leaving the row count UNCHANGED (dataChange:
+    false), and the overwrite must remove precisely the one compacted
+    file the log currently names.
+
+    Scale shape: `history` is a driver-side walk of the JSON tail —
+    O(log actions), the same cardinality every Delta reader already
+    carries; the only corpus-sized work is the three staged writes and
+    per-version snapshot counts.
+    """
+    from ..io.delta_log import history, optimize_delta, read_delta, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id")
+    path = _scratch("dhist")
+    try:
+        write_delta(e.where(F.col("event_id") % 3 == 0).coalesce(1), path)
+        write_delta(
+            e.where(F.col("event_id") % 3 == 1).coalesce(1), path, mode="append"
+        )
+        optimize_delta(spark, path)
+        write_delta(
+            e.where(F.col("event_id") % 3 == 2).coalesce(1), path, mode="overwrite"
+        )
+        counts = {
+            v: read_delta(spark, path, version=v).count() for v in (0, 1, 2, 3)
+        }
+        rows = [
+            (h["version"], h["operation"], h["adds"], h["removes"], counts[h["version"]])
+            for h in history(path)
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, n_files_added long, "
+        "n_files_removed long, n_rows long",
+    )

@@ -992,3 +992,70 @@ def text_hashing_trick_features(spark, sf_dir):
         F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
         F.min("tok").alias("first_token"),
     )
+
+
+_CODE_SYMS = r"[{}()\[\];=<>]"
+_CODE_PERMILLE = 25  # symbol density above which a doc reads as code
+
+
+@query(
+    "text_code_detect_heuristic",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id, lang, source,
+             CAST(greatest(length(text), 1) AS BIGINT) AS len,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g'))
+                  AS BIGINT) AS n_sym,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_dig
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(1000 * n_sym // len AS BIGINT) AS symbol_permille,
+           CAST(1000 * n_dig // len AS BIGINT) AS digit_permille,
+           1000 * n_sym // len >= {_CODE_PERMILLE} AS is_code
+    FROM m
+    """,
+    tags=("text", "quality", "training-prep"),
+)
+def text_code_detect_heuristic(spark, sf_dir):
+    """Code-vs-prose detection — the routing decision an LLM corpus
+    makes per document before anything else (code goes to the code
+    pipeline with its own dedup/quality rules; prose goes to the text
+    one; mislabeled code poisons both): density of code-y symbols
+    ({{}}()[];=<>) and digits per 1000 characters, flagged as code above
+    25‰ (natural prose sits well under 10‰; source files of any
+    mainstream language sit far above). The structural-signal sibling
+    of `text_lang_id_heuristic` — fastText-style classifiers replace
+    the rule at quality-critical stages, but this heuristic is what
+    scans 100 TB first.
+
+    Densities are exact integer permille (counts via length minus
+    symbol-stripped length — the portable no-regex-count trick, with
+    the same regexp class evaluated by both engines; truncating div).
+    Pure per-row projection: scan speed at any scale, no shuffle.
+    """
+    d = T(spark, sf_dir, "documents")
+    ln = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    n_sym = (
+        F.length("text") - F.length(F.regexp_replace("text", _CODE_SYMS, ""))
+    ).cast("long")
+    n_dig = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("long")
+    m = d.select(
+        "doc_id", "lang", "source", ln.alias("len"),
+        n_sym.alias("n_sym"), n_dig.alias("n_dig"),
+    )
+    sym_pm = F.expr("1000 * n_sym div len")
+    dig_pm = F.expr("1000 * n_dig div len")
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        sym_pm.cast("long").alias("symbol_permille"),
+        dig_pm.cast("long").alias("digit_permille"),
+        (sym_pm >= _CODE_PERMILLE).alias("is_code"),
+    )
