@@ -927,3 +927,30 @@ def test_scene_cuts_no_join_no_window(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_knn_join_never_nested_loop(spark):
+    """The kNN self-join must key on the SRP bucket (hash-joinable) —
+    a BroadcastNestedLoopJoin/CartesianProduct would mean the bucket
+    equi-key fell out of the join condition and the plan went all-pairs."""
+    p = plan_of(spark, "sim_knn_join_bucketed")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_threshold_sweep_no_cartesian(spark):
+    """Nine thresholds ride an explode over the aggregated PAIR frame —
+    the sweep must never plan a cartesian against the shingle fan-out."""
+    p = plan_of(spark, "dedup_threshold_sweep")
+    assert "CartesianProduct" not in p
+
+
+def test_ltv_windows_over_grid_only(spark):
+    """The cumulative-revenue window must run on the cohort×offset grid
+    (below the cell aggregate), never over the raw event scan: exactly
+    one Window node, with at least one aggregate beneath it."""
+    p = plan_of(spark, "analytics_ltv_cohort_revenue")
+    # formatted explain lists each node twice (tree + details): one
+    # Window node == exactly two mentions
+    assert 1 <= p.count("Window") <= 2
+    assert p.count("HashAggregate") >= 2
