@@ -905,6 +905,13 @@ def graph_personalized_pagerank(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     kcnt = seeds.agg(F.count("*").cast("long").alias("k"))
+    if kcnt.first()["k"] == 0:
+        # fail loudly: k = 0 would otherwise surface as an ANSI
+        # divide-by-zero deep inside the teleport expression
+        raise ValueError(
+            "personalized pagerank: seed cohort (nation-1 customers with "
+            "purchases) is empty in this fixture — choose another cohort"
+        )
     base = nodes.join(F.broadcast(seeds), "node", "left").localCheckpoint(eager=False)
     ranks = base.join(F.broadcast(kcnt)).select(
         "node",
