@@ -22,8 +22,11 @@ string the driver diffs against at sf=0.01.
 # experimentation trio — SRM guardrail, CUPED adjusted means, MDE power
 # analysis — soft-dedup downweighting, seasonal-naive MASE backtest,
 # the integer-decile dedup threshold sweep, cohort LTV curves, the
-# code-vs-prose router, and DESCRIBE HISTORY under the hash) + 34
-# stalest greens (r01/r02 vintage) for re-verification.
+# code-vs-prose router, DESCRIBE HISTORY under the hash, the md5
+# randomization test, cross-source quantile normalization, the hot-key
+# skew diagnostic, the novelty-decay curve, and Pareto-front source
+# selection — 21 promotions) + 29 stalest greens (r01 vintage) for
+# re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -44,6 +47,11 @@ _R8_WINDOW = [
     "analytics_ltv_cohort_revenue",  # never driver-verified (promoted)
     "text_code_detect_heuristic",  # never driver-verified (promoted)
     "lake_delta_commit_history",  # never driver-verified (promoted)
+    "stat_randomization_test",  # never driver-verified (promoted)
+    "stat_quantile_normalize",  # never driver-verified (promoted)
+    "quality_hotkey_skew",  # never driver-verified (promoted)
+    "dedup_novelty_over_time",  # never driver-verified (promoted)
+    "curate_pareto_fronts",  # never driver-verified (promoted)
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
@@ -73,11 +81,6 @@ _R8_WINDOW = [
     "agg_group_multi_key",  # green r01
     "agg_distinct_per_group",  # green r01
     "agg_rollup",  # green r01
-    "agg_cube",  # green r01
-    "agg_stats_per_nation",  # green r01
-    "agg_variance_deterministic",  # green r01
-    "trend_daily_counts",  # green r01
-    "trend_hourly_by_type",  # green r01
 ]
 
 def _apply_rotation(window: list[str]) -> None:

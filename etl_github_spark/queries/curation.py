@@ -990,3 +990,87 @@ def curate_shard_assignment(spark, sf_dir):
         F.sum("n_chars").alias("n_chars"),
         F.sum("doc_id").alias("membership_pin"),
     )
+
+
+@query(
+    "curate_pareto_fronts",
+    sql="""
+    WITH uh AS (
+      SELECT source, md5(text) AS h,
+             CAST(count(*) AS BIGINT) AS copies,
+             CAST(min(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source, md5(text)
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(copies) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS uniq_docs,
+             CAST(sum(chars) AS BIGINT) AS uniq_chars,
+             CAST((sum(copies) - count(*)) * 1000000 // sum(copies) AS BIGINT)
+               AS dup_ppm
+      FROM uh GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.uniq_docs, a.uniq_chars, a.dup_ppm,
+           CAST(count(b.source) AS BIGINT) AS dominated_by,
+           count(b.source) = 0 AS on_front
+    FROM s a
+    LEFT JOIN s b
+      ON b.uniq_chars >= a.uniq_chars AND b.dup_ppm <= a.dup_ppm
+     AND (b.uniq_chars > a.uniq_chars OR b.dup_ppm < a.dup_ppm)
+    GROUP BY a.source, a.n_docs, a.uniq_docs, a.uniq_chars, a.dup_ppm
+    """,
+    tags=("curation", "selection"),
+)
+def curate_pareto_fronts(spark, sf_dir):
+    """Pareto-front source selection — score every source on two
+    pulling-apart objectives (unique-content mass ↑, exact-dup rate ↓)
+    and mark the non-dominated set. A source is dominated when another
+    source is at least as good on both axes and strictly better on one;
+    `on_front` sources are the efficient frontier a data-mixing pass
+    should draw from first, and `dominated_by` grades how far inside
+    the frontier the rest sit. Complements `curate_source_mixing`
+    (which assumes the source list is already chosen) with the
+    choosing step itself.
+
+    Scale shape: one corpus-sized groupBy((source, content-hash)) —
+    the same shuffle exact dedup pays — reduces to a CATALOG-sized
+    per-source frame (|sources| rows); the dominance pass is a
+    broadcast self-join on that tiny frame, O(|sources|²) on metadata,
+    never on the corpus. All-integer objectives, so "strictly better"
+    can never be a float-epsilon judgement call.
+    """
+    d = T(spark, sf_dir, "documents")
+    uh = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("copies"),
+        F.min("n_chars").cast("long").alias("chars"),
+    )
+    s = uh.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("uniq_docs"),
+        F.sum("chars").cast("long").alias("uniq_chars"),
+        F.expr(
+            "CAST((sum(copies) - count(*)) * 1000000 div sum(copies) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    dom = (
+        (F.col("b.uniq_chars") >= F.col("a.uniq_chars"))
+        & (F.col("b.dup_ppm") <= F.col("a.dup_ppm"))
+        & (
+            (F.col("b.uniq_chars") > F.col("a.uniq_chars"))
+            | (F.col("b.dup_ppm") < F.col("a.dup_ppm"))
+        )
+    )
+    return (
+        a.join(F.broadcast(b), dom, "left")
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.uniq_docs").alias("uniq_docs"),
+            F.col("a.uniq_chars").alias("uniq_chars"),
+            F.col("a.dup_ppm").alias("dup_ppm"),
+        )
+        .agg(F.count(F.col("b.source")).cast("long").alias("dominated_by"))
+        .withColumn("on_front", F.col("dominated_by") == 0)
+    )

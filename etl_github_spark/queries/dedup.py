@@ -1562,3 +1562,62 @@ def dedup_threshold_sweep(spark, sf_dir, df_cap: int = _DF_CAP):
             F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
         )
     )
+
+
+@query(
+    "dedup_novelty_over_time",
+    sql="""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT CAST(doc_id * 10 // n AS BIGINT) AS ingest_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_of_earlier,
+           CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM h CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("dedup", "monitoring"),
+)
+def dedup_novelty_over_time(spark, sf_dir):
+    """Novelty decay curve — for each decile of ingest order (doc_id is
+    the arrival proxy), the share of documents that exactly duplicate
+    an EARLIER document. This is the curve every continuously-crawled
+    corpus develops: dup rate climbs as the frontier re-visits known
+    content, and the knee tells you when incremental crawling stops
+    paying. `dedup_rate_by_source` gives the per-origin cut; this is
+    the per-epoch cut that schedules re-crawls.
+
+    "Earlier" is exact keep-first semantics: a doc is a dup iff its
+    doc_id exceeds the min doc_id of its content hash — one
+    min-over-hash window (shuffle by content hash, the same partitioning
+    exact dedup already pays), then a ten-group rollup keyed by
+    doc_id·10 div N. All-integer output, no global sort, no self-join.
+    """
+    d = T(spark, sf_dir, "documents")
+    wh = Window.partitionBy(F.md5("text"))
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    h = d.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(wh)).cast("int").alias("is_dup"),
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST(doc_id * 10 div n AS BIGINT)").alias("ingest_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_of_earlier"),
+        )
+        .select(
+            "ingest_decile",
+            "n_docs",
+            "n_dup_of_earlier",
+            F.expr(
+                "CAST(n_dup_of_earlier * 1000000 div n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

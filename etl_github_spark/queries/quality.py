@@ -999,3 +999,92 @@ def quality_k_anonymity(spark, sf_dir):
         .alias("docs_at_risk"),
         F.count(F.when(F.col("l") < 2, 1)).cast("long").alias("groups_l_below_2"),
     )
+
+
+@query(
+    "quality_hotkey_skew",
+    sql="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY c
+    ),
+    runs AS (
+      SELECT c, m,
+             CAST(sum(m) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - m AS BIGINT) AS s
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS k,
+             CAST(sum(c * m) AS BIGINT) AS t,
+             CAST(sum(c * (m * s + m * (m + 1) // 2)) AS BIGINT) AS six,
+             CAST(max(c) AS BIGINT) AS top1
+      FROM runs
+    ),
+    top10 AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t10
+      FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+    )
+    SELECT t AS n_events, k AS n_keys,
+           CAST(top1 * 1000000 // t AS BIGINT) AS top1_ppm,
+           CAST(t10 * 1000000 // t AS BIGINT) AS top10_ppm,
+           CAST((2 * six - (k + 1) * t) * 1000000 // (k * t) AS BIGINT) AS gini_ppm
+    FROM tot CROSS JOIN top10
+    """,
+    tags=("quality", "skew", "diagnostics"),
+)
+def quality_hotkey_skew(spark, sf_dir):
+    """Join/groupBy hot-key diagnostic over events.user_id — the
+    pre-flight check that decides whether a key needs salting (see
+    `join_salted_hotkey`) BEFORE a 100 TB shuffle discovers it the hard
+    way: top-1 and top-10 key share plus the exact Gini coefficient of
+    the key-frequency distribution, all in ppm.
+
+    The Gini is computed from the COUNTS-OF-COUNTS histogram, not a
+    ranked sort of the keys frame: keys sharing frequency c form a tied
+    run of m keys after s smaller keys, contributing
+    c·(m·s + m(m+1)/2) to Σi·xᵢ — so the classic
+    G = (2Σi·xᵢ − (k+1)Σx)/(kΣx) needs only a cumulative window over
+    the VALUE-DOMAIN-sized histogram. A billion keys never get globally
+    sorted; the only corpus shuffle is the groupBy(key) count. Top-10
+    is TakeOrdered (per-partition heap, no range exchange), tie-broken
+    by key for a deterministic LIMIT, and tie-insensitive in the SUM.
+    All-integer output; overflow envelope: c·m·s ≤ N·k stays in int64
+    through ~1e9 events × 1e9 keys.
+    """
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    hist = c.groupBy("c").agg(F.count("*").cast("long").alias("m"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    runs = hist.select(
+        "c", "m", (F.sum("m").over(wcum) - F.col("m")).cast("long").alias("s")
+    )
+    tot = runs.agg(
+        F.sum("m").cast("long").alias("k"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("t"),
+        F.sum(F.expr("c * (m * s + m * (m + 1) div 2)"))
+        .cast("long")
+        .alias("six"),
+        F.max("c").cast("long").alias("top1"),
+    )
+    top10 = (
+        c.orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("t10"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .select(
+            F.col("t").alias("n_events"),
+            F.col("k").alias("n_keys"),
+            F.expr("CAST(top1 * 1000000 div t AS BIGINT)").alias("top1_ppm"),
+            F.expr("CAST(t10 * 1000000 div t AS BIGINT)").alias("top10_ppm"),
+            F.expr(
+                "CAST((2 * six - (k + 1) * t) * 1000000 div (k * t) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )

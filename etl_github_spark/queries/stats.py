@@ -2079,3 +2079,244 @@ def stat_power_analysis_mde(spark, sf_dir):
         F.expr(_MDE_ABS).alias("mde_abs"),
         F.expr(_MDE_REL).alias("mde_rel"),
     )
+
+
+_RT_K = 199  # label reassignments; p-value resolution = 1/(K+1) = 1/200
+
+#: md5-parity arm for permutation k — same family as the observed
+#: assignment (k absent), so the null replays bit-identically in DuckDB.
+_RT_CMP = (
+    "abs(psy_a * pn_b - psy_b * pn_a) * (n_a * n_b)"
+    " >= abs(sy_a * n_b - sy_b * n_a) * (pn_a * pn_b)"
+)
+
+
+@query(
+    "stat_randomization_test",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        CAST(coalesce(sum(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS sy_a,
+        CAST(coalesce(sum(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS sy_b
+      FROM (
+        SELECT y,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS arm
+        FROM u
+      )
+    ),
+    perms AS (
+      SELECT k,
+        CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS pn_a,
+        CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS pn_b,
+        CAST(coalesce(sum(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS psy_a,
+        CAST(coalesce(sum(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS psy_b
+      FROM (
+        SELECT g.k, u.y,
+               CAST(concat('0x', substr(md5(concat(CAST(u.user_id AS VARCHAR),
+                                                   ':', CAST(g.k AS VARCHAR))),
+                                 1, 15)) AS BIGINT) % 2 AS arm
+        FROM u CROSS JOIN generate_series(1, {_RT_K}) AS g(k)
+      ) GROUP BY k
+    )
+    SELECT n_a, n_b, sy_a, sy_b,
+           CAST(count(*) FILTER (WHERE {_RT_CMP}) AS BIGINT) AS k_extreme,
+           CAST((1 + count(*) FILTER (WHERE {_RT_CMP})) * 1000
+                // ({_RT_K} + 1) AS BIGINT) AS p_permille,
+           (1 + count(*) FILTER (WHERE {_RT_CMP})) * 1000
+                // ({_RT_K} + 1) <= 50 AS rejected
+    FROM perms CROSS JOIN obs
+    GROUP BY n_a, n_b, sy_a, sy_b
+    """,
+    tags=("stats", "experimentation", "resampling"),
+)
+def stat_randomization_test(spark, sf_dir):
+    """Randomization (Monte-Carlo permutation) test for the arm
+    difference in per-user purchase counts — the assumption-free
+    companion of the parametric t-test: reassign every user to a fresh
+    md5-derived pseudo-arm K=199 times and ask how often the null
+    reassignment produces a mean gap at least as extreme as the
+    observed md5-parity split. p = (1 + #extreme)/(K + 1), the
+    add-one-correct Monte-Carlo estimator.
+
+    Exactness: everything is integer — per-user counts, arm sums, and
+    the "as extreme" comparison itself, which cross-multiplies the two
+    mean gaps (|Δ̄| = |sy_a·n_b − sy_b·n_a|/(n_a·n_b)) so no float
+    division is ever compared. md5 on identical strings replays
+    bit-identically in DuckDB. Overflow envelope: |Δ|·(n_a·n_b) ≤
+    Σy·n³ — safe through ~1e6 users × 1e6 events each; beyond that,
+    route the two products through DECIMAL(38,0) on both engines.
+    Scale shape: one groupBy(user) over the corpus, then a K-way
+    explode of the USERS frame (map-side compute, partial aggregation
+    reduces the shuffle to K×2 rows per partition), a K-row final
+    frame, and a broadcast 1-row observed join. K is a constant knob:
+    cost is O(K·users) map work with no corpus re-scan.
+    """
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y")
+    )
+
+    def _parity(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % 2
+        )
+
+    def _arms(df, pre):
+        return df.agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias(f"{pre}n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias(f"{pre}n_b"),
+            F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias(f"{pre}sy_a"),
+            F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias(f"{pre}sy_b"),
+        )
+
+    obs = _arms(
+        u.select("y", _parity(F.col("user_id").cast("string")).alias("arm")), ""
+    )
+    perms = (
+        par(u)
+        .select(
+            "user_id",
+            "y",
+            F.explode(F.sequence(F.lit(1), F.lit(_RT_K))).alias("k"),
+        )
+        .select(
+            "k",
+            "y",
+            _parity(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ).alias("arm"),
+        )
+        .groupBy("k")
+    )
+    pk = _arms(perms, "p")
+    cmp_spark = _RT_CMP.replace("//", "div")
+    return (
+        pk.crossJoin(F.broadcast(obs))
+        .groupBy("n_a", "n_b", "sy_a", "sy_b")
+        .agg(
+            F.count(F.when(F.expr(cmp_spark), 1)).cast("long").alias("k_extreme")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "sy_a",
+            "sy_b",
+            "k_extreme",
+            F.expr(f"CAST((1 + k_extreme) * 1000 div ({_RT_K} + 1) AS BIGINT)").alias(
+                "p_permille"
+            ),
+            F.expr(f"(1 + k_extreme) * 1000 div ({_RT_K} + 1) <= 50").alias(
+                "rejected"
+            ),
+        )
+    )
+
+
+@query(
+    "stat_quantile_normalize",
+    sql="""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    dist AS (
+      SELECT n_chars AS v,
+             CAST(sum(count(*)) OVER (ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+             CAST(sum(count(*)) OVER (ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - count(*) + 1 AS BIGINT) AS lo
+      FROM documents GROUP BY n_chars
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM documents
+    ),
+    mapped AS (
+      SELECT ranked.source, ranked.n_chars, dist.v
+      FROM ranked CROSS JOIN tot
+      JOIN dist ON (ranked.r - 1) * tot.n // ranked.n_s + 1 BETWEEN dist.lo AND dist.hi
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+           CAST(sum(v) AS DOUBLE) / count(*) AS mean_calibrated
+    FROM mapped GROUP BY source
+    """,
+    tags=("stats", "curation", "calibration"),
+)
+def stat_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of document length — map
+    each source's n_chars distribution onto the POOLED corpus
+    distribution (the microarray / score-calibration classic): a doc at
+    within-source rank r out of n_s lands at pooled position
+    (r−1)·N div n_s + 1, and takes the pooled order statistic there.
+    After the mapping every source has (up to integer granularity) the
+    same length distribution — the per-source mean shift that survives
+    is pure composition, making quality scores comparable across crawls
+    with different length profiles before mixing (pairs with
+    `curate_source_mixing`).
+
+    Exactness: ranks, positions, and the interval join are all
+    integers; the two means are single int/int double divisions.
+    Scale shape: the pooled distribution is VALUE-DOMAIN-sized (one
+    groupBy(n_chars) + a cumulative window over |distinct values| rows
+    — never a global sort of the corpus), broadcast into a range join;
+    the per-source rank window shuffles by source only. The classic
+    global-row_number formulation would single-thread the corpus; this
+    one never materializes a global ordering.
+    """
+    d = T(spark, sf_dir, "documents")
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    dist = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("m"))
+        .select(
+            "v",
+            F.sum("m").over(wcum).cast("long").alias("hi"),
+            (F.sum("m").over(wcum) - F.col("m") + 1).cast("long").alias("lo"),
+        )
+    )
+    ws = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(ws.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("r"),
+        F.count("*").over(ws).cast("long").alias("n_s"),
+    )
+    pos = F.expr("(r - 1) * n div n_s + 1")
+    mapped = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("pos", pos)
+        .join(
+            F.broadcast(dist),
+            (F.col("pos") >= F.col("lo")) & (F.col("pos") <= F.col("hi")),
+        )
+    )
+    return mapped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_calibrated"),
+    )
