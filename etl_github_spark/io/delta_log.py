@@ -950,6 +950,20 @@ def read_delta(
         if _match_partition(a, partition_filter)
         and not _stats_excludes(a, stats_filter)
     )
+    return _scan_subset(spark, table, meta, schema, entries)
+
+
+def _scan_subset(spark, table: str, meta: dict, schema, entries) -> DataFrame:
+    """Scan an explicit subset of a snapshot's (path, add) entries under
+    the snapshot's recorded schema — the shared engine of
+    :func:`read_delta` (full manifest) and :func:`snapshot_diff`
+    (symmetric-difference manifest). DV'd files are read through their
+    vectors; column-mapped tables alias physical file names back to the
+    snapshot's logical names."""
+    from pyspark.sql import functions as F
+
+    pcols = meta.get("partitionColumns", [])
+    mapped = _mapping_on(meta)
     read_schema = _physical_schema(schema) if mapped else schema
     cols = [f.name for f in read_schema.fields]
     plain = [os.path.join(table, p) for p, a in entries if "deletionVector" not in a]
@@ -989,6 +1003,73 @@ def read_delta(
             ]
         )
     return out
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots in O(changed files) — the
+    version-pair CDC that works where :func:`delta_changes` refuses
+    (overwrite, RESTORE, MERGE, DV-delete commits in the range).
+
+    Files carried over unchanged — same path AND same deletionVector
+    reference — are provably identical (data files are immutable; a DV
+    swap is the only way a carried file's visible rows change) and are
+    never opened; only the symmetric difference of the two manifests is
+    scanned. The row diff is then a multiset EXCEPT in each direction,
+    so rows an OPTIMIZE merely moved between files cancel and a
+    dataChange:false-only range reports zero changes — at the cost of
+    reading the rewritten bins, which delta_changes avoids by trusting
+    the flag. Trade-offs: delta_changes is O(appended data) but
+    append-only; this is O(changed files) and total.
+
+    Returns the table schema plus ``_change_type`` ('insert' rows are
+    in ``to`` but not ``from``; 'delete' the reverse). Snapshots whose
+    recorded schemas differ (evolution or column rename in the range)
+    raise — a diff across shapes has no well-defined row equality.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if to_version is None:
+        to_version = _latest_version(table)
+    m_from = _table_metadata(table, from_version)
+    m_to = _table_metadata(table, to_version)
+    if m_from is None or m_to is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    if m_from["schemaString"] != m_to["schemaString"]:
+        raise ValueError(
+            f"snapshot_diff across a schema change (v{from_version} -> "
+            f"v{to_version} of {table}): row equality is undefined across "
+            "shapes; diff each side of the evolution commit separately"
+        )
+    schema = StructType.fromJson(json.loads(m_to["schemaString"]))
+
+    def _key(p: str, a: dict) -> tuple[str, str]:
+        return (p, json.dumps(a.get("deletionVector"), sort_keys=True))
+
+    live_f = _replay(table, from_version)
+    live_t = _replay(table, to_version)
+    keys_f = {_key(p, a) for p, a in live_f.items()}
+    keys_t = {_key(p, a) for p, a in live_t.items()}
+    only_f = sorted(
+        ((p, a) for p, a in live_f.items() if _key(p, a) not in keys_t),
+        key=lambda e: e[0],
+    )
+    only_t = sorted(
+        ((p, a) for p, a in live_t.items() if _key(p, a) not in keys_f),
+        key=lambda e: e[0],
+    )
+    old = _scan_subset(spark, table, m_from, schema, only_f)
+    new = _scan_subset(spark, table, m_to, schema, only_t)
+    return (
+        new.exceptAll(old)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("_change_type", F.lit("delete")))
+    )
 
 
 def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:

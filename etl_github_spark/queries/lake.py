@@ -1953,3 +1953,81 @@ def lake_delta_commit_history(spark, sf_dir):
         "version int, operation string, n_files_added long, "
         "n_files_removed long, n_rows long",
     )
+
+
+@query(
+    "lake_delta_snapshot_diff",
+    sql="""
+    SELECT 'v0_v1' AS diff, 'insert' AS change_op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id % 4 = 1
+    UNION ALL
+    SELECT 'v1_v3', 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_id % 4 = 2
+    UNION ALL
+    SELECT 'v1_v3', 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_id % 4 = 0
+    """,
+    tags=("lake", "delta", "change-feed", "incremental"),
+)
+def lake_delta_snapshot_diff(spark, sf_dir):
+    """Version-pair CDC via ``snapshot_diff`` under the driver hash —
+    the total row-level diff that works across the commits
+    `delta_changes` refuses: append two id-mod slices (v0, v1),
+    OPTIMIZE (v2 — rewrites every file, dataChange:false), then
+    OVERWRITE with an overlapping slice (v3).
+
+    diff(v0→v1) is a pure append: the carried v0 file has the same
+    path in both manifests and is never opened (file-level skip —
+    pytest corrupts the carried file and the diff still answers), so
+    only the inserted slice appears. diff(v1→v3) crosses both the
+    OPTIMIZE and the overwrite: the surviving slice's rows moved files
+    TWICE, and the multiset EXCEPT must cancel them row-for-row,
+    leaving exactly the overwritten-away slice as deletes and the new
+    slice as inserts. A diff that trusted file identity alone would
+    report the whole table churned; one that trusted dataChange flags
+    would refuse the overwrite. The oracle states all three closed
+    forms.
+
+    Scale shape: O(changed files) reads + one shuffle for the EXCEPT;
+    carried-file skipping means a 100 TB table whose daily delta
+    touches 0.1% of files diffs at 0.1% cost.
+    """
+    from ..io.delta_log import optimize_delta, snapshot_diff, write_delta
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    path = _scratch("delta_snapdiff")
+    try:
+        write_delta(
+            e.where(F.col("event_id") % 4 == 0).coalesce(1), path,
+            mode="append", stats_cols=("event_id",),
+        )
+        write_delta(
+            e.where(F.col("event_id") % 4 == 1).coalesce(1), path,
+            mode="append", stats_cols=("event_id",),
+        )
+        out = optimize_delta(spark, path, target_bytes=1 << 30)
+        assert out["version"] == 2, out
+        write_delta(
+            e.where((F.col("event_id") % 4).isin(1, 2)).coalesce(1), path,
+            mode="overwrite", stats_cols=("event_id",),
+        )
+        rows = []
+        for lbl, fv, tv in (("v0_v1", 0, 1), ("v1_v3", 1, 3)):
+            d = (
+                snapshot_diff(spark, path, fv, tv)
+                .groupBy(F.col("_change_type").alias("change_op"))
+                .agg(
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                )
+            )
+            rows += [(lbl, r[0], r[1], r[2]) for r in d.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "diff string, change_op string, n_rows long, sum_event_id long"
+    )

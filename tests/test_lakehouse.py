@@ -2557,3 +2557,72 @@ def test_delta_generated_columns_third_pass_fixes(spark, tmp_path):
     # rename could unbind the expression)
     with pytest.raises(ValueError, match="generated"):
         enable_column_mapping(t2)
+
+
+def test_delta_snapshot_diff_lifecycle(spark, tmp_path):
+    """snapshot_diff: carried files (same path + DV ref) are NEVER
+    opened (pinned by corrupting one), rows merely moved by OPTIMIZE
+    or rewritten by an overwrite cancel in the multiset EXCEPT, DV
+    swaps on a carried file surface as deletes, and a diff across a
+    schema-evolution commit refuses."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.delta_log import (
+        _replay,
+        delete_delta_dv,
+        optimize_delta,
+        read_delta,
+        snapshot_diff,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(df.where("k < 4").coalesce(1), t, mode="append")     # v0
+    write_delta(df.where("k >= 4").coalesce(1), t, mode="append")    # v1
+
+    # pure append diff: only the v1 slice, and the carried v0 file is
+    # never opened — corrupt it and the diff must still answer.
+    carried = sorted(_replay(t, 0))
+    assert len(carried) == 1
+    blob = os.path.join(t, carried[0])
+    orig = open(blob, "rb").read()
+    with open(blob, "wb") as fh:
+        fh.write(b"corrupt")
+    d01 = snapshot_diff(spark, t, 0, 1)
+    got = {(r["k"], r["_change_type"]) for r in d01.collect()}
+    assert got == {(k, "insert") for k in range(4, 10)}
+    with open(blob, "wb") as fh:
+        fh.write(orig)
+
+    # OPTIMIZE moves every row into one bin; the diff must cancel all.
+    out = optimize_delta(spark, t, target_bytes=1 << 30)
+    assert out["version"] == 2
+    assert snapshot_diff(spark, t, 1, 2).count() == 0
+
+    # overwrite with an overlapping slice: survivors cancel row-level
+    # across entirely different files.
+    write_delta(df.where("k >= 2").coalesce(1), t, mode="overwrite")  # v3
+    d13 = {(r["k"], r["_change_type"]) for r in snapshot_diff(spark, t, 1, 3).collect()}
+    assert d13 == {(0, "delete"), (1, "delete")}
+
+    # DV swap on a carried file: same data file, new vector -> deletes.
+    delete_delta_dv(spark, t, "k = 5")                                # v4
+    d34 = {(r["k"], r["_change_type"]) for r in snapshot_diff(spark, t, 3, 4).collect()}
+    assert d34 == {(5, "delete")}
+    assert read_delta(spark, t).count() == 7
+
+    # schema evolution in the range refuses loudly.
+    write_delta(
+        df.where("k = 0").withColumn("extra", F.lit(1)).coalesce(1),
+        t, mode="append", merge_schema=True,
+    )                                                                 # v5
+    with pytest.raises(ValueError, match="schema change"):
+        snapshot_diff(spark, t, 4, 5)
+    # but diffing at or above the evolution commit works.
+    assert {(r["k"], r["_change_type"]) for r in snapshot_diff(spark, t, 5, 5).collect()} == set()
