@@ -25,8 +25,9 @@ string the driver diffs against at sf=0.01.
 # code-vs-prose router, DESCRIBE HISTORY under the hash, the md5
 # randomization test, cross-source quantile normalization, the hot-key
 # skew diagnostic, the novelty-decay curve, Pareto-front source
-# selection, and the O(changed-files) snapshot diff — 22 promotions)
-# + 28 stalest greens (r01 vintage) for re-verification.
+# selection, the O(changed-files) snapshot diff, and the watermark
+# late-drop audit — 23 promotions) + 27 stalest greens (r01 vintage)
+# for re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -53,6 +54,7 @@ _R8_WINDOW = [
     "dedup_novelty_over_time",  # never driver-verified (promoted)
     "curate_pareto_fronts",  # never driver-verified (promoted)
     "lake_delta_snapshot_diff",  # never driver-verified (promoted)
+    "stream_late_data_audit",  # never driver-verified (promoted)
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
@@ -80,7 +82,6 @@ _R8_WINDOW = [
     "agg_multi_shared_scan",  # green r01
     "agg_max_watermark",  # green r01
     "agg_group_multi_key",  # green r01
-    "agg_distinct_per_group",  # green r01
 ]
 
 def _apply_rotation(window: list[str]) -> None:

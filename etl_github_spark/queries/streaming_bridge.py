@@ -1099,3 +1099,128 @@ def stream_scd2_replay(spark, sf_dir):
         "user_id long, tier string, valid_from long, valid_to long, "
         "is_current int",
     )
+
+
+_LATE_WM_US = 1709251200000000  # 2024-03-01 UTC — sentinel A event time
+_LATE_WM2_US = 1709337600000000  # 2024-03-02 UTC — sentinel B event time
+
+
+def _staged_late_stream(spark, sf_dir, root):
+    """Stage the events fixture as an out-of-order file stream:
+    [early | late | sentinel A | middle | sentinel B]. The middle slice
+    arrives AFTER the late slice (it is genuinely late data), and the
+    two off-range sentinel rows serve distinct purposes: A interposes a
+    batch so the middle slice is judged against the watermark the
+    early+late data established (the filter watermark runs one batch
+    behind the reported one — the same stall the outer-join replay
+    pins), and B advances the final watermark past every real window
+    so append mode flushes the survivors before the replay ends."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    b_expr = (
+        F.when(F.col("ts_us") < _SLICE_US[0], 0)
+        .when(F.col("ts_us") >= _SLICE_US[1], 1)
+        .otherwise(2)
+    )
+    stage = os.path.join(root, "stage_all")
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    base.withColumn("b", b_expr).repartition(3, F.col("b")).write.partitionBy(
+        "b"
+    ).mode("overwrite").parquet(stage)
+    for i, ts in enumerate((_LATE_WM_US, _LATE_WM2_US)):
+        spark.createDataFrame(
+            [(-1, "__wm", ts)], "event_id long, event_type string, ts_us long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"sent{i}")
+        )
+    order = ["b=0", "b=1", "sent0", "b=2", "sent1"]  # arrival sequence
+    now = time.time()
+    for i, sub in enumerate(order):
+        parts = glob.glob(os.path.join(stage, sub, "part-*.parquet"))
+        if len(parts) != 1:
+            raise AssertionError(f"slice {sub}: expected 1 staged file, got {parts}")
+        dest = os.path.join(stream_dir, f"f{i}.parquet")
+        shutil.move(parts[0], dest)
+        os.utime(dest, (now - 60 + i, now - 60 + i))
+    return (
+        spark.readStream.schema("event_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+
+@query(
+    "stream_late_data_audit",
+    sql="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, mx
+    WHERE NOT (ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+               AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+                   <= m - INTERVAL 14 DAY)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark", "late-data", "bridge"),
+)
+def stream_late_data_audit(spark, sf_dir):
+    """Watermark LATE-DATA DROP accounting under the driver hash — the
+    one streaming behavior none of the other bridges exercises, because
+    their slices arrive in event-time order and nothing is ever late.
+    Here the middle ten days of events arrive AFTER the tail of the
+    month: hourly append-mode counts with a 14-day watermark delay must
+    drop exactly the late rows whose HOUR WINDOW ENDS at or below
+    max(ts) − 14 days, and keep the rest (their windows are still open
+    when they arrive). The oracle states that closed form, so the
+    driver hash pins three things at once: the drop predicate is on the
+    window END (not the row's event time — models disagree at sf0.01
+    and only window-end matches), the admission watermark is the one
+    the PREVIOUS completed batch established (the one-batch stall the
+    outer-join replay also pins), and accepted-late contributions merge
+    into their original hour groups rather than forking new ones.
+
+    Sentinel mechanics: off-range '__wm' rows interpose the judging
+    batch and flush the survivors; they are removed AFTER the replay
+    materializes (a `.where` in the streaming plan would push through
+    the aggregation into the parquet scan, row-group stats would skip
+    the sentinel file entirely, and the watermark would never advance —
+    the silent-vacuous failure mode this module refuses elsewhere).
+
+    At scale: watermark state is bounded by the delay horizon whatever
+    the corpus size; the audit itself is the streaming twin of a batch
+    filter + rollup. The measured cost model is in ARCHITECTURE.md's
+    streaming-replay section (state shards pinned small per bounded
+    replay).
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        stream = _staged_late_stream(spark, sf_dir, root)
+        agg = (
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "14 days")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, agg, "stream_late", mode="append")
+            if r["event_type"] != "__wm"
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "hour_start timestamp, event_type string, n long"
+    )
