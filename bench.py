@@ -246,6 +246,13 @@ EXTENDED = [
     "analytics_ltv_cohort_revenue",
     "text_code_detect_heuristic",
     "lake_delta_commit_history",
+    "stat_randomization_test",
+    "stat_quantile_normalize",
+    "quality_hotkey_skew",
+    "dedup_novelty_over_time",
+    "curate_pareto_fronts",
+    "lake_delta_snapshot_diff",
+    "stream_late_data_audit",
 ]
 
 

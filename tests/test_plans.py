@@ -954,3 +954,54 @@ def test_ltv_windows_over_grid_only(spark):
     # Window node == exactly two mentions
     assert 1 <= p.count("Window") <= 2
     assert p.count("HashAggregate") >= 2
+
+
+def test_randomization_test_partial_agg_no_range(spark):
+    """The K=199 explode must reduce via partial+final aggregation (the
+    shuffle carries K-keyed partials, never the exploded corpus) and
+    the observed split joins as a broadcast — no range partitioning,
+    no cartesian against the users frame."""
+    p = plan_of(spark, "stat_randomization_test")
+    assert "Generate" in p  # the K-way explode
+    assert p.count("HashAggregate") >= 4  # users agg + perms partial/final
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_normalize_broadcasts_distribution(spark):
+    """The pooled-distribution range join must broadcast the value-
+    domain-sized CDF table — a SortMergeJoin or CartesianProduct would
+    mean the corpus is being sorted/paired against it."""
+    p = plan_of(spark, "stat_quantile_normalize")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hotkey_skew_topk_and_histogram_window(spark):
+    """Top-10 keys must plan as TakeOrderedAndProject (per-partition
+    heap), and nothing in the plan may range-partition — the Gini runs
+    on the counts-of-counts histogram, not a ranked sort of the keys
+    frame."""
+    p = plan_of(spark, "quality_hotkey_skew")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_novelty_curve_single_hash_shuffle(spark):
+    """Keep-first novelty needs exactly the content-hash partitioning
+    exact dedup pays: a hash-partitioned window, no range exchange, no
+    join beyond the broadcast 1-row total."""
+    p = plan_of(spark, "dedup_novelty_over_time")
+    assert "Exchange rangepartitioning" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Window") >= 1
+
+
+def test_pareto_fronts_dominance_off_corpus(spark):
+    """The dominance self-join runs on the catalog-sized per-source
+    frame under a broadcast — never a SortMergeJoin or cartesian of
+    corpus-sized inputs."""
+    p = plan_of(spark, "curate_pareto_fronts")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
