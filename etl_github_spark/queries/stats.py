@@ -2320,3 +2320,111 @@ def stat_quantile_normalize(spark, sf_dir):
         (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
         (F.sum("v").cast("double") / F.count("*")).alias("mean_calibrated"),
     )
+
+
+@query(
+    "stat_isotonic_calibration",
+    sql="""
+    WITH b AS (
+      SELECT n_chars // 20 AS bucket,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS s
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, w, s,
+             CAST(sum(w) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(sum(s) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+      FROM b
+    ),
+    pairs AS (
+      SELECT j.bucket AS jb, k.bucket AS kb,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS avg_jk
+      FROM cum j JOIN cum k ON j.bucket <= k.bucket
+    ),
+    inner_min AS (
+      SELECT i.bucket AS bucket, p.jb,
+             min(p.avg_jk) AS min_avg
+      FROM b i JOIN pairs p ON p.jb <= i.bucket AND p.kb >= i.bucket
+      GROUP BY i.bucket, p.jb
+    ),
+    fit AS (
+      SELECT bucket, max(min_avg) AS iso_rate FROM inner_min GROUP BY bucket
+    )
+    SELECT b.bucket, b.w AS n_docs,
+           CAST(b.s * 1000000 // b.w AS BIGINT) AS raw_ppm,
+           fit.iso_rate
+    FROM b JOIN fit ON b.bucket = fit.bucket
+    """,
+    tags=("stats", "calibration", "training-prep"),
+)
+def stat_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of a bucketed score against a binary
+    target — fit the monotone non-decreasing rate curve closest in L²
+    to the observed per-bucket English rate over length-ventile
+    buckets. This is the calibration step a quality-classifier score
+    gets before its threshold means anything (Zadrozny & Elkan 2002);
+    the raw-vs-fitted gap per bucket is the reliability diagram.
+
+    Algorithm: instead of the sequential pool-adjacent-violators stack
+    (unbounded merge loop — not expressible in one SQL pass), use the
+    exact MINIMAX characterization fit_i = max_{j≤i} min_{k≥i}
+    mean(s[j..k]) — PAV's closed form. O(B³) pairs over the
+    BUCKET-DOMAIN frame only (B ≈ dozens): every join here is
+    bucket×bucket metadata, broadcast, never corpus-sized; the one
+    corpus pass is the combinable groupBy(bucket). Exactness: weights
+    and target sums are exact int64; each candidate mean is a single
+    int/int double division on identical operands, so min/max pick
+    identical values cross-engine.
+    """
+    d = T(spark, sf_dir, "documents")
+    b = d.groupBy(F.expr("n_chars div 20").alias("bucket")).agg(
+        F.count("*").cast("long").alias("w"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("s"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bucket",
+        "w",
+        "s",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("s").over(wcum).cast("long").alias("cs"),
+    )
+    j = cum.select(
+        F.col("bucket").alias("jb"),
+        (F.col("cw") - F.col("w")).alias("pw"),
+        (F.col("cs") - F.col("s")).alias("ps"),
+    )
+    k = cum.select(
+        F.col("bucket").alias("kb"), F.col("cw").alias("kw"), F.col("cs").alias("ks")
+    )
+    pairs = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("ks") - F.col("ps")).cast("double")
+            / (F.col("kw") - F.col("pw")).cast("double")
+        ).alias("avg_jk"),
+    )
+    spine = b.select("bucket")
+    inner = (
+        spine.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("bucket")) & (F.col("kb") >= F.col("bucket")),
+        )
+        .groupBy("bucket", "jb")
+        .agg(F.min("avg_jk").alias("min_avg"))
+    )
+    fit = inner.groupBy("bucket").agg(F.max("min_avg").alias("iso_rate"))
+    return (
+        b.join(F.broadcast(fit), "bucket")
+        .select(
+            "bucket",
+            F.col("w").alias("n_docs"),
+            F.expr("CAST(s * 1000000 div w AS BIGINT)").alias("raw_ppm"),
+            "iso_rate",
+        )
+    )

@@ -1005,3 +1005,12 @@ def test_pareto_fronts_dominance_off_corpus(spark):
     p = plan_of(spark, "curate_pareto_fronts")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_isotonic_calibration_all_broadcast(spark):
+    """Every minimax join runs on bucket-domain frames under broadcast
+    — a SortMergeJoin or cartesian would mean a corpus-sized side
+    leaked into the O(B^3) lattice."""
+    p = plan_of(spark, "stat_isotonic_calibration")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -481,3 +481,69 @@ def test_perplexity_deciles_invariant_under_repartitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == frag
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    """The minimax closed form the query uses (max_{j<=i} min_{k>=i}
+    pooled mean) must equal the classic sequential pool-adjacent-
+    violators fit, be monotone non-decreasing, and preserve each pooled
+    block's weighted mean. Brute-force PAV is re-implemented here
+    independently from the per-bucket (w, s) the fixture yields."""
+    from etl_github_spark.queries.stats import stat_isotonic_calibration
+
+    from .conftest import SF_ORACLE
+
+    rows = sorted(
+        (r["bucket"], r["n_docs"], r["raw_ppm"], r["iso_rate"])
+        for r in stat_isotonic_calibration(spark, SF_ORACLE).collect()
+    )
+    # independent inputs: recompute (w, s) straight off the table
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.session import tune
+
+    tune(spark)
+    d = load_table(spark, SF_ORACLE, "documents")
+    base = {
+        r["bucket"]: (r["w"], r["s"])
+        for r in d.groupBy(F.expr("n_chars div 20").alias("bucket"))
+        .agg(
+            F.count("*").alias("w"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("s"),
+        )
+        .collect()
+    }
+    # sequential PAV over buckets in ascending order
+    blocks: list[list[float]] = []  # [w, s]
+    for bkt in sorted(base):
+        w, s = base[bkt]
+        blocks.append([float(w), float(s)])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] / blocks[-2][0] >= blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    # expand block values back over the consecutive buckets they pooled
+    expanded = []
+    bkts = sorted(base)
+    idx = 0
+    for w, s in blocks:
+        covered = 0.0
+        v = s / w
+        while covered < w - 1e-9:
+            covered += base[bkts[idx]][0]
+            expanded.append((bkts[idx], v))
+            idx += 1
+    assert idx == len(bkts)
+    pav = dict(expanded)
+    got = {b: iso for b, _, _, iso in rows}
+    assert set(got) == set(pav)
+    for b in got:
+        assert abs(got[b] - pav[b]) < 1e-12, (b, got[b], pav[b])
+    # monotone non-decreasing
+    vals = [got[b] for b in sorted(got)]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    # total mass preserved: weighted mean of fit == overall rate
+    tw = sum(w for w, _ in base.values())
+    ts = sum(s for _, s in base.values())
+    assert abs(sum(base[b][0] * got[b] for b in got) - ts) < 1e-6 * tw
