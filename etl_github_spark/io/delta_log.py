@@ -448,6 +448,13 @@ def write_delta(
                 if adds is not None:
                     _remove_staged(table, adds)
                 raise
+            if mode == "overwrite":
+                try:
+                    _refuse_append_only(meta, "write_delta(mode='overwrite')")
+                except Exception:
+                    if adds is not None:
+                        _remove_staged(table, adds)
+                    raise
             try:  # generated columns: compute absent, verify present
                 df_eff = _apply_generated_columns(df, meta)
             except Exception:
@@ -1108,6 +1115,7 @@ def delete_delta_dv(spark: SparkSession, table: str, predicate: str) -> dict:
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
     _refuse_mapping(meta, "delete_delta_dv")
+    _refuse_append_only(meta, "delete_delta_dv")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     version = _next_version(table)  # claim at plan time (TOCTOU rule)
@@ -1337,6 +1345,7 @@ def merge_delta_dv(
     if meta is None:
         raise ValueError(f"no metaData action in version 0 of {table}")
     _refuse_mapping(meta, "merge_delta_dv")
+    _refuse_append_only(meta, "merge_delta_dv")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns", [])
     on = list(on)
@@ -1478,6 +1487,7 @@ def restore_delta(
     if meta_at is None:
         raise ValueError(f"no metaData action at-or-below version {version}")
     _refuse_mapping(meta_cur, "restore_delta")
+    _refuse_append_only(meta_cur, "restore_delta")
     _refuse_mapping(meta_at, "restore_delta")
     to_add = {
         p: a for p, a in target.items() if current.get(p) != a
@@ -1693,6 +1703,54 @@ def _refuse_mapping(meta: dict | None, op: str) -> None:
             f"{op} does not support column-mapped tables (mode=name); "
             "read/append/overwrite/rename/drop are the supported surface"
         )
+
+
+def _append_only(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return str(conf.get("delta.appendOnly", "")).lower() == "true"
+
+
+def _refuse_append_only(meta: dict | None, op: str) -> None:
+    """``delta.appendOnly=true`` blocks commits that destroy visible
+    rows (the protocol rule: no dataChange-true removals — overwrite,
+    DV delete, MERGE's in-place replacement, RESTORE). Layout-only
+    rewrites (OPTIMIZE/ZORDER/PURGE, dataChange:false) stay legal, as
+    in real Delta."""
+    if _append_only(meta):
+        raise ValueError(
+            f"{op} is not allowed: table has delta.appendOnly=true "
+            "(unset it with set_append_only(table, False) first)"
+        )
+
+
+def set_append_only(table: str, enabled: bool = True) -> int:
+    """ALTER TABLE SET TBLPROPERTIES ('delta.appendOnly' = ...): the
+    ingest-ledger guard rail — with it set, appends are the ONLY
+    commits that may touch visible rows, so an audit table cannot be
+    silently rewritten. Returns the commit version."""
+    version = _next_version(table)  # claim before the metadata read
+    meta = _table_metadata(table)
+    if meta is None:
+        raise ValueError(f"no metaData action in version 0 of {table}")
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.appendOnly"] = "true" if enabled else "false"
+    _commit(
+        table,
+        version,
+        [
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": {"delta.appendOnly": conf["delta.appendOnly"]}
+                    },
+                    "timestamp": 0,
+                }
+            },
+        ],
+    )
+    return version
 
 
 def enable_column_mapping(table: str) -> int:

@@ -2031,3 +2031,98 @@ def lake_delta_snapshot_diff(spark, sf_dir):
     return spark.createDataFrame(
         rows, "diff string, change_op string, n_rows long, sum_event_id long"
     )
+
+
+@query(
+    "lake_delta_append_only",
+    sql="""
+    SELECT 'while_guarded' AS phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id % 3 < 2
+    UNION ALL
+    SELECT 'after_unset',
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_id % 3 = 2
+    UNION ALL
+    SELECT 'refused_ops', 3, 0
+    """,
+    tags=("lake", "delta", "properties", "governance"),
+)
+def lake_delta_append_only(spark, sf_dir):
+    """``delta.appendOnly`` enforcement under the driver hash — the
+    ingest-ledger guard rail: land a slice, SET TBLPROPERTIES
+    appendOnly=true, and prove the protocol rule — appends still land,
+    but overwrite, DV DELETE, and RESTORE are each refused WITHOUT
+    committing (version pinned in-query after every refusal), while
+    OPTIMIZE (dataChange:false, layout-only) stays legal on the
+    guarded table. Unsetting the property re-enables overwrite, whose
+    result is the final snapshot. A guard that half-commits, blocks
+    compaction, or survives the unset flips an assertion or the hash.
+
+    Scale shape: the property lives in the metaData action — checks
+    are O(1) metadata reads on the commit path, never a table scan.
+    """
+    from ..io.delta_log import (
+        _latest_version,
+        delete_delta_dv,
+        optimize_delta,
+        read_delta,
+        restore_delta,
+        set_append_only,
+        write_delta,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    path = _scratch("delta_ao")
+    try:
+        write_delta(
+            e.where(F.col("event_id") % 3 == 0).coalesce(1), path,
+            mode="append", stats_cols=("event_id",),
+        )                                                   # v0
+        set_append_only(path)                               # v1
+        write_delta(
+            e.where(F.col("event_id") % 3 == 1).coalesce(1), path,
+            mode="append", stats_cols=("event_id",),
+        )                                                   # v2: appends OK
+        refused = 0
+        v_before = _latest_version(path)
+        for op in (
+            lambda: write_delta(
+                e.limit(1).coalesce(1), path, mode="overwrite"
+            ),
+            lambda: delete_delta_dv(spark, path, "event_id % 3 = 0"),
+            lambda: restore_delta(path, 0),
+        ):
+            try:
+                op()
+                raise AssertionError("append-only table accepted a rewrite")
+            except ValueError as exc:
+                assert "delta.appendOnly" in str(exc)
+                refused += 1
+        assert _latest_version(path) == v_before, "half-committed rewrite"
+        out = optimize_delta(spark, path, target_bytes=1 << 30)
+        assert out["version"] == v_before + 1, out  # layout ops stay legal
+        guarded = read_delta(spark, path).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("s"),
+        ).collect()[0]
+        set_append_only(path, False)                        # v4
+        write_delta(
+            e.where(F.col("event_id") % 3 == 2).coalesce(1), path,
+            mode="overwrite", stats_cols=("event_id",),
+        )                                                   # v5: unset works
+        after = read_delta(spark, path).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("s"),
+        ).collect()[0]
+        rows = [
+            ("while_guarded", guarded["n"], guarded["s"]),
+            ("after_unset", after["n"], after["s"]),
+            ("refused_ops", refused, 0),
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, n_rows long, sum_event_id long"
+    )

@@ -2626,3 +2626,43 @@ def test_delta_snapshot_diff_lifecycle(spark, tmp_path):
         snapshot_diff(spark, t, 4, 5)
     # but diffing at or above the evolution commit works.
     assert {(r["k"], r["_change_type"]) for r in snapshot_diff(spark, t, 5, 5).collect()} == set()
+
+
+def test_delta_append_only_property(spark, tmp_path):
+    """delta.appendOnly: MERGE refuses (it DV-deletes matched rows),
+    the property survives a checkpoint round-trip, clones inherit it,
+    and unsetting restores the full destructive surface."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.delta_log import (
+        checkpoint_delta,
+        clone_delta,
+        delete_delta_dv,
+        merge_delta_dv,
+        read_delta,
+        set_append_only,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    write_delta(df.coalesce(1), t, mode="append")
+    set_append_only(t)
+    with pytest.raises(ValueError, match="delta.appendOnly"):
+        merge_delta_dv(spark, t, df.withColumn("v", F.lit(0)), on="k")
+    # property survives checkpoint replay
+    checkpoint_delta(t)
+    write_delta(df.coalesce(1), t, mode="append")  # appends still fine
+    with pytest.raises(ValueError, match="delta.appendOnly"):
+        delete_delta_dv(spark, t, "k = 1")
+    # clones inherit the guard via copied metaData
+    c = str(tmp_path / "c")
+    clone_delta(t, c)
+    with pytest.raises(ValueError, match="delta.appendOnly"):
+        write_delta(df.coalesce(1), c, mode="overwrite")
+    # unset restores the surface
+    set_append_only(t, False)
+    out = delete_delta_dv(spark, t, "k = 1")
+    assert out["deleted_rows"] == 2  # both appends held k=1
+    assert read_delta(spark, t).where("k = 1").count() == 0
