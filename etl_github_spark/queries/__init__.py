@@ -27,7 +27,8 @@ string the driver diffs against at sf=0.01.
 # skew diagnostic, the novelty-decay curve, Pareto-front source
 # selection, the O(changed-files) snapshot diff, the watermark
 # late-drop audit, minimax isotonic calibration, and the
-# delta.appendOnly guard — 25 promotions) + 25 stalest greens (r01
+# delta.appendOnly guard, append-mode session windows, and the
+# any-order funnel — 27 promotions) + 23 stalest greens (r01
 # vintage) for re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -58,6 +59,8 @@ _R8_WINDOW = [
     "stream_late_data_audit",  # never driver-verified (promoted)
     "stat_isotonic_calibration",  # never driver-verified (promoted)
     "lake_delta_append_only",  # never driver-verified (promoted)
+    "stream_session_append_replay",  # never driver-verified (promoted)
+    "analytics_funnel_any_order",  # never driver-verified (promoted)
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
@@ -81,8 +84,6 @@ _R8_WINDOW = [
     "join_fact_fact_revenue",  # green r01
     "q1_pricing_summary",  # green r01
     "agg_value_counts",  # green r01
-    "agg_global_count",  # green r01
-    "agg_multi_shared_scan",  # green r01
 ]
 
 def _apply_rotation(window: list[str]) -> None:

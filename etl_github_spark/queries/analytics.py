@@ -3004,3 +3004,49 @@ def analytics_ltv_cohort_revenue(spark, sf_dir):
         ).alias("ltv_per_user"),
     )
     return out
+
+
+@query(
+    "analytics_funnel_any_order",
+    sql="""
+    WITH ud AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS mask
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(mask AS BIGINT) AS step_mask,
+           CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ud GROUP BY mask
+    """,
+    tags=("analytics", "funnel", "combination"),
+)
+def analytics_funnel_any_order(spark, sf_dir):
+    """UNORDERED funnel (combination analysis) — which SETS of the
+    view/click/purchase steps a user-day exhibits, regardless of
+    sequence. The ordered funnels (`funnel_conversion`,
+    `analytics_funnel_windowed`) answer "did they follow the path";
+    this answers the complementary diagnostic "which steps co-occur at
+    all" — mask 5 (view+purchase, no click) quantifies path-skipping
+    that an ordered funnel silently folds away, and mask 4
+    (purchase-only) is the attribution blind spot.
+
+    Shape: one groupBy(user, day) building a 3-bit presence mask from
+    conditional maxes (combinable — no DISTINCT explosion), then an
+    8-group rollup. The distinct-user count per mask rides the same
+    shuffle. All-integer output.
+    """
+    ev = T(spark, sf_dir, "events")
+    bit = lambda t, w: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ) * w
+    ud = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        (bit("view", 1) + bit("click", 2) + bit("purchase", 4)).alias("mask")
+    )
+    return ud.groupBy(F.col("mask").cast("long").alias("step_mask")).agg(
+        F.count("*").cast("long").alias("n_user_days"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

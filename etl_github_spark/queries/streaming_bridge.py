@@ -1105,16 +1105,19 @@ _LATE_WM_US = 1709251200000000  # 2024-03-01 UTC — sentinel A event time
 _LATE_WM2_US = 1709337600000000  # 2024-03-02 UTC — sentinel B event time
 
 
-def _staged_late_stream(spark, sf_dir, root):
-    """Stage the events fixture as an out-of-order file stream:
-    [early | late | sentinel A | middle | sentinel B]. The middle slice
-    arrives AFTER the late slice (it is genuinely late data), and the
-    two off-range sentinel rows serve distinct purposes: A interposes a
-    batch so the middle slice is judged against the watermark the
-    early+late data established (the filter watermark runs one batch
-    behind the reported one — the same stall the outer-join replay
-    pins), and B advances the final watermark past every real window
-    so append mode flushes the survivors before the replay ends."""
+def _staged_sentinel_stream(spark, sf_dir, root, cols, schema_ddl, sentinels,
+                            order):
+    """Stage the events fixture as a file stream with explicit arrival
+    ORDER over the three event-time slices plus off-range sentinel
+    rows. Sentinels serve two purposes (see stream_late_data_audit):
+    interposing a batch so a later slice is judged against the
+    watermark earlier data established (the filter watermark runs one
+    batch behind the reported one — the same stall the outer-join
+    replay pins), and advancing the final watermark so append mode
+    flushes remaining state before the replay ends. ``cols`` must
+    include ts_us; ``sentinels`` are rows matching ``schema_ddl``;
+    ``order`` interleaves 'b=0','b=1','b=2' (the slices) with
+    'sent<i>' (the i-th sentinel)."""
     import glob
     import os
     import shutil
@@ -1122,9 +1125,10 @@ def _staged_late_stream(spark, sf_dir, root):
 
     base = T(spark, sf_dir, "events").select(
         "event_id",
+        "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-    )
+    ).select(*cols)
     b_expr = (
         F.when(F.col("ts_us") < _SLICE_US[0], 0)
         .when(F.col("ts_us") >= _SLICE_US[1], 1)
@@ -1136,13 +1140,10 @@ def _staged_late_stream(spark, sf_dir, root):
     base.withColumn("b", b_expr).repartition(3, F.col("b")).write.partitionBy(
         "b"
     ).mode("overwrite").parquet(stage)
-    for i, ts in enumerate((_LATE_WM_US, _LATE_WM2_US)):
-        spark.createDataFrame(
-            [(-1, "__wm", ts)], "event_id long, event_type string, ts_us long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, f"sent{i}")
-        )
-    order = ["b=0", "b=1", "sent0", "b=2", "sent1"]  # arrival sequence
+    for i, row in enumerate(sentinels):
+        spark.createDataFrame([row], schema_ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"sent{i}"))
     now = time.time()
     for i, sub in enumerate(order):
         parts = glob.glob(os.path.join(stage, sub, "part-*.parquet"))
@@ -1152,7 +1153,7 @@ def _staged_late_stream(spark, sf_dir, root):
         shutil.move(parts[0], dest)
         os.utime(dest, (now - 60 + i, now - 60 + i))
     return (
-        spark.readStream.schema("event_id long, event_type string, ts_us long")
+        spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
@@ -1206,7 +1207,13 @@ def stream_late_data_audit(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="stream_late_")
     try:
-        stream = _staged_late_stream(spark, sf_dir, root)
+        stream = _staged_sentinel_stream(
+            spark, sf_dir, root,
+            cols=["event_id", "event_type", "ts_us"],
+            schema_ddl="event_id long, event_type string, ts_us long",
+            sentinels=[(-1, "__wm", _LATE_WM_US), (-1, "__wm", _LATE_WM2_US)],
+            order=["b=0", "b=1", "sent0", "b=2", "sent1"],
+        )
         agg = (
             stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             .withWatermark("ts", "14 days")
@@ -1223,4 +1230,82 @@ def stream_late_data_audit(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "hour_start timestamp, event_type string, n long"
+    )
+
+
+@query(
+    "stream_session_append_replay",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "stateful", "sessionize", "append", "bridge"),
+)
+def stream_session_append_replay(spark, sf_dir):
+    """Session windows under APPEND-mode emission — the production
+    shape `stream_sessionize_replay` (complete mode) deliberately
+    sidesteps: a session row may only reach the sink after the
+    watermark proves no future event can extend or merge it (event
+    time past end + gap). Three event-time-ordered slices build the
+    sessions across micro-batch boundaries — cross-batch EXTENSION of
+    an open session and merge-on-arrival both happen mid-stream — and
+    two off-range sentinels then walk the watermark past every real
+    session so the closed set flushes before the bounded replay ends
+    (per the one-batch eviction stall `_staged_sentinel_stream`
+    documents). The oracle is the batch gaps-and-islands closed form
+    verbatim: a session emitted early (before its gap was provably
+    over), split at a batch boundary, or withheld at the end each
+    flips the hash.
+
+    At scale: append mode is what an unbounded run writes to real
+    sinks — state holds only OPEN sessions (bounded by the watermark
+    horizon) and each emission is final, exactly once.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_sess_append_")
+    try:
+        stream = _staged_sentinel_stream(
+            spark, sf_dir, root,
+            cols=["event_id", "user_id", "ts_us"],
+            schema_ddl="event_id long, user_id long, ts_us long",
+            sentinels=[(-1, -1, _LATE_WM_US), (-1, -1, _LATE_WM2_US)],
+            order=["b=0", "b=1", "b=2", "sent0", "sent1"],
+        )
+        agg = (
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "1 day").alias("w"), "user_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, agg, "stream_sess_append", mode="append")
+            if r["user_id"] >= 0
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
     )
