@@ -253,6 +253,10 @@ EXTENDED = [
     "curate_pareto_fronts",
     "lake_delta_snapshot_diff",
     "stream_late_data_audit",
+    "stat_isotonic_calibration",
+    "lake_delta_append_only",
+    "stream_session_append_replay",
+    "analytics_funnel_any_order",
 ]
 
 
