@@ -1140,10 +1140,23 @@ def _staged_sentinel_stream(spark, sf_dir, root, cols, schema_ddl, sentinels,
     base.withColumn("b", b_expr).repartition(3, F.col("b")).write.partitionBy(
         "b"
     ).mode("overwrite").parquet(stage)
+    # sentinel files are written by pyarrow directly (driver-local, zero
+    # Spark jobs — same trick as the outer-join replay); FileStreamSource
+    # only needs the file schema to match the declared DDL
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ARROW = {"long": pa.int64(), "bigint": pa.int64(), "string": pa.string()}
+    fields = [f.strip().rsplit(" ", 1) for f in schema_ddl.split(",")]
+    arrow_schema = pa.schema([(n, _ARROW[t.lower()]) for n, t in fields])
     for i, row in enumerate(sentinels):
-        spark.createDataFrame([row], schema_ddl).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, f"sent{i}"))
+        os.makedirs(os.path.join(stage, f"sent{i}"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {n: [v] for (n, _), v in zip(fields, row)}, schema=arrow_schema
+            ),
+            os.path.join(stage, f"sent{i}", "part-0.parquet"),
+        )
     now = time.time()
     for i, sub in enumerate(order):
         parts = glob.glob(os.path.join(stage, sub, "part-*.parquet"))
