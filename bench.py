@@ -257,6 +257,7 @@ EXTENDED = [
     "lake_delta_append_only",
     "stream_session_append_replay",
     "analytics_funnel_any_order",
+    "stat_fdr_bh_randomization",
 ]
 
 

@@ -2428,3 +2428,236 @@ def stat_isotonic_calibration(spark, sf_dir):
             "iso_rate",
         )
     )
+
+
+_BH_CMP = (
+    "abs(psy_a * pn_b - psy_b * pn_a) * (n_a * n_b)"
+    " >= abs(sy_a * n_b - sy_b * n_a) * (pn_a * pn_b)"
+)
+
+
+@query(
+    "stat_fdr_bh_randomization",
+    sql=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+      FROM (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS arm
+        FROM u
+      )
+    ),
+    parms AS (
+      SELECT k,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS pn_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS pn_b
+      FROM (
+        SELECT g.k,
+               CAST(concat('0x', substr(md5(concat(CAST(u.user_id AS VARCHAR),
+                                                   ':', CAST(g.k AS VARCHAR))),
+                                 1, 15)) AS BIGINT) % 2 AS arm
+        FROM u CROSS JOIN generate_series(1, {_RT_K}) AS g(k)
+      ) GROUP BY k
+    ),
+    uy AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST(coalesce(sum(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS sy_a,
+             CAST(coalesce(sum(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS sy_b
+      FROM (
+        SELECT event_type, y,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS arm
+        FROM uy
+      ) GROUP BY event_type
+    ),
+    psums AS (
+      SELECT event_type, k,
+             CAST(coalesce(sum(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS psy_a,
+             CAST(coalesce(sum(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS psy_b
+      FROM (
+        SELECT uy.event_type, uy.y, g.k,
+               CAST(concat('0x', substr(md5(concat(CAST(uy.user_id AS VARCHAR),
+                                                   ':', CAST(g.k AS VARCHAR))),
+                                 1, 15)) AS BIGINT) % 2 AS arm
+        FROM uy CROSS JOIN generate_series(1, {_RT_K}) AS g(k)
+      ) GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT o.event_type,
+             CAST((1 + count(*) FILTER (WHERE {_BH_CMP})) * 1000
+                  // ({_RT_K} + 1) AS BIGINT) AS p_permille
+      FROM psums p
+      JOIN parms ON parms.k = p.k
+      JOIN obs o ON o.event_type = p.event_type
+      CROSS JOIN arms
+      GROUP BY o.event_type, arms.n_a, arms.n_b, o.sy_a, o.sy_b
+    ),
+    ranked AS (
+      SELECT event_type, p_permille,
+             CAST(row_number() OVER (ORDER BY p_permille, event_type)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    cutoff AS (
+      SELECT coalesce(max(rnk) FILTER (WHERE p_permille * m <= 50 * rnk), 0)
+               AS kstar
+      FROM ranked
+    )
+    SELECT event_type, p_permille, rnk, m,
+           rnk <= kstar AS rejected
+    FROM ranked CROSS JOIN cutoff
+    """,
+    tags=("stats", "experimentation", "multiple-testing"),
+)
+def stat_fdr_bh_randomization(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over the per-metric randomization
+    tests — the multiple-testing step every experimentation readout
+    with more than one metric needs (here: one arm-difference test per
+    event type, so five simultaneous hypotheses). BH is the step-up
+    rule: rank p ascending, find the largest k with p_(k) <= alpha*k/m,
+    reject ranks 1..k.
+
+    EXACT end to end, which almost no BH implementation is: the
+    per-metric p-values come from the same md5 randomization machinery
+    as `stat_randomization_test` (integer permille, cross-multiplied
+    integer extremeness — no chi-square inverse, no erf approximation
+    to drift between engines), and the step-up comparison
+    p_(k) <= 0.05*k/m is the integer test p_permille*m <= 50*k. The
+    tie-break (p, event_type) makes ranks deterministic.
+
+    Scale shape: per-arm TOTALS make zero-count users free (they add 0
+    to every sum, so the (user,type) frame only carries observed
+    pairs); the K-explode is map-side with partial aggregation down to
+    (type, K) partials; BH itself is a window over the METRICS frame
+    (m rows). Cost is O(K * observed pairs) map work, one tiny shuffle.
+    """
+    ev = T(spark, sf_dir, "events")
+
+    def _parity(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % 2
+        )
+
+    u = ev.select("user_id").distinct()
+    arms = u.select(
+        _parity(F.col("user_id").cast("string")).alias("arm")
+    ).agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+    )
+    parms = (
+        par(u)
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_RT_K))).alias("k"),
+        )
+        .select(
+            "k",
+            _parity(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ).alias("arm"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("pn_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("pn_b"),
+        )
+    )
+    uy = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("y")
+    )
+    obs = (
+        uy.select(
+            "event_type",
+            "y",
+            _parity(F.col("user_id").cast("string")).alias("arm"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias("sy_a"),
+            F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias("sy_b"),
+        )
+    )
+    psums = (
+        par(uy)
+        .select(
+            "event_type",
+            "y",
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_RT_K))).alias("k"),
+        )
+        .select(
+            "event_type",
+            "y",
+            "k",
+            _parity(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ).alias("arm"),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias("psy_a"),
+            F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
+            .cast("long")
+            .alias("psy_b"),
+        )
+    )
+    cmp_spark = _BH_CMP.replace("//", "div")
+    pv = (
+        psums.join(F.broadcast(parms), "k")
+        .join(F.broadcast(obs), "event_type")
+        .crossJoin(F.broadcast(arms))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"CAST((1 + count(CASE WHEN {cmp_spark} THEN 1 END)) * 1000"
+                f" div ({_RT_K} + 1) AS BIGINT)"
+            ).alias("p_permille")
+        )
+    )
+    wall = Window.orderBy("p_permille", "event_type")
+    ranked = pv.select(
+        "event_type",
+        "p_permille",
+        F.row_number().over(wall).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_permille") * F.col("m") <= 50 * F.col("rnk"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "p_permille",
+        "rnk",
+        "m",
+        (F.col("rnk") <= F.col("kstar")).alias("rejected"),
+    )
