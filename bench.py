@@ -258,6 +258,7 @@ EXTENDED = [
     "stream_session_append_replay",
     "analytics_funnel_any_order",
     "stat_fdr_bh_randomization",
+    "cluster_dbscan_embeddings",
 ]
 
 

@@ -370,3 +370,134 @@ def dedup_soft_downweight(spark, sf_dir):
             "dup_inflation"
         ),
     )
+
+
+_DB_EPS = 0.35  # cosine eps-ball (same threshold as dedup_embedding_cosine)
+_DB_MIN_NBRS = 3  # core rule: >= 3 eps-neighbors (minPts = 4 counting self)
+
+_DB_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+_DB_PAIRS_SQL = """
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= {eps}
+""".format(
+    ab=_DB_DOT.format(a="a.embedding", b="b.embedding"),
+    aa=_DB_DOT.format(a="a.embedding", b="a.embedding"),
+    bb=_DB_DOT.format(a="b.embedding", b="b.embedding"),
+    eps=_DB_EPS,
+)
+
+
+@query(
+    "cluster_dbscan_embeddings",
+    sql=f"""
+    WITH RECURSIVE p AS ({_DB_PAIRS_SQL}),
+    edges AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+    deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY a),
+    core AS (SELECT v FROM deg WHERE c >= {_DB_MIN_NBRS}),
+    ce AS (
+      SELECT e.a, e.b FROM edges e
+      JOIN core ca ON e.a = ca.v JOIN core cb ON e.b = cb.v
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM ce
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS v, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    core_lab AS (
+      SELECT core.v, coalesce(comp.cluster_id, core.v) AS cluster_id
+      FROM core LEFT JOIN comp ON core.v = comp.v
+    ),
+    border AS (
+      SELECT e.a AS v, min(cl.cluster_id) AS cluster_id
+      FROM edges e JOIN core_lab cl ON e.b = cl.v
+      WHERE e.a NOT IN (SELECT v FROM core)
+      GROUP BY e.a
+    )
+    SELECT emb.vec_id,
+           CASE WHEN cl.v IS NOT NULL THEN 'core'
+                WHEN bo.v IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(cl.cluster_id, bo.cluster_id) AS cluster_id
+    FROM embeddings emb
+    LEFT JOIN core_lab cl ON emb.vec_id = cl.v
+    LEFT JOIN border bo ON emb.vec_id = bo.v
+    """,
+    tags=("clustering", "dbscan", "embedding", "training-prep"),
+)
+def cluster_dbscan_embeddings(spark, sf_dir):
+    """Deterministic DBSCAN over the embedding cosine eps-graph
+    (eps: cos >= 0.35, minPts = 4) — density-based clustering for the
+    semantic-dedup / SemDeDup-style grouping a CC-only clustering
+    over-merges: CORE points (>= 3 eps-neighbors) chain through density,
+    BORDER points attach to a neighboring core's cluster without
+    bridging clusters themselves, NOISE stays unclustered. The classic
+    DBSCAN border ambiguity (a border touching two clusters) is pinned
+    to the MIN core-neighbor cluster id, and cluster id = min core id
+    in the density-connected component — fully order-independent, so
+    the whole labeling replays in the oracle.
+
+    Scale shape: this registered form rides the exhaustive O(N²)
+    pair baseline (same documented contract as dedup_embedding_cosine);
+    the 100 TB path swaps in SRP-bucketed candidate pairs
+    (sim_lsh_bucketed_topk's bucketing) and keeps everything downstream
+    — degrees, core rule, min-label CC over core edges (per-round
+    |core edges| shuffle), broadcast border attach — unchanged.
+    """
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= _DB_EPS)
+        .select("va", "vb")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).localCheckpoint()
+    deg = edges.groupBy(F.col("va").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    core = deg.where(F.col("c") >= _DB_MIN_NBRS).select("v")
+    ce = (
+        edges.join(F.broadcast(core.withColumnRenamed("v", "va")), "va")
+        .join(F.broadcast(core.withColumnRenamed("v", "vb")), "vb")
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    )
+    comp = connected_components(ce)  # (id, label) for cores with core edges
+    core_lab = (
+        core.join(comp, core["v"] == comp["id"], "left")
+        .select("v", F.coalesce("label", "v").alias("cluster_id"))
+    )
+    border = (
+        edges.join(
+            F.broadcast(core_lab.withColumnRenamed("v", "vb")), "vb"
+        )
+        .join(F.broadcast(core.withColumnRenamed("v", "va")), "va", "left_anti")
+        .groupBy(F.col("va").alias("v"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(core_lab.withColumnRenamed("v", "vec_id")), "vec_id", "left")
+        .withColumnRenamed("cluster_id", "core_cl")
+        .join(
+            F.broadcast(border.withColumnRenamed("v", "vec_id")), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("core_cl").isNotNull(), "core")
+            .when(F.col("cluster_id").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("core_cl", "cluster_id").alias("cluster_id"),
+        )
+    )
