@@ -259,6 +259,7 @@ EXTENDED = [
     "analytics_funnel_any_order",
     "stat_fdr_bh_randomization",
     "cluster_dbscan_embeddings",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -1635,3 +1635,223 @@ def sim_mips_augmented(spark, sf_dir):
         ranked.where(F.col("rk") <= 5)
         .select("q_id", "vec_id", "ip", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _ivfpq_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
+               m: int = 16, ksub: int = 64, dim: int = _DIM,
+               topk: int = 10) -> str:
+    """DuckDB replica of `sim_ivfpq_topk`: the `_ivf_kmeans_sql` coarse
+    chain (renamed i-prefixed CTEs) selects the probed cells over RAW
+    vectors; the `_pq_sql` chain fits/encodes NORMALIZED vectors; the
+    final ADC scoring is restricted to vectors whose cell is probed.
+    Same determinism contracts as both parents."""
+    from .similarity import _fold_dot_sql
+
+    dist_ec = _sqdist_sql("e", "c")
+    dsub = dim // m
+    t = "(dv[CAST(i AS INT)] - bv[CAST(i AS INT)])"
+    dist = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> {t} * {t}), "
+        f"(a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    ifit AS (SELECT * FROM x WHERE vec_id % {mod} = 0),
+    ic0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, e AS c
+      FROM (SELECT vec_id, e FROM ifit ORDER BY vec_id LIMIT {k})
+    )"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    ia{r} AS (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM ifit, ic{r - 1}
+      GROUP BY vec_id, e
+    ),
+    iu{r} AS (
+      SELECT cell, i,
+             CAST(sum(CAST(round(e[CAST(i AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS m
+      FROM ia{r}, range(1, {dim + 1}) t(i)
+      GROUP BY cell, i
+    ),
+    icu{r} AS (SELECT cell, list(m ORDER BY i) AS c FROM iu{r} GROUP BY cell),
+    ic{r} AS (
+      SELECT p.cell, coalesce(n.c, p.c) AS c
+      FROM ic{r - 1} p LEFT JOIN icu{r} n USING (cell)
+    )""")
+    parts.append(f"""
+    iq AS (SELECT e AS qe FROM x WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (SELECT cell, {_sqdist_sql("qe", "c")} AS d
+                        FROM ic{iters}, iq)
+      ORDER BY d, cell LIMIT {nprobe}
+    ),
+    af AS (
+      SELECT vec_id,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM x, ic{iters}
+      GROUP BY vec_id, e
+    ),
+    cand AS (SELECT vec_id FROM af WHERE cell IN (SELECT cell FROM probe)),
+    xn AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(CAST(v AS DOUBLE) / norm AS REAL)) AS ne
+      FROM (SELECT vec_id, embedding,
+                   sqrt({_fold_dot_sql("embedding", "embedding")}) AS norm
+            FROM embeddings)
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS INT) AS s,
+             list_transform(ne[(CAST(s AS INT) * {dsub} + 1):(CAST(s AS INT) * {dsub} + {dsub})],
+                            v -> CAST(v AS DOUBLE)) AS dv
+      FROM xn, range(0, {m}) t(s)
+    ),
+    fsub AS (SELECT * FROM sub WHERE vec_id % {mod} = 0),
+    finit AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+      FROM (SELECT DISTINCT vec_id FROM fsub ORDER BY vec_id LIMIT {ksub})
+    ),
+    b0 AS (SELECT s, code, dv AS bv FROM finit JOIN fsub USING (vec_id))""")
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    a{r} AS (
+      SELECT f.vec_id, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM fsub f JOIN b{r - 1} b ON f.s = b.s
+      GROUP BY f.vec_id, f.s
+    ),
+    u{r} AS (
+      SELECT a.s, a.code, j,
+             CAST(sum(CAST(round(dv[CAST(j AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS mv
+      FROM a{r} a JOIN fsub f ON a.vec_id = f.vec_id AND a.s = f.s,
+           range(1, {dsub + 1}) t(j)
+      GROUP BY a.s, a.code, j
+    ),
+    bu{r} AS (SELECT s, code, list(mv ORDER BY j) AS bv FROM u{r} GROUP BY s, code),
+    b{r} AS (
+      SELECT p.s, p.code, coalesce(n.bv, p.bv) AS bv
+      FROM b{r - 1} p LEFT JOIN bu{r} n USING (s, code)
+    )""")
+    parts.append(f"""
+    qn AS (
+      SELECT list_transform(ne, v -> CAST(v AS DOUBLE)
+               / sqrt({_fold_dot_sql("ne", "ne")})) AS qv
+      FROM xn WHERE vec_id = 0
+    ),
+    tabt AS (
+      SELECT b.s, b.code,
+             list_reduce(list_transform(range(1, {dsub + 1}),
+               i -> qv[CAST(b.s * {dsub} + i AS INT)] * bv[CAST(i AS INT)]),
+               (a, b) -> a + b) AS val
+      FROM b{iters} b, qn
+    ),
+    ae AS (
+      SELECT f.vec_id, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM sub f JOIN cand ON f.vec_id = cand.vec_id
+      JOIN b{iters} b ON f.s = b.s
+      GROUP BY f.vec_id, f.s
+    )
+    SELECT vec_id,
+           list_reduce(list(val ORDER BY s), (a, b) -> a + b) AS approx_dot
+    FROM ae JOIN tabt USING (s, code)
+    GROUP BY vec_id
+    ORDER BY approx_dot DESC, vec_id
+    LIMIT {topk}""")
+    return ",".join(parts)
+
+
+@query(
+    "sim_ivfpq_topk",
+    sql=_ivfpq_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "quantization"),
+)
+def sim_ivfpq_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                   m: int = 16, ksub: int = 64):
+    """IVF-PQ composite top-k — the production ANN layout (FAISS
+    IndexIVFPQ shape): the learned coarse quantizer prunes the corpus
+    to nprobe cells, and PQ/ADC scores ONLY the surviving candidates
+    from their 16-byte codes. Composes the two index rungs this module
+    already verifies separately (`sim_ivf_kmeans_topk`,
+    `sim_topk_pq`): at 100 TB the vectors live cell-partitioned
+    (io/ivf_store.py) storing codes instead of floats — a probe reads
+    nprobe/k of the corpus at 32× less IO per row, and encode cost is
+    paid only for probed cells here (pq_encode runs after the
+    candidate semi-join). This variant scores global-codebook codes of
+    the original vectors; residual encoding (PQ over vec − centroid)
+    is the recall refinement FAISS defaults to and is documented as
+    out of scope — recall vs brute force is pinned in pytest either
+    way.
+
+    Determinism: both fits are the deterministic sampled scaled-integer
+    chains their parents pin; probe choice and the query's dot table
+    are explicit driver-side left folds; every reduction that reaches
+    the OUTPUT is fold-ordered, so the oracle replays fits, probe,
+    candidates, codes, and ADC scores end to end.
+    """
+    import math
+
+    from .similarity import fold_dot
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(raw, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dq = []
+    for cell in range(len(centroids)):
+        d = 0.0
+        for qi, ci in zip(q_raw, centroids[cell]):
+            t = float(qi) - float(ci)
+            d += t * t
+        dq.append((d, cell))
+    probe = [cell for _, cell in sorted(dq)[:nprobe]]
+    cand = (
+        assign_cells(raw, centroids)
+        .where(F.col("cell").isin(probe))
+        .select("vec_id")
+    )
+
+    norm = F.sqrt(fold_dot(F.col("embedding"), F.col("embedding")))
+    emb = raw.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: (v.cast("double") / norm).cast("float")
+        ).alias("embedding"),
+    )
+    books = pq_fit(emb, m=m, ksub=ksub)
+    q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dsub = _DIM // m
+    qs = 0.0
+    for v in q_vec:
+        qs += float(v) * float(v)
+    qn = [float(v) / math.sqrt(qs) for v in q_vec]
+    tab = [
+        [
+            sum((qn[s * dsub + j] * books[s][c][j] for j in range(dsub)), 0.0)
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in tab[s]]) for s in range(m)]
+    )
+    coded = pq_encode(emb.join(cand, "vec_id"), books).select(
+        "vec_id", "codes", tab_lit.alias("tab")
+    )
+    approx_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at("tab", s + 1), F.element_at("codes", s + 1) + 1),
+    )
+    return (
+        coded.select("vec_id", approx_dot.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(10)
+    )

@@ -169,3 +169,17 @@ def test_kcenter_selection_is_spread_and_deterministic(spark):
         d = min(((emb[ids[r]] - p) ** 2).sum() for p in prior)
         radii.append(d)
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+
+def test_ivfpq_topk_recall_and_pruning(spark):
+    """The IVF-PQ composite must (a) be bit-deterministic across runs,
+    (b) retrieve the query itself, and (c) hold a recall floor vs the
+    exact brute force (loose: cell pruning AND code quantization both
+    cost recall; the floor exists so a refactor that nukes either
+    fails loudly)."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    ivfpq = _ids(spark, "sim_ivfpq_topk")
+    assert ivfpq == _ids(spark, "sim_ivfpq_topk")
+    assert ivfpq[0] == 0
+    floor = 6 if "0.001" not in SF_ORACLE else 3
+    assert len(set(ivfpq) & set(brute)) >= floor
