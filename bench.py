@@ -260,6 +260,8 @@ EXTENDED = [
     "stat_fdr_bh_randomization",
     "cluster_dbscan_embeddings",
     "sim_ivfpq_topk",
+    "stat_anova_oneway",
+    "graph_modularity_lpa",
 ]
 
 

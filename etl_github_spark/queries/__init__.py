@@ -29,8 +29,9 @@ string the driver diffs against at sf=0.01.
 # late-drop audit, minimax isotonic calibration, and the
 # delta.appendOnly guard, append-mode session windows, and the
 # any-order funnel, exact-integer BH FDR over randomization
-# p-values, deterministic DBSCAN, and the IVF-PQ composite index —
-# 30 promotions) + 20 stalest greens (r01 vintage) for
+# p-values, deterministic DBSCAN, the IVF-PQ composite index,
+# ordered-fold one-way ANOVA, and LPA modularity scoring —
+# 32 promotions) + 18 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -66,6 +67,8 @@ _R8_WINDOW = [
     "stat_fdr_bh_randomization",  # never driver-verified (promoted)
     "cluster_dbscan_embeddings",  # never driver-verified (promoted)
     "sim_ivfpq_topk",  # never driver-verified (promoted)
+    "stat_anova_oneway",  # never driver-verified (promoted)
+    "graph_modularity_lpa",  # never driver-verified (promoted)
     "filter_disjunction",  # green r01
     "filter_having",  # green r01
     "filter_null_safe",  # green r01
@@ -81,8 +84,6 @@ _R8_WINDOW = [
     "limit_deterministic",  # green r01
     "join_inner_broadcast",  # green r01
     "join_left_outer_agg",  # green r01
-    "join_semi",  # green r01
-    "join_anti",  # green r01
     "join_multiway_dims",  # green r01
     "join_fact_fact_revenue",  # green r01
     "q1_pricing_summary",  # green r01

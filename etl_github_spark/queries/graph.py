@@ -607,12 +607,7 @@ def _lpa_sql(rounds: int = 3) -> str:
     """
 
 
-@query(
-    "graph_label_propagation",
-    sql=_lpa_sql(),
-    tags=("graph", "iterative", "community"),
-)
-def graph_label_propagation(spark, sf_dir, rounds: int = 3):
+def _lpa_state(spark, sf_dir, rounds: int = 3):
     """Label-propagation community detection (Raghavan et al. 2007)
     over the undirected customer↔supplier purchase graph, made
     DETERMINISTIC: synchronous updates (every round reads only the
@@ -683,6 +678,19 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
             .select(F.col("node2").alias("node"), F.col("m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
+    return und, edges, labels
+
+
+@query(
+    "graph_label_propagation",
+    sql=_lpa_sql(),
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark, sf_dir, rounds: int = 3):
+    """Surviving LPA communities with member / customer / supplier
+    counts — see `_lpa_state` for the determinism contract and
+    per-round scale shape; this is its community rollup."""
+    _, _, labels = _lpa_state(spark, sf_dir, rounds)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum(F.col("node").startswith("C").cast("long"))
@@ -691,6 +699,116 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
         F.sum(F.col("node").startswith("S").cast("long"))
         .cast("long")
         .alias("n_suppliers"),
+    )
+
+
+def _modularity_sql(rounds: int = 3) -> str:
+    """Reuses `_lpa_sql`'s CTE chain (everything up to the final
+    SELECT) and scores the resulting partition with Newman-Girvan
+    modularity in exact integer form: Q·4m² = Σ_c (4m·e_c − d_c²)."""
+    base = _lpa_sql(rounds)
+    prefix = base[: base.rindex("SELECT label AS community")].rstrip()
+    return f"""{prefix},
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    ein AS (
+      SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_in
+      FROM und
+      JOIN l{rounds} la ON und.a = la.node
+      JOIN l{rounds} lb ON und.b = lb.node
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ),
+    dg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    dc AS (
+      SELECT l.label AS community, CAST(sum(dg.d) AS BIGINT) AS d_sum
+      FROM dg JOIN l{rounds} l ON dg.node = l.node
+      GROUP BY l.label
+    ),
+    terms AS (
+      SELECT dc.community, coalesce(ein.e_in, 0) AS e_in, dc.d_sum
+      FROM dc LEFT JOIN ein USING (community)
+    )
+    SELECT mm.m AS m_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(4 * mm.m * e_in - d_sum * d_sum) AS DOUBLE)
+             / (4.0 * mm.m * mm.m) AS modularity
+    FROM terms CROSS JOIN mm
+    GROUP BY mm.m
+    """
+
+
+@query(
+    "graph_modularity_lpa",
+    sql=_modularity_sql(),
+    tags=("graph", "community", "evaluation"),
+)
+def graph_modularity_lpa(spark, sf_dir, rounds: int = 3):
+    """Newman-Girvan modularity of the deterministic-LPA partition —
+    the quality score that says whether the communities are real
+    structure or noise (Q ≈ 0 means no better than random given the
+    degree sequence): Q = Σ_c [e_c/m − (d_c/2m)²]. Completes the
+    community pipeline: `graph_label_propagation` finds the partition,
+    this evaluates it — the check a curation pipeline runs before
+    trusting communities for train/eval splitting. On THIS graph the
+    check fires for real: synchronous LPA on a bipartite graph
+    converges to the two-sided coloring (every edge crosses), whose
+    modularity is exactly −0.5 — the pathological partition the score
+    exists to catch, pinned under the driver hash.
+
+    Exactness: edges m, within-community edges e_c, and degree sums
+    d_c are exact int64; Q·4m² = Σ_c (4m·e_c − d_c²) is computed as an
+    order-free integer sum, with ONE shared double division at the end
+    — bit-identical cross-engine. Overflow envelope: d_c ≤ 2m keeps
+    every term within int64 through ~1e9 edges. Scale shape: on top of
+    LPA's per-round O(edges) shuffles, scoring adds one |und| join
+    against the broadcast label frame and two label-keyed rollups.
+    """
+    und, edges, labels = _lpa_state(spark, sf_dir, rounds)
+    mm = und.agg(F.count("*").cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("cla"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("clb"))
+    ein = (
+        und.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("cla") == F.col("clb"))
+        .groupBy(F.col("cla").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    dg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    dc = (
+        dg.join(F.broadcast(labels), "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").cast("long").alias("d_sum"))
+    )
+    terms = dc.join(F.broadcast(ein), "community", "left").select(
+        "community",
+        F.coalesce("e_in", F.lit(0).cast("long")).alias("e_in"),
+        "d_sum",
+    )
+    return (
+        terms.crossJoin(F.broadcast(mm))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum(
+                4 * F.col("m") * F.col("e_in") - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("qnum"),
+        )
+        .select(
+            F.col("m").alias("m_edges"),
+            "n_communities",
+            (
+                F.col("qnum").cast("double")
+                / (4.0 * F.col("m").cast("double") * F.col("m").cast("double"))
+            ).alias("modularity"),
+        )
     )
 
 

@@ -2661,3 +2661,87 @@ def stat_fdr_bh_randomization(spark, sf_dir):
         "m",
         (F.col("rnk") <= F.col("kstar")).alias("rejected"),
     )
+
+
+#: shared final expressions over exact int64 (n_g, s_g) group moments —
+#: identical text both engines evaluate, so the doubles match bitwise.
+_ANOVA_SSB = (
+    "CAST(sum_sq_over_n AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)"
+)
+_ANOVA_SSW = "CAST(ss AS DOUBLE) - CAST(sum_sq_over_n AS DOUBLE)"
+_ANOVA_F = (
+    f"CASE WHEN k <= 1 OR n <= k OR ({_ANOVA_SSW}) = 0 THEN NULL "
+    f"ELSE (({_ANOVA_SSB}) / (k - 1)) / (({_ANOVA_SSW}) / (n - k)) END"
+)
+
+
+@query(
+    "stat_anova_oneway",
+    sql=f"""
+    WITH g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss_g
+      FROM documents GROUP BY source
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ss_g) AS BIGINT) AS ss,
+             sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                 ORDER BY source) AS sum_sq_over_n
+      FROM g
+    )
+    SELECT k AS k_groups, n AS n_docs,
+           {_ANOVA_SSB} AS ss_between,
+           {_ANOVA_SSW} AS ss_within,
+           {_ANOVA_F} AS f_stat
+    FROM m
+    """,
+    tags=("stats", "experimentation", "variance"),
+)
+def stat_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across sources (does mean document length differ
+    by origin?): F = (SSB/(k−1)) / (SSW/(N−k)) — the k-group
+    generalization of `stat_welch_ttest_sources`, and the first gate
+    before inspecting per-source means in a mixing decision.
+
+    Exactness: per-group (n, Σx, Σx²) are exact int64; SSB needs
+    Σ s_g²/n_g — a per-group double division whose SUM would normally
+    be reduction-order-sensitive, so both engines fold it in the SAME
+    explicit order (Spark: sorted array aggregate; DuckDB: ORDER BY
+    inside sum) over the CATALOG-sized group frame. SSW = Σx² − that
+    same term. Scale shape: one combinable corpus groupBy; everything
+    after runs on |sources| rows.
+    """
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("n_chars").cast("long").alias("s_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss_g"),
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("source", "n_g", "s_g"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s_g"].cast("double") * x["s_g"].cast("double")
+            / x["n_g"].cast("double"),
+        ).alias("sum_sq_over_n"),
+    )
+    return m.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_docs"),
+        F.expr(_ANOVA_SSB).alias("ss_between"),
+        F.expr(_ANOVA_SSW).alias("ss_within"),
+        F.expr(_ANOVA_F).alias("f_stat"),
+    )
