@@ -262,6 +262,9 @@ EXTENDED = [
     "sim_ivfpq_topk",
     "stat_anova_oneway",
     "graph_modularity_lpa",
+    "sim_silhouette_kmeans",
+    "stat_mutual_information",
+    "stat_auc_roc",
 ]
 
 

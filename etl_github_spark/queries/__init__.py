@@ -30,8 +30,9 @@ string the driver diffs against at sf=0.01.
 # delta.appendOnly guard, append-mode session windows, and the
 # any-order funnel, exact-integer BH FDR over randomization
 # p-values, deterministic DBSCAN, the IVF-PQ composite index,
-# ordered-fold one-way ANOVA, and LPA modularity scoring —
-# 32 promotions) + 18 stalest greens (r01 vintage) for
+# ordered-fold one-way ANOVA, LPA modularity scoring, simplified
+# k-means silhouette, source-language mutual information, and
+# mid-rank ROC AUC — 35 promotions) + 15 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -69,9 +70,9 @@ _R8_WINDOW = [
     "sim_ivfpq_topk",  # never driver-verified (promoted)
     "stat_anova_oneway",  # never driver-verified (promoted)
     "graph_modularity_lpa",  # never driver-verified (promoted)
-    "filter_disjunction",  # green r01
-    "filter_having",  # green r01
-    "filter_null_safe",  # green r01
+    "sim_silhouette_kmeans",  # never driver-verified (promoted)
+    "stat_mutual_information",  # never driver-verified (promoted)
+    "stat_auc_roc",  # never driver-verified (promoted)
     "filter_range_date",  # green r01
     "project_subset",  # green r01
     "project_json_prop",  # green r01

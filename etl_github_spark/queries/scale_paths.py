@@ -563,13 +563,16 @@ def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
     )
 
 
-def _ivf_kmeans_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
-                    dim: int = _DIM) -> str:
-    """Unrolled k-means replica of `lloyd_fit` + IVF probe as one DuckDB
-    CTE chain. Assignment = argmin over full squared distance with
-    (dist, cell) tie-break — the Spark side's numpy kernel computes the
-    same argmin up to a row-constant (‖x‖²), so the decisions agree;
-    centroid updates are the identical exact scaled-integer mean."""
+def _kmeans_fit_parts(k: int = 8, iters: int = 3, mod: int = 4,
+                      dim: int = _DIM) -> list[str]:
+    """Unrolled k-means replica of `lloyd_fit` as DuckDB CTE parts
+    (`x` = double-cast corpus, `c{iters}` = final centroids) — shared
+    by every oracle that replays the learned coarse quantizer
+    (`sim_ivf_kmeans_topk`, `sim_silhouette_kmeans`). Assignment =
+    argmin over full squared distance with (dist, cell) tie-break —
+    the Spark side's numpy kernel computes the same argmin up to a
+    row-constant (‖x‖²), so the decisions agree; centroid updates are
+    the identical exact scaled-integer mean."""
     dist_ec = _sqdist_sql("e", "c")
     parts = [
         f"""
@@ -603,6 +606,15 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
       SELECT p.cell, coalesce(n.c, p.c) AS c
       FROM c{r - 1} p LEFT JOIN cu{r} n USING (cell)
     )""")
+    return parts
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
+                    dim: int = _DIM) -> str:
+    """k-means fit replay (`_kmeans_fit_parts`) + IVF probe + probed-cell
+    rescore as one DuckDB CTE chain."""
+    dist_ec = _sqdist_sql("e", "c")
+    parts = _kmeans_fit_parts(k, iters, mod, dim)
     parts.append(f"""
     q AS (SELECT e AS qe FROM x WHERE vec_id = 0),
     probe AS (
@@ -672,6 +684,97 @@ def sim_ivf_kmeans_topk(spark, sf_dir, k: int = 8, nprobe: int = 3):
         .select("vec_id", cosine(F.col("embedding"), qe).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+def _silhouette_sql(k: int = 8, iters: int = 3, mod: int = 4,
+                    dim: int = _DIM) -> str:
+    """Fit replay (`_kmeans_fit_parts`) + per-point sorted centroid
+    distances + nano-quantized per-cell mean silhouette."""
+    dist_ec = _sqdist_sql("e", "c")
+    parts = _kmeans_fit_parts(k, iters, mod, dim)
+    parts.append(f"""
+    af AS (
+      SELECT vec_id,
+             list_sort(list(struct_pack(d := {dist_ec}, cell := cell))) AS ds
+      FROM x, c{iters}
+      GROUP BY vec_id
+    ),
+    sv AS (
+      SELECT vec_id, ds[1].cell AS cell, ds[1].d AS a2, ds[2].d AS b2 FROM af
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(round((CASE WHEN greatest(a2, b2) <= 0 THEN 0.0
+                 ELSE (b2 - a2) / greatest(a2, b2) END) * 1e9) AS BIGINT))
+             AS BIGINT) / (count(*) * 1e9) AS mean_silhouette
+    FROM sv GROUP BY cell""")
+    return ",".join(parts)
+
+
+@query(
+    "sim_silhouette_kmeans",
+    sql=_silhouette_sql(),
+    tags=("similarity", "clustering", "evaluation", "kmeans"),
+)
+def sim_silhouette_kmeans(spark, sf_dir, k: int = 8):
+    """Simplified (centroid-based) silhouette score of the learned
+    k-means partition — the index-quality gate an ANN build runs before
+    trusting its cells: per point, a = squared distance to its own
+    centroid, b = squared distance to the nearest OTHER centroid,
+    s = (b−a)/max(a,b) ∈ [0,1] here (a is the argmin so a ≤ b); mean s
+    per cell. Near-zero cells mean boundary-heavy assignments → raise k
+    or re-fit. Completes the evaluation trio: modularity scores the LPA
+    partition, DBSCAN carries its own density contract, this scores the
+    quantizer. Medoid-free simplified silhouette is O(n·k), not the
+    classic O(n²) — the only formulation that survives 100 TB.
+
+    Exactness: centroids are bit-reproducible across engines (exact
+    scaled-integer Lloyd means, see `lloyd_fit`), per-point distances
+    are the SAME index-order left fold both engines (`F.aggregate` over
+    `zip_with` ↔ `list_reduce` over `list_transform`), the (d, cell)
+    struct sort pins ties, and the corpus-sized mean folds through
+    round(s·1e9) int64 — order-free. Scale shape: one corpus×k narrow
+    crossJoin against the broadcast k×dim centroid frame (k is a
+    constant), one vec_id rollup, one cell rollup; no numpy on the
+    scoring path so every s is bit-identical cross-engine.
+    """
+    emb = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(emb, k=k, iters=3)
+
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ds = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct(d2.alias("d"), "cell").alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list("dc")).alias("ds"))
+        .select(
+            F.col("ds")[0]["cell"].alias("cell"),
+            F.col("ds")[0]["d"].alias("a2"),
+            F.col("ds")[1]["d"].alias("b2"),
+        )
+    )
+    s = F.when(F.greatest("a2", "b2") <= 0, F.lit(0.0)).otherwise(
+        (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2")
+    )
+    return ds.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_points"),
+        (
+            F.sum(F.round(s * 1e9).cast("long")).cast("long")
+            / (F.count("*") * F.lit(1e9))
+        ).alias("mean_silhouette"),
     )
 
 

@@ -2745,3 +2745,208 @@ def stat_anova_oneway(spark, sf_dir):
         F.expr(_ANOVA_SSW).alias("ss_within"),
         F.expr(_ANOVA_F).alias("f_stat"),
     )
+
+
+@query(
+    "stat_mutual_information",
+    sql="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      FROM documents GROUP BY source, lang
+    ),
+    m AS (
+      SELECT source, lang, n_sl,
+             CAST(sum(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+             CAST(sum(n_sl) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+             CAST(sum(n_sl) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    mi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n_sl * CAST(floor(ln(CAST(n * n_sl AS DOUBLE)
+                   / CAST(n_s * n_l AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+               AS mi_int
+      FROM m
+    ),
+    hs AS (
+      SELECT CAST(sum(n_s * CAST(floor(ln(CAST(n AS DOUBLE)
+                   / CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS h_int
+      FROM (SELECT DISTINCT source, n_s, n FROM m)
+    ),
+    hl AS (
+      SELECT CAST(sum(n_l * CAST(floor(ln(CAST(n AS DOUBLE)
+                   / CAST(n_l AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS h_int
+      FROM (SELECT DISTINCT lang, n_l, n FROM m)
+    )
+    SELECT mi.n AS n_docs, mi.n_cells,
+           CAST(mi_int AS DOUBLE) / (mi.n * 1e9) AS mi_nats,
+           CAST(hs.h_int AS DOUBLE) / (mi.n * 1e9) AS h_source,
+           CAST(hl.h_int AS DOUBLE) / (mi.n * 1e9) AS h_lang,
+           CASE WHEN least(hs.h_int, hl.h_int) <= 0 THEN NULL
+                ELSE CAST(mi_int AS DOUBLE)
+                     / CAST(least(hs.h_int, hl.h_int) AS DOUBLE) END AS nmi
+    FROM mi, hs, hl
+    """,
+    tags=("stats", "information", "mixing"),
+)
+def stat_mutual_information(spark, sf_dir):
+    """Plug-in mutual information between source and language (is the
+    corpus mix confounded — do sources specialize by language?), with
+    both marginal entropies and normalized MI: the quantitative form of
+    `stat_chi2_lang_source`'s independence test, in nats, and the
+    diagnostic a mixing plan reads before reweighting sources
+    (NMI ≈ 1 ⇒ source IS language and temperature-mixing one collapses
+    the other).
+
+    Exactness: every probability is a ratio of int64 counts, and each
+    cell's log term ln(N·n_sl/(n_s·n_l)) is floor-quantized to integer
+    nano-nats (the `lm.py` surprisal technique — a cross-engine libm
+    last-bit difference only matters on a floor boundary), so the
+    corpus-weighted sums Σ n·q are exact int64 and order-free; NMI is
+    one int64/int64 division. Overflow envelope: N·n_sl ≤ N² needs
+    N ≤ 3e9; the nano-nat sums stay under int64 through N ≈ 3e8 docs —
+    coarsen the quantum to micro-nats past that. Scale shape: one
+    combinable corpus groupBy; windows and entropy rollups run on the
+    |sources|×|langs| cell frame.
+    """
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_sl")
+    )
+    tot = cells.agg(F.sum("n_sl").cast("long").alias("n"))
+    m = cells.select(
+        "source",
+        "lang",
+        "n_sl",
+        F.sum("n_sl").over(Window.partitionBy("source")).cast("long").alias("n_s"),
+        F.sum("n_sl").over(Window.partitionBy("lang")).cast("long").alias("n_l"),
+    ).crossJoin(F.broadcast(tot))
+    q = lambda num, den: F.floor(  # noqa: E731
+        F.log(num.cast("double") / den.cast("double")) * 1e9
+    ).cast("long")
+    mi = m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(
+            F.col("n_sl") * q(F.col("n") * F.col("n_sl"), F.col("n_s") * F.col("n_l"))
+        )
+        .cast("long")
+        .alias("mi_int"),
+    )
+    hs = (
+        m.select("source", "n_s", "n")
+        .distinct()
+        .agg(F.sum(F.col("n_s") * q(F.col("n"), F.col("n_s"))).cast("long").alias("hs_int"))
+    )
+    hl = (
+        m.select("lang", "n_l", "n")
+        .distinct()
+        .agg(F.sum(F.col("n_l") * q(F.col("n"), F.col("n_l"))).cast("long").alias("hl_int"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            (F.col("mi_int").cast("double") / (F.col("n") * F.lit(1e9))).alias("mi_nats"),
+            (F.col("hs_int").cast("double") / (F.col("n") * F.lit(1e9))).alias("h_source"),
+            (F.col("hl_int").cast("double") / (F.col("n") * F.lit(1e9))).alias("h_lang"),
+            F.when(F.least("hs_int", "hl_int") <= 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("mi_int").cast("double")
+                / F.least("hs_int", "hl_int").cast("double")
+            )
+            .alias("nmi"),
+        )
+    )
+
+
+@query(
+    "stat_auc_roc",
+    sql="""
+    WITH g AS (
+      SELECT source, n_chars,
+             CAST(count(*) AS BIGINT) AS c_tot,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_pos
+      FROM documents GROUP BY source, n_chars
+    ),
+    r AS (
+      SELECT source, c_tot, c_pos,
+             CAST(sum(c_tot) OVER (PARTITION BY source
+                  ORDER BY n_chars NULLS LAST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - c_tot AS cum_before
+      FROM g
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c_tot - c_pos) AS BIGINT) AS n_neg,
+             CAST(sum(c_pos * (2 * cum_before + c_tot + 1)) AS BIGINT)
+               AS two_rank_sum
+      FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+    FROM s
+    """,
+    tags=("stats", "evaluation", "classifier"),
+)
+def stat_auc_roc(spark, sf_dir):
+    """Per-source ROC AUC of document length as a classifier for
+    lang = 'en' — the rank-based (Mann-Whitney) AUC with exact mid-rank
+    tie handling: AUC = (2·ΣR₊ − n₊(n₊+1)) / (2·n₊·n₋). The standard
+    eval for any heuristic quality/routing score (here: does length
+    alone separate English?); per-source rows expose sources where the
+    signal inverts (AUC < 0.5). Complements `stat_mannwhitney_sources`
+    (two-sample location test on the SAME U statistic) by framing it as
+    classifier evaluation with the per-group rank bookkeeping.
+
+    Exactness: tied scores get mid-ranks computed from integer
+    cumulative counts — 2·Σ mid-ranks = Σ c₊·(2·cum_before + c_tot + 1)
+    is exact int64 — so AUC is ONE integer/integer division in double.
+    Degenerate sources (single-class) yield NULL, not a fake 0.5.
+    Overflow: two_rank_sum ≤ 2n² per source — int64-safe through ~2e9
+    docs/source. Scale shape: one combinable groupBy(source, score),
+    one per-source cumulative window over distinct score values, one
+    per-source rollup; never a per-row window over the corpus.
+    """
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("c_tot"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("c_pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc_nulls_last("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "source",
+        "c_tot",
+        "c_pos",
+        (F.sum("c_tot").over(w).cast("long") - F.col("c_tot")).alias("cum_before"),
+    )
+    s = r.groupBy("source").agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c_tot") - F.col("c_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("c_pos") * (2 * F.col("cum_before") + F.col("c_tot") + 1))
+        .cast("long")
+        .alias("two_rank_sum"),
+    )
+    return s.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("two_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        )
+        .alias("auc"),
+    )
