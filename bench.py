@@ -265,6 +265,10 @@ EXTENDED = [
     "sim_silhouette_kmeans",
     "stat_mutual_information",
     "stat_auc_roc",
+    "graph_clustering_coefficient",
+    "graph_assortativity",
+    "analytics_shapley_attribution",
+    "stat_diff_in_diff",
 ]
 
 

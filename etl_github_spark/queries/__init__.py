@@ -31,8 +31,10 @@ string the driver diffs against at sf=0.01.
 # any-order funnel, exact-integer BH FDR over randomization
 # p-values, deterministic DBSCAN, the IVF-PQ composite index,
 # ordered-fold one-way ANOVA, LPA modularity scoring, simplified
-# k-means silhouette, source-language mutual information, and
-# mid-rank ROC AUC — 35 promotions) + 15 stalest greens (r01 vintage) for
+# k-means silhouette, source-language mutual information,
+# mid-rank ROC AUC, local clustering coefficient + transitivity,
+# degree assortativity, exact 3-channel Shapley attribution, and
+# diff-in-differences — 39 promotions) + 11 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -73,10 +75,10 @@ _R8_WINDOW = [
     "sim_silhouette_kmeans",  # never driver-verified (promoted)
     "stat_mutual_information",  # never driver-verified (promoted)
     "stat_auc_roc",  # never driver-verified (promoted)
-    "filter_range_date",  # green r01
-    "project_subset",  # green r01
-    "project_json_prop",  # green r01
-    "project_json_struct",  # green r01
+    "graph_clustering_coefficient",  # never driver-verified (promoted)
+    "graph_assortativity",  # never driver-verified (promoted)
+    "analytics_shapley_attribution",  # never driver-verified (promoted)
+    "stat_diff_in_diff",  # never driver-verified (promoted)
     "scalar_string_funcs",  # green r01
     "scalar_math_funcs",  # green r01
     "scalar_case_when",  # green r01

@@ -3050,3 +3050,100 @@ def analytics_funnel_any_order(spark, sf_dir):
         F.count("*").cast("long").alias("n_user_days"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "analytics_shapley_attribution",
+    sql="""
+    WITH ud AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    mc AS (
+      SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_n FROM ud GROUP BY mask
+    ),
+    v AS (
+      SELECT CAST(i AS INTEGER) AS s,
+             CAST(coalesce((SELECT sum(mc.conv_n) FROM mc
+                            WHERE (mc.mask & ~CAST(i AS INTEGER) & 7) = 0), 0)
+               AS BIGINT) AS v
+      FROM range(0, 8) t(i)
+    ),
+    ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+           AS t(channel, bit))
+    SELECT ch.channel,
+           CAST(sum((CASE (vs.s & 1) + ((vs.s >> 1) & 1) + ((vs.s >> 2) & 1)
+                     WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+                    * (vi.v - vs.v)) AS BIGINT) AS phi6,
+           CAST(sum((CASE (vs.s & 1) + ((vs.s >> 1) & 1) + ((vs.s >> 2) & 1)
+                     WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+                    * (vi.v - vs.v)) AS BIGINT) / 6.0 AS shapley
+    FROM ch
+    JOIN v vs ON (vs.s & ch.bit) = 0
+    JOIN v vi ON vi.s = (vs.s | ch.bit)
+    GROUP BY ch.channel
+    """,
+    tags=("analytics", "attribution", "shapley"),
+)
+def analytics_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value attribution over the three pre-conversion
+    channels (view / click / signup), conversion = purchase in the same
+    user-day: φ_i = Σ_{S∌i} |S|!(2−|S|)!/3! · [v(S∪{i}) − v(S)] with
+    the subset characteristic v(S) = converting user-days whose
+    touch-set ⊆ S. Completes the attribution family — last-touch and
+    linear are positional heuristics, Markov is removal-effect; Shapley
+    is the coalition-game answer (the only one that is symmetric,
+    additive, and null-player-zero at once). With 3 channels the 2³
+    coalitions are enumerated exactly — no sampling approximation.
+
+    Exactness: v(·) values are int64 conversion counts; the factorial
+    weights {2,1,2} make 6·φ_i an exact int64 (`phi6`), and `shapley`
+    is one int/6.0 division. Σφ_i = v(N) − v(∅) by construction
+    (v(∅) = purchase-only days — the unattributable base the efficiency
+    axiom exposes rather than hides). Scale shape: ONE combinable
+    (user, day) groupBy over the fact table; everything after runs on
+    the 8-row mask frame × 8-row coalition lattice.
+    """
+    ev = T(spark, sf_dir, "events")
+    bit = lambda t, w: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ) * w
+    ud = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        (bit("view", 1) + bit("click", 2) + bit("signup", 4)).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    mc = ud.groupBy("mask").agg(F.sum("conv").cast("long").alias("conv_n"))
+    lattice = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        lattice.join(
+            F.broadcast(mc), F.expr("(mask & ~s & 7) = 0"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit int"
+    )
+    w = F.expr(
+        "CASE (s & 1) + ((s >> 1) & 1) + ((s >> 2) & 1) "
+        "WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END"
+    )
+    vi = v.select(F.col("s").alias("si"), F.col("v").alias("vn"))
+    return (
+        ch.join(F.broadcast(v), F.expr("(s & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("si = (s | bit)"))
+        .groupBy("channel")
+        .agg(F.sum(w * (F.col("vn") - F.col("v"))).cast("long").alias("phi6"))
+        .select(
+            "channel",
+            "phi6",
+            (F.col("phi6").cast("long") / F.lit(6.0)).alias("shapley"),
+        )
+    )

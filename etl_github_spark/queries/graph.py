@@ -1078,3 +1078,232 @@ def graph_personalized_pagerank(spark, sf_dir):
         .limit(_TOP)
         .select("node", F.col("r").alias("ppr_q12"))
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ue AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_TRI_MINSUP}
+    ),
+    tri AS (
+      SELECT ab.p1 AS x, ab.p2 AS y, bc.p2 AS z
+      FROM ue ab
+      JOIN ue bc ON ab.p2 = bc.p1
+      JOIN ue ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2
+    ),
+    tn AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY v
+    ),
+    deg AS (
+      SELECT u AS v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT p1 AS u FROM ue UNION ALL SELECT p2 FROM ue)
+      GROUP BY u
+    ),
+    cc AS (
+      SELECT deg.v, deg.d, coalesce(tn.t, 0) AS t,
+             (2 * coalesce(tn.t, 0) * 1000000000) // (deg.d * (deg.d - 1))
+               AS cc9
+      FROM deg LEFT JOIN tn USING (v)
+      WHERE deg.d >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(t) AS BIGINT) // 3 AS n_triangles,
+           CAST(sum(cc9) AS BIGINT) / (count(*) * 1e9) AS avg_clustering,
+           CAST(2 * sum(t) AS DOUBLE)
+             / CAST(sum(d * (d - 1)) AS DOUBLE) AS transitivity
+    FROM cc
+    """,
+    tags=("graph", "clustering", "evaluation"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Watts-Strogatz average local clustering coefficient AND global
+    transitivity of the co-purchase part graph — the density diagnostics
+    that separate genuine community structure from hub-dominated noise
+    (high transitivity + low avg-cc = a few dense hubs; both high =
+    pervasive clustering). cc_v = 2·T_v / (d_v·(d_v−1)) over nodes with
+    d ≥ 2; transitivity = 3·triangles / wedges = Σ2T_v / Σd_v(d_v−1).
+
+    Exactness: per-node T_v and d_v are exact counts; cc_v is
+    nano-quantized by INTEGER division (2·T_v·1e9 div d_v(d_v−1) —
+    Spark `div` ≡ DuckDB `//` on non-negatives), so the node-mean is an
+    exact int64 sum with one final division, and transitivity is one
+    int64/int64 division — no libm anywhere. Scale shape: reuses the
+    support-thresholded edge list (candidate-bounded like the LSH
+    joins) + the ordered two-hop triangle join, then per-node rollups;
+    the triangle→node explode is O(3·triangles). Overflow: Σcc9 ≤
+    n·1e9 — int64-safe through ~9e9 nodes.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= _TRI_MINSUP)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    ab = edges.select(F.col("p1").alias("x"), F.col("p2").alias("y"))
+    bc = edges.select(F.col("p1").alias("y"), F.col("p2").alias("z"))
+    ac = edges.select(F.col("p1").alias("x"), F.col("p2").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    tn = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    cc = (
+        deg.join(tn, "v", "left")
+        .select(
+            "v",
+            "d",
+            F.coalesce("t", F.lit(0).cast("long")).alias("t"),
+        )
+        .where(F.col("d") >= 2)
+        .withColumn("cc9", F.expr("(2 * t * 1000000000) div (d * (d - 1))"))
+    )
+    return cc.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("sum(t) div 3").cast("long").alias("n_triangles"),
+        (F.sum("cc9").cast("long") / (F.count("*") * F.lit(1e9))).alias(
+            "avg_clustering"
+        ),
+        (
+            (2 * F.sum("t")).cast("double")
+            / F.sum(F.col("d") * (F.col("d") - 1)).cast("double")
+        ).alias("transitivity"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    sql="""
+    WITH und AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+    jk AS (
+      SELECT da.d AS j, db.d AS k
+      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS mm,
+             CAST(sum(j) AS BIGINT) AS sj,
+             CAST(sum(j * k) AS BIGINT) AS sjk,
+             CAST(sum(j * j) AS BIGINT) AS sj2
+      FROM jk
+    )
+    SELECT mm AS m_directed_edges, sj AS sum_deg, sjk AS sum_jk,
+           sj2 AS sum_j2,
+           CASE WHEN CAST(mm AS DOUBLE) * CAST(sj2 AS DOUBLE)
+                     - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) = 0 THEN NULL
+                ELSE (CAST(mm AS DOUBLE) * CAST(sjk AS DOUBLE)
+                      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                     / (CAST(mm AS DOUBLE) * CAST(sj2 AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) END
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "structure", "evaluation"),
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the undirected
+    customer↔supplier purchase graph: the Pearson correlation of
+    endpoint degrees over edges, r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²)
+    using the directed edge list (each undirected edge in both
+    directions makes Σj = Σk and Σj² = Σk², collapsing the general
+    formula to pure int64 moments — NO sqrt, no libm). Disassortative
+    r < 0 flags hub-and-spoke structure (high-degree suppliers serving
+    low-degree customers) — the topology signal that says whether
+    degree-based sampling will bias a graph-derived training corpus.
+
+    Exactness: all four moments are exact int64 sums over the directed
+    edge list (Σj² ≤ M·d_max² must fit int64); the final products run
+    in DOUBLE — (Σj)² overflows int64 at the 10× probe already — and
+    double products of exact ints < 2^53 are correctly rounded
+    identically by both engines, so r stays bit-stable while every
+    moment < 2^53. Scale shape: one distinct-collapsed fact join
+    for edges, one degree groupBy, two degree joins keyed on node id
+    (shuffle, no cartesian), one global rollup — every stage
+    O(edges).
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    # EAGER checkpoint: this frame is referenced three times inside ONE
+    # action (deg + both jk joins); eager materialization measured ~2×
+    # faster than lazy cold (7.0 s vs 16.8 s at the 10× probe) because
+    # the lazy variant's first touch happens inside the already-planned
+    # composite job instead of as its own narrow job.
+    e = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    jk = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("j")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("k")), "b")
+        .select("j", "k")
+    )
+    m = jk.agg(
+        F.count("*").cast("long").alias("mm"),
+        F.sum("j").cast("long").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("long").alias("sj2"),
+    )
+    # combine in DOUBLE: the int64 moments are exact, but their products
+    # overflow int64 already at the 10× probe (Σj ≈ 3.7e9 ⇒ (Σj)² ≈
+    # 1.4e19, caught live by ANSI mode); double products of exact ints
+    # < 2^53 are correctly rounded identically by both engines.
+    num = F.col("mm").cast("double") * F.col("sjk").cast("double") - F.col(
+        "sj"
+    ).cast("double") * F.col("sj").cast("double")
+    den = F.col("mm").cast("double") * F.col("sj2").cast("double") - F.col(
+        "sj"
+    ).cast("double") * F.col("sj").cast("double")
+    return m.select(
+        F.col("mm").alias("m_directed_edges"),
+        F.col("sj").alias("sum_deg"),
+        F.col("sjk").alias("sum_jk"),
+        F.col("sj2").alias("sum_j2"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("assortativity"),
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ._util import T, par
+from ._util import T, davg, davg_sql, par
 from .registry import query
 
 _MOMENTS_SQL = """
@@ -2949,4 +2949,77 @@ def stat_auc_roc(spark, sf_dir):
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
         )
         .alias("auc"),
+    )
+
+
+_DID_CELL = "CAST(m_t_post - m_t_pre AS DOUBLE) - CAST(m_c_post - m_c_pre AS DOUBLE)"
+
+
+@query(
+    "stat_diff_in_diff",
+    sql=f"""
+    WITH cell AS (
+      SELECT (user_id % 2 = 1) AS treat,
+             (CAST(ts AS DATE) >= DATE '2024-01-16') AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             {davg_sql("value")} AS m
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT max(CASE WHEN treat AND post THEN m END) AS m_t_post,
+             max(CASE WHEN treat AND NOT post THEN m END) AS m_t_pre,
+             max(CASE WHEN NOT treat AND post THEN m END) AS m_c_post,
+             max(CASE WHEN NOT treat AND NOT post THEN m END) AS m_c_pre,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM cell
+    )
+    SELECT n_events, m_t_pre, m_t_post, m_c_pre, m_c_post,
+           {_DID_CELL} AS did
+    FROM p
+    """,
+    tags=("stats", "experimentation", "causal"),
+)
+def stat_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator over the 2×2 design
+    (treat = odd user_id, post = second half of the month): DID =
+    (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) — the
+    parallel-trends causal estimate that closes the experimentation
+    family (SRM guards assignment, CUPED tightens variance,
+    randomization/MDE test and size it; DID handles the
+    staggered-rollout case where pre-period data must absorb group
+    baselines).
+
+    Exactness: each cell mean is the deterministic `davg` (exact
+    scaled-integer cents sum / count — one division); the DID combine
+    is the SAME three-subtraction expression text both engines. Scale
+    shape: one combinable corpus groupBy into exactly 4 cells; the
+    pivot and estimate run on the 4-row frame.
+    """
+    ev = T(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date")).alias(
+            "post"
+        ),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        davg("value").alias("m"),
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m"))
+    )
+    p = cell.agg(
+        pick(True, True).alias("m_t_post"),
+        pick(True, False).alias("m_t_pre"),
+        pick(False, True).alias("m_c_post"),
+        pick(False, False).alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return p.select(
+        "n_events",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        F.expr(_DID_CELL).alias("did"),
     )
