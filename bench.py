@@ -269,6 +269,7 @@ EXTENDED = [
     "graph_assortativity",
     "analytics_shapley_attribution",
     "stat_diff_in_diff",
+    "sim_ivfpq_residual_topk",
 ]
 
 

@@ -1888,10 +1888,10 @@ def sim_ivfpq_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
     nprobe/k of the corpus at 32× less IO per row, and encode cost is
     paid only for probed cells here (pq_encode runs after the
     candidate semi-join). This variant scores global-codebook codes of
-    the original vectors; residual encoding (PQ over vec − centroid)
-    is the recall refinement FAISS defaults to and is documented as
-    out of scope — recall vs brute force is pinned in pytest either
-    way.
+    the original vectors; the FAISS-default residual refinement
+    (PQ over vec − centroid, per-cell query tables) is
+    `sim_ivfpq_residual_topk` — recall vs brute force is pinned in
+    pytest for both.
 
     Determinism: both fits are the deterministic sampled scaled-integer
     chains their parents pin; probe choice and the query's dot table
@@ -1956,5 +1956,258 @@ def sim_ivfpq_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
     return (
         coded.select("vec_id", approx_dot.alias("approx_dot"))
         .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivfpq_residual_sql(k: int = 8, iters: int = 3, mod: int = 4,
+                        nprobe: int = 3, m: int = 16, ksub: int = 64,
+                        dim: int = _DIM, topk: int = 10) -> str:
+    """DuckDB replica of `sim_ivfpq_residual_topk`: the coarse chain
+    picks cells over RAW vectors; residuals (vec − assigned centroid,
+    float-quantized exactly like the stored form) feed the PQ chain;
+    ADC uses a PER-PROBED-CELL query-residual table and scores squared
+    L2 (ascending). Same determinism contracts as `_ivfpq_sql`."""
+    dist_ec = _sqdist_sql("e", "c")
+    dsub = dim // m
+    t = "(dv[CAST(i AS INT)] - bv[CAST(i AS INT)])"
+    dist = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> {t} * {t}), "
+        f"(a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    ifit AS (SELECT * FROM x WHERE vec_id % {mod} = 0),
+    ic0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, e AS c
+      FROM (SELECT vec_id, e FROM ifit ORDER BY vec_id LIMIT {k})
+    )"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    ia{r} AS (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM ifit, ic{r - 1}
+      GROUP BY vec_id, e
+    ),
+    iu{r} AS (
+      SELECT cell, i,
+             CAST(sum(CAST(round(e[CAST(i AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS m
+      FROM ia{r}, range(1, {dim + 1}) t(i)
+      GROUP BY cell, i
+    ),
+    icu{r} AS (SELECT cell, list(m ORDER BY i) AS c FROM iu{r} GROUP BY cell),
+    ic{r} AS (
+      SELECT p.cell, coalesce(n.c, p.c) AS c
+      FROM ic{r - 1} p LEFT JOIN icu{r} n USING (cell)
+    )""")
+    parts.append(f"""
+    iq AS (SELECT e AS qe FROM x WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (SELECT cell, {_sqdist_sql("qe", "c")} AS d
+                        FROM ic{iters}, iq)
+      ORDER BY d, cell LIMIT {nprobe}
+    ),
+    af AS MATERIALIZED (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM x, ic{iters}
+      GROUP BY vec_id, e
+    ),
+    res AS MATERIALIZED (
+      SELECT af.vec_id, af.cell,
+             list_transform(range(1, {dim + 1}),
+               i -> CAST(CAST(af.e[CAST(i AS INT)] - cc.c[CAST(i AS INT)]
+                              AS REAL) AS DOUBLE)) AS re
+      FROM af JOIN ic{iters} cc ON af.cell = cc.cell
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, cell, CAST(s AS INT) AS s,
+             re[(CAST(s AS INT) * {dsub} + 1):(CAST(s AS INT) * {dsub} + {dsub})]
+               AS dv
+      FROM res, range(0, {m}) t(s)
+    ),
+    fsub AS MATERIALIZED (SELECT * FROM sub WHERE vec_id % {mod} = 0),
+    finit AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+      FROM (SELECT DISTINCT vec_id FROM fsub ORDER BY vec_id LIMIT {ksub})
+    ),
+    b0 AS (SELECT s, code, dv AS bv FROM finit JOIN fsub USING (vec_id))""")
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    a{r} AS (
+      SELECT f.vec_id, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM fsub f JOIN b{r - 1} b ON f.s = b.s
+      GROUP BY f.vec_id, f.s
+    ),
+    u{r} AS (
+      SELECT a.s, a.code, j,
+             CAST(sum(CAST(round(dv[CAST(j AS INT)] * 1e7) AS BIGINT)) AS BIGINT)
+               / (count(*) * 1e7) AS mv
+      FROM a{r} a JOIN fsub f ON a.vec_id = f.vec_id AND a.s = f.s,
+           range(1, {dsub + 1}) t(j)
+      GROUP BY a.s, a.code, j
+    ),
+    bu{r} AS (SELECT s, code, list(mv ORDER BY j) AS bv FROM u{r} GROUP BY s, code),
+    b{r} AS (
+      SELECT p.s, p.code, coalesce(n.bv, p.bv) AS bv
+      FROM b{r - 1} p LEFT JOIN bu{r} n USING (s, code)
+    )""")
+    parts.append(f"""
+    qres AS (
+      SELECT p.cell,
+             list_transform(range(1, {dim + 1}),
+               i -> qe[CAST(i AS INT)] - cc.c[CAST(i AS INT)]) AS qr
+      FROM probe p JOIN ic{iters} cc USING (cell), iq
+    ),
+    tabt AS (
+      SELECT q.cell, b.s, b.code,
+             list_reduce(list_transform(range(1, {dsub + 1}),
+               i -> (qr[CAST(b.s * {dsub} + i AS INT)] - bv[CAST(i AS INT)])
+                    * (qr[CAST(b.s * {dsub} + i AS INT)] - bv[CAST(i AS INT)])),
+               (a, b) -> a + b) AS val
+      FROM b{iters} b, qres q
+    ),
+    ae AS (
+      SELECT f.vec_id, f.cell, f.s,
+             (min(struct_pack(d := {dist}, code := code))).code AS code
+      FROM sub f
+      JOIN probe p ON f.cell = p.cell
+      JOIN b{iters} b ON f.s = b.s
+      GROUP BY f.vec_id, f.cell, f.s
+    )
+    SELECT vec_id,
+           list_reduce(list(val ORDER BY ae.s), (a, b) -> a + b) AS approx_d2
+    FROM ae
+    JOIN tabt ON ae.cell = tabt.cell AND ae.s = tabt.s AND ae.code = tabt.code
+    GROUP BY vec_id
+    ORDER BY approx_d2 ASC, vec_id
+    LIMIT {topk}""")
+    return ",".join(parts)
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    sql=_ivfpq_residual_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "quantization", "residual"),
+)
+def sim_ivfpq_residual_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                            m: int = 16, ksub: int = 64):
+    """IVF-PQ with RESIDUAL encoding — the FAISS IndexIVFPQ default
+    `sim_ivfpq_topk` documented as out of scope, now closed: PQ
+    codebooks are trained on (vec − assigned coarse centroid), which
+    concentrates the quantized distribution near zero and is why
+    residual PQ recalls better than global-codebook PQ at the same
+    code size. The consequence the composite must model: ADC needs a
+    PER-PROBED-CELL query-residual table (q − centroid_cell), and the
+    score is squared L2 (ascending), not a dot product.
+
+    Determinism: residuals are float-quantized exactly like the stored
+    form would be (double subtract of bit-reproducible Lloyd centroids
+    → one correctly-rounded REAL cast, identical both engines); the
+    query residual stays full-precision double — the FAISS asymmetric
+    (ADC) convention. Both fits are the deterministic sampled
+    scaled-integer chains; per-cell tables and the final per-vector
+    score are index-order left folds both engines.
+
+    Scale shape: identical to `sim_ivfpq_topk` plus one broadcast
+    centroid join to form residuals — encode cost still paid only for
+    probed cells; at 100 TB the cell-partitioned store keeps residual
+    codes where the raw vectors lived (io/ivf_store.py), and each
+    query touches nprobe cells × nprobe 16-byte-code scans with
+    nprobe·m·ksub table entries of metadata.
+    """
+    raw = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(raw, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dq = []
+    for cell in range(len(centroids)):
+        d = 0.0
+        for qi, ci in zip(q_raw, centroids[cell]):
+            t = float(qi) - float(ci)
+            d += t * t
+        dq.append((d, cell))
+    probe = [cell for _, cell in sorted(dq)[:nprobe]]
+
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    res = (
+        assign_cells(raw, centroids)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                "c",
+                lambda x, y: (x - y).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+
+    dsub = _DIM // m
+    tab = []
+    for cell in probe:
+        qr = [float(q_raw[i]) - centroids[cell][i] for i in range(_DIM)]
+        tab.append(
+            [
+                [
+                    sum(
+                        (
+                            (qr[s * dsub + j] - books[s][c][j])
+                            * (qr[s * dsub + j] - books[s][c][j])
+                            for j in range(dsub)
+                        ),
+                        0.0,
+                    )
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+        )
+    tab_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in tab[p][s]])
+                    for s in range(m)
+                ]
+            )
+            for p in range(len(probe))
+        ]
+    )
+    probe_lit = F.array(*[F.lit(int(c)) for c in probe])
+
+    cand = res.where(F.col("cell").isin([int(c) for c in probe]))
+    coded = (
+        pq_encode(cand.select("vec_id", "embedding"), books)
+        .join(cand.select("vec_id", "cell"), "vec_id")
+        .select(
+            "vec_id",
+            "codes",
+            F.array_position(probe_lit, F.col("cell")).cast("int").alias("pos"),
+            tab_lit.alias("tab"),
+        )
+    )
+    approx_d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.element_at("tab", F.col("pos")), s + 1),
+            F.element_at("codes", s + 1) + 1,
+        ),
+    )
+    return (
+        coded.select("vec_id", approx_d2.alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), "vec_id")
         .limit(10)
     )

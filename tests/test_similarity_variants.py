@@ -183,3 +183,19 @@ def test_ivfpq_topk_recall_and_pruning(spark):
     assert ivfpq[0] == 0
     floor = 6 if "0.001" not in SF_ORACLE else 3
     assert len(set(ivfpq) & set(brute)) >= floor
+
+
+def test_ivfpq_residual_recall_and_determinism(spark):
+    """Residual IVF-PQ must (a) be bit-deterministic across runs,
+    (b) retrieve the query itself (its residual quantizes to its own
+    codes, and its ADC self-distance is the table minimum per
+    subspace), and (c) hold at least the global-codebook composite's
+    recall floor — residual encoding exists to recall BETTER at equal
+    code size, so falling below the non-residual floor means the
+    residual join is wired wrong."""
+    brute = _ids(spark, "sim_topk_bruteforce")
+    res = _ids(spark, "sim_ivfpq_residual_topk")
+    assert res == _ids(spark, "sim_ivfpq_residual_topk")
+    assert res[0] == 0
+    floor = 6 if "0.001" not in SF_ORACLE else 3
+    assert len(set(res) & set(brute)) >= floor
