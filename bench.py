@@ -270,6 +270,7 @@ EXTENDED = [
     "analytics_shapley_attribution",
     "stat_diff_in_diff",
     "sim_ivfpq_residual_topk",
+    "stat_cramers_v",
 ]
 
 

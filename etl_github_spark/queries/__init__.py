@@ -34,8 +34,8 @@ string the driver diffs against at sf=0.01.
 # k-means silhouette, source-language mutual information,
 # mid-rank ROC AUC, local clustering coefficient + transitivity,
 # degree assortativity, exact 3-channel Shapley attribution, and
-# diff-in-differences, and residual IVF-PQ —
-# 40 promotions) + 10 stalest greens (r01 vintage) for
+# diff-in-differences, residual IVF-PQ, and bias-corrected
+# Cramér's V — 41 promotions) + 9 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -81,7 +81,7 @@ _R8_WINDOW = [
     "analytics_shapley_attribution",  # never driver-verified (promoted)
     "stat_diff_in_diff",  # never driver-verified (promoted)
     "sim_ivfpq_residual_topk",  # never driver-verified (promoted)
-    "scalar_math_funcs",  # green r01
+    "stat_cramers_v",  # never driver-verified (promoted)
     "scalar_case_when",  # green r01
     "sort_topk",  # green r01
     "sort_multi_col",  # green r01

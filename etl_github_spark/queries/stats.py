@@ -3023,3 +3023,118 @@ def stat_diff_in_diff(spark, sf_dir):
         "m_c_post",
         F.expr(_DID_CELL).alias("did"),
     )
+
+
+#: shared final expressions over (q = Σ floor(contribution·1e9), n, r, c)
+#: — identical text both engines evaluate on one row, so every double
+#: op is the same correctly-rounded sequence.
+_CV_CHI2 = "(CAST(q AS DOUBLE) / 1e9)"
+_CV_PHI2 = f"({_CV_CHI2} / CAST(n AS DOUBLE))"
+_CV_V = (
+    f"CASE WHEN least(r, c) <= 1 THEN NULL "
+    f"ELSE sqrt({_CV_PHI2} / (least(r, c) - 1)) END"
+)
+_CV_PHI2C = (
+    f"greatest({_CV_PHI2} - CAST((r - 1) * (c - 1) AS DOUBLE)"
+    f" / CAST(n - 1 AS DOUBLE), 0.0)"
+)
+_CV_RC = "(CAST(r AS DOUBLE) - CAST((r - 1) * (r - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+_CV_CC = "(CAST(c AS DOUBLE) - CAST((c - 1) * (c - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+_CV_VCORR = (
+    f"CASE WHEN least({_CV_RC}, {_CV_CC}) <= 1.0 THEN NULL "
+    f"ELSE sqrt({_CV_PHI2C} / (least({_CV_RC}, {_CV_CC}) - 1.0)) END"
+)
+
+
+@query(
+    "stat_cramers_v",
+    sql=f"""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT o.lang, o.source, o.o,
+             CAST(sum(o.o) OVER (PARTITION BY o.lang) AS BIGINT) AS rt,
+             CAST(sum(o.o) OVER (PARTITION BY o.source) AS BIGINT) AS ct
+      FROM o
+    ),
+    tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS r,
+             CAST(count(DISTINCT source) AS BIGINT) AS c
+      FROM o
+    ),
+    agg AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE))
+               / (CAST(rt * ct AS DOUBLE) * CAST(n AS DOUBLE)) * 1e9)
+             AS BIGINT)) AS BIGINT) AS q,
+             max(n) AS n, max(r) AS r, max(c) AS c
+      FROM m, tot
+    )
+    SELECT n AS n_docs, r AS n_langs, c AS n_sources,
+           {_CV_CHI2} AS chi2,
+           {_CV_V} AS cramers_v,
+           {_CV_VCORR} AS cramers_v_corrected
+    FROM agg
+    """,
+    tags=("stats", "effect-size", "audit"),
+)
+def stat_cramers_v(spark, sf_dir):
+    """Cramér's V (plus the Bergsma bias-corrected Ṽ) for the
+    (lang, source) contingency table — the EFFECT SIZE companion to
+    `stat_chi2_lang_source`: χ² says whether language depends on
+    source, V ∈ [0,1] says how much, comparable across table shapes
+    and corpus sizes, and the corrected form removes the upward bias
+    that makes raw V ≈ 0.2 on pure noise at small n. The number a
+    mixing plan actually thresholds on.
+
+    Exactness: cell deviations are squared in DOUBLE (exact while
+    O·N < 2^53 — a far wider envelope than int64 squaring); each cell's
+    χ² contribution is floor-quantized to integer nano-units and summed
+    exactly (order-free), and all downstream algebra — φ², the
+    bias correction, both sqrt (IEEE correctly-rounded, unlike libm
+    transcendentals) — runs through ONE shared expression text on a
+    single row. Scale shape: one combinable (lang, source) corpus
+    groupBy; windows and the rollup run on the cell frame.
+    """
+    d = T(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    m = o.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).cast("long").alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).cast("long").alias("ct"),
+    )
+    tot = o.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    qcell = F.floor(
+        (
+            (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+            * (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+            / ((F.col("rt") * F.col("ct")).cast("double") * F.col("n").cast("double"))
+        )
+        * 1e9
+    ).cast("long")
+    agg = (
+        m.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(qcell).cast("long").alias("q"),
+            F.max("n").alias("n"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        F.expr(_CV_CHI2).alias("chi2"),
+        F.expr(_CV_V).alias("cramers_v"),
+        F.expr(_CV_VCORR).alias("cramers_v_corrected"),
+    )
