@@ -271,6 +271,8 @@ EXTENDED = [
     "stat_diff_in_diff",
     "sim_ivfpq_residual_topk",
     "stat_cramers_v",
+    "dedup_lsh_parameter_plan",
+    "graph_knn_degree_curve",
 ]
 
 

@@ -1621,3 +1621,108 @@ def dedup_novelty_over_time(spark, sf_dir):
             ).alias("dup_ppm"),
         )
     )
+
+
+def _pow_txt(x: str, n: int) -> str:
+    """Integer power as an explicit multiplication tree (exponentiation
+    by squaring) — the SAME expression text is handed to Spark and
+    DuckDB, so every intermediate double is the identical
+    correctly-rounded product in both engines. libm pow() is never
+    called (it differs in the last ulp across implementations)."""
+    if n == 1:
+        return x
+    h = _pow_txt(x, n // 2)
+    sq = f"({h} * {h})"
+    return sq if n % 2 == 0 else f"({sq} * {x})"
+
+
+#: (bands, rows) layouts of a 120-hash MinHash signature
+_LSH_CONFIGS = [(60, 2), (30, 4), (24, 5), (15, 8), (12, 10)]
+_LSH_GRID = list(range(50, 1000, 50))  # Jaccard s in permille
+_LSH_THRESHOLD = 500  # target permille: pairs above are wanted
+
+
+def _lsh_p_txt(b: int, r: int) -> str:
+    """P(candidate | jaccard = s) = 1 − (1 − s^r)^b over the permille
+    grid column `sp`."""
+    s = "(CAST(sp AS DOUBLE) / 1000.0)"
+    return f"(1.0 - {_pow_txt(f'(1.0 - {_pow_txt(s, r)})', b)})"
+
+
+def _lsh_plan_sql() -> str:
+    selects = []
+    for b, r in _LSH_CONFIGS:
+        p = _lsh_p_txt(b, r)
+        selects.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           CAST(max(CASE WHEN {p} < 0.5 THEN sp END) AS BIGINT) AS s50_below_permille,
+           CAST(sum(CASE WHEN sp < {_LSH_THRESHOLD}
+                 THEN CAST(floor({p} * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS fp_nano_sum,
+           CAST(sum(CASE WHEN sp >= {_LSH_THRESHOLD}
+                 THEN CAST(floor((1.0 - {p}) * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS fn_nano_sum
+    FROM (SELECT CAST(i AS INTEGER) AS sp
+          FROM range({_LSH_GRID[0]}, 1000, 50) t(i))""")
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "dedup_lsh_parameter_plan",
+    sql=_lsh_plan_sql(),
+    tags=("dedup", "lsh", "planning", "index"),
+)
+def dedup_lsh_parameter_plan(spark, sf_dir):
+    """MinHash-LSH parameter planner: for each (bands, rows) layout of
+    a 120-hash signature, evaluate the S-curve P(candidate | s) =
+    1 − (1 − s^r)^b on a Jaccard grid and report (a) where the curve
+    crosses 1/2 (the layout's effective threshold), (b) the summed
+    false-positive mass below the 0.5-Jaccard target, and (c) the
+    summed false-negative mass above it. This is the decision table
+    behind `dedup_minhash_lsh`'s banding choice — at 100 TB you pick
+    the layout BEFORE burning a corpus pass, because bands set the
+    candidate-join volume (fp) and rows set the recall loss (fn).
+    Pure index metadata: the corpus is never touched.
+
+    Exactness: s^r and (1−s^r)^b are explicit multiplication TREES
+    (exponentiation by squaring emitted as the same expression text to
+    both engines — libm pow() is never called), each grid probability
+    is floor-quantized to integer nano-units, and the fp/fn masses are
+    exact int64 sums. The s50 crossing is an integer max over
+    comparisons. Scale shape: 5 configs × 19 grid rows — constant.
+    """
+    frames = []
+    for b, r in _LSH_CONFIGS:
+        p = _lsh_p_txt(b, r)
+        grid = spark.range(_LSH_GRID[0], 1000, 50).select(
+            F.col("id").cast("int").alias("sp")
+        )
+        frames.append(
+            grid.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.max(F.when(F.expr(p) < 0.5, F.col("sp")))
+                .cast("long")
+                .alias("s50_below_permille"),
+                F.sum(
+                    F.when(
+                        F.col("sp") < _LSH_THRESHOLD,
+                        F.floor(F.expr(p) * 1e9).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias("fp_nano_sum"),
+                F.sum(
+                    F.when(
+                        F.col("sp") >= _LSH_THRESHOLD,
+                        F.floor((1.0 - F.expr(p)) * 1e9).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias("fn_nano_sum"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out

@@ -1307,3 +1307,71 @@ def graph_assortativity(spark, sf_dir):
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("assortativity"),
     )
+
+
+@query(
+    "graph_knn_degree_curve",
+    sql="""
+    WITH und AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+    jk AS (
+      SELECT da.d AS j, db.d AS k
+      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    )
+    SELECT j AS degree,
+           CAST(count(*) AS BIGINT) AS n_edge_endpoints,
+           CAST(sum(k) AS BIGINT) AS neighbor_degree_sum,
+           CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS knn_mean
+    FROM jk GROUP BY j
+    """,
+    tags=("graph", "structure", "evaluation"),
+)
+def graph_knn_degree_curve(spark, sf_dir):
+    """Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al.):
+    for each node degree k, the mean degree of neighbors reached from
+    degree-k nodes — the FULL assortativity profile the single
+    `graph_assortativity` coefficient summarizes (a falling curve =
+    disassortative hub-and-spoke at every k; a hump reveals the degree
+    band where mixing flips). Drives degree-stratified sampling
+    decisions a scalar r cannot.
+
+    Exactness: per-degree endpoint counts and neighbor-degree sums are
+    exact int64 over the directed edge list; knn_mean is one
+    int64/int64 division per output row. Scale shape: the same
+    O(edges) shape as `graph_assortativity` — one distinct-collapsed
+    fact join, one degree groupBy, two node-keyed joins, one
+    degree-keyed rollup (|distinct degrees| rows out).
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    e = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    jk = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("j")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("k")), "b")
+        .select("j", "k")
+    )
+    return jk.groupBy(F.col("j").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_edge_endpoints"),
+        F.sum("k").cast("long").alias("neighbor_degree_sum"),
+        (F.sum("k").cast("double") / F.count("*").cast("double")).alias(
+            "knn_mean"
+        ),
+    )
