@@ -382,3 +382,163 @@ def test_degenerate_group_guards_null_on_both_engines(spark):
         assert spark.sql(q).first()["v"] is None, q
         assert con.sql(q).fetchone()[0] is None, q
     con.close()
+
+
+def test_silhouette_bounds_and_assignment_consistency(spark):
+    """Simplified silhouette contract: a is the argmin distance so
+    s = (b−a)/max(a,b) ∈ [0, 1]; every cell's mean inherits the bound;
+    point counts sum to the corpus."""
+    from etl_github_spark.io.tables import load_table
+
+    rows = _rows(spark, "sim_silhouette_kmeans")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_silhouette <= 1.0, r
+        assert r.n_points > 0
+    n = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n
+
+
+def test_modularity_bipartite_pathology_and_bounds(spark):
+    """Newman-Girvan bounds: Q ∈ [−1, 1); on THIS bipartite graph the
+    synchronous-LPA two-coloring puts every edge across communities
+    (e_in = 0 ∀c), whose closed form is Q = −Σ(d_c/2m)² — the check
+    exists to catch exactly this pathology, so assert it fires."""
+    rows = _rows(spark, "graph_modularity_lpa")
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.0 <= r.modularity < 1.0
+    assert r.modularity < 0.0  # bipartite two-coloring: every edge crosses
+
+
+def test_mutual_information_bounds(spark):
+    """Plug-in MI contracts: 0 ≤ MI ≤ min(H(s), H(l)) (up to the
+    nano-nat quantization grain) and NMI ∈ [0, 1]."""
+    rows = _rows(spark, "stat_mutual_information")
+    assert len(rows) == 1
+    r = rows[0]
+    grain = 1e-6  # quantization slack: cells × 1e-9 each side
+    assert r.mi_nats >= -grain
+    assert r.mi_nats <= min(r.h_source, r.h_lang) + grain
+    assert r.h_source > 0 and r.h_lang > 0
+    assert 0.0 - grain <= r.nmi <= 1.0 + grain
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """Rank-formula AUC must equal the O(n²) pairwise definition
+    (P(pos > neg) + ½P(tie)) computed naively per source."""
+    from collections import defaultdict
+
+    from etl_github_spark.io.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "source", "lang", "n_chars"
+    ).collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d.source].append((d.n_chars, 1 if d.lang == "en" else 0))
+    rows = _rows(spark, "stat_auc_roc")
+    assert rows
+    for r in rows:
+        pts = by_src[r.source]
+        pos = [x for x, y in pts if y == 1]
+        neg = [x for x, y in pts if y == 0]
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+        if not pos or not neg:
+            assert r.auc is None
+            continue
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(r.auc - expected) < 1e-12, (r.source, r.auc, expected)
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σφ_i = v(N) − v(∅): the factorial weights must telescope exactly
+    (integers, so exact equality). v(N) = all converting user-days,
+    v(∅) = purchase-only days — recompute both from the fact table."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+
+    rows = _rows(spark, "analytics_shapley_attribution")
+    assert len(rows) == 3
+    ev = load_table(spark, SF_ORACLE, "events")
+    ud = ev.groupBy("user_id", F.date_trunc("day", "ts")).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("s"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    v_full = ud.where("conv = 1").count()
+    v_empty = ud.where("conv = 1 AND v = 0 AND c = 0 AND s = 0").count()
+    assert sum(r.phi6 for r in rows) == 6 * (v_full - v_empty)
+
+
+def test_assortativity_and_knn_curve_consistent(spark):
+    """r ∈ [−1, 1]; the knn curve's weighted mean over endpoints equals
+    Σjk/M from the same moments; and on a bipartite graph with
+    customer-degree ≠ supplier-degree distributions r is negative
+    (hub-and-spoke disassortativity)."""
+    rows = _rows(spark, "graph_assortativity")
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.assortativity < 0.0  # bipartite hub-and-spoke
+    curve = _rows(spark, "graph_knn_degree_curve")
+    assert curve
+    assert sum(c.neighbor_degree_sum for c in curve) == r.sum_deg
+    assert sum(c.degree * c.neighbor_degree_sum for c in curve) == r.sum_jk
+    assert sum(c.n_edge_endpoints for c in curve) == r.m_directed_edges
+
+
+def test_lsh_parameter_plan_monotone_tradeoff(spark):
+    """More rows per band ⇒ a sharper, later-crossing S-curve: s50
+    rises with r, false-positive mass falls with r, false-negative
+    mass rises with r — the planner's entire reason to exist."""
+    rows = sorted(_rows(spark, "dedup_lsh_parameter_plan"),
+                  key=lambda x: x.rows_per_band)
+    assert len(rows) == 5
+    for a, b in zip(rows, rows[1:]):
+        assert a.s50_below_permille <= b.s50_below_permille
+        assert a.fp_nano_sum >= b.fp_nano_sum
+        assert a.fn_nano_sum <= b.fn_nano_sum
+
+
+def test_diff_in_diff_cell_identity(spark):
+    """DID must equal the four cell means recombined — and every cell
+    mean must be finite and present (the 2×2 never degenerates on the
+    fixture)."""
+    rows = _rows(spark, "stat_diff_in_diff")
+    assert len(rows) == 1
+    r = rows[0]
+    for c in ("m_t_pre", "m_t_post", "m_c_pre", "m_c_post"):
+        assert getattr(r, c) is not None
+    assert r.did == (r.m_t_post - r.m_t_pre) - (r.m_c_post - r.m_c_pre)
+
+
+def test_cramers_v_bounds_and_correction_shrinks(spark):
+    """V ∈ [0, 1]; the Bergsma correction can only shrink the estimate;
+    chi2 must be non-negative."""
+    rows = _rows(spark, "stat_cramers_v")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.cramers_v_corrected is None or (
+        0.0 <= r.cramers_v_corrected <= r.cramers_v + 1e-12
+    )
+
+
+def test_clustering_coefficient_consistency(spark):
+    """avg-cc and transitivity both ∈ [0, 1]; the triangle total must
+    equal graph_triangle_count's (same edge definition)."""
+    rows = _rows(spark, "graph_clustering_coefficient")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.avg_clustering <= 1.0
+    assert 0.0 <= r.transitivity <= 1.0
+    tri = _rows(spark, "graph_triangle_count")
+    assert r.n_triangles == tri[0].n_triangles
