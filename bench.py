@@ -273,6 +273,7 @@ EXTENDED = [
     "stat_cramers_v",
     "dedup_lsh_parameter_plan",
     "graph_knn_degree_curve",
+    "multimodal_phash_dedup_pairs",
 ]
 
 

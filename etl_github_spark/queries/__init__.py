@@ -35,8 +35,9 @@ string the driver diffs against at sf=0.01.
 # mid-rank ROC AUC, local clustering coefficient + transitivity,
 # degree assortativity, exact 3-channel Shapley attribution, and
 # diff-in-differences, residual IVF-PQ, and bias-corrected
-# Cramér's V, the LSH parameter planner, and the k_nn(k)
-# degree curve — 43 promotions) + 7 stalest greens (r01 vintage) for
+# Cramér's V, the LSH parameter planner, the k_nn(k) degree
+# curve, and perceptual-hash media dedup — 44 promotions) +
+# 6 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -85,7 +86,7 @@ _R8_WINDOW = [
     "stat_cramers_v",  # never driver-verified (promoted)
     "dedup_lsh_parameter_plan",  # never driver-verified (promoted)
     "graph_knn_degree_curve",  # never driver-verified (promoted)
-    "sort_topk",  # green r01
+    "multimodal_phash_dedup_pairs",  # never driver-verified (promoted)
     "limit_deterministic",  # green r01
     "join_inner_broadcast",  # green r01
     "join_left_outer_agg",  # green r01

@@ -863,3 +863,127 @@ def multimodal_video_scene_cuts(spark, sf_dir):
         .alias("first_cut_idx"),
         F.max("ham").cast("long").alias("max_jump"),
     )
+
+
+_PH_BLOCKS = 60  # 60-bit perceptual hash (stays clear of the int64 sign bit)
+_PH_WIDTH = 8  # chars of normalized content per block
+_PH_BANDS = 4
+_PH_BAND_BITS = 15
+_PH_RADIUS = 3  # pigeonhole: d <= 3 with 4 bands => one band identical
+
+
+def _phash_terms(engine: str) -> str:
+    """Block-hash bit terms as engine-specific text with identical
+    semantics: bit_p = lowest bit of the first md5 nibble of the p-th
+    8-char block of the normalized payload, phash = Σ bit_p·2^p."""
+    terms = []
+    for p in range(_PH_BLOCKS):
+        off = p * _PH_WIDTH + 1
+        block = f"substr(norm, {off}, {_PH_WIDTH})"
+        if engine == "duckdb":
+            nib = f"CAST(concat('0x', substr(md5({block}), 1, 1)) AS BIGINT)"
+        else:
+            nib = f"CAST(conv(substr(md5({block}), 1, 1), 16, 10) AS BIGINT)"
+        terms.append(f"shiftleft(({nib}) % 2, {p})" if engine == "spark"
+                     else f"((({nib}) % 2) << {p})")
+    return " + ".join(terms)
+
+
+def _phash_pairs_sql() -> str:
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, phash, {b} AS band,"
+        f" (phash >> {b * _PH_BAND_BITS}) & {(1 << _PH_BAND_BITS) - 1} AS bv"
+        f" FROM ph"
+        for b in range(_PH_BANDS)
+    )
+    return f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    ph AS (SELECT doc_id, CAST({_phash_terms("duckdb")} AS BIGINT) AS phash
+           FROM nrm),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                      b.doc_id AS doc_b, b.phash AS ph_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_PH_RADIUS}
+    """
+
+
+@query(
+    "multimodal_phash_dedup_pairs",
+    sql=_phash_pairs_sql(),
+    tags=("multimodal", "dedup", "neardup", "phash"),
+)
+def multimodal_phash_dedup_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over media payloads — the image
+    dedup stage of a multimodal pipeline (aHash/pHash → Hamming-band
+    index), run here over the deterministic fake decode the multimodal
+    stubbing contract mandates (`multimodal.py`): the 'image' is the
+    doc's normalized content stream, each of 60 pixel-blocks hashes its
+    8-char block, and bit_p is the block hash's lowest bit — LOCAL
+    content edits flip only the touched blocks' bits, exactly the
+    property a real perceptual hash has and cryptographic whole-file
+    hashes (`dedup_exact_*`) deliberately lack. On real media the
+    block-hash step is the decoded-thumbnail mean-luminance comparison;
+    everything downstream — the 4×15-bit pigeonhole bands, the
+    band-value equi-join (exact recall at d ≤ 3), the xor+popcount
+    verify — is byte-identical to this plan and to
+    `dedup_simhash_hamming`'s (Manku et al.'s multi-table index).
+
+    All integer end to end (md5-nibble bits, shifts, popcount) — the
+    oracle replays the hash, banding, and verify bit-exactly. Scale
+    shape: 4 band rows per item keyed on 15-bit values (bounded
+    buckets), candidate verify is two longs — no payloads move past
+    the per-row hash.
+    """
+    d = T(spark, sf_dir, "documents")
+    nrm = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("norm"),
+    )
+    ph = nrm.select(
+        "doc_id", F.expr(_phash_terms("spark")).cast("long").alias("phash")
+    ).localCheckpoint(eager=True)  # reused by all 4 band selects
+    mask = (1 << _PH_BAND_BITS) - 1
+    bands = None
+    for b in range(_PH_BANDS):
+        part = ph.select(
+            "doc_id",
+            "phash",
+            F.lit(b).alias("band"),
+            F.shiftright("phash", b * _PH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        ham <= _PH_RADIUS
+    )
