@@ -274,6 +274,8 @@ EXTENDED = [
     "dedup_lsh_parameter_plan",
     "graph_knn_degree_curve",
     "multimodal_phash_dedup_pairs",
+    "quality_shannon_entropy",
+    "stat_two_proportion_ztest",
 ]
 
 

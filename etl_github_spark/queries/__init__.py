@@ -36,8 +36,9 @@ string the driver diffs against at sf=0.01.
 # degree assortativity, exact 3-channel Shapley attribution, and
 # diff-in-differences, residual IVF-PQ, and bias-corrected
 # Cramér's V, the LSH parameter planner, the k_nn(k) degree
-# curve, and perceptual-hash media dedup — 44 promotions) +
-# 6 stalest greens (r01 vintage) for
+# curve, perceptual-hash media dedup, per-source Shannon entropy,
+# and the two-proportion z-test — 46 promotions) +
+# 4 stalest greens (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -87,10 +88,10 @@ _R8_WINDOW = [
     "dedup_lsh_parameter_plan",  # never driver-verified (promoted)
     "graph_knn_degree_curve",  # never driver-verified (promoted)
     "multimodal_phash_dedup_pairs",  # never driver-verified (promoted)
-    "limit_deterministic",  # green r01
+    "quality_shannon_entropy",  # never driver-verified (promoted)
+    "stat_two_proportion_ztest",  # never driver-verified (promoted)
     "join_inner_broadcast",  # green r01
     "join_left_outer_agg",  # green r01
-    "join_multiway_dims",  # green r01
     "join_fact_fact_revenue",  # green r01
     "q1_pricing_summary",  # green r01
 ]

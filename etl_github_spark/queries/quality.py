@@ -1088,3 +1088,97 @@ def quality_hotkey_skew(spark, sf_dir):
             ).alias("gini_ppm"),
         )
     )
+
+
+@query(
+    "quality_shannon_entropy",
+    sql="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n_w
+      FROM w GROUP BY source, word
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_w) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY source
+    ),
+    q AS (
+      SELECT c.source,
+             CAST(sum(c.n_w * CAST(floor(ln(CAST(t.n AS DOUBLE)
+                   / CAST(c.n_w AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+               AS h_int
+      FROM c JOIN tot t ON c.source = t.source
+      GROUP BY c.source
+    )
+    SELECT t.source, t.n AS n_tokens, t.n_types,
+           CAST(q.h_int AS DOUBLE) / (t.n * 1e9) AS entropy_nats,
+           CASE WHEN t.n_types <= 1 THEN NULL
+                ELSE (CAST(q.h_int AS DOUBLE) / (t.n * 1e9))
+                     / ln(CAST(t.n_types AS DOUBLE)) END AS entropy_ratio
+    FROM tot t JOIN q ON t.source = q.source
+    """,
+    tags=("quality", "information", "diversity"),
+)
+def quality_shannon_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the word distribution (in nats)
+    plus the evenness ratio H/ln(V) ∈ [0,1] — the direct diversity
+    measure `quality_word_concentration`'s HHI only proxies (its
+    docstring predates the nano-nat technique; this op supersedes that
+    limitation). A source whose entropy ratio collapses is template
+    spam; one near 1.0 is a uniform scrape — both are mixing-plan
+    inputs.
+
+    Exactness: the `lm.py` surprisal technique — per-TYPE ln(N/n_w) is
+    floor-quantized to integer nano-nats, the token-weighted sum
+    Σ n_w·q_w is exact int64 and order-free, and the one remaining
+    ln(V) appears in a single shared-text division (a last-ulp libm
+    difference there shifts the ratio by ~1e-16, far below the 1e-9
+    quantization the numerator already carries — the same accepted
+    envelope as every lm.py score). Overflow: Σ n_w·q ≤ N·ln(N)·1e9 —
+    int64-safe through N ≈ 3e8 tokens/source; coarsen the quantum
+    beyond. Scale shape: explode → one combinable (source, word)
+    groupBy → per-source rollups; no windows, no sort.
+    """
+    d = T(spark, sf_dir, "documents")
+    c = (
+        par(d)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n_w").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    q = (
+        c.join(F.broadcast(tot.select("source", "n")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("n_w")
+                * F.floor(
+                    F.log(F.col("n").cast("double") / F.col("n_w").cast("double"))
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("h_int")
+        )
+    )
+    h = F.col("h_int").cast("double") / (F.col("n") * F.lit(1e9))
+    return (
+        tot.join(q, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            h.alias("entropy_nats"),
+            F.when(F.col("n_types") <= 1, F.lit(None).cast("double"))
+            .otherwise(h / F.log(F.col("n_types").cast("double")))
+            .alias("entropy_ratio"),
+        )
+    )

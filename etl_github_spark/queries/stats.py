@@ -3138,3 +3138,78 @@ def stat_cramers_v(spark, sf_dir):
         F.expr(_CV_V).alias("cramers_v"),
         F.expr(_CV_VCORR).alias("cramers_v_corrected"),
     )
+
+
+#: shared combine over (x_t, n_t, x_c, n_c) int64 — identical text both
+#: engines: pooled two-proportion z statistic, sqrt is IEEE-exact.
+_PZ_PT = "(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+_PZ_PC = "(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+_PZ_POOL = "(CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))"
+_PZ_Z = (
+    f"CASE WHEN n_t = 0 OR n_c = 0 OR (x_t + x_c) = 0"
+    f" OR (x_t + x_c) = (n_t + n_c) THEN NULL "
+    f"ELSE ({_PZ_PT} - {_PZ_PC}) / sqrt({_PZ_POOL} * (1.0 - {_PZ_POOL})"
+    f" * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))) END"
+)
+
+
+@query(
+    "stat_two_proportion_ztest",
+    sql=f"""
+    WITH ud AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+      FROM ud
+    )
+    SELECT x_t, n_t, x_c, n_c,
+           {_PZ_PT} AS p_treat, {_PZ_PC} AS p_ctrl,
+           {_PZ_Z} AS z_stat
+    FROM cells
+    """,
+    tags=("stats", "experimentation", "proportion"),
+)
+def stat_two_proportion_ztest(spark, sf_dir):
+    """Pooled two-proportion z-test on user-day conversion (treat = odd
+    user_id, conversion = purchased that day) — the binary-outcome
+    member of the experimentation family (Welch/MWU handle continuous
+    metrics, SRM guards assignment, CUPED/DID adjust means; conversion
+    RATES need the proportion test). Degenerate designs (empty arm,
+    all-0 or all-1 outcomes) yield NULL, not a division blowup.
+
+    Exactness: the four cells are exact int64 from ONE combinable
+    (user, day) groupBy + one global rollup; every double op —
+    proportions, the pooled variance, the IEEE-exact sqrt, the final
+    division — runs through one shared expression text on a single
+    row, so the statistic is bit-identical cross-engine. Scale shape:
+    the same one-shuffle user-day collapse every funnel op uses;
+    everything after is a 1-row frame.
+    """
+    ev = T(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    treat = F.col("user_id") % 2 == 1
+    cells = ud.agg(
+        F.sum(F.when(treat, F.col("conv")).otherwise(0)).cast("long").alias("x_t"),
+        F.sum(F.when(treat, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~treat, F.col("conv")).otherwise(0)).cast("long").alias("x_c"),
+        F.sum(F.when(~treat, 1).otherwise(0)).cast("long").alias("n_c"),
+    )
+    return cells.select(
+        "x_t",
+        "n_t",
+        "x_c",
+        "n_c",
+        F.expr(_PZ_PT).alias("p_treat"),
+        F.expr(_PZ_PC).alias("p_ctrl"),
+        F.expr(_PZ_Z).alias("z_stat"),
+    )
