@@ -276,6 +276,7 @@ EXTENDED = [
     "multimodal_phash_dedup_pairs",
     "quality_shannon_entropy",
     "stat_two_proportion_ztest",
+    "stat_hte_uplift_deciles",
 ]
 
 

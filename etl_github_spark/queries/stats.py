@@ -3213,3 +3213,109 @@ def stat_two_proportion_ztest(spark, sf_dir):
         F.expr(_PZ_PC).alias("p_ctrl"),
         F.expr(_PZ_Z).alias("z_stat"),
     )
+
+
+_HTE_UPLIFT = (
+    "CASE WHEN n_t = 0 OR n_c = 0 THEN NULL "
+    "ELSE CAST(s_t AS DOUBLE) / (100.0 * CAST(n_t AS DOUBLE)) "
+    "- CAST(s_c AS DOUBLE) / (100.0 * CAST(n_c AS DOUBLE)) END"
+)
+
+
+@query(
+    "stat_hte_uplift_deciles",
+    sql=f"""
+    WITH pre AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS pre_cents
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS post_cents
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+      GROUP BY user_id
+    ),
+    u AS (
+      SELECT p.user_id, (p.user_id % 2 = 1) AS treat,
+             coalesce(post.post_cents, 0) AS y,
+             CAST(row_number() OVER (ORDER BY p.pre_cents, p.user_id) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM pre p LEFT JOIN post USING (user_id)
+    ),
+    cells AS (
+      SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+             CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS BIGINT) AS s_c,
+             CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+      FROM u GROUP BY 1
+    )
+    SELECT decile, n_t AS n_treat, n_c AS n_ctrl,
+           {_HTE_UPLIFT} AS uplift
+    FROM cells
+    """,
+    tags=("stats", "experimentation", "causal", "heterogeneous"),
+)
+def stat_hte_uplift_deciles(spark, sf_dir):
+    """Heterogeneous treatment effect by pre-period-activity decile:
+    users are deciled on pre-period spend (exact cents), and each
+    decile reports treat-minus-control mean post-period spend — the
+    uplift PROFILE that tells you WHO the treatment moves (whales vs
+    dormant users), where `stat_diff_in_diff` gives only the average.
+    Deciles use the engine-portable integer formula
+    (row_number − 1)·10 div n + 1 over (pre_cents, user_id) — the RFM
+    rewrite's no-ntile rule (ARCHITECTURE.md round 7): no remainder-
+    distribution ambiguity, no raw timestamps, nothing an engine
+    version can disagree on.
+
+    Exactness: cents sums are exact int64; per-(decile, arm) cells are
+    int64; uplift is one shared expression text (two divisions, one
+    subtraction) per output row. NULL when a decile lands single-arm.
+    Scale shape: two combinable per-user collapses + one users-frame
+    rank window (users ≪ events; at production scale swap the global
+    row_number for pre-computed percentile boundaries — documented
+    trade for oracle replayability, same as `analytics_rfm_segments`).
+    """
+    ev = T(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    cut = F.lit("2024-01-16").cast("date")
+    cents = F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+    pre = (
+        ev.where(day < cut)
+        .groupBy("user_id")
+        .agg(cents.alias("pre_cents"))
+    )
+    post = (
+        ev.where(day >= cut)
+        .groupBy("user_id")
+        .agg(cents.alias("post_cents"))
+    )
+    w = Window.orderBy("pre_cents", "user_id")
+    u = (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("user_id") % 2 == 1).alias("treat"),
+            F.coalesce("post_cents", F.lit(0).cast("long")).alias("y"),
+            "pre_cents",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(Window.partitionBy()).cast("long"))
+    )
+    cells = u.groupBy(
+        F.expr("(rn - 1) * 10 div n + 1").cast("long").alias("decile")
+    ).agg(
+        F.sum(F.when(F.col("treat"), F.col("y")).otherwise(0)).cast("long").alias("s_t"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~F.col("treat"), F.col("y")).otherwise(0)).cast("long").alias("s_c"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long").alias("n_c"),
+    )
+    return cells.select(
+        "decile",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.expr(_HTE_UPLIFT).alias("uplift"),
+    )
