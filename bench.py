@@ -277,6 +277,8 @@ EXTENDED = [
     "quality_shannon_entropy",
     "stat_two_proportion_ztest",
     "stat_hte_uplift_deciles",
+    "stat_kruskal_wallis",
+    "curate_dataset_card",
 ]
 
 

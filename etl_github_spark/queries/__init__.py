@@ -37,8 +37,9 @@ string the driver diffs against at sf=0.01.
 # diff-in-differences, residual IVF-PQ, and bias-corrected
 # Cramér's V, the LSH parameter planner, the k_nn(k) degree
 # curve, perceptual-hash media dedup, per-source Shannon entropy,
-# the two-proportion z-test, and decile-level uplift profiling —
-# 47 promotions) + 3 stalest greens (r01 vintage) for
+# the two-proportion z-test, decile-level uplift profiling,
+# tie-corrected Kruskal-Wallis, and the dataset card —
+# 49 promotions) + 1 stalest green (r01 vintage) for
 # re-verification.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
@@ -91,8 +92,8 @@ _R8_WINDOW = [
     "quality_shannon_entropy",  # never driver-verified (promoted)
     "stat_two_proportion_ztest",  # never driver-verified (promoted)
     "stat_hte_uplift_deciles",  # never driver-verified (promoted)
-    "join_left_outer_agg",  # green r01
-    "join_fact_fact_revenue",  # green r01
+    "stat_kruskal_wallis",  # never driver-verified (promoted)
+    "curate_dataset_card",  # never driver-verified (promoted)
     "q1_pricing_summary",  # green r01
 ]
 

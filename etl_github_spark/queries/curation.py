@@ -1074,3 +1074,71 @@ def curate_pareto_fronts(spark, sf_dir):
         .agg(F.count(F.col("b.source")).cast("long").alias("dominated_by"))
         .withColumn("on_front", F.col("dominated_by") == 0)
     )
+
+
+@query(
+    "curate_dataset_card",
+    sql="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM documents
+    )
+    SELECT n_docs, n_langs, n_sources, n_tokens, n_chars_total,
+           CAST((n_docs - n_unique_texts) * 1000 // n_docs AS BIGINT)
+             AS exact_dup_permille,
+           CAST(n_en * 1000 // n_docs AS BIGINT) AS en_permille,
+           CAST(n_chars_total // n_docs AS BIGINT) AS mean_chars_per_doc,
+           CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens_per_doc
+    FROM base
+    """,
+    tags=("curation", "datasheet", "audit"),
+)
+def curate_dataset_card(spark, sf_dir):
+    """The dataset card (Datasheets-for-Datasets style) a training run
+    logs next to every corpus snapshot: size, language/source breadth,
+    token and char volume, exact-duplicate rate, English share, and
+    per-doc means — ONE row, every number exact, cheap enough to run
+    on each refresh. The capstone view over the audit family: each
+    headline here has a deeper drill-down op (dup rate →
+    `dedup_summary`, language mix → `stat_chi2_lang_source`/
+    `stat_mutual_information`, length shape →
+    `quality_length_histogram`).
+
+    Exactness: all counts/sums are int64 from one corpus scan (the
+    token count is the same whitespace split every text op uses); the
+    distinct-text dup check is the standard exact-dedup shuffle; the
+    permille/mean columns are INTEGER division (Spark `div` ≡ DuckDB
+    `//`). Scale shape: one scan carrying two distinct aggregations
+    (text, and the tiny lang/source domains) — the same plan class as
+    `dedup_exact_distinct`.
+    """
+    d = T(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_unique_texts"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en"),
+    )
+    return base.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "n_chars_total",
+        F.expr("(n_docs - n_unique_texts) * 1000 div n_docs")
+        .cast("long")
+        .alias("exact_dup_permille"),
+        F.expr("n_en * 1000 div n_docs").cast("long").alias("en_permille"),
+        F.expr("n_chars_total div n_docs").cast("long").alias("mean_chars_per_doc"),
+        F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens_per_doc"),
+    )

@@ -3319,3 +3319,123 @@ def stat_hte_uplift_deciles(spark, sf_dir):
         F.col("n_c").alias("n_ctrl"),
         F.expr(_HTE_UPLIFT).alias("uplift"),
     )
+
+
+#: shared final expressions over exact integer rank moments — identical
+#: text both engines. two_rg = 2·(sum of group mid-ranks), folded over
+#: groups in explicit source order; ties = Σ(t³−t) over distinct values.
+_KW_H = (
+    "(12.0 * sum_r2_over_n / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
+    " - 3.0 * CAST(n + 1 AS DOUBLE)"
+)
+_KW_C = "(1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+_KW_HC = (
+    f"CASE WHEN ({_KW_C}) <= 0 THEN NULL ELSE ({_KW_H}) / ({_KW_C}) END"
+)
+
+
+@query(
+    "stat_kruskal_wallis",
+    sql=f"""
+    WITH g AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    v AS (
+      SELECT n_chars, CAST(sum(c) AS BIGINT) AS t
+      FROM g GROUP BY n_chars
+    ),
+    r AS (
+      SELECT n_chars, t,
+             CAST(sum(t) OVER (ORDER BY n_chars NULLS LAST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - t AS cb
+      FROM v
+    ),
+    grp AS (
+      SELECT g.source,
+             CAST(sum(g.c) AS BIGINT) AS n_g,
+             CAST(sum(g.c * (2 * r.cb + r.t + 1)) AS BIGINT) AS two_rg
+      FROM g JOIN r USING (n_chars)
+      GROUP BY g.source
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(two_rg AS DOUBLE) * CAST(two_rg AS DOUBLE)
+                 / (4.0 * CAST(n_g AS DOUBLE)) ORDER BY source)
+               AS sum_r2_over_n,
+             (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM v) AS ties
+      FROM grp
+    )
+    SELECT k AS k_groups, n AS n_docs, ties AS tie_cubes,
+           {_KW_H} AS h_stat,
+           {_KW_HC} AS h_corrected
+    FROM m
+    """,
+    tags=("stats", "experimentation", "nonparametric"),
+)
+def stat_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across sources on document length — the
+    nonparametric k-group sibling of `stat_anova_oneway` (rank-based,
+    so length outliers can't dominate the way they dominate the
+    variance decomposition), with the exact tie correction
+    C = 1 − Σ(t³−t)/(N³−N). The pair completes the two-sample→k-group
+    ladder: Welch/MWU generalize to ANOVA/KW.
+
+    Exactness: global mid-ranks come from integer cumulative counts
+    over distinct values (the `stat_auc_roc` bookkeeping — 2·ΣR_g is
+    exact int64); the order-sensitive Σ R_g²/n_g folds in the SAME
+    explicit source order both engines (Spark sorted-array aggregate ↔
+    DuckDB ORDER BY-in-aggregate, the `stat_anova_oneway` pattern);
+    tie cubes are exact int64 (Σt³ ≤ N³ — int64-safe through N ≈ 2e6
+    docs; beyond, the t-frame pre-aggregates in DECIMAL). Scale shape:
+    one combinable (source, value) groupBy, one distinct-value window,
+    rollups on catalog-sized frames.
+    """
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("source", "n_chars").agg(F.count("*").cast("long").alias("c"))
+    v = g.groupBy("n_chars").agg(F.sum("c").cast("long").alias("t"))
+    w = (
+        Window.orderBy(F.asc_nulls_last("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = v.select(
+        "n_chars",
+        "t",
+        (F.sum("t").over(w).cast("long") - F.col("t")).alias("cb"),
+    )
+    grp = (
+        g.join(r, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * (2 * F.col("cb") + F.col("t") + 1))
+            .cast("long")
+            .alias("two_rg"),
+        )
+    )
+    ties = v.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties")
+    )
+    m = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_g", "two_rg"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["two_rg"].cast("double")
+            * x["two_rg"].cast("double")
+            / (4.0 * x["n_g"].cast("double")),
+        ).alias("sum_r2_over_n"),
+    ).crossJoin(F.broadcast(ties))
+    return m.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_docs"),
+        F.col("ties").alias("tie_cubes"),
+        F.expr(_KW_H).alias("h_stat"),
+        F.expr(_KW_HC).alias("h_corrected"),
+    )
