@@ -279,6 +279,7 @@ EXTENDED = [
     "stat_hte_uplift_deciles",
     "stat_kruskal_wallis",
     "curate_dataset_card",
+    "cluster_dbscan_lsh",
 ]
 
 

@@ -393,14 +393,16 @@ _DB_PAIRS_SQL = """
 )
 
 
-@query(
-    "cluster_dbscan_embeddings",
-    sql=f"""
-    WITH RECURSIVE p AS ({_DB_PAIRS_SQL}),
-    edges AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+def _dbscan_sql(pairs_sql: str) -> str:
+    """Shared DBSCAN oracle downstream over any (va, vb) candidate-pair
+    SQL — used by the exhaustive baseline and the SRP-bucketed scale
+    sibling (identical core rule / CC / border logic)."""
+    return f"""
+    WITH RECURSIVE p AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
     deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY a),
-    core AS (SELECT v FROM deg WHERE c >= {_DB_MIN_NBRS}),
-    ce AS (
+    core AS MATERIALIZED (SELECT v FROM deg WHERE c >= {_DB_MIN_NBRS}),
+    ce AS MATERIALIZED (
       SELECT e.a, e.b FROM edges e
       JOIN core ca ON e.a = ca.v JOIN core cb ON e.b = cb.v
     ),
@@ -428,38 +430,14 @@ _DB_PAIRS_SQL = """
     FROM embeddings emb
     LEFT JOIN core_lab cl ON emb.vec_id = cl.v
     LEFT JOIN border bo ON emb.vec_id = bo.v
-    """,
-    tags=("clustering", "dbscan", "embedding", "training-prep"),
-)
-def cluster_dbscan_embeddings(spark, sf_dir):
-    """Deterministic DBSCAN over the embedding cosine eps-graph
-    (eps: cos >= 0.35, minPts = 4) — density-based clustering for the
-    semantic-dedup / SemDeDup-style grouping a CC-only clustering
-    over-merges: CORE points (>= 3 eps-neighbors) chain through density,
-    BORDER points attach to a neighboring core's cluster without
-    bridging clusters themselves, NOISE stays unclustered. The classic
-    DBSCAN border ambiguity (a border touching two clusters) is pinned
-    to the MIN core-neighbor cluster id, and cluster id = min core id
-    in the density-connected component — fully order-independent, so
-    the whole labeling replays in the oracle.
-
-    Scale shape: this registered form rides the exhaustive O(N²)
-    pair baseline (same documented contract as dedup_embedding_cosine);
-    the 100 TB path swaps in SRP-bucketed candidate pairs
-    (sim_lsh_bucketed_topk's bucketing) and keeps everything downstream
-    — degrees, core rule, min-label CC over core edges (per-round
-    |core edges| shuffle), broadcast border attach — unchanged.
     """
-    from .similarity import cosine
 
-    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= _DB_EPS)
-        .select("va", "vb")
-    )
+
+def _dbscan_downstream(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared Spark DBSCAN downstream over any (va, vb) candidate-pair
+    frame: degrees, core rule, min-label CC over core edges, MIN-core
+    border attach, role labeling — identical for the exhaustive
+    eps-graph and the SRP-bucketed candidate generation."""
     edges = pairs.union(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).localCheckpoint()
@@ -501,3 +479,82 @@ def cluster_dbscan_embeddings(spark, sf_dir):
             F.coalesce("core_cl", "cluster_id").alias("cluster_id"),
         )
     )
+
+
+@query(
+    "cluster_dbscan_embeddings",
+    sql=_dbscan_sql(_DB_PAIRS_SQL),
+    tags=("clustering", "dbscan", "embedding", "training-prep"),
+)
+def cluster_dbscan_embeddings(spark, sf_dir):
+    """Deterministic DBSCAN over the embedding cosine eps-graph
+    (eps: cos >= 0.35, minPts = 4) — density-based clustering for the
+    semantic-dedup / SemDeDup-style grouping a CC-only clustering
+    over-merges: CORE points (>= 3 eps-neighbors) chain through density,
+    BORDER points attach to a neighboring core's cluster without
+    bridging clusters themselves, NOISE stays unclustered. The classic
+    DBSCAN border ambiguity (a border touching two clusters) is pinned
+    to the MIN core-neighbor cluster id, and cluster id = min core id
+    in the density-connected component — fully order-independent, so
+    the whole labeling replays in the oracle.
+
+    Scale shape: this registered form rides the exhaustive O(N²)
+    pair baseline (same documented contract as dedup_embedding_cosine);
+    the 100 TB path is `cluster_dbscan_lsh` — SRP-bucketed candidate
+    pairs feeding THIS exact downstream (`_dbscan_downstream`).
+    """
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= _DB_EPS)
+        .select("va", "vb")
+    )
+    return _dbscan_downstream(emb, pairs)
+
+
+def _dbscan_lsh_pairs_sql() -> str:
+    from .scale_paths import _srp_pairs_sql
+
+    return (
+        "SELECT vec_a AS va, vec_b AS vb FROM ("
+        + _srp_pairs_sql()
+        + ")"
+    )
+
+
+@query(
+    "cluster_dbscan_lsh",
+    sql=_dbscan_sql(_dbscan_lsh_pairs_sql()),
+    tags=("clustering", "dbscan", "embedding", "lsh", "scale"),
+)
+def cluster_dbscan_lsh(spark, sf_dir):
+    """The 100 TB DBSCAN: SRP-LSH-bucketed candidate eps-edges
+    (`dedup_embedding_lsh_pairs` — same 0.35 cosine threshold, banded
+    4×4-bit buckets, O(Σ bucket²) instead of O(N²)) feeding the SAME
+    downstream as `cluster_dbscan_embeddings` (`_dbscan_downstream`:
+    degrees, core rule, min-label CC over core edges, MIN-core border
+    attach). This turns the exhaustive baseline's documented scale
+    claim into registered, oracle-checked code. Semantics are
+    recall-limited BY DESIGN: a qualifying edge missed by all 4 bands
+    lowers a point's observed degree, so LSH-DBSCAN is a conservative
+    under-clustering of the exact labeling — the trade every
+    production SemDeDup run makes; the candidate set itself replays
+    exactly in the oracle (double-literal planes, tested sign margin),
+    so the driver hash pins the whole pipeline.
+
+    Scale shape: candidate generation shuffles on (band, bucket) keys
+    with bounded buckets; everything downstream is O(candidate edges)
+    with per-round localCheckpointed CC — no all-pairs join anywhere.
+    """
+    from .scale_paths import dedup_embedding_lsh_pairs
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    return _dbscan_downstream(emb, pairs)
+

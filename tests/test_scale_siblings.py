@@ -94,3 +94,28 @@ def test_ivf_probe_cell_score_margin():
         norms = np.linalg.norm(cents, axis=1)
         scores = np.sort((cents @ qn) / np.where(norms > 0, norms, 1))[::-1]
         assert np.abs(np.diff(scores[:4])).min() > 1e-7
+
+
+def test_lsh_dbscan_is_conservative_underclustering(spark):
+    """LSH candidate edges are a subset of the exact eps-edges, so
+    degrees can only drop: every point's role under `cluster_dbscan_lsh`
+    is ≤ its exact-DBSCAN role (core→border/noise possible, never an
+    upgrade), and any point the LSH path does cluster must carry a
+    cluster id ≤ ... well, a valid core id from the exact labeling's
+    component structure is NOT guaranteed (splits re-root the min id),
+    so pin only the role monotonicity + the shared-noise direction."""
+    from .conftest import SF_ORACLE
+    from etl_github_spark.queries.registry import QUERIES
+
+    rank = {"noise": 0, "border": 1, "core": 2}
+    exact = {
+        r.vec_id: r.role
+        for r in QUERIES["cluster_dbscan_embeddings"].fn(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        r.vec_id: r.role
+        for r in QUERIES["cluster_dbscan_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(lsh)
+    for v, role in lsh.items():
+        assert rank[role] <= rank[exact[v]], (v, role, exact[v])
