@@ -38,9 +38,9 @@ string the driver diffs against at sf=0.01.
 # Cramér's V, the LSH parameter planner, the k_nn(k) degree
 # curve, perceptual-hash media dedup, per-source Shannon entropy,
 # the two-proportion z-test, decile-level uplift profiling,
-# tie-corrected Kruskal-Wallis, and the dataset card —
-# 49 promotions) + 1 stalest green (r01 vintage) for
-# re-verification.
+# tie-corrected Kruskal-Wallis, the dataset card, and
+# LSH-DBSCAN — 50 promotions; every slot this round verifies a
+# round-8 addition (all prior 333 queries were driver-green r7).
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
@@ -94,7 +94,7 @@ _R8_WINDOW = [
     "stat_hte_uplift_deciles",  # never driver-verified (promoted)
     "stat_kruskal_wallis",  # never driver-verified (promoted)
     "curate_dataset_card",  # never driver-verified (promoted)
-    "q1_pricing_summary",  # green r01
+    "cluster_dbscan_lsh",  # never driver-verified (promoted)
 ]
 
 def _apply_rotation(window: list[str]) -> None:
