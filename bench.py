@@ -280,6 +280,7 @@ EXTENDED = [
     "stat_kruskal_wallis",
     "curate_dataset_card",
     "cluster_dbscan_lsh",
+    "stat_levene_brown_forsythe",
 ]
 
 

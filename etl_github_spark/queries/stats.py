@@ -3439,3 +3439,94 @@ def stat_kruskal_wallis(spark, sf_dir):
         F.expr(_KW_H).alias("h_stat"),
         F.expr(_KW_HC).alias("h_corrected"),
     )
+
+
+@query(
+    "stat_levene_brown_forsythe",
+    sql=f"""
+    WITH med AS (
+      SELECT source,
+             CAST(round(2 * median(n_chars)) AS BIGINT) AS med2
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, abs(2 * d.n_chars - m.med2) AS z
+      FROM documents d JOIN med m USING (source)
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z) AS BIGINT) AS s_g,
+             CAST(sum(z * z) AS BIGINT) AS ss_g
+      FROM dev GROUP BY source
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ss_g) AS BIGINT) AS ss,
+             sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                 ORDER BY source) AS sum_sq_over_n
+      FROM g
+    )
+    SELECT k AS k_groups, n AS n_docs,
+           {_ANOVA_SSB} AS ss_between,
+           {_ANOVA_SSW} AS ss_within,
+           {_ANOVA_F} AS w_stat
+    FROM m
+    """,
+    tags=("stats", "experimentation", "variance"),
+)
+def stat_levene_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe Levene test for variance homogeneity across
+    sources — the PRE-TEST the k-group ladder assumes:
+    `stat_anova_oneway` pools variances, and this is the check that
+    pooling is legitimate (W is a one-way ANOVA on absolute deviations
+    from each group's MEDIAN — the Brown-Forsythe robustification of
+    Levene's mean-deviation form). Rounds out the family: Welch
+    already handles the 2-group unequal-variance case; this decides
+    k-group poolability.
+
+    Exactness: deviations are EXACT integers — z = |2x − 2·median_g|,
+    where 2·median is integer-valued in both engines (the exact
+    middle-pair average doubled; one round() collapses the .0 double),
+    so the ANOVA moments (n, Σz, Σz²) are exact int64 and the final
+    combine reuses `stat_anova_oneway`'s shared expression text
+    verbatim, including the source-ordered Σ s_g²/n_g fold. Scale
+    shape: one groupBy for medians (exact median is a sort-based
+    aggregate — at production scale swap for the quantile-sketch
+    median, trading exactness), one broadcast join back, one
+    combinable moment groupBy.
+    """
+    d = T(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(
+        F.round(2 * F.median("n_chars")).cast("long").alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(2 * F.col("n_chars") - F.col("med2")).alias("z")
+    )
+    g = dev.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss_g"),
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_g", "s_g"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s_g"].cast("double") * x["s_g"].cast("double")
+            / x["n_g"].cast("double"),
+        ).alias("sum_sq_over_n"),
+    )
+    return m.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_docs"),
+        F.expr(_ANOVA_SSB).alias("ss_between"),
+        F.expr(_ANOVA_SSW).alias("ss_within"),
+        F.expr(_ANOVA_F).alias("w_stat"),
+    )
