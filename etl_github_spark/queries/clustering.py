@@ -153,17 +153,20 @@ def dedup_cluster_survivors(spark, sf_dir):
     (min-id) member of each near-dup cluster — i.e. what a curation
     pipeline actually writes out after clustering.
 
-    One broadcast join: the cluster membership table is |clustered docs|
-    (tiny relative to the corpus — near-dup rate, not corpus size), so
-    the survivor filter is map-side over the full documents scan. Uses
-    the raw propagation labels (no cluster-size agg — not needed here).
+    Join shape: the cluster membership table is O(clustered docs) — the
+    near-dup rate TIMES the corpus, which on a duplicate-heavy crawl is
+    a large fraction of the corpus, NOT a bounded dimension. So no
+    forced broadcast hint: AQE picks a broadcast join at runtime when
+    the membership frame actually fits, and degrades to a shuffle join
+    (never an OOM) when it doesn't. Uses the raw propagation labels
+    (no cluster-size agg — not needed here).
     """
     comp = _cluster_membership(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     joined = d.join(
-        F.broadcast(comp).withColumnRenamed("doc_id", "c_doc_id"),
+        comp.withColumnRenamed("doc_id", "c_doc_id"),
         d["doc_id"] == F.col("c_doc_id"),
         "left",
     )
@@ -199,18 +202,19 @@ def split_by_cluster(spark, sf_dir):
     `text_train_val_split`'s content hash closes only for EXACT dups
     (a paraphrased copy hashes differently but still leaks the answer).
 
-    One broadcast join: cluster membership is |clustered docs| (near-dup
-    rate × corpus, tiny), so the split assignment is map-side over the
-    full corpus scan; the hash input is the cluster id rendered as a
-    string, bit-identical in both engines. Uses the raw propagation
-    labels (no cluster-size agg — not needed here).
+    Join shape: cluster membership is O(clustered docs) — unbounded in
+    corpus size on a duplicate-heavy crawl — so no forced broadcast
+    hint; AQE broadcasts at runtime only when the frame fits. The hash
+    input is the cluster id rendered as a string, bit-identical in both
+    engines. Uses the raw propagation labels (no cluster-size agg —
+    not needed here).
     """
     comp = _cluster_membership(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     d = T(spark, sf_dir, "documents").select("doc_id")
     joined = d.join(
-        F.broadcast(comp).withColumnRenamed("doc_id", "c_doc_id"),
+        comp.withColumnRenamed("doc_id", "c_doc_id"),
         d["doc_id"] == F.col("c_doc_id"),
         "left",
     )
@@ -301,8 +305,10 @@ def dedup_fuzzy_corpus(spark, sf_dir):
     )
     lab = connected_components(edges)
     d = T(spark, sf_dir, "documents").select("doc_id")
+    # No broadcast hint: `lab` is O(clustered docs), unbounded on a
+    # duplicate-heavy crawl — AQE broadcasts at runtime iff it fits.
     j = d.join(
-        F.broadcast(lab).withColumnRenamed("id", "c_doc_id"), d["doc_id"] == F.col("c_doc_id"), "left"
+        lab.withColumnRenamed("id", "c_doc_id"), d["doc_id"] == F.col("c_doc_id"), "left"
     )
     return j.select(
         "doc_id",
@@ -350,8 +356,10 @@ def dedup_soft_downweight(spark, sf_dir):
     the per-source mass sums are reduction-order-free; the single final
     ratio is one double division. Scale shape: the cluster membership
     is the same bounded propagation as `dedup_cluster_components`
-    (LSH-bounded edges at 100 TB); the weighting itself is a broadcast-
-    joinable |clusters|-sized dimension against the doc scan.
+    (LSH-bounded edges at 100 TB); the weight frame carries one row per
+    CLUSTERED DOC (not per cluster), so it is unbounded in corpus size
+    on a duplicate-heavy crawl — no forced broadcast hint; AQE picks
+    broadcast at runtime only when the frame actually fits.
     """
     lab = _cluster_membership(spark, sf_dir)
     sizes = lab.groupBy("label").agg(F.count("*").alias("cnt"))
@@ -360,7 +368,7 @@ def dedup_soft_downweight(spark, sf_dir):
         F.expr("CAST(1000000 div cnt AS BIGINT)").alias("w_ppm"),
     )
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
-    w = d.join(F.broadcast(wdim), "doc_id", "left").select(
+    w = d.join(wdim, "doc_id", "left").select(
         "source", F.coalesce("w_ppm", F.lit(1000000).cast("long")).alias("w_ppm")
     )
     return w.groupBy("source").agg(
@@ -437,7 +445,15 @@ def _dbscan_downstream(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Shared Spark DBSCAN downstream over any (va, vb) candidate-pair
     frame: degrees, core rule, min-label CC over core edges, MIN-core
     border attach, role labeling — identical for the exhaustive
-    eps-graph and the SRP-bucketed candidate generation."""
+    eps-graph and the SRP-bucketed candidate generation.
+
+    Join shape: `core`, `core_lab`, and `border` each carry one row per
+    CORE/BORDER POINT — a large fraction of the corpus on a dense or
+    duplicate-heavy dataset, NOT a bounded dimension — so none of these
+    joins carries a forced broadcast hint. AQE picks broadcast at
+    runtime when the frame fits and degrades to a shuffle join when it
+    doesn't; a forced hint here would be an executor OOM at 100×
+    scale."""
     edges = pairs.union(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).localCheckpoint()
@@ -446,8 +462,8 @@ def _dbscan_downstream(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     core = deg.where(F.col("c") >= _DB_MIN_NBRS).select("v")
     ce = (
-        edges.join(F.broadcast(core.withColumnRenamed("v", "va")), "va")
-        .join(F.broadcast(core.withColumnRenamed("v", "vb")), "vb")
+        edges.join(core.withColumnRenamed("v", "va"), "va")
+        .join(core.withColumnRenamed("v", "vb"), "vb")
         .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
     )
     comp = connected_components(ce)  # (id, label) for cores with core edges
@@ -456,20 +472,16 @@ def _dbscan_downstream(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("v", F.coalesce("label", "v").alias("cluster_id"))
     )
     border = (
-        edges.join(
-            F.broadcast(core_lab.withColumnRenamed("v", "vb")), "vb"
-        )
-        .join(F.broadcast(core.withColumnRenamed("v", "va")), "va", "left_anti")
+        edges.join(core_lab.withColumnRenamed("v", "vb"), "vb")
+        .join(core.withColumnRenamed("v", "va"), "va", "left_anti")
         .groupBy(F.col("va").alias("v"))
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
     return (
         emb.select("vec_id")
-        .join(F.broadcast(core_lab.withColumnRenamed("v", "vec_id")), "vec_id", "left")
+        .join(core_lab.withColumnRenamed("v", "vec_id"), "vec_id", "left")
         .withColumnRenamed("cluster_id", "core_cl")
-        .join(
-            F.broadcast(border.withColumnRenamed("v", "vec_id")), "vec_id", "left"
-        )
+        .join(border.withColumnRenamed("v", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
             F.when(F.col("core_cl").isNotNull(), "core")
@@ -501,7 +513,12 @@ def cluster_dbscan_embeddings(spark, sf_dir):
     Scale shape: this registered form rides the exhaustive O(N²)
     pair baseline (same documented contract as dedup_embedding_cosine);
     the 100 TB path is `cluster_dbscan_lsh` — SRP-bucketed candidate
-    pairs feeding THIS exact downstream (`_dbscan_downstream`).
+    pairs feeding THIS exact downstream (`_dbscan_downstream`). No
+    forced broadcast of the right side: a hint would pin the FULL
+    embedding table in executor memory (OOM at scale); unhinted, the
+    planner grid-partitions the product and the baseline degrades
+    gracefully instead of dying — still O(N²) compute by contract, but
+    memory-safe.
     """
     from .similarity import cosine
 
@@ -509,7 +526,7 @@ def cluster_dbscan_embeddings(spark, sf_dir):
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     pairs = (
-        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        a.join(b, F.col("va") < F.col("vb"))
         .where(cosine(F.col("ea"), F.col("eb")) >= _DB_EPS)
         .select("va", "vb")
     )

@@ -1014,3 +1014,34 @@ def test_isotonic_calibration_all_broadcast(spark):
     p = plan_of(spark, "stat_isotonic_calibration")
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def _optimized_logical(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cluster_membership_joins_not_hint_broadcast(spark):
+    """The cluster-membership / core-point frames are O(clustered docs)
+    — unbounded in corpus size on a duplicate-heavy crawl — so none of
+    the downstream joins may carry a FORCED broadcast hint (a hint pins
+    the frame in executor memory and OOMs at 100x scale; AQE already
+    broadcasts at runtime when the frame actually fits). Guards the
+    round-9 de-broadcast of clustering.py against regression."""
+    for name in (
+        "dedup_cluster_survivors",
+        "split_by_cluster",
+        "dedup_soft_downweight",
+        "cluster_dbscan_lsh",
+    ):
+        plan = _optimized_logical(spark, name)
+        assert "strategy=broadcast" not in plan, name
+
+
+def test_dbscan_exhaustive_baseline_not_hint_broadcast(spark):
+    """The O(N^2) DBSCAN baseline must not force-broadcast the full
+    embedding table into its inequality join — unhinted it grid-
+    partitions (memory-safe, degrades instead of OOM). The contract
+    O(N^2) compute is documented; the LSH sibling is the scale path."""
+    plan = _optimized_logical(spark, "cluster_dbscan_embeddings")
+    assert "strategy=broadcast" not in plan
