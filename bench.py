@@ -281,6 +281,8 @@ EXTENDED = [
     "curate_dataset_card",
     "cluster_dbscan_lsh",
     "stat_levene_brown_forsythe",
+    # round-9 additions
+    "sim_ivfpq_store_probe",
 ]
 
 
@@ -343,6 +345,43 @@ def bench_gha_ingest(spark, n_copies: int = 1500) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_ivfpq_store_query_path(spark, sf_dir: str) -> float:
+    """Amortized-ANN timing: build the residual IVF-PQ store ONCE
+    (coarse fit + PQ fit + partitioned code write — untimed), then time
+    only the query path (`ivfpq_probe_topk`: sidecar read, driver-side
+    probe + ADC tables, partition-pruned code scan, fold-ADC top-k).
+    This is the number that matters at queries ≫ builds — the FAISS
+    production shape the in-plan `sim_ivfpq_residual_topk` entry pays
+    the fit for on every call."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.ivf_store import ivfpq_probe_topk, write_embeddings_ivfpq
+    from etl_github_spark.queries._util import T, par
+    from etl_github_spark.queries.scale_paths import (
+        lloyd_fit,
+        pq_fit,
+        residual_frame,
+    )
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(raw, k=8, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = residual_frame(spark, raw, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=16, ksub=64)
+    path = tempfile.mkdtemp(prefix="ivfpq_bench_")
+    try:
+        write_embeddings_ivfpq(res, path, centroids, books)
+        samples = _time_fn(
+            spark, lambda s, _sf: ivfpq_probe_topk(s, path, q_raw), sf_dir
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return min(samples)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -389,6 +428,17 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"BENCH ERROR minhash_lsh_xxhash: {e}", file=sys.stderr)
         extended["minhash_lsh_xxhash_production"] = -1.0
+
+    # round 9: the amortized ANN number — store built once (untimed),
+    # query path timed alone. Compare against sim_ivfpq_residual_topk
+    # (which refits per call) to see the fit/query split.
+    try:
+        extended["sim_ivfpq_store_query_path"] = round(
+            bench_ivfpq_store_query_path(spark, sf_dir), 3
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR ivfpq_store_query_path: {e}", file=sys.stderr)
+        extended["sim_ivfpq_store_query_path"] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {

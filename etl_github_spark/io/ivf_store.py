@@ -55,6 +55,73 @@ def probe_cells(centroids, q_vec, nprobe: int) -> list[int]:
     return [cell for _, cell in sorted(dq)[:nprobe]]
 
 
+def write_embeddings_ivfpq(res: DataFrame, path: str, centroids, books) -> None:
+    """Write the residual IVF-PQ store — the FAISS IndexIVFPQ layout
+    re-expressed as a lakehouse table: ``res`` is the residual frame
+    (`queries.scale_paths.residual_frame`: vec_id, cell, embedding =
+    vec − assigned coarse centroid); each residual is PQ-encoded to m
+    small ints and written as (vec_id, codes) parquet PARTITIONED BY
+    cell, with an ``_ivfpq_index.json`` sidecar holding the k×dim
+    coarse centroids and the (m, ksub, dsub) codebooks — the entire
+    index metadata. Fit once, write once, query many: a probe never
+    re-fits and never touches the raw vectors.
+
+    Scale shape: one scan + one Arrow encode pass + one doc-keyed join
+    to re-attach cells + one partitioned shuffle-free sink; stored rows
+    are m bytes of codes instead of 256 bytes of float32×64."""
+    from ..queries.scale_paths import pq_encode
+
+    res = res.localCheckpoint(eager=False)  # encode + cell re-attach both scan it
+    coded = pq_encode(res.select("vec_id", "embedding"), books).select(
+        "vec_id", "codes"
+    )
+    coded.join(res.select("vec_id", "cell"), "vec_id").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ivfpq_index.json"), "w") as fh:
+        json.dump(
+            {
+                "centroids": [[float(v) for v in c] for c in centroids],
+                "books": [
+                    [[float(v) for v in code] for code in sub] for sub in books
+                ],
+            },
+            fh,
+        )
+
+
+def read_ivfpq_index(path: str):
+    """(centroids, books) from the store sidecar. Python json round-trips
+    doubles exactly (repr-based), so the read-back index is bit-identical
+    to the fitted one — probe choice and ADC tables replay exactly."""
+    with open(os.path.join(path, "_ivfpq_index.json")) as fh:
+        idx = json.load(fh)
+    return idx["centroids"], idx["books"]
+
+
+def ivfpq_probe_topk(
+    spark: SparkSession,
+    path: str,
+    q_raw,
+    nprobe: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """Answer a query purely from the IVF-PQ store — no fit, no raw
+    vectors: read the sidecar index, pick the nprobe nearest cells and
+    build the per-cell ADC tables driver-side (nprobe·m·ksub doubles of
+    metadata), then a PARTITION-PRUNED scan of the probed ``cell=<id>``
+    directories + the m-fold ADC score + TakeOrderedAndProject. Bytes
+    touched scale with nprobe/k of the corpus at m bytes per row."""
+    from ..queries.scale_paths import adc_score_topk, residual_adc_tables
+
+    centroids, books = read_ivfpq_index(path)
+    m, ksub = len(books), len(books[0])
+    probe = probe_cells(centroids, q_raw, nprobe)
+    tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
+    coded = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    return adc_score_topk(coded, probe, tab, m, topk=topk)
+
+
 def ivf_probe_topk(
     spark: SparkSession,
     path: str,

@@ -2091,6 +2091,101 @@ def _ivfpq_residual_sql(k: int = 8, iters: int = 3, mod: int = 4,
     return ",".join(parts)
 
 
+def residual_frame(spark, raw, centroids):
+    """(vec_id, embedding) → (vec_id, cell, embedding=residual): assign
+    each vector to its nearest coarse centroid and subtract it, float-
+    quantizing exactly like the stored form (double subtract of
+    bit-reproducible Lloyd centroids → one correctly-rounded REAL cast,
+    identical in both engines). One Arrow assignment pass + one
+    broadcast join against the k×dim centroid table."""
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    return (
+        assign_cells(raw, centroids)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                "c",
+                lambda x, y: (x - y).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+
+
+def residual_adc_tables(q_raw, centroids, books, probe, m: int, ksub: int):
+    """Per-probed-cell ADC lookup tables for residual IVF-PQ: for each
+    probed cell, tab[s][c] = ‖(q − centroid_cell)_s − codeword_sc‖²
+    (squared L2, ascending score). Driver-side python-float folds in
+    fixed index order — nprobe·m·ksub doubles of index metadata,
+    bit-identical to the oracle's replay."""
+    dsub = _DIM // m
+    tab = []
+    for cell in probe:
+        qr = [float(q_raw[i]) - centroids[cell][i] for i in range(_DIM)]
+        tab.append(
+            [
+                [
+                    sum(
+                        (
+                            (qr[s * dsub + j] - books[s][c][j])
+                            * (qr[s * dsub + j] - books[s][c][j])
+                            for j in range(dsub)
+                        ),
+                        0.0,
+                    )
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+        )
+    return tab
+
+
+def adc_score_topk(coded, probe, tab, m: int, topk: int = 10):
+    """Score (vec_id, cell, codes) rows against per-probed-cell ADC
+    tables and return the ascending top-k: attach the nprobe×m×ksub
+    table as a literal, look each subspace's partial distance up by
+    (cell position, subspace, code), left-fold the m partials in index
+    order, TakeOrderedAndProject."""
+    tab_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in tab[p][s]])
+                    for s in range(m)
+                ]
+            )
+            for p in range(len(probe))
+        ]
+    )
+    probe_lit = F.array(*[F.lit(int(c)) for c in probe])
+    scored = coded.select(
+        "vec_id",
+        "codes",
+        F.array_position(probe_lit, F.col("cell")).cast("int").alias("pos"),
+        tab_lit.alias("tab"),
+    )
+    approx_d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.element_at("tab", F.col("pos")), s + 1),
+            F.element_at("codes", s + 1) + 1,
+        ),
+    )
+    return (
+        scored.select("vec_id", approx_d2.alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), "vec_id")
+        .limit(topk)
+    )
+
+
 @query(
     "sim_ivfpq_residual_topk",
     sql=_ivfpq_residual_sql(),
@@ -2122,92 +2217,66 @@ def sim_ivfpq_residual_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
     query touches nprobe cells × nprobe 16-byte-code scans with
     nprobe·m·ksub table entries of metadata.
     """
+    from ..io.ivf_store import probe_cells
+
     raw = par(T(spark, sf_dir, "embeddings"))
     centroids = lloyd_fit(raw, k=k, iters=3)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    dq = []
-    for cell in range(len(centroids)):
-        d = 0.0
-        for qi, ci in zip(q_raw, centroids[cell]):
-            t = float(qi) - float(ci)
-            d += t * t
-        dq.append((d, cell))
-    probe = [cell for _, cell in sorted(dq)[:nprobe]]
+    probe = probe_cells(centroids, q_raw, nprobe)
 
-    cents = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cell int, c array<double>",
-    )
-    res = (
-        assign_cells(raw, centroids)
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                F.transform("embedding", lambda v: v.cast("double")),
-                "c",
-                lambda x, y: (x - y).cast("float"),
-            ).alias("embedding"),
-        )
-    )
+    res = residual_frame(spark, raw, centroids)
     books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
-
-    dsub = _DIM // m
-    tab = []
-    for cell in probe:
-        qr = [float(q_raw[i]) - centroids[cell][i] for i in range(_DIM)]
-        tab.append(
-            [
-                [
-                    sum(
-                        (
-                            (qr[s * dsub + j] - books[s][c][j])
-                            * (qr[s * dsub + j] - books[s][c][j])
-                            for j in range(dsub)
-                        ),
-                        0.0,
-                    )
-                    for c in range(ksub)
-                ]
-                for s in range(m)
-            ]
-        )
-    tab_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in tab[p][s]])
-                    for s in range(m)
-                ]
-            )
-            for p in range(len(probe))
-        ]
-    )
-    probe_lit = F.array(*[F.lit(int(c)) for c in probe])
+    tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
 
     cand = res.where(F.col("cell").isin([int(c) for c in probe]))
-    coded = (
-        pq_encode(cand.select("vec_id", "embedding"), books)
-        .join(cand.select("vec_id", "cell"), "vec_id")
-        .select(
-            "vec_id",
-            "codes",
-            F.array_position(probe_lit, F.col("cell")).cast("int").alias("pos"),
-            tab_lit.alias("tab"),
-        )
+    coded = pq_encode(cand.select("vec_id", "embedding"), books).join(
+        cand.select("vec_id", "cell"), "vec_id"
     )
-    approx_d2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.element_at("tab", F.col("pos")), s + 1),
-            F.element_at("codes", s + 1) + 1,
-        ),
-    )
-    return (
-        coded.select("vec_id", approx_d2.alias("approx_d2"))
-        .orderBy(F.asc("approx_d2"), "vec_id")
-        .limit(10)
-    )
+    return adc_score_topk(coded, probe, tab, m, topk=10)
+
+
+@query(
+    "sim_ivfpq_store_probe",
+    sql=_ivfpq_residual_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "residual", "storage"),
+)
+def sim_ivfpq_store_probe(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                          m: int = 16, ksub: int = 64):
+    """The STORAGE half of residual IVF-PQ — fit once, query many (the
+    FAISS production shape `sim_ivfpq_residual_topk` computes in-plan):
+    the coarse centroids and PQ codebooks are fitted once and persisted
+    with the cell-partitioned code table through `io/ivf_store.py`
+    (`write_embeddings_ivfpq`); the query is then answered PURELY from
+    the store (`ivfpq_probe_topk`) — sidecar index → driver-side probe
+    + ADC tables → partition-pruned scan of nprobe ``cell=<id>``
+    directories of m-byte codes → fold-ADC top-k. No re-fit, no raw
+    vectors on the query path; same oracle SQL as the in-plan sibling
+    because the store is an execution strategy, not a semantics change
+    (the contract `sim_ivf_store_probe` pins for plain IVF).
+
+    Scale shape: the fit is the same bounded sampled chain as the
+    in-plan sibling, paid ONCE per corpus build; each query touches
+    nprobe/k of the corpus at 16 bytes/row plus nprobe·m·ksub doubles
+    of sidecar metadata. bench.py times the query path separately
+    (`sim_ivfpq_store_query_path`) — the number that matters at
+    queries ≫ builds.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.ivf_store import ivfpq_probe_topk, write_embeddings_ivfpq
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(raw, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = residual_frame(spark, raw, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_store_")
+    try:
+        write_embeddings_ivfpq(res, path, centroids, books)
+        out = ivfpq_probe_topk(spark, path, q_raw, nprobe=nprobe, topk=10)
+        rows = [(r["vec_id"], r["approx_d2"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, approx_d2 double")
