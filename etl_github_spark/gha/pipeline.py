@@ -170,6 +170,80 @@ def read_raw_direct(
     return urls_df.mapInPandas(gen, schema="value string")
 
 
+def split_landing(
+    spark: SparkSession,
+    paths: list[str],
+    out_dir: str,
+    shard_bytes: int = 64 << 20,
+) -> list[str]:
+    """Decompress-split non-splittable ``.json.gz`` landing files into
+    plain-text shards — the scale path for the single-file straggler.
+
+    A gzip stream cannot be seek-split, so ``spark.read.text`` gives ONE
+    task per .gz file no matter how large it is (read_raw's documented
+    property; at 100× data a lone 5 GB hour becomes the stage straggler
+    while 31 executors idle). This pass decodes each file ONCE — one
+    task per file, the same per-file parallelism as the fetch
+    (preprocess.py:260's unit) — and writes ~``shard_bytes`` plain-text
+    shards on line boundaries; every downstream scan then splits at
+    ``spark.sql.files.maxPartitionBytes`` like any other text input.
+    The sequential decode is paid once; the six extractor scans, re-runs,
+    and backfills all parallelize after it.
+
+    Idempotent and atomic like fetch_to_landing: shards write as
+    ``.part`` then rename, a ``_SUCCESS`` marker publishes the directory,
+    and a re-run that finds the marker returns the existing shards
+    without re-decoding. Returns all shard paths in manifest order.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _split_one(path: str) -> list[str]:
+        import gzip
+        import os
+
+        name = os.path.basename(path)
+        base = name[:-3] if name.endswith(".gz") else name
+        dest = os.path.join(out_dir, base)
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):  # idempotent re-run: already published
+            return [
+                os.path.join(dest, f)
+                for f in sorted(os.listdir(dest))
+                if f.startswith("part-")
+            ]
+        os.makedirs(dest, exist_ok=True)
+        opener = gzip.open if name.endswith(".gz") else open
+        shards: list[str] = []
+        out = None
+        tmp = final = ""
+        written = 0
+        with opener(path, "rb") as src:
+            for line in src:
+                if out is None or written >= shard_bytes:
+                    if out is not None:
+                        out.close()
+                        os.replace(tmp, final)  # atomic publish per shard
+                    final = os.path.join(dest, f"part-{len(shards):05d}.json")
+                    tmp = final + ".part"
+                    out = open(tmp, "wb")
+                    shards.append(final)
+                    written = 0
+                out.write(line)
+                written += len(line)
+        if out is not None:
+            out.close()
+            os.replace(tmp, final)
+        with open(marker, "w"):
+            pass
+        return shards
+
+    sc = spark.sparkContext
+    nested = sc.parallelize(paths, max(1, len(paths))).map(_split_one).collect()
+    return [p for shard_list in nested for p in shard_list]
+
+
 def read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:
     """NDJSON(.gz) scan (S1/S2): gzip decoded by extension; one partition
     per gz file (gzip is not splittable — same per-file parallelism the
@@ -264,6 +338,7 @@ def ingest_urls(
     mode: str = "append",
     fmt: str | None = None,
     direct: bool = False,
+    split_shard_bytes: int | None = None,
 ) -> dict[str, str]:
     """Production entry point for the real GH Archive source:
     manifest URLs → :func:`fetch_to_landing` → :func:`ingest_files`.
@@ -272,8 +347,21 @@ def ingest_urls(
 
     ``direct=True`` opts into the reference's single-pass semantics
     (:func:`read_raw_direct`): no landing copy, each byte touched once;
-    trade-off documented on that function."""
+    trade-off documented on that function.
+
+    ``split_shard_bytes`` opts into the decompress-split scale path
+    (:func:`split_landing`): landed .gz files are exploded once into
+    plain-text shards of roughly that size, so the parse stage
+    parallelizes within a single large hour instead of assigning the
+    whole file to one task (the 100× straggler documented on
+    read_raw)."""
     if direct:
         return ingest_raw(spark, read_raw_direct(spark, urls), outdir, mode=mode, fmt=fmt)
     paths = fetch_to_landing(spark, urls, landing_dir)
+    if split_shard_bytes:
+        import os
+
+        paths = split_landing(
+            spark, paths, os.path.join(landing_dir, "_split"), split_shard_bytes
+        )
     return ingest_files(spark, paths, outdir, mode=mode, fmt=fmt)

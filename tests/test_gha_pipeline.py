@@ -323,3 +323,57 @@ def test_manifest_query_matches_list_files(spark):
         for r in gha_manifest_hours(spark, "unused").orderBy("hour_ts").collect()
     ]
     assert got == want and len(got) == 6  # inclusive stop, leap-day boundary
+
+
+def test_split_landing_shards_are_row_identical_and_splittable(spark, tmp_path):
+    """The decompress-split scale path: shards must reproduce the gz
+    content row-identically, scan with MORE tasks than the
+    one-task-per-gz property read_raw documents, and re-runs must be
+    idempotent (the _SUCCESS marker short-circuits re-decoding)."""
+    import os
+
+    from etl_github_spark.gha.pipeline import read_raw, split_landing
+
+    paths = write_fixture(tmp_path / "gz", gz=True)
+    shards = split_landing(spark, paths, str(tmp_path / "split"), shard_bytes=256)
+
+    # multiple shards per input file (tiny shard_bytes forces the split)
+    assert len(shards) > len(paths)
+    assert all(p.endswith(".json") and not p.endswith(".part") for p in shards)
+
+    gz_rows = sorted(r["value"] for r in read_raw(spark, paths).collect())
+    shard_rows = sorted(r["value"] for r in read_raw(spark, shards).collect())
+    assert shard_rows == gz_rows
+
+    # the straggler property: each .gz is exactly one input partition;
+    # the shard scan parallelizes past that bound.
+    assert read_raw(spark, paths).rdd.getNumPartitions() == len(paths)
+    assert read_raw(spark, shards).rdd.getNumPartitions() > len(paths)
+
+    # idempotent re-run: same shard list, nothing rewritten
+    mtimes = {p: os.stat(p).st_mtime_ns for p in shards}
+    again = split_landing(spark, paths, str(tmp_path / "split"), shard_bytes=256)
+    assert sorted(again) == sorted(shards)
+    assert {p: os.stat(p).st_mtime_ns for p in shards} == mtimes
+
+
+def test_ingest_urls_with_split_matches_unsplit(spark, tmp_path):
+    """ingest_urls(split_shard_bytes=...) must land the same six tables
+    as the plain path — the split is an execution strategy only."""
+    from etl_github_spark.gha.pipeline import ingest_urls
+
+    src = write_fixture(tmp_path / "src", gz=True)
+    urls = [f"file://{p}" for p in src]
+
+    plain = ingest_urls(spark, urls, str(tmp_path / "l1"), str(tmp_path / "lake1"))
+    split = ingest_urls(
+        spark,
+        urls,
+        str(tmp_path / "l2"),
+        str(tmp_path / "lake2"),
+        split_shard_bytes=256,
+    )
+    for name in plain:
+        a = sorted(map(tuple, read_table(spark, plain[name]).collect()))
+        b = sorted(map(tuple, read_table(spark, split[name]).collect()))
+        assert a == b, name
