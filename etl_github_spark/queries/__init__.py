@@ -14,87 +14,85 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 8: all 333 r7-era queries are driver-green and the
-# backlog is EMPTY, so the window = this round's 16 promoted additions
-# (hash-rank reservoir sample, exact power-of-two decayed leaderboard,
-# Ljung-Box white-noise test, perceptual-hash scene cuts, hashing-trick
-# feature profile, LSH kNN join, personalized PageRank, the A/B
-# experimentation trio — SRM guardrail, CUPED adjusted means, MDE power
-# analysis — soft-dedup downweighting, seasonal-naive MASE backtest,
-# the integer-decile dedup threshold sweep, cohort LTV curves, the
-# code-vs-prose router, DESCRIBE HISTORY under the hash, the md5
-# randomization test, cross-source quantile normalization, the hot-key
-# skew diagnostic, the novelty-decay curve, Pareto-front source
-# selection, the O(changed-files) snapshot diff, the watermark
-# late-drop audit, minimax isotonic calibration, and the
-# delta.appendOnly guard, append-mode session windows, and the
-# any-order funnel, exact-integer BH FDR over randomization
-# p-values, deterministic DBSCAN, the IVF-PQ composite index,
-# ordered-fold one-way ANOVA, LPA modularity scoring, simplified
-# k-means silhouette, source-language mutual information,
-# mid-rank ROC AUC, local clustering coefficient + transitivity,
-# degree assortativity, exact 3-channel Shapley attribution, and
-# diff-in-differences, residual IVF-PQ, and bias-corrected
-# Cramér's V, the LSH parameter planner, the k_nn(k) degree
-# curve, perceptual-hash media dedup, per-source Shannon entropy,
-# the two-proportion z-test, decile-level uplift profiling,
-# tie-corrected Kruskal-Wallis, the dataset card, and
-# LSH-DBSCAN — 50 promotions; every slot this round verifies a
-# round-8 addition (all prior 333 queries were driver-green r7).
+# staleness. Round 9 (per VERDICT r8): 11 promotions — the two
+# never-driver-verified queries (stat_levene_brown_forsythe, landed
+# after the r8 window froze, and this round's new sim_ivfpq_store_probe)
+# plus the nine queries whose execution paths changed this round (the
+# clustering de-broadcast + pointer-jumping CC rewrite touches every
+# dedup_cluster_*/split/fuzzy/DBSCAN consumer; the IVF-PQ helper
+# extraction touches both ivfpq siblings) — then 39 slots of the
+# stalest greens (r01-vintage), the staleness re-verification sweep
+# the judge asked for. The window below is asserted equal to
+# compute_window(_R9_PROMOTED) by tests/test_new_invariants.py, so a
+# stale paste fails CI instead of silently wasting driver slots.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R8_WINDOW = [
-    "agg_reservoir_sample",  # never driver-verified (promoted)
-    "analytics_decayed_leaderboard",  # never driver-verified (promoted)
-    "stat_ljung_box",  # never driver-verified (promoted)
-    "multimodal_video_scene_cuts",  # never driver-verified (promoted)
-    "text_hashing_trick_features",  # never driver-verified (promoted)
-    "sim_knn_join_bucketed",  # never driver-verified (promoted)
-    "graph_personalized_pagerank",  # never driver-verified (promoted)
-    "stat_ab_srm_guardrail",  # never driver-verified (promoted)
-    "dedup_soft_downweight",  # never driver-verified (promoted)
-    "stat_cuped_adjusted_means",  # never driver-verified (promoted)
-    "trend_forecast_backtest_mase",  # never driver-verified (promoted)
-    "dedup_threshold_sweep",  # never driver-verified (promoted)
-    "stat_power_analysis_mde",  # never driver-verified (promoted)
-    "analytics_ltv_cohort_revenue",  # never driver-verified (promoted)
-    "text_code_detect_heuristic",  # never driver-verified (promoted)
-    "lake_delta_commit_history",  # never driver-verified (promoted)
-    "stat_randomization_test",  # never driver-verified (promoted)
-    "stat_quantile_normalize",  # never driver-verified (promoted)
-    "quality_hotkey_skew",  # never driver-verified (promoted)
-    "dedup_novelty_over_time",  # never driver-verified (promoted)
-    "curate_pareto_fronts",  # never driver-verified (promoted)
-    "lake_delta_snapshot_diff",  # never driver-verified (promoted)
-    "stream_late_data_audit",  # never driver-verified (promoted)
-    "stat_isotonic_calibration",  # never driver-verified (promoted)
-    "lake_delta_append_only",  # never driver-verified (promoted)
-    "stream_session_append_replay",  # never driver-verified (promoted)
-    "analytics_funnel_any_order",  # never driver-verified (promoted)
-    "stat_fdr_bh_randomization",  # never driver-verified (promoted)
-    "cluster_dbscan_embeddings",  # never driver-verified (promoted)
-    "sim_ivfpq_topk",  # never driver-verified (promoted)
-    "stat_anova_oneway",  # never driver-verified (promoted)
-    "graph_modularity_lpa",  # never driver-verified (promoted)
-    "sim_silhouette_kmeans",  # never driver-verified (promoted)
-    "stat_mutual_information",  # never driver-verified (promoted)
-    "stat_auc_roc",  # never driver-verified (promoted)
-    "graph_clustering_coefficient",  # never driver-verified (promoted)
-    "graph_assortativity",  # never driver-verified (promoted)
-    "analytics_shapley_attribution",  # never driver-verified (promoted)
-    "stat_diff_in_diff",  # never driver-verified (promoted)
-    "sim_ivfpq_residual_topk",  # never driver-verified (promoted)
-    "stat_cramers_v",  # never driver-verified (promoted)
-    "dedup_lsh_parameter_plan",  # never driver-verified (promoted)
-    "graph_knn_degree_curve",  # never driver-verified (promoted)
-    "multimodal_phash_dedup_pairs",  # never driver-verified (promoted)
-    "quality_shannon_entropy",  # never driver-verified (promoted)
-    "stat_two_proportion_ztest",  # never driver-verified (promoted)
-    "stat_hte_uplift_deciles",  # never driver-verified (promoted)
-    "stat_kruskal_wallis",  # never driver-verified (promoted)
-    "curate_dataset_card",  # never driver-verified (promoted)
-    "cluster_dbscan_lsh",  # never driver-verified (promoted)
+_R9_PROMOTED = [
+    "stat_levene_brown_forsythe",
+    "sim_ivfpq_store_probe",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "split_by_cluster",
+    "dedup_soft_downweight",
+    "dedup_fuzzy_corpus",
+    "cluster_dbscan_embeddings",
+    "cluster_dbscan_lsh",
+    "sim_ivfpq_residual_topk",
+    "sim_ivfpq_topk",
+]
+
+_R9_WINDOW = [
+    "stat_levene_brown_forsythe",  # never driver-verified (promoted)
+    "sim_ivfpq_store_probe",  # never driver-verified (promoted)
+    "dedup_cluster_components",  # changed this round (promoted), green r03
+    "dedup_cluster_survivors",  # changed this round (promoted), green r03
+    "split_by_cluster",  # changed this round (promoted), green r04
+    "dedup_soft_downweight",  # changed this round (promoted), green r08
+    "dedup_fuzzy_corpus",  # changed this round (promoted), green r04
+    "cluster_dbscan_embeddings",  # changed this round (promoted), green r08
+    "cluster_dbscan_lsh",  # changed this round (promoted), green r08
+    "sim_ivfpq_residual_topk",  # changed this round (promoted), green r08
+    "sim_ivfpq_topk",  # changed this round (promoted), green r08
+    "filter_disjunction",  # green r01 (stalest)
+    "filter_having",  # green r01 (stalest)
+    "filter_null_safe",  # green r01 (stalest)
+    "filter_range_date",  # green r01 (stalest)
+    "project_subset",  # green r01 (stalest)
+    "project_json_prop",  # green r01 (stalest)
+    "project_json_struct",  # green r01 (stalest)
+    "scalar_string_funcs",  # green r01 (stalest)
+    "scalar_math_funcs",  # green r01 (stalest)
+    "scalar_case_when",  # green r01 (stalest)
+    "sort_topk",  # green r01 (stalest)
+    "sort_multi_col",  # green r01 (stalest)
+    "limit_deterministic",  # green r01 (stalest)
+    "join_inner_broadcast",  # green r01 (stalest)
+    "join_left_outer_agg",  # green r01 (stalest)
+    "join_semi",  # green r01 (stalest)
+    "join_anti",  # green r01 (stalest)
+    "join_full_outer",  # green r01 (stalest)
+    "join_cross",  # green r01 (stalest)
+    "join_multiway_dims",  # green r01 (stalest)
+    "join_fact_fact_revenue",  # green r01 (stalest)
+    "q1_pricing_summary",  # green r01 (stalest)
+    "agg_value_counts",  # green r01 (stalest)
+    "agg_global_count",  # green r01 (stalest)
+    "agg_multi_shared_scan",  # green r01 (stalest)
+    "agg_max_watermark",  # green r01 (stalest)
+    "agg_group_multi_key",  # green r01 (stalest)
+    "agg_distinct_per_group",  # green r01 (stalest)
+    "agg_rollup",  # green r01 (stalest)
+    "agg_cube",  # green r01 (stalest)
+    "agg_stats_per_nation",  # green r01 (stalest)
+    "agg_variance_deterministic",  # green r01 (stalest)
+    "trend_daily_counts",  # green r01 (stalest)
+    "trend_hourly_by_type",  # green r01 (stalest)
+    "trend_year_month_orders",  # green r01 (stalest)
+    "window_rank_topn_per_group",  # green r01 (stalest)
+    "window_rank_dense",  # green r01 (stalest)
+    "window_lag_lead",  # green r01 (stalest)
+    "window_moving_sum",  # green r01 (stalest)
 ]
 
 def _apply_rotation(window: list[str]) -> None:
@@ -115,4 +113,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R8_WINDOW)
+_apply_rotation(_R9_WINDOW)

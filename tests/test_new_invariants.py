@@ -604,3 +604,40 @@ def test_phash_pairs_respect_radius_and_ordering(spark):
         assert r.doc_a < r.doc_b and 0 <= r.hamming <= 3, r
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
+
+
+def test_rotation_window_matches_generator():
+    """The driver-rotation window in queries/__init__.py is a PASTE of
+    tools_gen_rotation.py output — a stale or hand-edited paste silently
+    wastes driver slots re-verifying fresh greens while the backlog
+    starves. Assert the committed window equals compute_window() for the
+    committed promote list, and that the promote list is the window's
+    prefix (the tool ranks promotions first when there are no reds)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "tools_gen_rotation",
+        os.path.join(os.path.dirname(__file__), "..", "tools_gen_rotation.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    import etl_github_spark.queries as q
+
+    window_attr = [a for a in dir(q) if a.endswith("_WINDOW")]
+    promoted_attr = [a for a in dir(q) if a.endswith("_PROMOTED")]
+    assert len(window_attr) == 1, f"expected one window, got {window_attr}"
+    assert len(promoted_attr) == 1, f"expected one promote list, got {promoted_attr}"
+    window = getattr(q, window_attr[0])
+    promoted = getattr(q, promoted_attr[0])
+
+    expect = tool.compute_window(window=len(window), promote=promoted)
+    assert window == expect, (
+        "rotation window is stale — regenerate with "
+        f"`python tools_gen_rotation.py --promote {','.join(promoted)}` "
+        "and re-paste"
+    )
+    # the driver hashes the FIRST len(window) registry entries — the
+    # applied rotation must actually put the window there.
+    assert list(q.QUERIES)[: len(window)] == window

@@ -81,14 +81,14 @@ def registry_names() -> list[str]:
     return list(registry.ADD_ORDER)
 
 
-def main() -> None:
-    window = 50
-    if "--window" in sys.argv:
-        window = int(sys.argv[sys.argv.index("--window") + 1])
-    promote: list[str] = []
-    if "--promote" in sys.argv:
-        promote = sys.argv[sys.argv.index("--promote") + 1].split(",")
-    latest, max_round = load_history()
+def compute_window(window: int = 50, promote: list[str] | None = None) -> list[str]:
+    """The ranked window itself — shared by the CLI below and the CI
+    guard (tests/test_new_invariants.py): a hand-pasted window that
+    drifts from this ranking silently wastes driver slots, so the paste
+    in queries/__init__.py is asserted equal to this function's output
+    for the committed promote list."""
+    promote = list(promote or [])
+    latest, _ = load_history()
     names = registry_names()
     order = {n: i for i, n in enumerate(names)}
     unknown = [n for n in promote if n not in order]
@@ -105,7 +105,23 @@ def main() -> None:
     rest_never = [n for n in never if n not in promoted]
     rest_green = [n for n in green if n not in promoted]
     ranked = red + promoted + rest_never + rest_green
-    win = ranked[:window]
+    return ranked[:window]
+
+
+def main() -> None:
+    window = 50
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
+    promote: list[str] = []
+    if "--promote" in sys.argv:
+        promote = sys.argv[sys.argv.index("--promote") + 1].split(",")
+    latest, max_round = load_history()
+    names = registry_names()
+    never = [n for n in names if n not in latest]
+    red = [n for n in names if n in latest and not latest[n][1]]
+    green = [n for n in names if n in latest and latest[n][1]]
+    promoted = [n for n in promote if n not in red]
+    win = compute_window(window, promote)
 
     print(f"# generated by tools_gen_rotation.py — round r{max_round + 1} window", file=sys.stderr)
     print(
