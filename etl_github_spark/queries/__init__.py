@@ -14,13 +14,14 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 9 (per VERDICT r8): 11 promotions — the two
+# staleness. Round 9 (per VERDICT r8): 12 promotions — the two
 # never-driver-verified queries (stat_levene_brown_forsythe, landed
 # after the r8 window froze, and this round's new sim_ivfpq_store_probe)
 # plus the nine queries whose execution paths changed this round (the
 # clustering de-broadcast + pointer-jumping CC rewrite touches every
 # dedup_cluster_*/split/fuzzy/DBSCAN consumer; the IVF-PQ helper
-# extraction touches both ivfpq siblings) — then 39 slots of the
+# extraction touches both ivfpq siblings; dedup_embedding_cosine lost
+# its forced full-table broadcast) — then 38 slots of the
 # stalest greens (r01-vintage), the staleness re-verification sweep
 # the judge asked for. The window below is asserted equal to
 # compute_window(_R9_PROMOTED) by tests/test_new_invariants.py, so a
@@ -40,6 +41,7 @@ _R9_PROMOTED = [
     "cluster_dbscan_lsh",
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_topk",
+    "dedup_embedding_cosine",
 ]
 
 _R9_WINDOW = [
@@ -54,6 +56,7 @@ _R9_WINDOW = [
     "cluster_dbscan_lsh",  # changed this round (promoted), green r08
     "sim_ivfpq_residual_topk",  # changed this round (promoted), green r08
     "sim_ivfpq_topk",  # changed this round (promoted), green r08
+    "dedup_embedding_cosine",  # changed this round (promoted), green r02
     "filter_disjunction",  # green r01 (stalest)
     "filter_having",  # green r01 (stalest)
     "filter_null_safe",  # green r01 (stalest)
@@ -92,7 +95,6 @@ _R9_WINDOW = [
     "window_rank_topn_per_group",  # green r01 (stalest)
     "window_rank_dense",  # green r01 (stalest)
     "window_lag_lead",  # green r01 (stalest)
-    "window_moving_sum",  # green r01 (stalest)
 ]
 
 def _apply_rotation(window: list[str]) -> None:

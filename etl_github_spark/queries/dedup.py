@@ -210,14 +210,18 @@ def dedup_embedding_cosine(spark, sf_dir):
     Exhaustive-recall baseline: all-pairs cosine via the deterministic
     left-fold (bit-identical to the oracle). O(N²) by construction —
     the scale path is sim_lsh_bucketed_topk's SRP bucketing, which
-    turns candidate generation into bucket-local joins.
+    turns candidate generation into bucket-local joins. No forced
+    broadcast of the right side: a hint would pin the FULL embedding
+    table in executor memory (OOM at scale); unhinted, the planner
+    grid-partitions the product — still O(N²) compute by contract, but
+    memory-safe (same hardening as cluster_dbscan_embeddings, r9).
     """
     from .similarity import cosine
 
     emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
         F.col("cos_sim") >= 0.35

@@ -1043,5 +1043,6 @@ def test_dbscan_exhaustive_baseline_not_hint_broadcast(spark):
     embedding table into its inequality join — unhinted it grid-
     partitions (memory-safe, degrades instead of OOM). The contract
     O(N^2) compute is documented; the LSH sibling is the scale path."""
-    plan = _optimized_logical(spark, "cluster_dbscan_embeddings")
-    assert "strategy=broadcast" not in plan
+    for name in ("cluster_dbscan_embeddings", "dedup_embedding_cosine"):
+        plan = _optimized_logical(spark, name)
+        assert "strategy=broadcast" not in plan, name
