@@ -71,3 +71,55 @@ def test_dedup_against_corpus_empty_corpus_keeps_all(spark):
     corpus = spark.createDataFrame([], "doc_id long, text string")
     batch = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
     assert dedup_against_corpus(batch, corpus).count() == 2
+
+
+def _union_find_labels(pairs):
+    """Reference CC: plain python union-find, label = component min."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property guard for the r9 pointer-jumping rewrite: on seeded
+    random graphs — mixing deep chains (the case jumping accelerates),
+    dense blobs, and singleton edges — the distributed labels must
+    equal a plain union-find's component-min labels exactly."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randrange(30, 120)
+        m = rng.randrange(n // 2, 2 * n)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        # graft a long chain onto the random part: diameter >> log n
+        chain_base = n + 1000
+        pairs += [(chain_base + i, chain_base + i + 1) for i in range(40)]
+        pairs.append((chain_base, rng.randrange(n)))
+        got = _labels(connected_components(_edges(spark, pairs)))
+        assert got == _union_find_labels(pairs), f"trial {trial} diverged"
+
+
+def test_cc_deep_chain_beyond_linear_budget(spark):
+    """A 60-node chain converges inside the default 25-round budget ONLY
+    because of pointer jumping (plain propagation needs ~59 rounds) —
+    this is the regression test that the jump step stays in place."""
+    pairs = [(i, i + 1) for i in range(60)]
+    df = connected_components(_edges(spark, pairs))
+    labs = _labels(df)
+    assert set(labs.values()) == {0} and len(labs) == 61
