@@ -63,6 +63,12 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     scalar (the witness), not data — the documented exception for
     iterative algorithms.
     """
+    # Lazily checkpoint the INPUT first: the symmetric union evaluates
+    # its child twice (once per branch), and callers pass expensive edge
+    # plans (LSH candidates + Jaccard verification, core-edge joins) —
+    # without this, that whole plan runs twice inside the eager `sym`
+    # materialization below.
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()  # materialize the pair graph once; both the label
@@ -483,6 +489,11 @@ def _dbscan_downstream(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     runtime when the frame fits and degrades to a shuffle join when it
     doesn't; a forced hint here would be an executor OOM at 100×
     scale."""
+    # Lazy-checkpoint the candidate pairs first: the symmetric union
+    # evaluates both branches, and the pair plan (all-pairs cosine or
+    # the LSH candidate join) is the most expensive stage — without
+    # this it runs twice inside the eager edges materialization.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.union(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).localCheckpoint()
