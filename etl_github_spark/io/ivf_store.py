@@ -66,18 +66,15 @@ def write_embeddings_ivfpq(res: DataFrame, path: str, centroids, books) -> None:
     index metadata. Fit once, write once, query many: a probe never
     re-fits and never touches the raw vectors.
 
-    Scale shape: one scan + one Arrow encode pass + one doc-keyed join
-    to re-attach cells + one partitioned shuffle-free sink; stored rows
-    are m bytes of codes instead of 256 bytes of float32×64."""
+    Scale shape: one scan + one Arrow encode pass (the `cell` column
+    rides through the kernel — no re-attach join) + one partitioned
+    shuffle-free sink; stored rows are m bytes of codes instead of 256
+    bytes of float32×64."""
     from ..queries.scale_paths import pq_encode
 
-    res = res.localCheckpoint(eager=False)  # encode + cell re-attach both scan it
-    coded = pq_encode(res.select("vec_id", "embedding"), books).select(
-        "vec_id", "codes"
-    )
-    coded.join(res.select("vec_id", "cell"), "vec_id").write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(path)
+    pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
+        "vec_id", "codes", "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_ivfpq_index.json"), "w") as fh:
         json.dump(
             {

@@ -1160,9 +1160,11 @@ def _pq_fit_partials(emb, books):
 
 
 def pq_encode(emb, books):
-    """(vec_id, embedding) → (vec_id, embedding, codes array<int>): per
-    subspace, the id of the nearest codebook centroid — one Arrow numpy
-    kernel, all subspaces per batch, no shuffle. The stored form is m
+    """(..., embedding) → (..., codes array<int>): per subspace, the id
+    of the nearest codebook centroid — one Arrow numpy kernel, all
+    subspaces per batch, no shuffle. Every input column passes through
+    unchanged (so e.g. a `cell` column rides along and the IVF-PQ store
+    write needs no corpus-sized re-attach join). The stored form is m
     small ints per vector: 8 bytes instead of 256 for float32×64."""
     import numpy as np
     import pandas as pd
@@ -1181,17 +1183,14 @@ def pq_encode(emb, books):
             # ‖x_s − c_sk‖² up to row-constant: −2·x_s·c_sk + ‖c_sk‖²
             d2 = -2.0 * np.einsum("bsd,skd->bsk", x, b) + b_norm[None, :, :]
             codes = d2.argmin(axis=2).astype("int32")  # (batch, m)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "codes": list(codes),
-                }
-            )
+            out = pdf.copy()
+            out["codes"] = list(codes)
+            yield out
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        run, schema="vec_id long, embedding array<float>, codes array<int>"
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
     )
+    return emb.mapInPandas(run, schema=schema + ", codes array<int>")
 
 
 def _pq_sql(m: int = 16, ksub: int = 64, iters: int = 3, mod: int = 4,
@@ -2229,9 +2228,8 @@ def sim_ivfpq_residual_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
     tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
 
     cand = res.where(F.col("cell").isin([int(c) for c in probe]))
-    coded = pq_encode(cand.select("vec_id", "embedding"), books).join(
-        cand.select("vec_id", "cell"), "vec_id"
-    )
+    # cell rides through the encode kernel — no re-attach join
+    coded = pq_encode(cand.select("vec_id", "cell", "embedding"), books)
     return adc_score_topk(coded, probe, tab, m, topk=10)
 
 
