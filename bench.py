@@ -283,6 +283,7 @@ EXTENDED = [
     "stat_levene_brown_forsythe",
     # round-9 additions
     "sim_ivfpq_store_probe",
+    "sim_ivfpq_store_upsert",
 ]
 
 

@@ -87,6 +87,25 @@ def write_embeddings_ivfpq(res: DataFrame, path: str, centroids, books) -> None:
         )
 
 
+def append_embeddings_ivfpq(spark: SparkSession, new_vecs: DataFrame, path: str) -> None:
+    """Incremental IVF-PQ maintenance — the FAISS ``add()`` shape: encode
+    a NEW vector batch with the STORED index (sidecar centroids +
+    codebooks, no refit) and append its codes to the cell partitions.
+    This is the steady-state ingest path: the index is fitted once on a
+    representative corpus and every later batch pays only one assignment
+    + encode kernel pass and a partitioned append — at 100 TB the
+    append touches exactly the cell directories the batch lands in.
+    ``new_vecs`` is (vec_id, embedding) RAW vectors; residuals are formed
+    against the stored coarse centroids exactly like the build path."""
+    from ..queries.scale_paths import pq_encode, residual_frame
+
+    centroids, books = read_ivfpq_index(path)
+    res = residual_frame(spark, new_vecs, centroids)
+    pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
+        "vec_id", "codes", "cell"
+    ).write.partitionBy("cell").mode("append").parquet(path)
+
+
 def read_ivfpq_index(path: str):
     """(centroids, books) from the store sidecar. Python json round-trips
     doubles exactly (repr-based), so the read-back index is bit-identical

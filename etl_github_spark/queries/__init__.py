@@ -14,14 +14,15 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 9 (per VERDICT r8): 12 promotions — the two
+# staleness. Round 9 (per VERDICT r8): 13 promotions — the three
 # never-driver-verified queries (stat_levene_brown_forsythe, landed
-# after the r8 window froze, and this round's new sim_ivfpq_store_probe)
+# after the r8 window froze, and this round's new IVF-PQ store
+# probe + upsert lifecycle queries)
 # plus the nine queries whose execution paths changed this round (the
 # clustering de-broadcast + pointer-jumping CC rewrite touches every
 # dedup_cluster_*/split/fuzzy/DBSCAN consumer; the IVF-PQ helper
 # extraction touches both ivfpq siblings; dedup_embedding_cosine lost
-# its forced full-table broadcast) — then 38 slots of the
+# its forced full-table broadcast) — then 37 slots of the
 # stalest greens (r01-vintage), the staleness re-verification sweep
 # the judge asked for. The window below is asserted equal to
 # compute_window(_R9_PROMOTED) by tests/test_new_invariants.py, so a
@@ -32,6 +33,7 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 _R9_PROMOTED = [
     "stat_levene_brown_forsythe",
     "sim_ivfpq_store_probe",
+    "sim_ivfpq_store_upsert",
     "dedup_cluster_components",
     "dedup_cluster_survivors",
     "split_by_cluster",
@@ -47,6 +49,7 @@ _R9_PROMOTED = [
 _R9_WINDOW = [
     "stat_levene_brown_forsythe",  # never driver-verified (promoted)
     "sim_ivfpq_store_probe",  # never driver-verified (promoted)
+    "sim_ivfpq_store_upsert",  # never driver-verified (promoted)
     "dedup_cluster_components",  # changed this round (promoted), green r03
     "dedup_cluster_survivors",  # changed this round (promoted), green r03
     "split_by_cluster",  # changed this round (promoted), green r04
@@ -94,7 +97,6 @@ _R9_WINDOW = [
     "trend_year_month_orders",  # green r01 (stalest)
     "window_rank_topn_per_group",  # green r01 (stalest)
     "window_rank_dense",  # green r01 (stalest)
-    "window_lag_lead",  # green r01 (stalest)
 ]
 
 def _apply_rotation(window: list[str]) -> None:

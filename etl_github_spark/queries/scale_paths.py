@@ -2278,3 +2278,58 @@ def sim_ivfpq_store_probe(spark, sf_dir, k: int = 8, nprobe: int = 3,
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id long, approx_d2 double")
+
+
+@query(
+    "sim_ivfpq_store_upsert",
+    sql=_ivfpq_residual_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "residual", "storage", "incremental"),
+)
+def sim_ivfpq_store_upsert(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                           m: int = 16, ksub: int = 64):
+    """Incremental IVF-PQ store maintenance — the FAISS ``add()``
+    lifecycle under the driver hash: build the store from HALF the
+    corpus (even vec_ids), then APPEND the other half encoded with the
+    STORED index (`io/ivf_store.py::append_embeddings_ivfpq` — sidecar
+    centroids + codebooks, no refit), then answer the probe over the
+    full store. This is the steady-state ingest shape: fit once on a
+    representative corpus, every later batch pays one assignment +
+    encode pass and a partitioned append.
+
+    Why the oracle is EXACT and unchanged from the in-plan sibling:
+    `fit_sample` keeps vec_id % 4 == 0, and every such id is even — so
+    the coarse and PQ fits trained on the even half see the IDENTICAL
+    sample (same init rows, same Lloyd/PQ chains, bit-identical index)
+    as the full-corpus fit the oracle replays. Appended odd vectors are
+    assigned and encoded with that stored index, exactly like the
+    oracle encodes them — so build-half + append-half + probe must
+    reproduce `sim_ivfpq_residual_topk` bit for bit. That identity IS
+    the assertion: a refit-on-append, a dropped batch, or an index
+    drift between build and append would break the hash.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.ivf_store import (
+        append_embeddings_ivfpq,
+        ivfpq_probe_topk,
+        write_embeddings_ivfpq,
+    )
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    base = raw.where(F.col("vec_id") % 2 == 0)
+    rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    centroids = lloyd_fit(base, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = residual_frame(spark, base, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_upsert_")
+    try:
+        write_embeddings_ivfpq(res, path, centroids, books)
+        append_embeddings_ivfpq(spark, rest, path)
+        out = ivfpq_probe_topk(spark, path, q_raw, nprobe=nprobe, topk=10)
+        rows = [(r["vec_id"], r["approx_d2"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, approx_d2 double")

@@ -181,3 +181,47 @@ def test_ivfpq_index_sidecar_roundtrips_exactly(spark, tmp_path):
     rc, rb = read_ivfpq_index(path)
     assert [[float(v) for v in c] for c in centroids] == rc
     assert [[[float(v) for v in w] for w in s] for s in books] == rb
+
+
+def test_ivfpq_append_with_stored_index_matches_full_build(spark, tmp_path):
+    """The FAISS add() lifecycle: build from the even half, append the
+    odd half encoded with the STORED index — the resulting store must
+    contain the full corpus and probe identically to a full-corpus
+    build (fit-sample identity: vec_id % 4 == 0 is a subset of the
+    evens, so both fits see the same sample)."""
+    from etl_github_spark.io.ivf_store import (
+        append_embeddings_ivfpq,
+        ivfpq_probe_topk,
+        write_embeddings_ivfpq,
+    )
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import (
+        lloyd_fit,
+        pq_fit,
+        residual_frame,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_all = emb.count()
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    q_raw = emb.where(F.col("vec_id") == 0).first()["embedding"]
+
+    centroids = lloyd_fit(base, k=8, iters=3)
+    res_base = residual_frame(spark, base, centroids)
+    books = pq_fit(res_base.select("vec_id", "embedding"), m=16, ksub=64)
+    p_inc = str(tmp_path / "inc")
+    write_embeddings_ivfpq(res_base, p_inc, centroids, books)
+    append_embeddings_ivfpq(spark, rest, p_inc)
+
+    # full-corpus build for comparison (same fits by the sample identity)
+    c_full = lloyd_fit(emb, k=8, iters=3)
+    res_full = residual_frame(spark, emb, c_full)
+    b_full = pq_fit(res_full.select("vec_id", "embedding"), m=16, ksub=64)
+    p_full = str(tmp_path / "full")
+    write_embeddings_ivfpq(res_full, p_full, c_full, b_full)
+
+    assert spark.read.parquet(p_inc).count() == n_all
+    got = [tuple(r) for r in ivfpq_probe_topk(spark, p_inc, q_raw).collect()]
+    want = [tuple(r) for r in ivfpq_probe_topk(spark, p_full, q_raw).collect()]
+    assert got == want
