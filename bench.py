@@ -346,6 +346,48 @@ def bench_gha_ingest(spark, n_copies: int = 1500) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_gha_ingest_gz(spark, n_copies: int = 1500) -> tuple[float, float]:
+    """The non-splittable-gzip straggler, measured: the same ~27k-event
+    fixture as bench_gha_ingest but landed as ONE .json.gz (the GH
+    Archive unit), ingested (a) directly — spark.read.text gives the
+    whole file to ONE task — and (b) through split_landing's
+    decompress-split scale path (decode once, shard, parse in
+    parallel). Returns (single_task_sec, split_sec); split includes the
+    decode+shard cost itself, so the delta is the honest end-to-end win."""
+    import gzip
+    import json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from etl_github_spark.gha.pipeline import ingest_files, split_landing
+    from tests.gha_fixture import EVENTS
+
+    tmp = Path(tempfile.mkdtemp(prefix="gha_gz_bench_"))
+    landing = tmp / "landing"
+    landing.mkdir()
+    gz_path = landing / "2024-02-29-5.json.gz"
+    with gzip.open(gz_path, "wt") as fh:
+        for i in range(n_copies):
+            for j, ev in enumerate(EVENTS):
+                ev = dict(ev)
+                ev["actor"] = {"login": f"user{i}_{j}"}
+                fh.write(json.dumps(ev) + "\n")
+    try:
+        t0 = time.perf_counter()
+        ingest_files(spark, [str(gz_path)], str(tmp / "lake1"), fmt="parquet")
+        single = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        shards = split_landing(
+            spark, [str(gz_path)], str(tmp / "split"), shard_bytes=1 << 20
+        )
+        ingest_files(spark, shards, str(tmp / "lake2"), fmt="parquet")
+        split = time.perf_counter() - t0
+        return single, split
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_ivfpq_store_query_path(spark, sf_dir: str) -> float:
     """Amortized-ANN timing: build the residual IVF-PQ store ONCE
     (coarse fit + PQ fit + partitioned code write — untimed), then time
@@ -440,6 +482,17 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"BENCH ERROR ivfpq_store_query_path: {e}", file=sys.stderr)
         extended["sim_ivfpq_store_query_path"] = -1.0
+
+    # round 9: the gzip straggler pair — same 27k events as ONE .json.gz,
+    # parsed single-task vs through split_landing's decompress-split.
+    try:
+        single, split = bench_gha_ingest_gz(spark)
+        extended["gha_ingest_gz_single_task"] = round(single, 3)
+        extended["gha_ingest_gz_split_landing"] = round(split, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR gha_ingest_gz: {e}", file=sys.stderr)
+        extended["gha_ingest_gz_single_task"] = -1.0
+        extended["gha_ingest_gz_split_landing"] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
