@@ -7,15 +7,16 @@ FineWeb/RefinedWeb-style pipelines run after LSH; reference analog:
 the dedup stage of preprocess.py's curation flow, preprocess.py:209-230,
 which stops at pairwise — clustering is the scale completion).
 
-Spark-first design: iterative min-label propagation on DataFrames.
-Each iteration is one shuffle (edges ⋈ labels, groupBy min); labels only
-decrease, so `sum(label)` is a monotone convergence witness — the loop
-stops when the sum stops changing. Iteration count = graph diameter
-(near-dup clusters are shallow; single digits in practice). Lineage is
-truncated per iteration with localCheckpoint so plans stay O(1) deep.
-This is the standard large-scale CC recipe (alternating small-star /
-large-star reduces to this on shallow graphs) — no GraphX dependency,
-pure DataFrame ops, executes anywhere Spark runs.
+Spark-first design: iterative min-label propagation on DataFrames,
+accelerated by pointer jumping. Each round is one edge-sized shuffle
+(edges ⋈ labels, groupBy min) plus one node-sized self-join
+(label ← label(label)) that roughly squares the distance labels have
+traveled — O(log diameter) rounds instead of O(diameter), the same
+idea as the small-star/large-star and hash-to-min CC families. Labels
+only decrease, so `sum(label)` is a monotone convergence witness — the
+loop stops when the sum stops changing. Lineage is truncated per
+iteration with localCheckpoint so plans stay O(1) deep. No GraphX
+dependency, pure DataFrame ops, executes anywhere Spark runs.
 
 Oracle: DuckDB WITH RECURSIVE transitive closure + min-over-reachable —
 exact same cluster ids (min doc_id in component) by construction.
