@@ -123,3 +123,14 @@ def test_cc_deep_chain_beyond_linear_budget(spark):
     df = connected_components(_edges(spark, pairs))
     labs = _labels(df)
     assert set(labs.values()) == {0} and len(labs) == 61
+
+
+def test_cc_raises_loudly_when_budget_exhausted(spark):
+    """The non-convergence guard must still fire: with a 1-round budget
+    a long chain cannot reach fixpoint even with pointer jumping, and
+    silent wrong labels are never returned."""
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, pairs), max_iters=1)

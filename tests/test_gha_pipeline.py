@@ -377,3 +377,26 @@ def test_ingest_urls_with_split_matches_unsplit(spark, tmp_path):
         a = sorted(map(tuple, read_table(spark, plain[name]).collect()))
         b = sorted(map(tuple, read_table(spark, split[name]).collect()))
         assert a == b, name
+
+
+def test_split_landing_edge_shapes(spark, tmp_path):
+    """Edge inputs the shard writer must survive: a gz with NO trailing
+    newline (the last line still lands in a shard intact) and an empty
+    gz (no shards, no crash, _SUCCESS still published so re-runs skip)."""
+    import gzip
+
+    from etl_github_spark.gha.pipeline import split_landing
+
+    src = tmp_path / "src"
+    src.mkdir()
+    p1 = src / "2024-02-29-1.json.gz"
+    p1.write_bytes(gzip.compress(b'{"a":1}\n{"b":2}'))  # no trailing \n
+    p2 = src / "2024-02-29-2.json.gz"
+    p2.write_bytes(gzip.compress(b""))  # empty hour
+
+    shards = split_landing(spark, [str(p1), str(p2)], str(tmp_path / "out"), shard_bytes=4)
+    rows = sorted(r["value"] for r in spark.read.text(shards).collect())
+    assert rows == ['{"a":1}', '{"b":2}']
+    # empty input published an empty dir with a marker; re-run is a no-op
+    again = split_landing(spark, [str(p1), str(p2)], str(tmp_path / "out"), shard_bytes=4)
+    assert sorted(again) == sorted(shards)
