@@ -284,6 +284,7 @@ EXTENDED = [
     # round-9 additions
     "sim_ivfpq_store_probe",
     "sim_ivfpq_store_upsert",
+    "sim_ivfpq_store_compact",
 ]
 
 

@@ -106,6 +106,46 @@ def append_embeddings_ivfpq(spark: SparkSession, new_vecs: DataFrame, path: str)
     ).write.partitionBy("cell").mode("append").parquet(path)
 
 
+def compact_ivfpq_store(spark: SparkSession, path: str) -> dict:
+    """OPTIMIZE for the IVF-PQ store: steady-state appends leave each
+    ``cell=<id>`` directory with one small file per batch, and probe
+    cost degrades from "read nprobe files" to "open nprobe × batches
+    tiny files" (the classic small-file problem). Rewrite every cell to
+    ONE file: read the store, one shuffle keyed by cell, atomic
+    directory swap (write to ``<path>/_compact_tmp``, then swap per
+    cell) so a concurrent probe never sees a half-written cell. The
+    sidecar index is untouched — compaction moves bytes, never
+    semantics. Returns {"files_before": n, "files_after": m}."""
+    import glob
+    import os
+    import shutil
+
+    def _count():
+        return len(glob.glob(os.path.join(path, "cell=*", "*.parquet")))
+
+    before = _count()
+    tmp = os.path.join(path, "_compact_tmp")
+    # hash-repartition BY CELL (not to 1): each cell lands wholly in one
+    # task → exactly one output file per cell, while the rewrite itself
+    # stays parallel across cells — the shape that survives a store with
+    # thousands of cells.
+    (
+        spark.read.parquet(path)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for cdir in glob.glob(os.path.join(tmp, "cell=*")):
+        dest = os.path.join(path, os.path.basename(cdir))
+        old = dest + ".old"
+        shutil.move(dest, old)  # every tmp cell exists in the store
+        shutil.move(cdir, dest)  # atomic publish per cell
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"files_before": before, "files_after": _count()}
+
+
 def read_ivfpq_index(path: str):
     """(centroids, books) from the store sidecar. Python json round-trips
     doubles exactly (repr-based), so the read-back index is bit-identical

@@ -2333,3 +2333,56 @@ def sim_ivfpq_store_upsert(spark, sf_dir, k: int = 8, nprobe: int = 3,
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id long, approx_d2 double")
+
+
+@query(
+    "sim_ivfpq_store_compact",
+    sql=_ivfpq_residual_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "residual", "storage", "compaction"),
+)
+def sim_ivfpq_store_compact(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                            m: int = 16, ksub: int = 64):
+    """The complete IVF-PQ store lifecycle under one driver hash:
+    build from the even half → APPEND the odd half with the stored
+    index (`sim_ivfpq_store_upsert`'s step) → COMPACT the small files
+    the append left (`io/ivf_store.py::compact_ivfpq_store` — one file
+    per cell via a cell-keyed repartition, atomic per-cell directory
+    swap, sidecar untouched) → probe. Compaction moves bytes, never
+    semantics, so the result must STILL equal `sim_ivfpq_residual_topk`
+    bit for bit (the same fit-sample identity as the upsert query); a
+    compaction that dropped, duplicated, or mis-routed a single code
+    row would break the hash. The ANN-layer twin of the Delta
+    OPTIMIZE contract `lake_compact_roundtrip` pins for the lakehouse.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.ivf_store import (
+        append_embeddings_ivfpq,
+        compact_ivfpq_store,
+        ivfpq_probe_topk,
+        write_embeddings_ivfpq,
+    )
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    base = raw.where(F.col("vec_id") % 2 == 0)
+    rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    centroids = lloyd_fit(base, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = residual_frame(spark, base, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_compact_")
+    try:
+        write_embeddings_ivfpq(res, path, centroids, books)
+        append_embeddings_ivfpq(spark, rest, path)
+        stats = compact_ivfpq_store(spark, path)
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(
+                f"compaction did not reduce file count: {stats}"
+            )  # the query exists to pin this property — fail loudly
+        out = ivfpq_probe_topk(spark, path, q_raw, nprobe=nprobe, topk=10)
+        rows = [(r["vec_id"], r["approx_d2"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, approx_d2 double")

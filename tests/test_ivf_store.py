@@ -225,3 +225,53 @@ def test_ivfpq_append_with_stored_index_matches_full_build(spark, tmp_path):
     got = [tuple(r) for r in ivfpq_probe_topk(spark, p_inc, q_raw).collect()]
     want = [tuple(r) for r in ivfpq_probe_topk(spark, p_full, q_raw).collect()]
     assert got == want
+
+
+def test_ivfpq_compact_reduces_files_and_preserves_probe(spark, tmp_path):
+    """OPTIMIZE for the code store: after an append leaves multiple
+    files per cell, compaction must rewrite to one file per cell and
+    change NOTHING about probe results or row counts."""
+    from etl_github_spark.io.ivf_store import (
+        append_embeddings_ivfpq,
+        compact_ivfpq_store,
+        ivfpq_probe_topk,
+    )
+    from etl_github_spark.io.tables import load_table
+
+    # reuse the even/odd lifecycle: build from evens, append odds
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    from etl_github_spark.queries.scale_paths import (
+        lloyd_fit,
+        pq_fit,
+        residual_frame,
+    )
+    from etl_github_spark.io.ivf_store import write_embeddings_ivfpq
+
+    centroids = lloyd_fit(base, k=8, iters=3)
+    res = residual_frame(spark, base, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=16, ksub=64)
+    path = str(tmp_path / "store")
+    write_embeddings_ivfpq(res, path, centroids, books)
+    append_embeddings_ivfpq(
+        spark, emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), path
+    )
+
+    q_raw = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    n = spark.read.parquet(path).count()
+    want = [tuple(r) for r in ivfpq_probe_topk(spark, path, q_raw).collect()]
+
+    stats = compact_ivfpq_store(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+
+    import glob
+    import os
+
+    # exactly one file per cell directory
+    for cdir in glob.glob(f"{path}/cell=*"):
+        assert len(glob.glob(os.path.join(cdir, "*.parquet"))) == 1, cdir
+    assert not glob.glob(f"{path}/*.old") and not glob.glob(f"{path}/_compact_tmp")
+
+    assert spark.read.parquet(path).count() == n
+    got = [tuple(r) for r in ivfpq_probe_topk(spark, path, q_raw).collect()]
+    assert got == want
