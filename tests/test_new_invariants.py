@@ -641,3 +641,18 @@ def test_rotation_window_matches_generator():
     # the driver hashes the FIRST len(window) registry entries — the
     # applied rotation must actually put the window there.
     assert list(q.QUERIES)[: len(window)] == window
+
+
+def test_bench_names_are_registered():
+    """Every bench HEADLINE/EXTENDED name must exist in the registry — a
+    typo or a renamed query would otherwise surface only as a silent
+    -1.0 entry in the driver's BENCH_r{N}.json."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    dupes = [
+        n
+        for n in set(bench.HEADLINE) & set(bench.EXTENDED)
+    ]
+    assert not dupes, f"queries benched twice (headline AND extended): {dupes}"
