@@ -2280,6 +2280,23 @@ def sim_ivfpq_store_probe(spark, sf_dir, k: int = 8, nprobe: int = 3,
     return spark.createDataFrame(rows, "vec_id long, approx_d2 double")
 
 
+def _ivfpq_base_fit(spark, sf_dir, k, m, ksub):
+    """Shared even-half fit for the store lifecycle queries →
+    (base residual frame, odd-half raw vectors, centroids, codebooks,
+    query vector). By the fit-sample identity (vec_id % 4 == 0 is a
+    subset of the evens) the fitted index equals a full-corpus fit —
+    the property that keeps the unchanged in-plan oracle exact for the
+    build-half + append-half lifecycles."""
+    raw = par(T(spark, sf_dir, "embeddings"))
+    base = raw.where(F.col("vec_id") % 2 == 0)
+    rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    centroids = lloyd_fit(base, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = residual_frame(spark, base, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+    return res, rest, centroids, books, q_raw
+
+
 @query(
     "sim_ivfpq_store_upsert",
     sql=_ivfpq_residual_sql(),
@@ -2316,13 +2333,7 @@ def sim_ivfpq_store_upsert(spark, sf_dir, k: int = 8, nprobe: int = 3,
         write_embeddings_ivfpq,
     )
 
-    raw = par(T(spark, sf_dir, "embeddings"))
-    base = raw.where(F.col("vec_id") % 2 == 0)
-    rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
-    centroids = lloyd_fit(base, k=k, iters=3)
-    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = residual_frame(spark, base, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+    res, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
 
     path = tempfile.mkdtemp(prefix="ivfpq_upsert_")
     try:
@@ -2364,13 +2375,7 @@ def sim_ivfpq_store_compact(spark, sf_dir, k: int = 8, nprobe: int = 3,
         write_embeddings_ivfpq,
     )
 
-    raw = par(T(spark, sf_dir, "embeddings"))
-    base = raw.where(F.col("vec_id") % 2 == 0)
-    rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
-    centroids = lloyd_fit(base, k=k, iters=3)
-    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = residual_frame(spark, base, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+    res, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
 
     path = tempfile.mkdtemp(prefix="ivfpq_compact_")
     try:
