@@ -285,6 +285,7 @@ EXTENDED = [
     "sim_ivfpq_store_probe",
     "sim_ivfpq_store_upsert",
     "sim_ivfpq_store_compact",
+    "dedup_semantic_prune_lsh",
 ]
 
 

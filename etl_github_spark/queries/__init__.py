@@ -14,17 +14,21 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 9 (per VERDICT r8): 14 promotions — the four
+# staleness. Round 9 (per VERDICT r8): 15 promotions — the five
 # never-driver-verified queries (stat_levene_brown_forsythe, landed
-# after the r8 window froze, and this round's new IVF-PQ store
-# probe + upsert + compaction lifecycle queries)
-# plus the nine queries whose execution paths changed this round (the
+# after the r8 window froze; this round's new IVF-PQ store
+# probe + upsert + compaction lifecycle queries; and
+# dedup_semantic_prune_lsh, the banded-SemDeDup scale sibling the
+# round-9 10× probe motivated)
+# plus the ten queries whose execution paths changed this round (the
 # clustering de-broadcast + pointer-jumping CC rewrite touches every
 # dedup_cluster_*/split/fuzzy/DBSCAN consumer; the IVF-PQ helper
 # extraction touches both ivfpq siblings; dedup_embedding_cosine lost
-# its forced full-table broadcast) — then 36 slots of the
+# its forced full-table broadcast) — then 35 slots of the
 # stalest greens (r01-vintage), the staleness re-verification sweep
-# the judge asked for. The window below is asserted equal to
+# the judge asked for (≥35 per the r8 verdict; the one green displaced
+# by the new sibling, window_rank_topn_per_group, is bench-headline-
+# covered every round). The window below is asserted equal to
 # compute_window(_R9_PROMOTED) by tests/test_new_invariants.py, so a
 # stale paste fails CI instead of silently wasting driver slots.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
@@ -35,6 +39,7 @@ _R9_PROMOTED = [
     "sim_ivfpq_store_probe",
     "sim_ivfpq_store_upsert",
     "sim_ivfpq_store_compact",
+    "dedup_semantic_prune_lsh",
     "dedup_cluster_components",
     "dedup_cluster_survivors",
     "split_by_cluster",
@@ -52,6 +57,7 @@ _R9_WINDOW = [
     "sim_ivfpq_store_probe",  # never driver-verified (promoted)
     "sim_ivfpq_store_upsert",  # never driver-verified (promoted)
     "sim_ivfpq_store_compact",  # never driver-verified (promoted)
+    "dedup_semantic_prune_lsh",  # never driver-verified (promoted)
     "dedup_cluster_components",  # changed this round (promoted), green r03
     "dedup_cluster_survivors",  # changed this round (promoted), green r03
     "split_by_cluster",  # changed this round (promoted), green r04
@@ -97,7 +103,6 @@ _R9_WINDOW = [
     "trend_daily_counts",  # green r01 (stalest)
     "trend_hourly_by_type",  # green r01 (stalest)
     "trend_year_month_orders",  # green r01 (stalest)
-    "window_rank_topn_per_group",  # green r01 (stalest)
 ]
 
 def _apply_rotation(window: list[str]) -> None:

@@ -19,17 +19,18 @@ from .registry import query
 _DIM = 64
 
 
-def _srp_pairs_sql(n_bits: int = 16, band_size: int = 4) -> str:
-    """DuckDB twin of :func:`dedup_embedding_lsh_pairs`: the SRP planes
-    are embedded as double literals (repr round-trips exactly), each
-    plane dot is the same CAST-to-double product left-fold the cosine
-    oracle uses, and the bucket/band arithmetic is integer — so the
-    candidate set replays exactly. Sign robustness: the Spark side sums
-    plane products with numpy (pairwise order); order error ~1e-13
+def _srp_bands_cte(n_bits: int, band_size: int, extra_col: str = "") -> str:
+    """Shared ``bk``/``bands`` CTE text for the SRP-banded oracles: the
+    SRP planes are embedded as double literals (repr round-trips
+    exactly), each plane dot is the same CAST-to-double product
+    left-fold the cosine oracle uses, and the bucket/band arithmetic is
+    integer — so the candidate set replays exactly. ``extra_col``
+    carries an additional grouping column (e.g. ``label``) through the
+    band rows for cell-local variants. Sign robustness: the Spark side
+    sums plane products with numpy (pairwise order); order error ~1e-13
     relative vs a minimum fixture |plane dot| of 3e-5 — eight orders of
     magnitude of margin, asserted in tests/test_scale_siblings.py.
     """
-    from .dedup import _EMB_DOT
     from .similarity import _srp_planes
 
     planes = _srp_planes(n_bits, _DIM)
@@ -46,18 +47,29 @@ def _srp_pairs_sql(n_bits: int = 16, band_size: int = 4) -> str:
         f"(CASE WHEN ({d}) >= 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
         for p, d in enumerate(plane_dots)
     )
+    ex_bk = f", e.{extra_col}" if extra_col else ""
+    ex_band = f", {extra_col}" if extra_col else ""
     band_rows = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, (bucket >> {b * band_size}) & {(1 << band_size) - 1} AS bb FROM bk"
+        f"SELECT vec_id{ex_band}, {b} AS band, (bucket >> {b * band_size}) & {(1 << band_size) - 1} AS bb FROM bk"
         for b in range(n_bands)
     )
+    return (
+        f"bk AS (SELECT e.vec_id{ex_bk}, {bucket} AS bucket FROM embeddings e),\n"
+        f"    bands AS (\n      {band_rows}\n    )"
+    )
+
+
+def _srp_pairs_sql(n_bits: int = 16, band_size: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_embedding_lsh_pairs` — banded SRP
+    candidates (shared CTE text: :func:`_srp_bands_cte`) scored with
+    the deterministic left-fold cosine."""
+    from .dedup import _EMB_DOT
+
     ab = _EMB_DOT.format(a="ea.embedding", b="eb.embedding")
     aa = _EMB_DOT.format(a="ea.embedding", b="ea.embedding")
     bb = _EMB_DOT.format(a="eb.embedding", b="eb.embedding")
     return f"""
-    WITH bk AS (SELECT e.vec_id, {bucket} AS bucket FROM embeddings e),
-    bands AS (
-      {band_rows}
-    ),
+    WITH {_srp_bands_cte(n_bits, band_size)},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
@@ -139,6 +151,126 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     cos = cosine(F.col("ea"), F.col("eb"))
     return cand.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
         F.col("cos_sim") >= 0.35
+    )
+
+
+def _semdedup_lsh_sql(n_bits: int = 16, band_size: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_semantic_prune_lsh`: the shared SRP
+    band CTEs (label carried through), cell-AND-bucket-local candidate
+    join, then the exact SemDeDup earlier-id prune over the candidate
+    set only."""
+    from .dedup import _EMB_DOT, _SEMDEDUP_TAU
+
+    ab = _EMB_DOT.format(a="ea.embedding", b="eb.embedding")
+    aa = _EMB_DOT.format(a="ea.embedding", b="ea.embedding")
+    bb = _EMB_DOT.format(a="eb.embedding", b="eb.embedding")
+    return f"""
+    WITH {_srp_bands_cte(n_bits, band_size, extra_col="label")},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bb = b.bb AND a.label = b.label
+       AND a.vec_id < b.vec_id
+    ),
+    hit AS (
+      SELECT c.vec_b AS vec_id,
+             max({ab} / (sqrt({aa}) * sqrt({bb}))) AS max_cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= {_SEMDEDUP_TAU}
+      GROUP BY c.vec_b
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(h.max_cos, -1.0) AS max_cos_to_earlier,
+           h.vec_id IS NULL AS keep
+    FROM embeddings e LEFT JOIN hit h USING (vec_id)
+    """
+
+
+@query(
+    "dedup_semantic_prune_lsh",
+    sql=_semdedup_lsh_sql(),
+    tags=("dedup", "embedding", "semantic", "lsh"),
+)
+def dedup_semantic_prune_lsh(spark, sf_dir):
+    """SRP-banded SemDeDup — the 100 TB sibling of
+    :func:`~.dedup.dedup_semantic_prune`'s cell-exhaustive baseline.
+
+    The exact form compares all pairs INSIDE each quantizer cell
+    (Σ|cell|² candidates) — bounded only while the quantizer's k grows
+    with the corpus (the round-9 10× probe measured 18× wall when cells
+    grow instead). This sibling re-splits every cell with 16 SRP bits
+    in 4 bands of 4: candidates must share (cell, band, band-bucket),
+    so the join is bucket-local with Σ|cell ∩ bucket|² volume even when
+    a cell outgrows its budget — the same banded-recall trade as
+    `dedup_embedding_lsh_pairs`, applied inside cells. The prune rule
+    is unchanged (drop a vector iff some LOWER-id candidate in its cell
+    has cos ≥ tau; max_cos reported over found candidates, so it is a
+    lower bound of the exact sibling's), and both the bucketing and the
+    left-fold cosine replay bit-identically in the oracle.
+    """
+    from .dedup import _SEMDEDUP_TAU
+    from .similarity import _srp_planes, cosine, srp_bucketize
+
+    n_bits, band_size = 16, 4
+    n_bands = n_bits // band_size
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
+    data = srp_bucketize(emb, _srp_planes(n_bits, _DIM))
+    bands = data.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("bucket"), b * band_size)
+                        .bitwiseAND(F.lit((1 << band_size) - 1))
+                        .alias("bb"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("x.band").alias("band"),
+        F.col("x.bb").alias("bb"),
+    )
+    # both self-join sides read this subtree; materialize once
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    hit = (
+        cand.select("vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .where(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return emb.join(hit, emb["vec_id"] == hit["vec_b"], "left").select(
+        "vec_id",
+        "label",
+        F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos_to_earlier"),
+        F.col("vec_b").isNull().alias("keep"),
     )
 
 

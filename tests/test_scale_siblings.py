@@ -119,3 +119,26 @@ def test_lsh_dbscan_is_conservative_underclustering(spark):
     assert set(exact) == set(lsh)
     for v, role in lsh.items():
         assert rank[role] <= rank[exact[v]], (v, role, exact[v])
+
+
+def test_semdedup_lsh_is_conservative_subset_of_exact(spark):
+    """Banded-SRP SemDeDup can only MISS in-cell pairs, never invent
+    them: every vector it drops is dropped by the exact cell-exhaustive
+    prune, and its reported max_cos is a lower bound of the exact one
+    (equal whenever the maximizing pair shares a band bucket)."""
+    from .conftest import SF_ORACLE
+
+    exact = {
+        r.vec_id: (r.keep, r.max_cos_to_earlier)
+        for r in QUERIES["dedup_semantic_prune"].fn(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        r.vec_id: (r.keep, r.max_cos_to_earlier)
+        for r in QUERIES["dedup_semantic_prune_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(lsh)
+    dropped_lsh = {v for v, (k, _) in lsh.items() if not k}
+    dropped_exact = {v for v, (k, _) in exact.items() if not k}
+    assert dropped_lsh and dropped_lsh <= dropped_exact
+    for v, (_, mc) in lsh.items():
+        assert mc <= exact[v][1] + 1e-12, (v, mc, exact[v][1])
