@@ -75,11 +75,15 @@ def stream_dedup_against_corpus(
     Two-layer design, both layers bounded:
 
     - corpus layer: stream-static LEFT ANTI against the fingerprint
-      table (one md5 per landed doc — fingerprint-sized, not
-      corpus-sized; broadcast when it fits, shuffle-hash keyed by fp
-      otherwise). The static side is re-resolved per micro-batch, so a
-      compaction that refreshes the fingerprint table is picked up
-      without restarting the stream.
+      table (one md5 per landed doc — O(corpus) ROWS even though each
+      row is small, so no forced broadcast hint: tens of GB pinned in
+      every executor at 100 TB is the OOM class the clustering
+      de-broadcast removed. AQE broadcasts when the frame actually fits
+      under autoBroadcastJoinThreshold and shuffle-hash-joins keyed by
+      fp otherwise — the planner, not the code, makes the size call).
+      The static side is re-resolved per micro-batch, so a compaction
+      that refreshes the fingerprint table is picked up without
+      restarting the stream.
     - in-stream layer: ``dropDuplicates`` on the fingerprint (under the
       caller's watermark when an event-time column exists — bounded
       state; global state otherwise, the documented batch-backfill
@@ -93,7 +97,7 @@ def stream_dedup_against_corpus(
     if ts_col is not None:
         fp = fp.withWatermark(ts_col, watermark)
     fresh = fp.join(
-        F.broadcast(corpus_fp.select(F.col("fp").alias("__fp"))),
+        corpus_fp.select(F.col("fp").alias("__fp")),
         "__fp",
         "left_anti",
     )

@@ -612,9 +612,16 @@ def test_rotation_window_matches_generator():
     wastes driver slots re-verifying fresh greens while the backlog
     starves. Assert the committed window equals compute_window() for the
     committed promote list, and that the promote list is the window's
-    prefix (the tool ranks promotions first when there are no reds)."""
+    prefix (the tool ranks promotions first when there are no reds).
+
+    Round-aware: the expectation is computed from CORRECTNESS files of
+    rounds < N (N parsed from the ``_RN_WINDOW`` attr name) — the paste
+    is made before round N's own driver artifact exists, so a
+    ``CORRECTNESS_rN.json`` the driver drops after the final commit must
+    not retroactively re-rank the window (it reddened round 9 live)."""
     import importlib.util
     import os
+    import re
 
     spec = importlib.util.spec_from_file_location(
         "tools_gen_rotation",
@@ -631,8 +638,13 @@ def test_rotation_window_matches_generator():
     assert len(promoted_attr) == 1, f"expected one promote list, got {promoted_attr}"
     window = getattr(q, window_attr[0])
     promoted = getattr(q, promoted_attr[0])
+    m = re.fullmatch(r"_R(\d+)_WINDOW", window_attr[0])
+    assert m, f"window attr must be named _RN_WINDOW, got {window_attr[0]}"
+    paste_round = int(m.group(1))
 
-    expect = tool.compute_window(window=len(window), promote=promoted)
+    expect = tool.compute_window(
+        window=len(window), promote=promoted, before_round=paste_round
+    )
     assert window == expect, (
         "rotation window is stale — regenerate with "
         f"`python tools_gen_rotation.py --promote {','.join(promoted)}` "

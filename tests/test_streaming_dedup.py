@@ -134,3 +134,23 @@ def test_stream_dedup_against_corpus_drops_landed_and_in_stream_dups(spark, tmp_
         for r in spark.sql("SELECT * FROM corpus_dedup_out").collect()
     )
     assert got == [(102, "fresh doc one"), (104, "fresh doc two")]
+
+
+def test_stream_dedup_corpus_join_not_hint_broadcast(spark):
+    """The corpus-fingerprint frame is O(corpus) rows — one md5 per
+    landed doc — so the stream-static LEFT ANTI must not carry a FORCED
+    broadcast hint: at 100 TB that frame is tens of GB pinned in every
+    executor, the exact OOM class the round-9 clustering de-broadcast
+    removed. AQE broadcasts at runtime when the frame actually fits.
+    Mirrors tests/test_plans.py::test_cluster_membership_joins_not_hint_broadcast."""
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.streaming.dedup import stream_dedup_against_corpus
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    corpus_fp = spark.createDataFrame([("x",)], "text string").select(
+        F.md5("text").alias("fp")
+    )
+    out = stream_dedup_against_corpus(docs, corpus_fp)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan

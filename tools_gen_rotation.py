@@ -36,8 +36,18 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def load_history() -> tuple[dict[str, tuple[int, bool]], int]:
-    """Map query name -> (latest round seen, was that row green), and max round."""
+def load_history(before_round: int | None = None) -> tuple[dict[str, tuple[int, bool]], int]:
+    """Map query name -> (latest round seen, was that row green), and max round.
+
+    ``before_round`` restricts the scan to CORRECTNESS files with round
+    strictly below it. The CI guard passes the window's own round here:
+    the ``_RN_WINDOW`` paste is, by construction, derived from the
+    history available when round N STARTED (rounds < N) — the driver
+    drops ``CORRECTNESS_rN.json`` after the round's final commit, and
+    without this cut the new artifact re-ranks the stalest greens and
+    retroactively "stales" a paste that was correct when made (observed
+    live in round 9).
+    """
     latest: dict[str, tuple[int, bool]] = {}
     max_round = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -45,6 +55,8 @@ def load_history() -> tuple[dict[str, tuple[int, bool]], int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         max_round = max(max_round, rnd)
         try:
             rows = json.load(open(path))
@@ -81,14 +93,20 @@ def registry_names() -> list[str]:
     return list(registry.ADD_ORDER)
 
 
-def compute_window(window: int = 50, promote: list[str] | None = None) -> list[str]:
+def compute_window(
+    window: int = 50,
+    promote: list[str] | None = None,
+    before_round: int | None = None,
+) -> list[str]:
     """The ranked window itself — shared by the CLI below and the CI
     guard (tests/test_new_invariants.py): a hand-pasted window that
     drifts from this ranking silently wastes driver slots, so the paste
     in queries/__init__.py is asserted equal to this function's output
-    for the committed promote list."""
+    for the committed promote list. The guard passes ``before_round`` =
+    the window's own round N (parsed from ``_RN_WINDOW``) so a driver
+    artifact landing AFTER the paste cannot redden the suite."""
     promote = list(promote or [])
-    latest, _ = load_history()
+    latest, _ = load_history(before_round)
     names = registry_names()
     order = {n: i for i, n in enumerate(names)}
     unknown = [n for n in promote if n not in order]
