@@ -286,6 +286,9 @@ EXTENDED = [
     "sim_ivfpq_store_upsert",
     "sim_ivfpq_store_compact",
     "dedup_semantic_prune_lsh",
+    # round-10 additions
+    "sim_knn_classify_lsh",
+    "dedup_semantic_prune_autok",
 ]
 
 

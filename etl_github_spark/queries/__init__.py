@@ -14,95 +14,84 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 9 (per VERDICT r8): 15 promotions — the five
-# never-driver-verified queries (stat_levene_brown_forsythe, landed
-# after the r8 window froze; this round's new IVF-PQ store
-# probe + upsert + compaction lifecycle queries; and
-# dedup_semantic_prune_lsh, the banded-SemDeDup scale sibling the
-# round-9 10× probe motivated)
-# plus the ten queries whose execution paths changed this round (the
-# clustering de-broadcast + pointer-jumping CC rewrite touches every
-# dedup_cluster_*/split/fuzzy/DBSCAN consumer; the IVF-PQ helper
-# extraction touches both ivfpq siblings; dedup_embedding_cosine lost
-# its forced full-table broadcast) — then 35 slots of the
-# stalest greens (r01-vintage), the staleness re-verification sweep
-# the judge asked for (≥35 per the r8 verdict; the one green displaced
-# by the new sibling, window_rank_topn_per_group, is bench-headline-
-# covered every round). The window below is asserted equal to
-# compute_window(_R9_PROMOTED) by tests/test_new_invariants.py, so a
-# stale paste fails CI instead of silently wasting driver slots.
+# staleness. Round 10 (per VERDICT r9 task 3): 5 promotions — the three
+# new round-10 queries (sim_knn_classify_lsh, the bucketed classify
+# sibling the r9 verdict asked for; dedup_semantic_prune_autok, the
+# auto-k quantizer growth entry; stream_corpus_dedup_replay, the
+# oracle replay of the de-broadcast stream-static fingerprint join)
+# plus the two SRP-banded siblings whose
+# Spark band-explode path was extracted into the shared _srp_bands_df
+# helper this round — then the full remaining staleness backlog: the 8
+# r1-vintage window functions and 38 r2-vintage queries, exactly the
+# sweep the r9 verdict scheduled (backlog after this window: 0; the 5
+# r2 greens displaced by the promotions are the only pre-r3 rows left).
+# The window below is asserted equal to
+# compute_window(_R10_PROMOTED, before_round=10) by
+# tests/test_new_invariants.py, so a stale paste (or the driver's own
+# post-commit CORRECTNESS_r10.json) cannot redden or silently waste
+# driver slots.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R9_PROMOTED = [
-    "stat_levene_brown_forsythe",
-    "sim_ivfpq_store_probe",
-    "sim_ivfpq_store_upsert",
-    "sim_ivfpq_store_compact",
+_R10_PROMOTED = [
+    "sim_knn_classify_lsh",
+    "dedup_semantic_prune_autok",
+    "stream_corpus_dedup_replay",
+    "dedup_embedding_lsh_pairs",
     "dedup_semantic_prune_lsh",
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    "split_by_cluster",
-    "dedup_soft_downweight",
-    "dedup_fuzzy_corpus",
-    "cluster_dbscan_embeddings",
-    "cluster_dbscan_lsh",
-    "sim_ivfpq_residual_topk",
-    "sim_ivfpq_topk",
-    "dedup_embedding_cosine",
 ]
 
-_R9_WINDOW = [
-    "stat_levene_brown_forsythe",  # never driver-verified (promoted)
-    "sim_ivfpq_store_probe",  # never driver-verified (promoted)
-    "sim_ivfpq_store_upsert",  # never driver-verified (promoted)
-    "sim_ivfpq_store_compact",  # never driver-verified (promoted)
-    "dedup_semantic_prune_lsh",  # never driver-verified (promoted)
-    "dedup_cluster_components",  # changed this round (promoted), green r03
-    "dedup_cluster_survivors",  # changed this round (promoted), green r03
-    "split_by_cluster",  # changed this round (promoted), green r04
-    "dedup_soft_downweight",  # changed this round (promoted), green r08
-    "dedup_fuzzy_corpus",  # changed this round (promoted), green r04
-    "cluster_dbscan_embeddings",  # changed this round (promoted), green r08
-    "cluster_dbscan_lsh",  # changed this round (promoted), green r08
-    "sim_ivfpq_residual_topk",  # changed this round (promoted), green r08
-    "sim_ivfpq_topk",  # changed this round (promoted), green r08
-    "dedup_embedding_cosine",  # changed this round (promoted), green r02
-    "filter_disjunction",  # green r01 (stalest)
-    "filter_having",  # green r01 (stalest)
-    "filter_null_safe",  # green r01 (stalest)
-    "filter_range_date",  # green r01 (stalest)
-    "project_subset",  # green r01 (stalest)
-    "project_json_prop",  # green r01 (stalest)
-    "project_json_struct",  # green r01 (stalest)
-    "scalar_string_funcs",  # green r01 (stalest)
-    "scalar_math_funcs",  # green r01 (stalest)
-    "scalar_case_when",  # green r01 (stalest)
-    "sort_topk",  # green r01 (stalest)
-    "sort_multi_col",  # green r01 (stalest)
-    "limit_deterministic",  # green r01 (stalest)
-    "join_inner_broadcast",  # green r01 (stalest)
-    "join_left_outer_agg",  # green r01 (stalest)
-    "join_semi",  # green r01 (stalest)
-    "join_anti",  # green r01 (stalest)
-    "join_full_outer",  # green r01 (stalest)
-    "join_cross",  # green r01 (stalest)
-    "join_multiway_dims",  # green r01 (stalest)
-    "join_fact_fact_revenue",  # green r01 (stalest)
-    "q1_pricing_summary",  # green r01 (stalest)
-    "agg_value_counts",  # green r01 (stalest)
-    "agg_global_count",  # green r01 (stalest)
-    "agg_multi_shared_scan",  # green r01 (stalest)
-    "agg_max_watermark",  # green r01 (stalest)
-    "agg_group_multi_key",  # green r01 (stalest)
-    "agg_distinct_per_group",  # green r01 (stalest)
-    "agg_rollup",  # green r01 (stalest)
-    "agg_cube",  # green r01 (stalest)
-    "agg_stats_per_nation",  # green r01 (stalest)
-    "agg_variance_deterministic",  # green r01 (stalest)
-    "trend_daily_counts",  # green r01 (stalest)
-    "trend_hourly_by_type",  # green r01 (stalest)
-    "trend_year_month_orders",  # green r01 (stalest)
+_R10_WINDOW = [
+    "sim_knn_classify_lsh",  # never driver-verified (promoted)
+    "dedup_semantic_prune_autok",  # never driver-verified (promoted)
+    "stream_corpus_dedup_replay",  # never driver-verified (promoted)
+    "dedup_embedding_lsh_pairs",  # green r04
+    "dedup_semantic_prune_lsh",  # green r09
+    "window_rank_topn_per_group",  # green r01
+    "window_rank_dense",  # green r01
+    "window_lag_lead",  # green r01
+    "window_moving_sum",  # green r01
+    "window_cumulative_share",  # green r01
+    "window_time_range_count",  # green r01
+    "window_percent_rank",  # green r01
+    "window_ntile_quartiles",  # green r01
+    "text_token_count",  # green r02
+    "text_word_freq",  # green r02
+    "text_bigram_freq",  # green r02
+    "text_quality_score",  # green r02
+    "text_lang_id_heuristic",  # green r02
+    "text_fingerprint",  # green r02
+    "text_token_count_bpe",  # green r02
+    "text_levenshtein_pairs",  # green r02
+    "multimodal_binary_meta",  # green r02
+    "dedup_exact_distinct",  # green r02
+    "dedup_exact_keep_first",  # green r02
+    "dedup_summary",  # green r02
+    "dedup_jaccard_pairs",  # green r02
+    "sim_cosine_threshold",  # green r02
+    "sim_topk_bruteforce",  # green r02
+    "sim_norms",  # green r02
+    "sim_label_centroids",  # green r02
+    "q3_shipping_priority",  # green r02
+    "q5_local_supplier_volume",  # green r02
+    "q6_forecast_revenue",  # green r02
+    "q10_returned_items",  # green r02
+    "join_asof_last_view",  # green r02
+    "agg_grouping_sets",  # green r02
+    "agg_pivot_conditional",  # green r02
+    "scalar_date_arith",  # green r02
+    "scalar_regexp",  # green r02
+    "filter_in_list",  # green r02
+    "filter_like_pattern",  # green r02
+    "scalar_coalesce_nullif",  # green r02
+    "window_first_last",  # green r02
+    "agg_argmax_per_group",  # green r02
+    "agg_median_exact",  # green r02
+    "set_union_distinct",  # green r02
+    "sessionize_events",  # green r02
+    "join_range_predicate",  # green r02
+    "reshape_unpivot",  # green r02
+    "reshape_posexplode",  # green r02
 ]
 
 def _apply_rotation(window: list[str]) -> None:
@@ -123,4 +112,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R9_WINDOW)
+_apply_rotation(_R10_WINDOW)

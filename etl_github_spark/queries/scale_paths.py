@@ -1,12 +1,15 @@
 """Scale-path siblings of the exhaustive similarity/dedup baselines.
 
 Each operator here replaces an O(N²) / O(N·Q) exact baseline with a
-bounded-candidate design that survives 100 TB, and is pinned against its
-exact sibling by tests (subset / same-top-k) rather than a SQL oracle
-(bucketing decisions are Spark-side by construction).
-
-Registered after the driver's 50-entry correctness window (see
-queries/__init__.py); locally checked by tests/test_similarity_variants.py.
+bounded-candidate design that survives 100 TB. Most carry full DuckDB
+oracles and are driver-window-eligible like any other query: the
+SRP-banded siblings (embedding pairs, SemDeDup, kNN-classify) embed
+their projection planes as double literals in the SQL so the candidate
+set replays bit-identically (``_srp_bands_cte`` ↔ ``_srp_bands_df``),
+and the k-means/PQ entries replay the sampled fits the same way. The
+few whose bucketing is genuinely Spark-side-only are instead pinned
+against their exact sibling by tests (subset / same-top-k) in
+tests/test_similarity_variants.py and tests/test_scale_siblings.py.
 """
 
 from __future__ import annotations
@@ -59,6 +62,48 @@ def _srp_bands_cte(n_bits: int, band_size: int, extra_col: str = "") -> str:
     )
 
 
+def _srp_bands_df(emb, n_bits: int, band_size: int, extra_cols: tuple[str, ...] = ()):
+    """Spark twin of :func:`_srp_bands_cte`: bucketize ``emb`` with the
+    same SRP planes, then explode one row per (band, band-bucket).
+
+    ``extra_cols`` are carried through the band rows (e.g. ``label`` for
+    cell-local variants). The returned frame is ``localCheckpoint``-ed
+    (lazy) because every caller self-joins it — both join sides must
+    read ONE materialization, not recompute the bucketize per side.
+    Extracted so the three banded siblings (embedding pairs, SemDeDup,
+    kNN-classify) cannot drift from each other or from the oracle CTE.
+    """
+    from .similarity import _srp_planes, srp_bucketize
+
+    n_bands = n_bits // band_size
+    data = srp_bucketize(emb, _srp_planes(n_bits, _DIM))
+    bands = data.select(
+        "vec_id",
+        *extra_cols,
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("bucket"), b * band_size)
+                        .bitwiseAND(F.lit((1 << band_size) - 1))
+                        .alias("bb"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id",
+        *extra_cols,
+        "embedding",
+        F.col("x.band").alias("band"),
+        F.col("x.bb").alias("bb"),
+    )
+    return bands.localCheckpoint(eager=False)
+
+
 def _srp_pairs_sql(n_bits: int = 16, band_size: int = 4) -> str:
     """DuckDB twin of :func:`dedup_embedding_lsh_pairs` — banded SRP
     candidates (shared CTE text: :func:`_srp_bands_cte`) scored with
@@ -105,33 +150,11 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     are found with p → 1. Pinned as a subset of the exact baseline.
     """
     from .dedup import dedup_embedding_cosine  # noqa: F401  (exact sibling)
-    from .similarity import _srp_planes, cosine, srp_bucketize
+    from .similarity import cosine
 
     n_bits, band_size = 16, 4
-    n_bands = n_bits // band_size
     emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    data = srp_bucketize(emb, _srp_planes(n_bits, _DIM))
-    bands = data.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("bucket"), b * band_size)
-                        .bitwiseAND(F.lit((1 << band_size) - 1))
-                        .alias("bb"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("x"),
-    ).select(
-        "vec_id", "embedding", F.col("x.band").alias("band"), F.col("x.bb").alias("bb")
-    )
-    # both self-join sides read this subtree; materialize once
-    bands = bands.localCheckpoint(eager=False)
+    bands = _srp_bands_df(emb, n_bits, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -211,38 +234,11 @@ def dedup_semantic_prune_lsh(spark, sf_dir):
     left-fold cosine replay bit-identically in the oracle.
     """
     from .dedup import _SEMDEDUP_TAU
-    from .similarity import _srp_planes, cosine, srp_bucketize
+    from .similarity import cosine
 
     n_bits, band_size = 16, 4
-    n_bands = n_bits // band_size
     emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
-    data = srp_bucketize(emb, _srp_planes(n_bits, _DIM))
-    bands = data.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("bucket"), b * band_size)
-                        .bitwiseAND(F.lit((1 << band_size) - 1))
-                        .alias("bb"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("x"),
-    ).select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.col("x.band").alias("band"),
-        F.col("x.bb").alias("bb"),
-    )
-    # both self-join sides read this subtree; materialize once
-    bands = bands.localCheckpoint(eager=False)
+    bands = _srp_bands_df(emb, n_bits, band_size, extra_cols=("label",))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -271,6 +267,132 @@ def dedup_semantic_prune_lsh(spark, sf_dir):
         "label",
         F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos_to_earlier"),
         F.col("vec_b").isNull().alias("keep"),
+    )
+
+
+def _knn_lsh_sql(n_bits: int = 16, band_size: int = 4) -> str:
+    """DuckDB twin of :func:`sim_knn_classify_lsh`: the shared SRP band
+    CTEs (label carried through), query×corpus bucket-local candidate
+    join, then the exact top-5 cosine vote over the candidate set."""
+    from .dedup import _EMB_DOT
+
+    ab = _EMB_DOT.format(a="ea.embedding", b="eb.embedding")
+    aa = _EMB_DOT.format(a="ea.embedding", b="ea.embedding")
+    bb = _EMB_DOT.format(a="eb.embedding", b="eb.embedding")
+    return f"""
+    WITH {_srp_bands_cte(n_bits, band_size, extra_col="label")},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, q.label AS true_label,
+             c.vec_id AS cid, c.label AS clabel
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.bb = c.bb
+      WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+    ),
+    scored AS (
+      SELECT cand.qid, cand.true_label, cand.cid, cand.clabel,
+             {ab} / (sqrt({aa}) * sqrt({bb})) AS cos_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.qid
+      JOIN embeddings eb ON eb.vec_id = cand.cid
+    ),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, true_label, clabel, count(*) AS cnt
+      FROM top WHERE rnk <= 5 GROUP BY qid, true_label, clabel
+    )
+    SELECT qid AS query_vec_id, true_label,
+           clabel AS pred_label, CAST(cnt AS BIGINT) AS votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, clabel) AS r
+          FROM votes)
+    WHERE r = 1
+    """
+
+
+@query(
+    "sim_knn_classify_lsh",
+    sql=_knn_lsh_sql(),
+    tags=("similarity", "classify", "lsh"),
+)
+def sim_knn_classify_lsh(spark, sf_dir):
+    """SRP-banded k-NN label prediction — the 100 TB sibling of
+    :func:`~.similarity.sim_knn_classify`'s exact O(N·Q) baseline.
+
+    The exact form broadcasts the query set into a crossJoin; the query
+    set is every 50th vector (O(N/50) rows), so the broadcast grows
+    with the corpus — the same pinned-in-every-executor OOM class the
+    round-9 clustering de-broadcast removed. This sibling generates
+    candidates with the shared 16-bit/4-band SRP banding
+    (:func:`_srp_bands_df` ↔ :func:`_srp_bands_cte`): a corpus vector
+    is scored for a query only if they share a (band, band-bucket), so
+    the join is a shuffle keyed by (band, bb) with Σ|bucket_q×bucket_c|
+    volume instead of N·Q, and no frame is ever pinned. The vote logic
+    is unchanged from the exact form: exact left-fold cosine on the
+    candidates, top-5 per query (ties by cid), majority vote (ties by
+    votes desc, label). Recall trade as `dedup_embedding_lsh_pairs`:
+    truly-near neighbors (cos ≥ 0.8 — the regime where weak labeling
+    is trustworthy) collide with p → 1, so there the vote matches the
+    exact form; at the fixture's weak-similarity regime (5-NN at cos
+    0.3–0.45) per-neighbor recall is ~50% and predictions are the
+    RESTRICTION of the exact vote to colliding candidates — pinned
+    conditionally (exact top-5 fully collided ⇒ same answer) plus a
+    full numpy replay in tests/test_scale_siblings.py. A query whose
+    every band is split from the whole corpus is absent from the
+    output — the banding replays bit-identically in the oracle, so
+    both sides agree on that set.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    n_bits, band_size = 16, 4
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
+    bands = _srp_bands_df(emb, n_bits, band_size, extra_cols=("label",))
+    q = bands.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        "band",
+        "bb",
+    )
+    c = bands.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        "band",
+        "bb",
+    )
+    cand = q.join(c, ["band", "bb"]).dropDuplicates(["qid", "cid"])
+    scored = cand.select(
+        "qid",
+        "true_label",
+        "cid",
+        "clabel",
+        cosine(F.col("ce"), F.col("qe")).alias("cos_sim"),
+    )
+    top = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+        ),
+    ).where(F.col("rnk") <= 5)
+    votes = top.groupBy("qid", "true_label", "clabel").agg(F.count("*").alias("cnt"))
+    return (
+        votes.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cnt"), "clabel")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "true_label",
+            F.col("clabel").alias("pred_label"),
+            F.col("cnt").cast("long").alias("votes"),
+        )
     )
 
 
@@ -696,16 +818,25 @@ def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
 
 
 def _kmeans_fit_parts(k: int = 8, iters: int = 3, mod: int = 4,
-                      dim: int = _DIM) -> list[str]:
+                      dim: int = _DIM, k_sql: str | None = None) -> list[str]:
     """Unrolled k-means replica of `lloyd_fit` as DuckDB CTE parts
     (`x` = double-cast corpus, `c{iters}` = final centroids) — shared
     by every oracle that replays the learned coarse quantizer
-    (`sim_ivf_kmeans_topk`, `sim_silhouette_kmeans`). Assignment =
-    argmin over full squared distance with (dist, cell) tie-break —
-    the Spark side's numpy kernel computes the same argmin up to a
-    row-constant (‖x‖²), so the decisions agree; centroid updates are
-    the identical exact scaled-integer mean."""
+    (`sim_ivf_kmeans_topk`, `sim_silhouette_kmeans`,
+    `dedup_semantic_prune_autok`). Assignment = argmin over full
+    squared distance with (dist, cell) tie-break — the Spark side's
+    numpy kernel computes the same argmin up to a row-constant (‖x‖²),
+    so the decisions agree; centroid updates are the identical exact
+    scaled-integer mean.
+
+    ``k_sql``, when given, replaces the literal ``k`` with a SQL
+    expression evaluated against the corpus (DuckDB allows a subquery
+    in LIMIT) — how the auto-k oracle stays a SINGLE static string
+    valid at every scale factor: only the init LIMIT depends on k; the
+    Lloyd-round CTEs are k-generic.
+    """
     dist_ec = _sqdist_sql("e", "c")
+    k_lim = f"({k_sql})" if k_sql is not None else str(k)
     parts = [
         f"""
     WITH x AS (
@@ -715,7 +846,7 @@ def _kmeans_fit_parts(k: int = 8, iters: int = 3, mod: int = 4,
     fit AS (SELECT * FROM x WHERE vec_id % {mod} = 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, e AS c
-      FROM (SELECT vec_id, e FROM fit ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, e FROM fit ORDER BY vec_id LIMIT {k_lim})
     )"""
     ]
     for r in range(1, iters + 1):
@@ -2523,3 +2654,118 @@ def sim_ivfpq_store_compact(spark, sf_dir, k: int = 8, nprobe: int = 3,
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id long, approx_d2 double")
+
+
+_CELL_BUDGET = 64  # target vectors per quantizer cell (auto-k fit)
+_AUTOK_SQL_EXPR = (
+    f"SELECT CAST(greatest(2, ceil(count(*) / {_CELL_BUDGET}.0)) AS BIGINT) FROM x"
+)
+
+
+def _auto_k(n: int, budget: int = _CELL_BUDGET) -> int:
+    """k ∝ N / cell_budget — the quantizer growth rule SemDeDup's scale
+    contract states ("cell size is capped by the quantizer's k at
+    100 TB"): k grows linearly with the corpus so |cell| stays ~budget
+    and the cell-local Σ|cell|² pair volume stays O(N·budget) — LINEAR
+    in N — instead of the quadratic blow-up the round-9 10× probe
+    measured (18.2×) when k is held fixed while cells grow. Floor of 2
+    so the tiniest fixtures still exercise a real partition. Python
+    twin of `_AUTOK_SQL_EXPR` (the oracle computes the same k from the
+    same count, so ONE static SQL string is valid at every SF)."""
+    import math
+
+    return max(2, math.ceil(n / budget))
+
+
+def _semdedup_autok_sql(iters: int = 3, mod: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_semantic_prune_autok`: the shared
+    k-means replay (`_kmeans_fit_parts`, dynamic-k init via a LIMIT
+    subquery), full-corpus cell assignment, then the exact SemDeDup
+    earlier-id prune inside learned cells."""
+    from .dedup import _SEMDEDUP_TAU
+
+    dist_ec = _sqdist_sql("e", "c")
+    ab = _dot_sql("a.e", "b.e")
+    aa = _dot_sql("a.e", "a.e")
+    bb = _dot_sql("b.e", "b.e")
+    parts = _kmeans_fit_parts(iters=iters, mod=mod, k_sql=_AUTOK_SQL_EXPR)
+    parts.append(f"""
+    af AS (
+      SELECT vec_id, e,
+             (min(struct_pack(d := {dist_ec}, cell := cell))).cell AS cell
+      FROM x, c{iters}
+      GROUP BY vec_id, e
+    ),
+    hit AS (
+      SELECT b.vec_id, max({ab} / (sqrt({aa}) * sqrt({bb}))) AS max_cos
+      FROM af a JOIN af b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {ab} / (sqrt({aa}) * sqrt({bb})) >= {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+           coalesce(h.max_cos, -1.0) AS max_cos_to_earlier,
+           h.vec_id IS NULL AS keep
+    FROM af LEFT JOIN hit h ON af.vec_id = h.vec_id""")
+    return ",".join(parts)
+
+
+@query(
+    "dedup_semantic_prune_autok",
+    sql=_semdedup_autok_sql(),
+    tags=("dedup", "embedding", "semantic", "kmeans"),
+)
+def dedup_semantic_prune_autok(spark, sf_dir):
+    """SemDeDup with a LEARNED auto-sized quantizer — the production
+    form of :func:`~.dedup.dedup_semantic_prune`'s fixed-cell baseline.
+
+    The baseline uses the fixture ``label`` as the cell id, so its cell
+    count is CONSTANT: when the corpus grows 10× every cell grows 10×
+    and the cell-local Σ|cell|² pair volume grows 100× (the round-9
+    probe's measured 18.2×). Here the quantizer is fit each run with
+    k = max(2, ceil(N / 64)) (`_auto_k`) on the deterministic
+    1/4 sample (`lloyd_fit` — exact scaled-integer means, so the
+    centroids are bit-reproducible), every vector is assigned to its
+    nearest cell (one Arrow matmul pass), and the unchanged earlier-id
+    prune runs inside cells of ~64 vectors: pair volume
+    O(N·budget), linear in the corpus — the "k grows with the corpus"
+    bound the SemDeDup paper (Abbas et al. 2023) relies on, now
+    implemented instead of assumed. The oracle replays the count→k
+    rule (a LIMIT subquery), the Lloyd fit, the assignment argmin, and
+    the left-fold cosine prune, so ONE static SQL string stays valid
+    at every scale factor.
+
+    Scale shape: fit cost is bounded (sample × k matmul); assignment is
+    one scan; the prune shuffles on cell id — at 100 TB the cell id is
+    the write-time partition key and the prune is partition-local.
+    """
+    from .dedup import _SEMDEDUP_TAU
+    from .similarity import cosine
+
+    emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    k = _auto_k(emb.count())
+    centroids = lloyd_fit(emb, k=k, iters=3)
+    cells = assign_cells(emb, centroids).localCheckpoint(eager=False)
+    a = cells.select(
+        F.col("cell").alias("ca"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = cells.select(
+        F.col("cell").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    hit = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .where(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return cells.join(hit, cells["vec_id"] == hit["vec_b"], "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos_to_earlier"),
+        F.col("vec_b").isNull().alias("keep"),
+    )

@@ -449,9 +449,11 @@ def sim_knn_classify(spark, sf_dir):
     Scale shape: broadcast the query set over one corpus scan (the
     O(N·Q) exact baseline — same contract as `sim_topk_multi_query`),
     per-query top-k via a rank window partitioned by query id, then a
-    query-sized vote aggregation. For web-scale Q the scored join is
-    replaced by the SRP/IVF bucketed candidates; the vote logic is
-    unchanged.
+    query-sized vote aggregation. The query set grows with the corpus
+    (every 50th vector), so the broadcast is contract-bound to this
+    exact baseline; the registered web-scale sibling is
+    :func:`~.scale_paths.sim_knn_classify_lsh` — SRP-banded candidates
+    into the same unchanged vote logic, no pinned frame.
     """
     from pyspark.sql import Window
 

@@ -223,6 +223,61 @@ def stream_dedup_replay(spark, sf_dir):
 
 
 @query(
+    "stream_corpus_dedup_replay",
+    sql="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    fresh AS (SELECT DISTINCT md5(text) AS fp FROM documents)
+    SELECT substr(fp, 1, 1) AS bucket, CAST(count(*) AS BIGINT) AS n_new
+    FROM fresh
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = fresh.fp)
+    GROUP BY bucket
+    """,
+    tags=("streaming", "dedup", "corpus", "bridge"),
+)
+def stream_corpus_dedup_replay(spark, sf_dir):
+    """Incremental corpus building under the driver hash: the document
+    stream is deduplicated against a LANDED-CORPUS fingerprint table
+    (every even doc_id stands in for the already-ingested corpus) via
+    `streaming/dedup.py::stream_dedup_against_corpus` — stream-static
+    LEFT ANTI on md5 fingerprints, NO forced broadcast (the fingerprint
+    frame is O(corpus) rows; AQE decides — the round-10 de-broadcast
+    this query exists to driver-verify), then in-stream dropDuplicates.
+    Which physical duplicate survives in-stream is engine-arbitrary, so
+    the replay aggregates to the survivor-invariant closed form: new
+    distinct fingerprints per first-hex-digit bucket.
+
+    At scale: the anti-join shuffles both sides on fp (or broadcasts
+    when the fingerprint table genuinely fits); in-stream state is one
+    md5 per unseen doc within the run (watermark-bounded when the
+    stream carries event time — documents here do not, the documented
+    batch-backfill mode).
+    """
+    T(spark, sf_dir, "documents")  # tune() the session
+    from ..streaming.dedup import stream_dedup_against_corpus
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/[d]ocuments.parquet"
+    )
+    corpus_fp = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    fresh = stream_dedup_against_corpus(stream, corpus_fp, text_col="text")
+    agg = (
+        fresh.select(F.md5("text").alias("fp"))
+        .groupBy(F.substring("fp", 1, 1).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    rows = [tuple(r) for r in _replay(spark, agg, "stream_corpus_dedup")]
+    return spark.createDataFrame(rows, "bucket string, n_new long")
+
+
+@query(
     "stream_heavy_hitters_replay",
     sql="""
     WITH s AS (

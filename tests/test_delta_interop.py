@@ -84,3 +84,103 @@ def test_write_delta_protocol_versions_match_spec_claim(spark, tmp_path):
     meta = next(a["metaData"] for a in actions if "metaData" in a)
     assert meta["format"] == {"provider": "parquet", "options": {}}
     assert json.loads(meta["schemaString"])["type"] == "struct"
+
+
+def test_checkpoint_parquet_shape_matches_spec_claim(spark, tmp_path):
+    """Always-run checkpoint pin (no delta-spark needed): the parquet
+    checkpoint is the file a REAL reader would replay from after
+    cleanup_log drops the JSON prefix, so its shape is load-bearing
+    even though the sandbox can't run that reader. Pins the spec
+    claims the module documents: one row per live action; exactly one
+    protocol row and one metaData row; nested add rows carrying
+    path/partitionValues/size/dataChange=false; a _last_checkpoint
+    pointer whose `size` equals the row count; schemaString parses as
+    a struct; partition columns survive the round-trip."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from etl_github_spark.io.delta_log import checkpoint_delta, write_delta
+
+    table = str(tmp_path / "cpshape")
+    df1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, v string, date string",
+    )
+    df2 = spark.createDataFrame([(3, "c", "2024-01-02")],
+                                "id long, v string, date string")
+    write_delta(df1, table, stats_cols=("id",), partition_by=("date",))
+    write_delta(df2, table, mode="append", stats_cols=("id",))
+    v = checkpoint_delta(table)
+    assert v == 1
+
+    cp = pq.read_table(f"{table}/_delta_log/{v:020d}.checkpoint.parquet")
+    assert set(cp.column_names) == {"protocol", "metaData", "add"}
+    rows = cp.to_pylist()
+    protos = [r["protocol"] for r in rows if r["protocol"]]
+    metas = [r["metaData"] for r in rows if r["metaData"]]
+    adds = [r["add"] for r in rows if r["add"]]
+    assert len(protos) == 1 and protos[0] == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    assert len(metas) == 1
+    assert json.loads(metas[0]["schemaString"])["type"] == "struct"
+    assert list(metas[0]["partitionColumns"]) == ["date"]
+    assert adds, "checkpoint carries no add actions"
+    for a in adds:
+        assert a["path"] and a["size"] > 0
+        assert a["dataChange"] is False  # checkpoint adds never re-deliver
+        assert "date" in dict(a["partitionValues"])
+
+    with open(f"{table}/_delta_log/_last_checkpoint") as fh:
+        ptr = json.load(fh)
+    assert ptr["version"] == v
+    assert ptr["size"] == len(rows)
+
+
+def test_change_feed_readback_from_fresh_session(spark, tmp_path):
+    """Always-run change-feed pin: a SECOND SparkSession (fresh session
+    state — its own conf/catalog, the closest a single test JVM gets
+    to an independent reader) consumes the change feed of a table some
+    OTHER session wrote, across an OPTIMIZE rewrite. The feed must
+    deliver exactly the appended rows with their commit versions and
+    skip the dataChange=false compaction commit — the double-count a
+    naive add-action consumer hits."""
+    from etl_github_spark.io.delta_log import (
+        delta_changes,
+        optimize_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "cdf2")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+        table,
+        mode="append",
+        stats_cols=("id",),
+    )
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1),
+        table,
+        mode="append",
+        stats_cols=("id",),
+    )
+    out = optimize_delta(spark, table, target_bytes=1 << 30)
+    assert out["version"] == 2
+    write_delta(
+        spark.createDataFrame([(4, "d")], "id long, v string").coalesce(1),
+        table,
+        mode="append",
+        stats_cols=("id",),
+    )
+
+    reader = spark.newSession()
+    feed = delta_changes(reader, table, from_version=0)
+    got = sorted((r["id"], r["_commit_version"]) for r in feed.collect())
+    assert got == [(3, 1), (4, 3)]  # version-2 OPTIMIZE adds skipped
+
+    from etl_github_spark.io.delta_log import read_delta
+
+    snap = read_delta(reader, table)
+    assert sorted(r["id"] for r in snap.collect()) == [1, 2, 3, 4]

@@ -1046,3 +1046,26 @@ def test_dbscan_exhaustive_baseline_not_hint_broadcast(spark):
     for name in ("cluster_dbscan_embeddings", "dedup_embedding_cosine"):
         plan = _optimized_logical(spark, name)
         assert "strategy=broadcast" not in plan, name
+
+
+def test_knn_lsh_classify_not_hint_broadcast(spark):
+    """The banded kNN-classify sibling exists to REMOVE the exact
+    form's growing query-set broadcast (O(N/50) rows pinned per
+    executor) — so its own plan must carry no forced broadcast hint
+    anywhere, and no cartesian: candidates come from the (band, bb)
+    equi-join."""
+    plan = _optimized_logical(spark, "sim_knn_classify_lsh")
+    assert "strategy=broadcast" not in plan
+    p = plan_of(spark, "sim_knn_classify_lsh")
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_autok_cell_local_no_cartesian(spark):
+    """Auto-k SemDeDup's pairwise prune must stay CELL-LOCAL: the
+    self-join is keyed by the learned cell id (an equi-condition), so
+    the physical plan has no cartesian and no forced broadcast of the
+    corpus-sized assignment frame."""
+    plan = _optimized_logical(spark, "dedup_semantic_prune_autok")
+    assert "strategy=broadcast" not in plan
+    p = plan_of(spark, "dedup_semantic_prune_autok")
+    assert "CartesianProduct" not in p

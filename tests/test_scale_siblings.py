@@ -142,3 +142,110 @@ def test_semdedup_lsh_is_conservative_subset_of_exact(spark):
     assert dropped_lsh and dropped_lsh <= dropped_exact
     for v, (_, mc) in lsh.items():
         assert mc <= exact[v][1] + 1e-12, (v, mc, exact[v][1])
+
+
+def test_knn_lsh_classify_is_banded_restriction_of_exact(spark):
+    """The banded kNN is the exact vote RESTRICTED to colliding
+    candidates — so the sharp property is conditional, not global
+    agreement (the fixture's 5-NN sit at cos 0.3–0.45 where 4×4 SRP
+    per-neighbor recall is ~50%; global agreement is recall-bound by
+    construction): (a) its query set ⊆ the exact classifier's with
+    matching true labels and votes in [1, 5]; (b) an independent numpy
+    replay of the banding + candidate-restricted vote reproduces every
+    prediction bit-for-bit; (c) for queries whose exact top-5 ALL
+    collide, the prediction equals the exact classifier's."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_github_spark.queries.similarity import _srp_planes
+
+    from .conftest import SF_ORACLE
+
+    exact = {
+        r.query_vec_id: (r.true_label, r.pred_label)
+        for r in QUERIES["sim_knn_classify"].fn(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        r.query_vec_id: (r.true_label, r.pred_label, r.votes)
+        for r in QUERIES["sim_knn_classify_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    assert lsh and set(lsh) <= set(exact)
+    for qid, (tl, _, votes) in lsh.items():
+        assert tl == exact[qid][0], qid
+        assert 1 <= votes <= 5, (qid, votes)
+
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"].to_pylist())
+    lab = np.asarray(t["label"].to_pylist())
+    emb = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+    planes = np.asarray(_srp_planes(16, 64), np.float64).T
+    bits = (emb @ planes) >= 0
+    bands = np.stack(
+        [
+            (bits[:, b * 4 : (b + 1) * 4] * (1 << np.arange(4))).sum(axis=1)
+            for b in range(4)
+        ],
+        axis=1,
+    )  # (n, 4) band buckets
+    is_q = vid % 50 == 0
+    norms = np.linalg.norm(emb, axis=1)
+
+    def vote(cands_idx, qi):
+        cos = (emb[cands_idx] @ emb[qi]) / (norms[cands_idx] * norms[qi])
+        order = sorted(zip(-cos, vid[cands_idx], lab[cands_idx]))[:5]
+        counts: dict[int, int] = {}
+        for _, _, cl in order:
+            counts[cl] = counts.get(cl, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return best[0], best[1]
+
+    for qi in np.flatnonzero(is_q):
+        collide = (~is_q) & (bands == bands[qi]).any(axis=1)
+        cands = np.flatnonzero(collide)
+        if len(cands) == 0:
+            assert int(vid[qi]) not in lsh
+            continue
+        pred, votes = vote(cands, qi)
+        got = lsh[int(vid[qi])]
+        assert got[1] == pred and got[2] == votes, (vid[qi], got, pred, votes)
+        # conditional agreement: exact top-5 fully collided → same answer
+        exact_top5 = {
+            v for _, v, _ in sorted(
+                zip(
+                    -(emb[~is_q] @ emb[qi]) / (norms[~is_q] * norms[qi]),
+                    vid[~is_q],
+                    lab[~is_q],
+                )
+            )[:5]
+        }
+        if exact_top5 <= set(vid[cands]):
+            assert pred == exact[int(vid[qi])][1], vid[qi]
+
+
+def test_semdedup_autok_prune_rule_and_cell_budget(spark):
+    """Auto-k SemDeDup invariants: every vector appears exactly once;
+    the learned partition uses at most _auto_k(N) cells (k is the
+    count-derived growth rule, not a constant); keep is exactly the
+    no-qualifying-earlier-neighbor predicate (max_cos sentinel -1.0);
+    and a dropped vector's max_cos clears tau."""
+    from .conftest import SF_ORACLE
+    from etl_github_spark.queries.dedup import _SEMDEDUP_TAU
+    from etl_github_spark.queries.scale_paths import _auto_k
+
+    rows = QUERIES["dedup_semantic_prune_autok"].fn(spark, SF_ORACLE).collect()
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF_ORACLE}/embeddings.parquet").num_rows
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    cells = {r.cell for r in rows}
+    assert len(cells) <= _auto_k(n)
+    assert len(cells) >= 2  # the partition is real, not degenerate
+    dropped = 0
+    for r in rows:
+        if r.keep:
+            assert r.max_cos_to_earlier == -1.0, r
+        else:
+            dropped += 1
+            assert r.max_cos_to_earlier >= _SEMDEDUP_TAU - 1e-12, r
+    assert dropped > 0  # tau is calibrated to make the prune non-trivial

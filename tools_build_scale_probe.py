@@ -28,7 +28,42 @@ from etl_github_spark.session import get_spark
 REPLICAS = 10
 
 
+def gz_probe() -> None:
+    """10× FILE-SIZE probe for the gzip decompress-split claim
+    (``--gz-probe``): the warm bench pair at the ~3 MB toy size hides
+    the parallelism win behind job overhead, so this reruns the same
+    single-task-vs-split_landing measurement at 10× the file size —
+    where the non-splittable straggler actually bites. Factors quoted
+    in ARCHITECTURE.md "Measured scaling" come from this recipe."""
+    import time
+
+    from bench import bench_gha_ingest_gz
+
+    spark = get_spark("gz-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_gha_ingest_gz(spark, n_copies=200)  # JVM/codegen warmup
+    results = {}
+    for n in (1500, 15000):
+        t0 = time.perf_counter()
+        single, split = bench_gha_ingest_gz(spark, n_copies=n)
+        results[n] = (single, split)
+        print(
+            f"n_copies={n}: single_task={single:.2f}s "
+            f"split_landing={split:.2f}s win={single / split:.2f}x "
+            f"(pair wall {time.perf_counter() - t0:.1f}s)"
+        )
+    s1, p1 = results[1500]
+    s10, p10 = results[15000]
+    print(
+        f"10x-size growth: single_task {s10 / s1:.2f}x, "
+        f"split_landing {p10 / p1:.2f}x"
+    )
+
+
 def main() -> None:
+    if "--gz-probe" in sys.argv:
+        gz_probe()
+        return
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else ".scale_probe"
     spark = get_spark("scale-probe-build")
