@@ -216,25 +216,36 @@ def split_landing(
         os.makedirs(dest, exist_ok=True)
         opener = gzip.open if name.endswith(".gz") else open
         shards: list[str] = []
-        out = None
-        tmp = final = ""
-        written = 0
+
+        def _publish(body: bytes) -> None:
+            final = os.path.join(dest, f"part-{len(shards):05d}.json")
+            tmp = final + ".part"
+            with open(tmp, "wb") as out:
+                out.write(body)
+            os.replace(tmp, final)  # atomic publish per shard
+            shards.append(final)
+
+        # chunked decode, cut on the LAST newline of each ~shard_bytes
+        # block: a per-line Python loop makes the sequential decode as
+        # slow as the single-task parse it exists to parallelize (the
+        # round-10 gz probe measured the win asymptoting at ~1.3x); one
+        # read + one rfind + one write per shard keeps the decode at
+        # zlib speed, so the win grows with file size as intended.
+        leftover = b""
         with opener(path, "rb") as src:
-            for line in src:
-                if out is None or written >= shard_bytes:
-                    if out is not None:
-                        out.close()
-                        os.replace(tmp, final)  # atomic publish per shard
-                    final = os.path.join(dest, f"part-{len(shards):05d}.json")
-                    tmp = final + ".part"
-                    out = open(tmp, "wb")
-                    shards.append(final)
-                    written = 0
-                out.write(line)
-                written += len(line)
-        if out is not None:
-            out.close()
-            os.replace(tmp, final)
+            while True:
+                chunk = src.read(shard_bytes)
+                if not chunk:
+                    break
+                chunk = leftover + chunk
+                cut = chunk.rfind(b"\n")
+                if cut == -1:  # a single line longer than shard_bytes
+                    leftover = chunk
+                    continue
+                _publish(chunk[: cut + 1])
+                leftover = chunk[cut + 1 :]
+        if leftover:
+            _publish(leftover if leftover.endswith(b"\n") else leftover + b"\n")
         with open(marker, "w"):
             pass
         return shards
