@@ -289,6 +289,7 @@ EXTENDED = [
     # round-10 additions
     "sim_knn_classify_lsh",
     "dedup_semantic_prune_autok",
+    "sim_ivf_autok_topk",
 ]
 
 

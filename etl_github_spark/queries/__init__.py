@@ -14,16 +14,17 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 10 (per VERDICT r9 task 3): 5 promotions — the three
+# staleness. Round 10 (per VERDICT r9 task 3): 6 promotions — the four
 # new round-10 queries (sim_knn_classify_lsh, the bucketed classify
 # sibling the r9 verdict asked for; dedup_semantic_prune_autok, the
-# auto-k quantizer growth entry; stream_corpus_dedup_replay, the
+# auto-k quantizer growth entry; sim_ivf_autok_topk, its IVF twin
+# with count-derived k AND nprobe; stream_corpus_dedup_replay, the
 # oracle replay of the de-broadcast stream-static fingerprint join)
 # plus the two SRP-banded siblings whose
 # Spark band-explode path was extracted into the shared _srp_bands_df
 # helper this round — then the full remaining staleness backlog: the 8
 # r1-vintage window functions and 38 r2-vintage queries, exactly the
-# sweep the r9 verdict scheduled (backlog after this window: 0; the 5
+# sweep the r9 verdict scheduled (backlog after this window: 0; the 6
 # r2 greens displaced by the promotions are the only pre-r3 rows left).
 # The window below is asserted equal to
 # compute_window(_R10_PROMOTED, before_round=10) by
@@ -36,6 +37,7 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 _R10_PROMOTED = [
     "sim_knn_classify_lsh",
     "dedup_semantic_prune_autok",
+    "sim_ivf_autok_topk",
     "stream_corpus_dedup_replay",
     "dedup_embedding_lsh_pairs",
     "dedup_semantic_prune_lsh",
@@ -44,6 +46,7 @@ _R10_PROMOTED = [
 _R10_WINDOW = [
     "sim_knn_classify_lsh",  # never driver-verified (promoted)
     "dedup_semantic_prune_autok",  # never driver-verified (promoted)
+    "sim_ivf_autok_topk",  # never driver-verified (promoted)
     "stream_corpus_dedup_replay",  # never driver-verified (promoted)
     "dedup_embedding_lsh_pairs",  # green r04
     "dedup_semantic_prune_lsh",  # green r09
@@ -91,7 +94,6 @@ _R10_WINDOW = [
     "sessionize_events",  # green r02
     "join_range_predicate",  # green r02
     "reshape_unpivot",  # green r02
-    "reshape_posexplode",  # green r02
 ]
 
 def _apply_rotation(window: list[str]) -> None:

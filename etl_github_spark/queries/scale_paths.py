@@ -873,16 +873,20 @@ def _kmeans_fit_parts(k: int = 8, iters: int = 3, mod: int = 4,
 
 
 def _ivf_kmeans_sql(k: int = 8, iters: int = 3, mod: int = 4, nprobe: int = 3,
-                    dim: int = _DIM) -> str:
+                    dim: int = _DIM, k_sql: str | None = None,
+                    nprobe_sql: str | None = None) -> str:
     """k-means fit replay (`_kmeans_fit_parts`) + IVF probe + probed-cell
-    rescore as one DuckDB CTE chain."""
+    rescore as one DuckDB CTE chain. ``k_sql``/``nprobe_sql`` swap the
+    literal sizes for corpus-derived LIMIT subqueries (the auto-k
+    variant's single static oracle)."""
     dist_ec = _sqdist_sql("e", "c")
-    parts = _kmeans_fit_parts(k, iters, mod, dim)
+    np_lim = f"({nprobe_sql})" if nprobe_sql is not None else str(nprobe)
+    parts = _kmeans_fit_parts(k, iters, mod, dim, k_sql=k_sql)
     parts.append(f"""
     q AS (SELECT e AS qe FROM x WHERE vec_id = 0),
     probe AS (
       SELECT cell FROM (SELECT cell, {_sqdist_sql("qe", "c")} AS d FROM c{iters}, q)
-      ORDER BY d, cell LIMIT {nprobe}
+      ORDER BY d, cell LIMIT {np_lim}
     ),
     af AS (
       SELECT vec_id, e,
@@ -2768,4 +2772,50 @@ def dedup_semantic_prune_autok(spark, sf_dir):
         F.col("cell").cast("int").alias("cell"),
         F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos_to_earlier"),
         F.col("vec_b").isNull().alias("keep"),
+    )
+
+
+_AUTO_NPROBE_SQL_EXPR = (
+    f"SELECT CAST(greatest(3, ceil(greatest(2, ceil(count(*) / {_CELL_BUDGET}.0))"
+    " / 8.0)) AS BIGINT) FROM x"
+)
+
+
+def _auto_nprobe(n: int, budget: int = _CELL_BUDGET) -> int:
+    """nprobe grows with the quantizer: k/8 cells probed (floor 3), so
+    the probed FRACTION of the corpus stays ~12.5% as auto-k grows k
+    linearly with N — constant recall posture instead of the fixed
+    nprobe=3 whose coverage shrinks as 3/k. Python twin of
+    `_AUTO_NPROBE_SQL_EXPR`."""
+    import math
+
+    return max(3, math.ceil(_auto_k(n, budget) / 8))
+
+
+@query(
+    "sim_ivf_autok_topk",
+    sql=_ivf_kmeans_sql(k_sql=_AUTOK_SQL_EXPR, nprobe_sql=_AUTO_NPROBE_SQL_EXPR),
+    tags=("similarity", "topk", "ivf", "kmeans", "autok"),
+)
+def sim_ivf_autok_topk(spark, sf_dir):
+    """IVF top-k with the AUTO-SIZED learned quantizer — the index
+    build `sim_ivf_kmeans_topk` runs when nobody hand-picks k: k =
+    max(2, ceil(N/64)) keeps |cell| ~64 as the corpus grows (`_auto_k`,
+    the same growth rule `dedup_semantic_prune_autok` implements), and
+    nprobe = max(3, ceil(k/8)) keeps the probed corpus fraction ~1/8
+    constant instead of decaying as 3/k. At 100 TB this is the FAISS
+    sizing heuristic (k ∝ N, nprobe ∝ k for fixed recall) expressed as
+    two deterministic count-derived rules that BOTH replay in one
+    static oracle (LIMIT subqueries), so the driver hash covers the
+    sizing logic itself, not just one frozen configuration.
+
+    Scale shape: identical to `sim_ivf_kmeans_topk` (sampled fit, one
+    Arrow matmul assignment pass, probed-cell exact rescore) — only the
+    sizes are derived. The probe-selection loop on the driver is O(k)
+    over index metadata.
+    """
+    emb = par(T(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    return sim_ivf_kmeans_topk(
+        spark, sf_dir, k=_auto_k(n), nprobe=_auto_nprobe(n)
     )

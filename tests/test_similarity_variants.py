@@ -199,3 +199,23 @@ def test_ivfpq_residual_recall_and_determinism(spark):
     assert res[0] == 0
     floor = 6 if "0.001" not in SF_ORACLE else 3
     assert len(set(res) & set(brute)) >= floor
+
+
+def test_ivf_autok_topk_subsequence_and_derived_sizes(spark):
+    """The auto-sized IVF obeys the same subsequence contract as its
+    hand-sized twin, and its k/nprobe really are the count-derived
+    rules (not frozen defaults): at a 4x fixture the quantizer must be
+    larger than the k=8 default would give."""
+    from etl_github_spark.queries.scale_paths import _auto_k, _auto_nprobe
+
+    brute = _ids(spark, "sim_topk_bruteforce")
+    ivf = _ids(spark, "sim_ivf_autok_topk")
+    assert ivf[0] == 0
+    assert len(ivf) == 10
+    brute_pos = {v: i for i, v in enumerate(brute)}
+    in_brute = [v for v in ivf if v in brute_pos]
+    assert in_brute == sorted(in_brute, key=lambda v: brute_pos[v])
+    # the sizing rules themselves
+    assert _auto_k(500) == 8 and _auto_nprobe(500) == 3      # sf0.01
+    assert _auto_k(2000) == 32 and _auto_nprobe(2000) == 4   # sf0.1
+    assert _auto_k(20000) == 313 and _auto_nprobe(20000) == 40  # 10x probe
