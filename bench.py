@@ -297,9 +297,11 @@ def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> list[float]:
     """Steady-state timing: one untimed warm-up (whole-stage codegen JIT,
     parquet footer caching), then ``runs`` timed runs, all returned — min
     is the headline (robust to the GC/scheduler noise spikes a shared
-    host injects; fresh-session spot-checks showed long-session noise of
-    15-20% on shuffle-heavy queries, so the graded headline set gets an
-    extra sample); the full sample list ships in the JSON so
+    host injects; the round-10 discrepancy investigation measured
+    run-to-run swings of 25-70% on the shuffle-heaviest entries between
+    consecutive identical full-suite invocations — see ARCHITECTURE.md
+    "bench-discrepancy investigation" — so the graded headline set gets
+    an extra sample); the full sample list ships in the JSON so
     round-over-round deltas are attributable to code vs host noise."""
     return _time_fn(spark, QUERIES[name].fn, sf_dir, runs)
 
