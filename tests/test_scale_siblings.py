@@ -249,3 +249,28 @@ def test_semdedup_autok_prune_rule_and_cell_budget(spark):
             dropped += 1
             assert r.max_cos_to_earlier >= _SEMDEDUP_TAU - 1e-12, r
     assert dropped > 0  # tau is calibrated to make the prune non-trivial
+
+
+def test_autok_sql_and_python_rules_agree():
+    """The auto-k (and auto-nprobe) sizing rules exist twice — a Python
+    function on the Spark side and a LIMIT-subquery expression in the
+    static oracle. If they ever disagree for some corpus size, the
+    driver hash diverges only AT THAT SF — so pin them equal over a
+    wide sweep of counts, including the budget boundaries."""
+    import duckdb
+
+    from etl_github_spark.queries.scale_paths import (
+        _AUTO_NPROBE_SQL_EXPR,
+        _AUTOK_SQL_EXPR,
+        _auto_k,
+        _auto_nprobe,
+    )
+
+    con = duckdb.connect()
+    ns = [1, 2, 63, 64, 65, 127, 128, 129, 500, 2000, 20000, 123457, 10**7]
+    for n in ns:
+        con.sql(f"CREATE OR REPLACE VIEW x AS SELECT * FROM range({n}) t(i)")
+        k_sql = con.sql(_AUTOK_SQL_EXPR).fetchone()[0]
+        np_sql = con.sql(_AUTO_NPROBE_SQL_EXPR).fetchone()[0]
+        assert k_sql == _auto_k(n), (n, k_sql, _auto_k(n))
+        assert np_sql == _auto_nprobe(n), (n, np_sql, _auto_nprobe(n))
