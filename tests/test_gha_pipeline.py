@@ -400,3 +400,31 @@ def test_split_landing_edge_shapes(spark, tmp_path):
     # empty input published an empty dir with a marker; re-run is a no-op
     again = split_landing(spark, [str(p1), str(p2)], str(tmp_path / "out"), shard_bytes=4)
     assert sorted(again) == sorted(shards)
+
+
+def test_split_landing_line_longer_than_shard_bytes(spark, tmp_path):
+    """The chunked decoder accumulates until a newline appears, so a
+    single line LARGER than shard_bytes must land intact in one
+    (oversized) shard — never torn mid-line — with its neighbors in
+    their own shards."""
+    import gzip
+    import json
+
+    from etl_github_spark.gha.pipeline import split_landing
+
+    src = tmp_path / "src"
+    src.mkdir()
+    big = json.dumps({"big": "x" * 5000})
+    body = ('{"a":1}\n' + big + '\n{"b":2}\n').encode()
+    p = src / "2024-02-29-3.json.gz"
+    p.write_bytes(gzip.compress(body))
+
+    shards = split_landing(spark, [str(p)], str(tmp_path / "out"), shard_bytes=64)
+    rows = sorted(r["value"] for r in spark.read.text(shards).collect())
+    assert rows == sorted(['{"a":1}', big, '{"b":2}'])
+    # every shard is whole lines: its bytes must re-split cleanly
+    for s in shards:
+        data = open(s, "rb").read()
+        assert data.endswith(b"\n")
+        for line in data[:-1].split(b"\n"):
+            json.loads(line)
