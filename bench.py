@@ -290,6 +290,8 @@ EXTENDED = [
     "sim_knn_classify_lsh",
     "dedup_semantic_prune_autok",
     "sim_ivf_autok_topk",
+    "stream_corpus_dedup_replay",
+    "stream_neardup_replay",
 ]
 
 

@@ -14,17 +14,20 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 10 (per VERDICT r9 task 3): 6 promotions — the four
+# staleness. Round 10 (per VERDICT r9 task 3): 9 promotions — the five
 # new round-10 queries (sim_knn_classify_lsh, the bucketed classify
 # sibling the r9 verdict asked for; dedup_semantic_prune_autok, the
 # auto-k quantizer growth entry; sim_ivf_autok_topk, its IVF twin
 # with count-derived k AND nprobe; stream_corpus_dedup_replay, the
-# oracle replay of the de-broadcast stream-static fingerprint join)
-# plus the two SRP-banded siblings whose
+# oracle replay of the de-broadcast stream-static fingerprint join;
+# stream_neardup_replay, the streaming banded-MinHash near-dup whose
+# per-doc verdicts replay exactly) plus the four queries whose
+# execution paths this round refactored: the two SRP-banded siblings whose
 # Spark band-explode path was extracted into the shared _srp_bands_df
-# helper this round — then the full remaining staleness backlog: the 8
+# helper this round, and the two md5-family LSH queries now routed
+# through the extracted _md5_band_rows — then the staleness backlog: the 8
 # r1-vintage window functions and 38 r2-vintage queries, exactly the
-# sweep the r9 verdict scheduled (backlog after this window: 0; the 6
+# sweep the r9 verdict scheduled (backlog after this window: 0; the 9
 # r2 greens displaced by the promotions are the only pre-r3 rows left).
 # The window below is asserted equal to
 # compute_window(_R10_PROMOTED, before_round=10) by
@@ -39,8 +42,11 @@ _R10_PROMOTED = [
     "dedup_semantic_prune_autok",
     "sim_ivf_autok_topk",
     "stream_corpus_dedup_replay",
+    "stream_neardup_replay",
     "dedup_embedding_lsh_pairs",
     "dedup_semantic_prune_lsh",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall",
 ]
 
 _R10_WINDOW = [
@@ -48,8 +54,11 @@ _R10_WINDOW = [
     "dedup_semantic_prune_autok",  # never driver-verified (promoted)
     "sim_ivf_autok_topk",  # never driver-verified (promoted)
     "stream_corpus_dedup_replay",  # never driver-verified (promoted)
+    "stream_neardup_replay",  # never driver-verified (promoted)
     "dedup_embedding_lsh_pairs",  # green r04
     "dedup_semantic_prune_lsh",  # green r09
+    "dedup_minhash_lsh",  # green r05
+    "dedup_lsh_recall",  # green r03
     "window_rank_topn_per_group",  # green r01
     "window_rank_dense",  # green r01
     "window_lag_lead",  # green r01
@@ -91,9 +100,6 @@ _R10_WINDOW = [
     "agg_argmax_per_group",  # green r02
     "agg_median_exact",  # green r02
     "set_union_distinct",  # green r02
-    "sessionize_events",  # green r02
-    "join_range_predicate",  # green r02
-    "reshape_unpivot",  # green r02
 ]
 
 def _apply_rotation(window: list[str]) -> None:

@@ -379,13 +379,15 @@ def _shingle_strings(words_col, n: int = 3):
     )
 
 
-def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFrame:
-    """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family.
-
-    With ``with_est`` the signature rides along through the band
-    explode (as in :func:`minhash_lsh_xxhash`) and the output gains an
-    ``est_jaccard`` column — fraction of agreeing signature components,
-    an exact k/32 double in both engines."""
+def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
+    """(doc_id[, sig], band, bucket) banded-MinHash rows under the md5
+    family — pure map-side column expressions (shingle → md5 60-bit id
+    → 32 affine min-hashes → 8×4 band buckets), so the SAME helper
+    serves batch frames AND streaming sources (`streaming/dedup.py::
+    stream_neardup_against_corpus`): nothing here shuffles, collects,
+    or checkpoints. Docs with fewer than 3 tokens carry no signature
+    and are filtered (both engines replay the filter). Batch callers
+    that self-join the result should localCheckpoint it themselves."""
     p = F.lit(_MERSENNE_P).cast("long")
     xm = F.transform(
         _shingle_strings(F.col("w")),
@@ -397,7 +399,7 @@ def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFram
 
     sig = F.array(*[F.array_min(F.transform("xs", _h(a, b))) for a, b in _AFFINE])
     n_bands = _N_HASHES // _BAND_SIZE
-    bands = (
+    return (
         docs.select("doc_id", _words().alias("w"))
         .where(F.size("w") >= 3)
         .select("doc_id", xm.alias("xs"))
@@ -422,11 +424,21 @@ def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFram
         )
         .select(
             "doc_id",
-            *(["sig"] if with_est else []),
+            *(["sig"] if with_sig else []),
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )
     )
+
+
+def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFrame:
+    """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family.
+
+    With ``with_est`` the signature rides along through the band
+    explode (as in :func:`minhash_lsh_xxhash`) and the output gains an
+    ``est_jaccard`` column — fraction of agreeing signature components,
+    an exact k/32 double in both engines."""
+    bands = _md5_band_rows(docs, with_sig=with_est)
     bands = bands.localCheckpoint(eager=False)  # signature subtree: compute once
     a, b = bands.alias("a"), bands.alias("b")
     joined = a.join(
@@ -455,11 +467,13 @@ def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFram
     ).distinct()
 
 
-def _md5_lsh_cte() -> str:
-    """Shared DuckDB CTE chain for the md5-family LSH pipeline, through
-    the `cand` candidate-pair block (shingles -> md5 min-hash signatures
-    -> bands -> bucket-join candidates). Callers append their own tail
-    (recall join, verification, clustering)."""
+def _md5_sig_bands_cte() -> str:
+    """Shared DuckDB CTE chain through the `sig`/`bands` blocks of the
+    md5-family MinHash pipeline (shingles -> 60-bit md5 ids -> 32
+    affine min-hashes -> 8×4 band buckets). Callers append their own
+    candidate/verdict tail — the batch pair ops use `_md5_lsh_cte`'s
+    self-join cand block; `stream_neardup_replay` uses a stream×corpus
+    join with per-doc max agreement."""
     p = _MERSENNE_P
     sig_cols = ",\n             ".join(
         f"min(({a} * xm + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(_AFFINE)
@@ -495,7 +509,15 @@ def _md5_lsh_cte() -> str:
     ),
     bands AS (
       {band_selects}
-    ),
+    )"""
+
+
+def _md5_lsh_cte() -> str:
+    """Shared DuckDB CTE chain for the md5-family LSH pipeline, through
+    the `cand` candidate-pair block (shingles -> md5 min-hash signatures
+    -> bands -> bucket-join candidates). Callers append their own tail
+    (recall join, verification, clustering)."""
+    return f"""{_md5_sig_bands_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

@@ -1377,3 +1377,80 @@ def stream_session_append_replay(spark, sf_dir):
         rows,
         "user_id long, session_start timestamp, session_end timestamp, n_events long",
     )
+
+
+def _neardup_stream_sql() -> str:
+    """DuckDB twin of :func:`stream_neardup_replay`: the shared
+    md5-family sig/bands CTEs (`dedup._md5_sig_bands_cte`), a
+    stream×corpus band-bucket join (odd doc_ids stream, even are the
+    landed corpus), per-doc max signature agreement, and the integer
+    kept rule agree·2 < 32."""
+    from .dedup import _N_HASHES, _md5_sig_bands_cte
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH {_md5_sig_bands_cte()},
+    hits AS (
+      SELECT a.doc_id, max({agree}) AS agree
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      JOIN sig sa ON sa.doc_id = a.doc_id
+      JOIN sig sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(h.agree, 0) AS BIGINT) AS max_agree,
+           coalesce(h.agree, 0) * 2 < {_N_HASHES} AS kept
+    FROM sig s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 2 = 1
+    """
+
+
+@query(
+    "stream_neardup_replay",
+    sql=_neardup_stream_sql(),
+    tags=("streaming", "dedup", "neardup", "lsh", "bridge"),
+)
+def stream_neardup_replay(spark, sf_dir):
+    """Streaming NEAR-dup detection against a landed corpus, under the
+    driver hash: odd-doc_id documents stream in; the even half is the
+    already-landed corpus whose banded-MinHash index
+    (`dedup._md5_band_rows`, the SAME md5/affine family as the batch
+    `dedup_minhash_lsh`) sits as the static join side.
+    `streaming/dedup.py::stream_neardup_against_corpus` computes each
+    arriving doc's signature map-side, collides it with the index on
+    (band, bucket), and aggregates the per-doc max signature agreement
+    into a deterministic verdict row — kept ⇔ agree·2 < 32, the integer
+    form of est_jaccard < 0.5. No survivor arbitrariness exists (the
+    corpus is static, in-stream order is irrelevant to a per-doc max),
+    so the oracle replays every verdict exactly, not just invariant
+    rollups — the driver hash covers the full fuzzy-judgment pipeline:
+    shingles, signatures, banding, collision, agreement, threshold.
+
+    Scale shape: signature+banding is map-side on the stream; the
+    stream-static join shuffles on (band, bucket) or broadcasts when
+    the index genuinely fits (no hint — same rule as the exact layer);
+    state is one (doc, max) pair per in-flight doc, watermark-bounded
+    when the stream carries event time.
+    """
+    T(spark, sf_dir, "documents")  # tune() the session
+    from ..queries.dedup import _md5_band_rows
+    from ..streaming.dedup import stream_neardup_against_corpus
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/[d]ocuments.parquet")
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    corpus = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    corpus_bands = _md5_band_rows(corpus, with_sig=True).localCheckpoint(
+        eager=False
+    )
+    out = stream_neardup_against_corpus(stream, corpus_bands)
+    rows = [tuple(r) for r in _replay(spark, out, "stream_neardup")]
+    return spark.createDataFrame(rows, "doc_id long, max_agree long, kept boolean")

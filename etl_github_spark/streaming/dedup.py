@@ -102,3 +102,58 @@ def stream_dedup_against_corpus(
         "left_anti",
     )
     return fresh.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def stream_neardup_against_corpus(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection against a landed corpus — the
+    fuzzy sibling of :func:`stream_dedup_against_corpus`'s exact-md5
+    layer: each arriving document is judged against the corpus's banded
+    MinHash index, the judgment a batch `dedup_minhash_lsh` would make.
+
+    Per arriving doc (map-side, no state): 32-component md5/affine
+    MinHash signature + 8×4 band buckets via the SHARED
+    `queries/dedup.py::_md5_band_rows` expressions — identical to the
+    batch family, so batch index and stream agree on what "near-dup"
+    means. Stream-static LEFT OUTER join of the stream's band rows to
+    ``corpus_bands`` (built once by `_md5_band_rows(corpus,
+    with_sig=True)`, re-resolved per micro-batch like the exact layer;
+    no broadcast hint — the index is O(corpus×bands) rows), signature
+    agreement counted per colliding (doc, corpus doc) pair, then ONE
+    stateful max-aggregation per doc yields the verdict row:
+    ``(doc_id, max_agree, kept)`` with kept ⇔ max_agree·2 < 32 (the
+    integer form of est_jaccard < 0.5). The verdict is deterministic —
+    the corpus is static and no in-stream survivor choice exists — so
+    it replays exactly in a SQL oracle (`stream_neardup_replay`).
+
+    State at scale: one (doc, running max) per in-flight doc; bounded
+    by the watermark horizon when the stream carries event time
+    (append mode), or by the replay window in the bounded/backfill
+    mode used here. Docs with <3 tokens carry no signature and emit no
+    verdict (both engines replay the filter).
+    """
+    from ..queries.dedup import _N_HASHES, _md5_band_rows
+
+    sb = _md5_band_rows(docs, with_sig=True)
+    cb = corpus_bands.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("sig").alias("c_sig"),
+        F.col("band").alias("band"),
+        F.col("bucket").alias("bucket"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "c_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    j = sb.join(cb, ["band", "bucket"], "left_outer").select(
+        "doc_id",
+        F.coalesce(agree, F.lit(0)).alias("agree"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.max("agree").cast("long").alias("max_agree"),
+        (F.max("agree") * 2 < F.lit(_N_HASHES)).alias("kept"),
+    )

@@ -154,3 +154,51 @@ def test_stream_dedup_corpus_join_not_hint_broadcast(spark):
     out = stream_dedup_against_corpus(docs, corpus_fp)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in plan
+
+
+def test_stream_neardup_flags_fuzzy_corpus_duplicates(spark, tmp_path):
+    """A streamed doc that is a NEAR-duplicate (not byte-identical) of a
+    landed corpus doc must be flagged kept=False; an unrelated doc
+    passes; a doc with <3 tokens carries no signature and emits no
+    verdict. The verdict must match what the batch family would say."""
+    import json
+
+    from etl_github_spark.queries.dedup import _md5_band_rows
+    from etl_github_spark.streaming.dedup import stream_neardup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    corpus_bands = _md5_band_rows(corpus, with_sig=True)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        # near-dup: one word changed at the end — most shingles shared
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog near the river shore"},
+        {"doc_id": 3, "text": "completely different content about spark structured streaming engines"},
+        {"doc_id": 5, "text": "too short"},  # <3 tokens → no verdict
+    ]
+    with open(landing / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    src = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    out = stream_neardup_against_corpus(src, corpus_bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["max_agree"], r["kept"])
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+    assert set(got) == {1, 3}  # doc 5 has no signature
+    assert got[1][1] is False and got[1][0] * 2 >= 32  # near-dup flagged
+    assert got[3][1] is True and got[3][0] * 2 < 32    # fresh doc passes
