@@ -231,21 +231,28 @@ def split_landing(
         # round-10 gz probe measured the win asymptoting at ~1.3x); one
         # read + one rfind + one write per shard keeps the decode at
         # zlib speed, so the win grows with file size as intended.
-        leftover = b""
+        # Pending bytes live in a LIST of chunks, joined only when a
+        # newline finally appears: prepending leftover to every read
+        # (`leftover + chunk`) re-copies the whole accumulated buffer
+        # per shard_bytes read, so one oversized line of length L costs
+        # O(L^2/shard_bytes) byte copies; searching just the new chunk
+        # and joining once keeps the oversized-line path linear.
+        pending: list[bytes] = []
         with opener(path, "rb") as src:
             while True:
                 chunk = src.read(shard_bytes)
                 if not chunk:
                     break
-                chunk = leftover + chunk
                 cut = chunk.rfind(b"\n")
-                if cut == -1:  # a single line longer than shard_bytes
-                    leftover = chunk
+                if cut == -1:  # no newline in this block — keep buffering
+                    pending.append(chunk)
                     continue
-                _publish(chunk[: cut + 1])
-                leftover = chunk[cut + 1 :]
-        if leftover:
-            _publish(leftover if leftover.endswith(b"\n") else leftover + b"\n")
+                pending.append(chunk[: cut + 1])
+                _publish(b"".join(pending))
+                pending = [chunk[cut + 1 :]] if cut + 1 < len(chunk) else []
+        if pending:
+            tail = b"".join(pending)
+            _publish(tail if tail.endswith(b"\n") else tail + b"\n")
         with open(marker, "w"):
             pass
         return shards

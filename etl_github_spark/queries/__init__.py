@@ -26,9 +26,9 @@ string the driver diffs against at sf=0.01.
 # Spark band-explode path was extracted into the shared _srp_bands_df
 # helper this round, and the two md5-family LSH queries now routed
 # through the extracted _md5_band_rows — then the staleness backlog: the 8
-# r1-vintage window functions and 38 r2-vintage queries, exactly the
-# sweep the r9 verdict scheduled (backlog after this window: 0; the 9
-# r2 greens displaced by the promotions are the only pre-r3 rows left).
+# r1-vintage window functions and 33 of the 42 r2-vintage greens (the
+# sweep the r9 verdict scheduled; the 9 promotions displace the other 9
+# r2 greens, which are the only pre-r3 rows left after this window).
 # The window below is asserted equal to
 # compute_window(_R10_PROMOTED, before_round=10) by
 # tests/test_new_invariants.py, so a stale paste (or the driver's own

@@ -149,9 +149,14 @@ def stream_neardup_against_corpus(
             lambda v: v == 1,
         )
     )
+    # Unmatched left-outer rows carry a NULL c_sig. Guard on the column
+    # itself, not coalesce(size(...), 0): under legacy non-ANSI sessions
+    # (spark.sql.ansi.enabled=false) size() of a NULL array returns -1,
+    # not NULL, so the coalesce never fires and a collision-free doc
+    # would replay max_agree=-1 while the oracle emits 0.
     j = sb.join(cb, ["band", "bucket"], "left_outer").select(
         "doc_id",
-        F.coalesce(agree, F.lit(0)).alias("agree"),
+        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
     )
     return j.groupBy("doc_id").agg(
         F.max("agree").cast("long").alias("max_agree"),

@@ -202,3 +202,31 @@ def test_stream_neardup_flags_fuzzy_corpus_duplicates(spark, tmp_path):
     assert set(got) == {1, 3}  # doc 5 has no signature
     assert got[1][1] is False and got[1][0] * 2 >= 32  # near-dup flagged
     assert got[3][1] is True and got[3][0] * 2 < 32    # fresh doc passes
+
+
+def test_stream_neardup_unmatched_agree_zero_under_legacy_ansi(spark):
+    """Collision-free docs must replay max_agree=0 even under a legacy
+    non-ANSI session: size() of a NULL array returns -1 (not NULL) when
+    spark.sql.ansi.enabled=false, so a coalesce(size(...), 0) guard
+    never fires — the join's unmatched branch must test c_sig IS NULL
+    directly. Batch replay of the stream-static join, ANSI toggled off."""
+    from etl_github_spark.queries.dedup import _md5_band_rows
+    from etl_github_spark.streaming.dedup import stream_neardup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(3, "completely different content about spark structured streaming engines")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = stream_neardup_against_corpus(
+            docs, _md5_band_rows(corpus, with_sig=True)
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert [(r["doc_id"], r["max_agree"], r["kept"]) for r in got] == [(3, 0, True)]
