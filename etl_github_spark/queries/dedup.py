@@ -379,15 +379,23 @@ def _shingle_strings(words_col, n: int = 3):
     )
 
 
-def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
-    """(doc_id[, sig], band, bucket) banded-MinHash rows under the md5
-    family — pure map-side column expressions (shingle → md5 60-bit id
-    → 32 affine min-hashes → 8×4 band buckets), so the SAME helper
-    serves batch frames AND streaming sources (`streaming/dedup.py::
+def _md5_band_rows(
+    docs: DataFrame,
+    with_sig: bool = False,
+    band_size: int = _BAND_SIZE,
+    carry: tuple = (),
+) -> DataFrame:
+    """(doc_id[, sig], band, bucket[, *carry]) banded-MinHash rows under
+    the md5 family — pure map-side column expressions (shingle → md5
+    60-bit id → 32 affine min-hashes → band buckets; ``band_size`` rows
+    per band, 8×4 by default), so the SAME helper serves batch frames
+    AND streaming sources (`streaming/dedup.py::
     stream_neardup_against_corpus`): nothing here shuffles, collects,
-    or checkpoints. Docs with fewer than 3 tokens carry no signature
-    and are filtered (both engines replay the filter). Batch callers
-    that self-join the result should localCheckpoint it themselves."""
+    or checkpoints. ``carry`` columns ride through untouched (the
+    event-time variant threads its timestamp this way). Docs with fewer
+    than 3 tokens carry no signature and are filtered (both engines
+    replay the filter). Batch callers that self-join the result should
+    localCheckpoint it themselves."""
     p = F.lit(_MERSENNE_P).cast("long")
     xm = F.transform(
         _shingle_strings(F.col("w")),
@@ -398,14 +406,16 @@ def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
         return lambda x: (F.lit(a) * x + F.lit(b)) % p
 
     sig = F.array(*[F.array_min(F.transform("xs", _h(a, b))) for a, b in _AFFINE])
-    n_bands = _N_HASHES // _BAND_SIZE
+    n_bands = _N_HASHES // band_size
+    c = list(carry)
     return (
-        docs.select("doc_id", _words().alias("w"))
+        docs.select("doc_id", *c, _words().alias("w"))
         .where(F.size("w") >= 3)
-        .select("doc_id", xm.alias("xs"))
-        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", *c, xm.alias("xs"))
+        .select("doc_id", *c, sig.alias("sig"))
         .select(
             "doc_id",
+            *c,
             "sig",
             F.explode(
                 F.array(
@@ -414,7 +424,7 @@ def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
                             F.lit(b).alias("band"),
                             F.concat_ws(
                                 ",",
-                                *[F.col("sig")[b * _BAND_SIZE + r] for r in range(_BAND_SIZE)],
+                                *[F.col("sig")[b * band_size + r] for r in range(band_size)],
                             ).alias("bucket"),
                         )
                         for b in range(n_bands)
@@ -424,6 +434,7 @@ def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
         )
         .select(
             "doc_id",
+            *c,
             *(["sig"] if with_sig else []),
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
@@ -431,14 +442,16 @@ def _md5_band_rows(docs: DataFrame, with_sig: bool = False) -> DataFrame:
     )
 
 
-def _md5_minhash_candidates(docs: DataFrame, with_est: bool = False) -> DataFrame:
+def _md5_minhash_candidates(
+    docs: DataFrame, with_est: bool = False, band_size: int = _BAND_SIZE
+) -> DataFrame:
     """(doc_a, doc_b) banded-LSH candidate pairs under the md5 family.
 
     With ``with_est`` the signature rides along through the band
     explode (as in :func:`minhash_lsh_xxhash`) and the output gains an
     ``est_jaccard`` column — fraction of agreeing signature components,
     an exact k/32 double in both engines."""
-    bands = _md5_band_rows(docs, with_sig=with_est)
+    bands = _md5_band_rows(docs, with_sig=with_est, band_size=band_size)
     bands = bands.localCheckpoint(eager=False)  # signature subtree: compute once
     a, b = bands.alias("a"), bands.alias("b")
     joined = a.join(
@@ -1675,9 +1688,9 @@ def _lsh_p_txt(b: int, r: int) -> str:
     return f"(1.0 - {_pow_txt(f'(1.0 - {_pow_txt(s, r)})', b)})"
 
 
-def _lsh_plan_sql() -> str:
+def _lsh_plan_sql(configs: list[tuple[int, int]] = _LSH_CONFIGS) -> str:
     selects = []
-    for b, r in _LSH_CONFIGS:
+    for b, r in configs:
         p = _lsh_p_txt(b, r)
         selects.append(f"""
     SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
@@ -1752,3 +1765,132 @@ def dedup_lsh_parameter_plan(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionAll(fr)
     return out
+
+
+#: (bands, rows) layouts of the 32-hash md5/affine signature the
+#: banded near-dup family actually runs on — the autoband candidates.
+_AUTOBAND_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16)]
+
+
+def _autoband_choice_rows(spark) -> list:
+    """The planner's decision table, evaluated for the 32-hash layouts:
+    one row per (bands, rows_per_band) with the exact int64 fp/fn
+    nano-masses around the 0.5-Jaccard target (same multiplication-tree
+    + floor-quantization exactness as `dedup_lsh_parameter_plan`).
+    Constant metadata — 5 layouts × 19 grid rows, corpus never touched."""
+    frames = []
+    for b, r in _AUTOBAND_CONFIGS:
+        p = _lsh_p_txt(b, r)
+        grid = spark.range(_LSH_GRID[0], 1000, 50).select(
+            F.col("id").cast("int").alias("sp")
+        )
+        frames.append(
+            grid.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.sum(
+                    F.when(
+                        F.col("sp") < _LSH_THRESHOLD,
+                        F.floor(F.expr(p) * 1e9).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias("fp_nano_sum"),
+                F.sum(
+                    F.when(
+                        F.col("sp") >= _LSH_THRESHOLD,
+                        F.floor((1.0 - F.expr(p)) * 1e9).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias("fn_nano_sum"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out.collect()
+
+
+def _autoband_select(rows) -> tuple[int, int]:
+    """argmin(fp+fn, tie-break fewer bands) over the decision table —
+    the count-free twin of `scale_paths._auto_k`'s count→k rule: the
+    layout is derived from the stated 0.5 target, never hand-picked."""
+    best = min(rows, key=lambda r: (r["fp_nano_sum"] + r["fn_nano_sum"], r["bands"]))
+    return int(best["bands"]), int(best["rows_per_band"])
+
+
+def _md5_lsh_autoband_sql() -> str:
+    """DuckDB twin of ``dedup_minhash_lsh_autoband``: the SAME banded
+    candidate + agreement-estimate pipeline as `_md5_lsh_est_sql`, but
+    the oracle also REPLAYS THE LAYOUT SELECTION — the 32-hash decision
+    table and its argmin run as CTEs, and the final WHERE requires the
+    selected layout to be the (8, 4) the static banding CTEs encode. If
+    the selection rule (or its arithmetic) ever drifts so that another
+    layout wins, the oracle returns ZERO rows and the driver hash
+    breaks loudly — the same falsifiability contract as the auto-k
+    LIMIT-subquery replay in `scale_paths._semdedup_autok_sql`."""
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH lshplan AS ({_lsh_plan_sql(_AUTOBAND_CONFIGS)}),
+    sel AS (
+      SELECT bands, rows_per_band FROM lshplan
+      ORDER BY fp_nano_sum + fn_nano_sum, bands LIMIT 1
+    ),
+    {_md5_lsh_cte()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({agree}) AS DOUBLE) / {_N_HASHES} AS est_jaccard,
+           s.bands, s.rows_per_band
+    FROM cand c
+    JOIN sig a ON c.doc_a = a.doc_id
+    JOIN sig b ON c.doc_b = b.doc_id
+    CROSS JOIN sel s
+    WHERE ({agree}) * 2 >= {_N_HASHES}
+      AND s.bands = 8 AND s.rows_per_band = 4
+    """
+
+
+@query(
+    "dedup_minhash_lsh_autoband",
+    sql=_md5_lsh_autoband_sql(),
+    tags=("dedup", "neardup", "lsh", "planning"),
+)
+def dedup_minhash_lsh_autoband(spark, sf_dir):
+    """`dedup_minhash_lsh` with the banding layout DERIVED, not
+    hand-picked: the S-curve decision table for every (b, r) layout of
+    the 32-hash signature (`_autoband_choice_rows` — the 32-hash twin
+    of `dedup_lsh_parameter_plan`) is evaluated at runtime and the
+    fp+fn-minimizing layout at the 0.5-Jaccard target is wired into
+    the banded candidate join. For n=32 at t=0.5 the rule selects
+    8 bands × 4 rows — i.e. the planner PROVES the constant the fixed
+    sibling hard-codes (pytest pins the selection against the Python
+    twin; the oracle replays table, argmin, and banding, and goes
+    empty-set if the rule ever drifts from the static layout).
+
+    At 100 TB this is the order of operations that matters: the layout
+    choice costs 5 layouts × 19 grid rows of constant metadata BEFORE
+    the corpus pass, and bands set the candidate-join volume while
+    rows set the recall loss — burning a pass to discover a bad layout
+    is the expensive mistake the planner exists to prevent.
+
+    Scale shape: identical to `dedup_minhash_lsh` (the selected layout
+    is the same 8×4) plus two constant metadata columns — per-row
+    signatures, band explode 8×|docs|, bucket-local candidate join.
+    """
+    b, r = _autoband_select(_autoband_choice_rows(spark))
+    if b * r != _N_HASHES:  # layout must tile the signature exactly
+        raise ValueError(f"autoband selected ({b},{r}) which does not tile {_N_HASHES}")
+    docs = par(T(spark, sf_dir, "documents"))
+    return (
+        _md5_minhash_candidates(docs, with_est=True, band_size=r)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+        )
+    )

@@ -162,3 +162,66 @@ def stream_neardup_against_corpus(
         F.max("agree").cast("long").alias("max_agree"),
         (F.max("agree") * 2 < F.lit(_N_HASHES)).alias("kept"),
     )
+
+
+def stream_neardup_against_corpus_eventtime(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    ts_col: str = "created_at",
+    delay: str = "1 hour",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Append-mode sibling of :func:`stream_neardup_against_corpus` for
+    UNBOUNDED streams: the per-doc max-agreement aggregation runs under
+    an event-time watermark, so its state store holds only the docs
+    whose windows the watermark has not yet closed — bounded by the
+    late-data horizon, not by stream length (the complete-mode sibling
+    holds one row per doc forever, fine for bounded replays only).
+
+    Same banding, collision, and verdict arithmetic as the bounded
+    form (the shared `_md5_band_rows` expressions, the c_sig-IS-NULL
+    agreement guard, kept ⇔ max_agree·2 < 32); the stream's timestamp
+    rides through the map-side banding (``carry``) and the verdict is
+    emitted once per (window, doc) when the watermark passes the
+    window end — the standard Structured Streaming append contract,
+    so the sink sees each verdict exactly once.
+
+    State at scale: stateOperators.numRowsTotal ≤ docs in open windows
+    (pinned by `tests/test_streaming_dedup.py`); eviction is by
+    watermark, so a 100 TB/day stream holds hours of state, not days.
+    """
+    from ..queries.dedup import _N_HASHES, _md5_band_rows
+
+    sb = _md5_band_rows(docs, with_sig=True, carry=(ts_col,)).withWatermark(
+        ts_col, delay
+    )
+    cb = corpus_bands.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("sig").alias("c_sig"),
+        F.col("band").alias("band"),
+        F.col("bucket").alias("bucket"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "c_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    j = sb.join(cb, ["band", "bucket"], "left_outer").select(
+        "doc_id",
+        ts_col,
+        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
+    )
+    return (
+        j.groupBy(F.window(ts_col, window_len).alias("win"), F.col("doc_id"))
+        .agg(
+            F.max("agree").cast("long").alias("max_agree"),
+            (F.max("agree") * 2 < F.lit(_N_HASHES)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.col("win.start").alias("window_start"),
+            "max_agree",
+            "kept",
+        )
+    )

@@ -274,3 +274,43 @@ def test_autok_sql_and_python_rules_agree():
         np_sql = con.sql(_AUTO_NPROBE_SQL_EXPR).fetchone()[0]
         assert k_sql == _auto_k(n), (n, k_sql, _auto_k(n))
         assert np_sql == _auto_nprobe(n), (n, np_sql, _auto_nprobe(n))
+
+
+def test_autoband_selection_matches_python_twin_and_fixed_sibling(spark):
+    """The autoband layout rule must (a) agree with a from-first-
+    principles Python evaluation of the S-curve costs, (b) select the
+    8x4 layout the fixed sibling hard-codes for n=32 at t=0.5 (the
+    static oracle goes empty-set otherwise), and (c) produce exactly
+    the fixed sibling's pair set plus the two layout metadata columns."""
+    import math
+
+    from etl_github_spark.queries.dedup import (
+        _AUTOBAND_CONFIGS,
+        _LSH_GRID,
+        _LSH_THRESHOLD,
+        _autoband_choice_rows,
+        _autoband_select,
+    )
+
+    def py_cost(b, r):
+        fp = fn = 0
+        for sp in range(_LSH_GRID[0], 1000, 50):
+            s = sp / 1000.0
+            p = 1.0 - (1.0 - s**r) ** b
+            if sp < _LSH_THRESHOLD:
+                fp += math.floor(p * 1e9)
+            else:
+                fn += math.floor((1.0 - p) * 1e9)
+        return fp + fn
+
+    py_best = min(_AUTOBAND_CONFIGS, key=lambda br: (py_cost(*br), br[0]))
+    rows = _autoband_choice_rows(spark)
+    assert _autoband_select(rows) == py_best == (8, 4)
+
+    fixed = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    auto = QUERIES["dedup_minhash_lsh_autoband"].fn(spark, SF_SMALL).collect()
+    assert {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in auto} == fixed
+    assert all((r["bands"], r["rows_per_band"]) == (8, 4) for r in auto)

@@ -230,3 +230,87 @@ def test_stream_neardup_unmatched_agree_zero_under_legacy_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert [(r["doc_id"], r["max_agree"], r["kept"]) for r in got] == [(3, 0, True)]
+
+
+def test_stream_neardup_eventtime_emits_on_watermark_and_bounds_state(spark, tmp_path):
+    """The append-mode event-time variant must (a) emit each (window,
+    doc) verdict exactly once when the watermark closes the window, (b)
+    agree with the unwindowed complete-mode sibling's verdicts, and (c)
+    EVICT closed-window state — numRowsTotal in the final batch must be
+    below the total distinct (window, doc) group count, proving state
+    is bounded by the watermark horizon, not stream length."""
+    import json
+    import os
+    import time
+
+    from etl_github_spark.queries.dedup import _md5_band_rows
+    from etl_github_spark.streaming.dedup import (
+        stream_neardup_against_corpus_eventtime,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    corpus_bands = _md5_band_rows(corpus, with_sig=True)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        # hour-0 docs: one near-dup of the corpus doc, one fresh
+        [{"doc_id": 1, "created_at": "2024-01-01T00:10:00Z",
+          "text": "the quick brown fox jumps over the lazy dog near the river shore"},
+         {"doc_id": 3, "created_at": "2024-01-01T00:20:00Z",
+          "text": "completely different content about spark structured streaming engines"}],
+        # first sentinel: raises the watermark past hour 0 + delay
+        [{"doc_id": 101, "created_at": "2024-01-01T02:30:00Z",
+          "text": "sentinel document advancing the stream watermark first step"}],
+        # second sentinel: its batch evicts the hour-0 windows (the
+        # watermark used for eviction trails one batch behind)
+        [{"doc_id": 103, "created_at": "2024-01-01T05:00:00Z",
+          "text": "sentinel document advancing the stream watermark second step"}],
+    ]
+    for i, rows in enumerate(batches):
+        p = landing / f"{chr(97 + i)}.json"
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (time.time() + i, time.time() + i))  # pin batch order
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, created_at string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .selectExpr("doc_id", "text", "to_timestamp(created_at) AS created_at")
+    )
+    out = stream_neardup_against_corpus_eventtime(src, corpus_bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_et_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["window_start"].isoformat(), r["max_agree"], r["kept"])
+        for r in spark.sql("SELECT * FROM neardup_et_out").collect()
+    }
+    # (a)+(b): hour-0 verdicts emitted once, same verdicts as the
+    # unwindowed sibling (near-dup flagged, fresh doc kept)
+    assert 1 in got and 3 in got
+    assert got[1][0] == "2024-01-01T00:00:00" and got[1][2] is False
+    assert got[1][1] * 2 >= 32
+    assert got[3][0] == "2024-01-01T00:00:00" and got[3][2] is True
+    assert got[3][1] == 0
+    # (c): final-batch state must be smaller than the 4 distinct
+    # (window, doc) groups the stream produced — closed windows evicted
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    assert state_rows, "no stateful progress recorded"
+    assert max(state_rows) >= 3          # all groups were live at the peak
+    assert state_rows[-1] < 4, state_rows  # eviction happened
