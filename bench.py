@@ -292,6 +292,8 @@ EXTENDED = [
     "sim_ivf_autok_topk",
     "stream_corpus_dedup_replay",
     "stream_neardup_replay",
+    # round-11 additions
+    "dedup_minhash_lsh_autoband",
 ]
 
 

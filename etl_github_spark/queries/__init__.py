@@ -14,92 +14,88 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 10 (per VERDICT r9 task 3): 9 promotions — the five
-# new round-10 queries (sim_knn_classify_lsh, the bucketed classify
-# sibling the r9 verdict asked for; dedup_semantic_prune_autok, the
-# auto-k quantizer growth entry; sim_ivf_autok_topk, its IVF twin
-# with count-derived k AND nprobe; stream_corpus_dedup_replay, the
-# oracle replay of the de-broadcast stream-static fingerprint join;
-# stream_neardup_replay, the streaming banded-MinHash near-dup whose
-# per-doc verdicts replay exactly) plus the four queries whose
-# execution paths this round refactored: the two SRP-banded siblings whose
-# Spark band-explode path was extracted into the shared _srp_bands_df
-# helper this round, and the two md5-family LSH queries now routed
-# through the extracted _md5_band_rows — then the staleness backlog: the 8
-# r1-vintage window functions and 33 of the 42 r2-vintage greens (the
-# sweep the r9 verdict scheduled; the 9 promotions displace the other 9
-# r2 greens, which are the only pre-r3 rows left after this window).
+# staleness. Round 11 (per VERDICT r10 tasks 2+5): 8 promotions — the
+# new dedup_minhash_lsh_autoband (the planner-derived banding sibling
+# the r10 verdict asked for) plus the seven queries whose execution
+# paths this round's refactors touched: stream_neardup_replay (the
+# ANSI-safe unmatched-branch guard in streaming/dedup.py) and the six
+# md5/SRP banding-family entries routed through _md5_band_rows /
+# _md5_minhash_candidates, which gained band_size/carry parameters
+# (defaults unchanged), plus gha_ingest_roundtrip (the chunked-decode
+# oversized-line rewrite in gha/pipeline.py). Then the staleness
+# backlog: the 9 r2-vintage greens the r10 promotions displaced — the
+# last pre-r3 rows anywhere, retiring the staleness backlog completely
+# (r10 verdict task 2) — and the stalest r3 greens fill the remainder.
 # The window below is asserted equal to
-# compute_window(_R10_PROMOTED, before_round=10) by
+# compute_window(_R11_PROMOTED, before_round=11) by
 # tests/test_new_invariants.py, so a stale paste (or the driver's own
-# post-commit CORRECTNESS_r10.json) cannot redden or silently waste
+# post-commit CORRECTNESS_r11.json) cannot redden or silently waste
 # driver slots.
 from . import text, dedup, similarity, tpch, extra, reshape, sets, core, joins, aggregates, windows, tpch_ext, scale_paths, text_ext, clustering, curation, stats, tpch_ps, quality, analytics, lake, lm, graph, validate, gha_parity, streaming_bridge  # noqa: F401,E402
 from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 
-_R10_PROMOTED = [
-    "sim_knn_classify_lsh",
-    "dedup_semantic_prune_autok",
-    "sim_ivf_autok_topk",
-    "stream_corpus_dedup_replay",
+_R11_PROMOTED = [
+    "dedup_minhash_lsh_autoband",
     "stream_neardup_replay",
-    "dedup_embedding_lsh_pairs",
-    "dedup_semantic_prune_lsh",
+    "stream_corpus_dedup_replay",
     "dedup_minhash_lsh",
     "dedup_lsh_recall",
+    "dedup_embedding_lsh_pairs",
+    "dedup_semantic_prune_lsh",
+    "gha_ingest_roundtrip",
 ]
 
-_R10_WINDOW = [
-    "sim_knn_classify_lsh",  # never driver-verified (promoted)
-    "dedup_semantic_prune_autok",  # never driver-verified (promoted)
-    "sim_ivf_autok_topk",  # never driver-verified (promoted)
-    "stream_corpus_dedup_replay",  # never driver-verified (promoted)
-    "stream_neardup_replay",  # never driver-verified (promoted)
-    "dedup_embedding_lsh_pairs",  # green r04
-    "dedup_semantic_prune_lsh",  # green r09
-    "dedup_minhash_lsh",  # green r05
-    "dedup_lsh_recall",  # green r03
-    "window_rank_topn_per_group",  # green r01
-    "window_rank_dense",  # green r01
-    "window_lag_lead",  # green r01
-    "window_moving_sum",  # green r01
-    "window_cumulative_share",  # green r01
-    "window_time_range_count",  # green r01
-    "window_percent_rank",  # green r01
-    "window_ntile_quartiles",  # green r01
-    "text_token_count",  # green r02
-    "text_word_freq",  # green r02
-    "text_bigram_freq",  # green r02
-    "text_quality_score",  # green r02
-    "text_lang_id_heuristic",  # green r02
-    "text_fingerprint",  # green r02
-    "text_token_count_bpe",  # green r02
-    "text_levenshtein_pairs",  # green r02
-    "multimodal_binary_meta",  # green r02
-    "dedup_exact_distinct",  # green r02
-    "dedup_exact_keep_first",  # green r02
-    "dedup_summary",  # green r02
-    "dedup_jaccard_pairs",  # green r02
-    "sim_cosine_threshold",  # green r02
-    "sim_topk_bruteforce",  # green r02
-    "sim_norms",  # green r02
-    "sim_label_centroids",  # green r02
-    "q3_shipping_priority",  # green r02
-    "q5_local_supplier_volume",  # green r02
-    "q6_forecast_revenue",  # green r02
-    "q10_returned_items",  # green r02
-    "join_asof_last_view",  # green r02
-    "agg_grouping_sets",  # green r02
-    "agg_pivot_conditional",  # green r02
-    "scalar_date_arith",  # green r02
-    "scalar_regexp",  # green r02
-    "filter_in_list",  # green r02
-    "filter_like_pattern",  # green r02
-    "scalar_coalesce_nullif",  # green r02
-    "window_first_last",  # green r02
-    "agg_argmax_per_group",  # green r02
-    "agg_median_exact",  # green r02
-    "set_union_distinct",  # green r02
+_R11_WINDOW = [
+    "dedup_minhash_lsh_autoband",  # never driver-verified (promoted)
+    "stream_neardup_replay",  # green r10
+    "stream_corpus_dedup_replay",  # green r10
+    "dedup_minhash_lsh",  # green r10
+    "dedup_lsh_recall",  # green r10
+    "dedup_embedding_lsh_pairs",  # green r10
+    "dedup_semantic_prune_lsh",  # green r10
+    "gha_ingest_roundtrip",  # green r06
+    "sessionize_events",  # green r02
+    "join_range_predicate",  # green r02
+    "reshape_unpivot",  # green r02
+    "reshape_posexplode",  # green r02
+    "scalar_bitwise",  # green r02
+    "curate_training_docs",  # green r02
+    "set_union_all",  # green r02
+    "set_intersect",  # green r02
+    "set_except",  # green r02
+    "text_stopword_removal",  # green r03
+    "sim_normalize_embeddings",  # green r03
+    "sim_topk_pandas_vectorized",  # green r03
+    "agg_approx_percentile",  # green r03
+    "q2_min_cost_supplier",  # green r03
+    "q4_order_priority",  # green r03
+    "q7_volume_shipping",  # green r03
+    "q8_market_share",  # green r03
+    "q9_product_type_profit",  # green r03
+    "q12_priority_by_status",  # green r03
+    "q14_promo_effect",  # green r03
+    "q16_supplier_part_cnt",  # green r03
+    "q18_large_volume_customers",  # green r03
+    "q19_disjunctive_revenue",  # green r03
+    "q22_idle_rich_customers",  # green r03
+    "q13_customer_distribution",  # green r03
+    "q15_top_supplier",  # green r03
+    "q17_small_qty_revenue",  # green r03
+    "q21_waiting_suppliers",  # green r03
+    "text_chunk_tokens",  # green r03
+    "text_train_val_split",  # green r03
+    "curate_sample_stratified",  # green r03
+    "curate_source_mixing",  # green r03
+    "curate_tfidf_top_terms",  # green r03
+    "curate_decontaminate",  # green r03
+    "curate_length_outliers",  # green r03
+    "curate_domain_cap",  # green r03
+    "curate_sample_weighted",  # green r03
+    "stat_ols_slope_per_lang",  # green r03
+    "stat_ols_pandas_grouped",  # green r03
+    "stat_corr_per_lang",  # green r03
+    "q11_important_stock",  # green r03
+    "q20_potential_promotion",  # green r03
 ]
 
 def _apply_rotation(window: list[str]) -> None:
@@ -120,4 +116,4 @@ def _apply_rotation(window: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_apply_rotation(_R10_WINDOW)
+_apply_rotation(_R11_WINDOW)
