@@ -294,6 +294,7 @@ EXTENDED = [
     "stream_neardup_replay",
     # round-11 additions
     "dedup_minhash_lsh_autoband",
+    "stream_neardup_eventtime_replay",
 ]
 
 

@@ -1454,3 +1454,148 @@ def stream_neardup_replay(spark, sf_dir):
     out = stream_neardup_against_corpus(stream, corpus_bands)
     rows = [tuple(r) for r in _replay(spark, out, "stream_neardup")]
     return spark.createDataFrame(rows, "doc_id long, max_agree long, kept boolean")
+
+
+#: synthetic event-time base for the documents stream (2024-01-01 UTC)
+_DOC_TS_BASE_US = 1704067200000000
+_DOC_TS_MOD = 4  # docs spread over 4 one-hour windows
+
+
+def _neardup_eventtime_sql() -> str:
+    """DuckDB twin of :func:`stream_neardup_eventtime_replay`: the same
+    sig/bands/collision/verdict chain as `_neardup_stream_sql`, plus
+    the synthetic event-time window start each doc's verdict is keyed
+    by — ts = 2024-01-01 + (doc_id % 4) hours lands exactly on hour
+    boundaries, so window_start IS the doc's timestamp (both engines
+    state that closed form; the session runs UTC so Spark's
+    timestamp_micros arithmetic matches DuckDB's naive TIMESTAMP)."""
+    from .dedup import _N_HASHES, _md5_sig_bands_cte
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH {_md5_sig_bands_cte()},
+    hits AS (
+      SELECT a.doc_id, max({agree}) AS agree
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      JOIN sig sa ON sa.doc_id = a.doc_id
+      JOIN sig sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (s.doc_id % {_DOC_TS_MOD}) * INTERVAL 1 HOUR AS window_start,
+           CAST(coalesce(h.agree, 0) AS BIGINT) AS max_agree,
+           coalesce(h.agree, 0) * 2 < {_N_HASHES} AS kept
+    FROM sig s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 2 = 1
+    """
+
+
+@query(
+    "stream_neardup_eventtime_replay",
+    sql=_neardup_eventtime_sql(),
+    tags=("streaming", "dedup", "neardup", "lsh", "watermark", "append", "bridge"),
+)
+def stream_neardup_eventtime_replay(spark, sf_dir):
+    """The APPEND-MODE watermark path of streaming near-dup detection
+    under the driver hash — the production shape
+    `stream_neardup_replay`'s complete-mode replay deliberately
+    sidesteps: `streaming/dedup.py::stream_neardup_against_corpus_
+    eventtime` runs the per-doc max-agreement aggregation under an
+    event-time watermark, so each (window, doc) verdict reaches the
+    sink exactly once, when the watermark closes its window, and the
+    state store holds only open windows (eviction pinned batch-by-batch
+    in `tests/test_streaming_dedup.py`; bounded-by-horizon at 100 TB/day
+    where the complete-mode form's state grows with stream length).
+
+    Event time is synthetic but deterministic — ts = 2024-01-01 +
+    (doc_id % 4) hours — so the odd-id docs spread over four one-hour
+    windows and the oracle replays the (window_start, verdict) rows in
+    closed form. Emission mechanics follow the module's sentinel
+    contract: the stream's own max event time never flushes the last
+    open windows under AvailableNow (no final flush), so two trailing
+    far-future sentinel docs walk the watermark — the first raises it,
+    the second's batch evicts — and sentinel rows (negative doc_id) are
+    dropped AFTER the replay materializes, never in-plan (a pre-agg
+    filter would let row-group stats skip the sentinel file and stall
+    the watermark silently).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..queries.dedup import _md5_band_rows
+    from ..streaming.dedup import stream_neardup_against_corpus_eventtime
+
+    docs = T(spark, sf_dir, "documents")
+    corpus_bands = _md5_band_rows(
+        docs.where(F.col("doc_id") % 2 == 0), with_sig=True
+    ).localCheckpoint(eager=False)
+
+    root = tempfile.mkdtemp(prefix="stream_neardup_et_")
+    try:
+        stream_dir = os.path.join(root, "in")
+        stage = os.path.join(root, "stage")
+        os.makedirs(stream_dir)
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        data_files = [
+            f for f in sorted(os.listdir(stage)) if f.startswith("part-")
+        ]
+        if len(data_files) != 1:
+            raise AssertionError(f"expected 1 staged file, got {data_files}")
+        now = time.time()
+        shutil.move(
+            os.path.join(stage, data_files[0]),
+            os.path.join(stream_dir, "f0.parquet"),
+        )
+        os.utime(os.path.join(stream_dir, "f0.parquet"), (now - 60, now - 60))
+        arrow_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        for i in range(2):  # first raises the watermark, second's batch evicts
+            p = os.path.join(stream_dir, f"f{i + 1}.parquet")
+            pq.write_table(
+                pa.table(
+                    {"doc_id": [-1 - i],
+                     "text": ["sentinel watermark advance document row"]},
+                    schema=arrow_schema,
+                ),
+                p,
+            )
+            os.utime(p, (now - 60 + i + 1, now - 60 + i + 1))
+
+        ts = F.timestamp_micros(
+            F.lit(_DOC_TS_BASE_US)
+            + F.when(F.col("doc_id") < 0, F.lit(100))  # far-future sentinels
+            .otherwise(F.col("doc_id") % _DOC_TS_MOD)
+            * F.lit(3600_000_000)
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .withColumn("created_at", ts)
+        )
+        out = stream_neardup_against_corpus_eventtime(
+            stream, corpus_bands, ts_col="created_at",
+            delay="30 minutes", window_len="1 hour",
+        )
+        rows = [
+            tuple(r)
+            for r in _replay(spark, out, "stream_neardup_et", mode="append")
+            if r["doc_id"] >= 0  # sentinels dropped post-materialization
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, window_start timestamp, max_agree long, kept boolean"
+    )
