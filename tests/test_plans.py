@@ -1069,3 +1069,14 @@ def test_semdedup_autok_cell_local_no_cartesian(spark):
     assert "strategy=broadcast" not in plan
     p = plan_of(spark, "dedup_semantic_prune_autok")
     assert "CartesianProduct" not in p
+
+
+def test_autoband_plan_matches_fixed_sibling_shape(spark):
+    """The autoband query's physical plan must be the fixed sibling's
+    bucket-local shape: no cartesian product (the candidate join is
+    keyed on (band, bucket)), and the layout-selection metadata adds no
+    extra exchange beyond the sibling's."""
+    p_auto = plan_of(spark, "dedup_minhash_lsh_autoband")
+    p_fixed = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in p_auto
+    assert p_auto.count("Exchange") <= p_fixed.count("Exchange")
