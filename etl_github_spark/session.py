@@ -27,6 +27,11 @@ RUNTIME_CONF = {
     # fixture events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long and convert in the loader (io.tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Every oracle is written against Spark 4 ANSI semantics (try_cast /
+    # F.get / bounded sequence() keep the plans throw-free); pin it so a
+    # legacy-configured driver session can't flip null-vs-sentinel
+    # behaviors (e.g. non-ANSI size(NULL)=-1) under the same hashes.
+    "spark.sql.ansi.enabled": "true",
     # At 100 TB this is sized per-cluster; for local[32] keep one wave of
     # tasks per stage. Runtime-settable, so a vanilla driver session gets
     # the same value the tuned builder uses — batch plans are insensitive
