@@ -295,6 +295,9 @@ EXTENDED = [
     # round-11 additions
     "dedup_minhash_lsh_autoband",
     "stream_neardup_eventtime_replay",
+    "dedup_lsh_store_pairs",
+    "dedup_lsh_store_upsert",
+    "dedup_lsh_store_compact",
 ]
 
 

@@ -14,11 +14,13 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 11 (per VERDICT r10 tasks 2, 5, 6): 9 promotions —
-# the two new round-11 queries (dedup_minhash_lsh_autoband, the
+# staleness. Round 11 (per VERDICT r10 tasks 2, 5, 6): 12 promotions —
+# the five new round-11 queries (dedup_minhash_lsh_autoband, the
 # planner-derived banding sibling the r10 verdict asked for;
 # stream_neardup_eventtime_replay, the append-mode watermark near-dup
-# path under the driver hash) plus the seven queries whose execution
+# path under the driver hash; the dedup_lsh_store_* lifecycle trio —
+# the persisted fit-free band index with sidecar-validated append and
+# per-band compaction) plus the seven queries whose execution
 # paths this round's refactors touched: stream_neardup_replay (the
 # ANSI-safe unmatched-branch guard in streaming/dedup.py) and the six
 # md5/SRP banding-family entries routed through _md5_band_rows /
@@ -39,6 +41,9 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 _R11_PROMOTED = [
     "dedup_minhash_lsh_autoband",
     "stream_neardup_eventtime_replay",
+    "dedup_lsh_store_pairs",
+    "dedup_lsh_store_upsert",
+    "dedup_lsh_store_compact",
     "stream_neardup_replay",
     "stream_corpus_dedup_replay",
     "dedup_minhash_lsh",
@@ -51,6 +56,9 @@ _R11_PROMOTED = [
 _R11_WINDOW = [
     "dedup_minhash_lsh_autoband",  # never driver-verified (promoted)
     "stream_neardup_eventtime_replay",  # never driver-verified (promoted)
+    "dedup_lsh_store_pairs",  # never driver-verified (promoted)
+    "dedup_lsh_store_upsert",  # never driver-verified (promoted)
+    "dedup_lsh_store_compact",  # never driver-verified (promoted)
     "stream_neardup_replay",  # green r10
     "stream_corpus_dedup_replay",  # green r10
     "dedup_minhash_lsh",  # green r10
@@ -96,9 +104,6 @@ _R11_WINDOW = [
     "curate_domain_cap",  # green r03
     "curate_sample_weighted",  # green r03
     "stat_ols_slope_per_lang",  # green r03
-    "stat_ols_pandas_grouped",  # green r03
-    "stat_corr_per_lang",  # green r03
-    "q11_important_stock",  # green r03
 ]
 
 def _apply_rotation(window: list[str]) -> None:

@@ -1894,3 +1894,137 @@ def dedup_minhash_lsh_autoband(spark, sf_dir):
             F.lit(r).cast("long").alias("rows_per_band"),
         )
     )
+
+
+@query(
+    "dedup_lsh_store_pairs",
+    sql=_md5_lsh_est_sql(),
+    tags=("dedup", "neardup", "lsh", "storage"),
+)
+def dedup_lsh_store_pairs(spark, sf_dir):
+    """The STORAGE half of banded MinHash-LSH dedup — index once, query
+    many (`io/lsh_store.py`, the fit-free sibling of the IVF-PQ store):
+    the corpus is shingled/hashed/banded ONCE into a persisted band
+    index (skinny (doc_id, bucket) rows partitioned by band, signatures
+    stored once per doc in a side table, family sidecar), and the
+    near-dup question is answered PURELY from the store — bucket-local
+    self-join of the band rows, two signature joins for the agreement
+    estimate, no text touched. Same oracle as `dedup_minhash_lsh`: the
+    store is an execution strategy, not a semantics change.
+
+    At 100 TB this is the order of operations that matters: banding is
+    the expensive corpus pass (shingle + 32 hashes per doc) and is paid
+    once at ingest; every later dedup sweep, batch judgment, or
+    cluster-formation run joins 8 skinny index rows per doc instead of
+    recomputing the family. Scale shape: candidate volume is the same
+    Σ|bucket|² as the in-plan form; stored band rows are ~20 bytes vs
+    the document text they replace.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.lsh_store import store_neardup_pairs, write_bands_store
+
+    docs = par(T(spark, sf_dir, "documents"))
+    path = tempfile.mkdtemp(prefix="lsh_store_")
+    try:
+        write_bands_store(docs, path)
+        out = store_neardup_pairs(spark, path)
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_a long, doc_b long, est_jaccard double"
+    )
+
+
+@query(
+    "dedup_lsh_store_upsert",
+    sql=_md5_lsh_est_sql(),
+    tags=("dedup", "neardup", "lsh", "storage", "incremental"),
+)
+def dedup_lsh_store_upsert(spark, sf_dir):
+    """Incremental LSH-index maintenance under the driver hash: build
+    the band store from HALF the corpus (even doc_ids), APPEND the odd
+    half banded with the STORED family (`append_bands_store` — sidecar-
+    validated, refuses a mismatched banding layout), then answer the
+    full-corpus near-dup question from the combined index. Banding is
+    fit-free, so append-then-query must be BIT-IDENTICAL to a full
+    rebuild — the oracle is `dedup_minhash_lsh`'s, unchanged; a dropped
+    batch, a double-append, or a family drift between build and append
+    breaks the hash. This is the steady-state ingest shape: each
+    arriving batch pays one map-side banding pass and a partitioned
+    append, never a corpus rebuild (the stronger fit-free twin of
+    `sim_ivfpq_store_upsert`'s sample-identity argument).
+    """
+    import shutil
+    import tempfile
+
+    from ..io.lsh_store import (
+        append_bands_store,
+        store_neardup_pairs,
+        write_bands_store,
+    )
+
+    docs = par(T(spark, sf_dir, "documents"))
+    path = tempfile.mkdtemp(prefix="lsh_upsert_")
+    try:
+        write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
+        append_bands_store(
+            spark, docs.where(F.col("doc_id") % 2 == 1), path
+        )
+        out = store_neardup_pairs(spark, path)
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_a long, doc_b long, est_jaccard double"
+    )
+
+
+@query(
+    "dedup_lsh_store_compact",
+    sql=_md5_lsh_est_sql(),
+    tags=("dedup", "neardup", "lsh", "storage", "compaction"),
+)
+def dedup_lsh_store_compact(spark, sf_dir):
+    """The complete LSH-index lifecycle under one driver hash: build
+    from the even half → append the odd half with the stored family →
+    COMPACT the small files the append left (`compact_bands_store` —
+    one file per band partition via a band-keyed repartition, atomic
+    per-directory swap, sidecar untouched) → query. Compaction moves
+    bytes, never semantics: the result must STILL equal
+    `dedup_minhash_lsh` exactly; a compaction that dropped, duplicated,
+    or mis-routed a single band row would break the hash. The
+    near-dup-index twin of the Delta OPTIMIZE contract
+    (`lake_compact_roundtrip`) and of `sim_ivfpq_store_compact`.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.lsh_store import (
+        append_bands_store,
+        compact_bands_store,
+        store_neardup_pairs,
+        write_bands_store,
+    )
+
+    docs = par(T(spark, sf_dir, "documents"))
+    path = tempfile.mkdtemp(prefix="lsh_compact_")
+    try:
+        write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
+        append_bands_store(
+            spark, docs.where(F.col("doc_id") % 2 == 1), path
+        )
+        stats = compact_bands_store(spark, path)
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(
+                f"compaction did not reduce file count: {stats}"
+            )  # the query exists to pin this property — fail loudly
+        out = store_neardup_pairs(spark, path)
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_a long, doc_b long, est_jaccard double"
+    )
