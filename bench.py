@@ -298,6 +298,7 @@ EXTENDED = [
     "dedup_lsh_store_pairs",
     "dedup_lsh_store_upsert",
     "dedup_lsh_store_compact",
+    "dedup_lsh_store_judge",
 ]
 
 

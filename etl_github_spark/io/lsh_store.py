@@ -193,3 +193,47 @@ def store_neardup_pairs(spark: SparkSession, path: str) -> DataFrame:
         )
         .where(F.col("est_jaccard") >= 0.5)
     )
+
+
+def store_judge_docs(spark: SparkSession, path: str, docs: DataFrame) -> DataFrame:
+    """Judge an incoming document batch against the persisted index —
+    the batch twin of `streaming/dedup.py::stream_neardup_against_
+    corpus`, answered from the STORE instead of an in-plan corpus
+    banding: the batch is banded map-side with the shared family, its
+    band rows LEFT OUTER join the store's ``bands/`` on (band, bucket)
+    (collision-free docs keep a row), store signatures attach from
+    ``sigs/``, and one max-aggregation per doc yields the verdict
+    ``(doc_id, max_agree, kept)`` with kept ⇔ max_agree·2 < n_hashes —
+    the identical verdict arithmetic (and the identical SQL oracle) as
+    the streaming path, so stream, batch, and store agree on what
+    "near-dup" means. Refuses a mismatched-family store like the
+    append path."""
+    from ..queries.dedup import _N_HASHES, _md5_band_rows
+
+    meta = read_lsh_index(path)
+    if meta != _family_meta():
+        raise ValueError(
+            f"LSH store family mismatch: store={meta} runtime={_family_meta()}"
+        )
+    incoming = _md5_band_rows(docs, with_sig=True)
+    store_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("c_doc"), "band", "bucket"
+    )
+    store_sigs = spark.read.parquet(os.path.join(path, "sigs")).select(
+        F.col("doc_id").alias("c_doc"), F.col("sig").alias("c_sig")
+    )
+    hit = store_bands.join(store_sigs, "c_doc")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "c_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    j = incoming.join(hit, ["band", "bucket"], "left_outer").select(
+        "doc_id",
+        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.max("agree").cast("long").alias("max_agree"),
+        (F.max("agree") * 2 < F.lit(_N_HASHES)).alias("kept"),
+    )

@@ -14,13 +14,14 @@ string the driver diffs against at sf=0.01.
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 11 (per VERDICT r10 tasks 2, 5, 6): 12 promotions —
-# the five new round-11 queries (dedup_minhash_lsh_autoband, the
+# staleness. Round 11 (per VERDICT r10 tasks 2, 5, 6): 13 promotions —
+# the six new round-11 queries (dedup_minhash_lsh_autoband, the
 # planner-derived banding sibling the r10 verdict asked for;
 # stream_neardup_eventtime_replay, the append-mode watermark near-dup
 # path under the driver hash; the dedup_lsh_store_* lifecycle trio —
 # the persisted fit-free band index with sidecar-validated append and
-# per-band compaction) plus the seven queries whose execution
+# per-band compaction, and the store-judge twin of the streaming
+# verdict path) plus the seven queries whose execution
 # paths this round's refactors touched: stream_neardup_replay (the
 # ANSI-safe unmatched-branch guard in streaming/dedup.py) and the six
 # md5/SRP banding-family entries routed through _md5_band_rows /
@@ -44,6 +45,7 @@ _R11_PROMOTED = [
     "dedup_lsh_store_pairs",
     "dedup_lsh_store_upsert",
     "dedup_lsh_store_compact",
+    "dedup_lsh_store_judge",
     "stream_neardup_replay",
     "stream_corpus_dedup_replay",
     "dedup_minhash_lsh",
@@ -59,6 +61,7 @@ _R11_WINDOW = [
     "dedup_lsh_store_pairs",  # never driver-verified (promoted)
     "dedup_lsh_store_upsert",  # never driver-verified (promoted)
     "dedup_lsh_store_compact",  # never driver-verified (promoted)
+    "dedup_lsh_store_judge",  # never driver-verified (promoted)
     "stream_neardup_replay",  # green r10
     "stream_corpus_dedup_replay",  # green r10
     "dedup_minhash_lsh",  # green r10
@@ -103,7 +106,6 @@ _R11_WINDOW = [
     "curate_length_outliers",  # green r03
     "curate_domain_cap",  # green r03
     "curate_sample_weighted",  # green r03
-    "stat_ols_slope_per_lang",  # green r03
 ]
 
 def _apply_rotation(window: list[str]) -> None:

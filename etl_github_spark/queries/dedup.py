@@ -2028,3 +2028,72 @@ def dedup_lsh_store_compact(spark, sf_dir):
     return spark.createDataFrame(
         rows, "doc_a long, doc_b long, est_jaccard double"
     )
+
+
+def _lsh_store_judge_sql() -> str:
+    """DuckDB twin of :func:`dedup_lsh_store_judge` — identical to the
+    streaming replay's oracle (`streaming_bridge._neardup_stream_sql`):
+    odd-id docs judged against the even-id corpus index, per-doc max
+    signature agreement, kept ⇔ agree·2 < 32. Stream, batch, and store
+    paths share one verdict contract; stating the SQL here (rather than
+    importing across the module boundary) keeps dedup.py self-contained
+    at import time."""
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH {_md5_sig_bands_cte()},
+    hits AS (
+      SELECT a.doc_id, max({agree}) AS agree
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      JOIN sig sa ON sa.doc_id = a.doc_id
+      JOIN sig sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(h.agree, 0) AS BIGINT) AS max_agree,
+           coalesce(h.agree, 0) * 2 < {_N_HASHES} AS kept
+    FROM sig s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 2 = 1
+    """
+
+
+@query(
+    "dedup_lsh_store_judge",
+    sql=_lsh_store_judge_sql(),
+    tags=("dedup", "neardup", "lsh", "storage"),
+)
+def dedup_lsh_store_judge(spark, sf_dir):
+    """Batch-judging against the persisted index: the even-id half of
+    the corpus is indexed ONCE (`io/lsh_store.py`), then the odd-id
+    half arrives as a new batch and is judged purely from the store —
+    map-side banding on the batch, (band, bucket) left-outer collision
+    join against the skinny stored band rows, store signatures attached
+    for the agreement estimate, one per-doc max → ``(doc_id, max_agree,
+    kept)``. The oracle is IDENTICAL to `stream_neardup_replay`'s: the
+    streaming path (in-plan corpus banding) and the store path (index
+    read from disk) must produce the same verdicts row for row — the
+    contract that lets an ingest pipeline switch between them freely.
+
+    Scale shape: the batch pays one banding pass; the store side is 8
+    skinny rows per indexed doc joined bucket-locally (shuffle or AQE
+    broadcast — no hint, same rule as the streaming layer); verdict
+    state is one (doc, max) pair per batch doc.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.lsh_store import store_judge_docs, write_bands_store
+
+    docs = par(T(spark, sf_dir, "documents"))
+    path = tempfile.mkdtemp(prefix="lsh_judge_")
+    try:
+        write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
+        out = store_judge_docs(spark, path, docs.where(F.col("doc_id") % 2 == 1))
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, max_agree long, kept boolean")

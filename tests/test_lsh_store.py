@@ -89,3 +89,40 @@ def test_compaction_reduces_files_and_preserves_results(spark, tmp_path):
         assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
     after = sorted(tuple(r) for r in store_neardup_pairs(spark, path).collect())
     assert before == after
+
+
+def test_store_judge_agrees_with_streaming_verdicts(spark, tmp_path):
+    """Judging a batch from the store must reproduce the streaming
+    path's verdicts row for row (same family, same kept rule), and a
+    family-mismatched store must refuse to judge."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.lsh_store import store_judge_docs
+    from etl_github_spark.queries.dedup import _md5_band_rows
+    from etl_github_spark.streaming.dedup import stream_neardup_against_corpus
+
+    docs = _docs(spark)
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "store")
+    write_bands_store(corpus, path)
+    from_store = sorted(
+        tuple(r) for r in store_judge_docs(spark, path, batch).collect()
+    )
+    streaming = sorted(
+        tuple(r)
+        for r in stream_neardup_against_corpus(
+            batch, _md5_band_rows(corpus, with_sig=True)
+        ).collect()
+    )
+    assert from_store == streaming and from_store
+
+    meta = read_lsh_index(path)
+    meta["n_hashes"] = 64
+    with open(os.path.join(path, "_lsh_index.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="family mismatch"):
+        store_judge_docs(spark, path, batch.limit(1))
