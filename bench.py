@@ -481,7 +481,77 @@ def bench_ivfpq_store_query_path(spark, sf_dir: str) -> float:
 #: number measures the operator, not the fixture build — the registered
 #: full-lifecycle cost at sf0.1 (7.4-9.6 s in the r10 driver run) said
 #: nothing about the amortized path (1.79 s).
-STORE_OPS = {"sim_ivfpq_store_probe", "sim_ivfpq_store_upsert", "sim_ivfpq_store_compact"}
+STORE_OPS = {
+    "sim_ivfpq_store_probe", "sim_ivfpq_store_upsert", "sim_ivfpq_store_compact",
+    "dedup_lsh_store_pairs", "dedup_lsh_store_upsert", "dedup_lsh_store_compact",
+    "dedup_lsh_store_judge",
+}
+
+
+def bench_lsh_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[float]]:
+    """Time the LSH band-index lifecycle OPERATORS post-build (same
+    treatment as `bench_ivfpq_store_ops`): the even-half base store is
+    built once (untimed), then
+    - pairs: the store-answered corpus near-dup query over a full-corpus
+      store (read-only, warm-up + timed runs);
+    - judge: odd half judged against the even-half base store (read-only);
+    - upsert: append of the odd half + pairs query, each sample on an
+      untimed fresh copy of the base store (append mutates it);
+    - compact: per-band rewrite + pairs query, with the copy + append
+      prep untimed per sample."""
+    import shutil
+    import tempfile
+
+    from etl_github_spark.io.lsh_store import (
+        append_bands_store,
+        compact_bands_store,
+        store_judge_docs,
+        store_neardup_pairs,
+        write_bands_store,
+    )
+    from etl_github_spark.queries._util import T, par
+    from pyspark.sql import functions as F
+
+    docs = par(T(spark, sf_dir, "documents"))
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="lsh_ops_")
+    out: dict[str, list[float]] = {}
+    try:
+        base = os.path.join(root, "base")
+        write_bands_store(even, base)
+        full = os.path.join(root, "full")
+        write_bands_store(docs, full)
+        out["dedup_lsh_store_pairs"] = _time_fn(
+            spark, lambda s, _sf: store_neardup_pairs(s, full), sf_dir, runs
+        )
+        out["dedup_lsh_store_judge"] = _time_fn(
+            spark, lambda s, _sf: store_judge_docs(s, base, odd), sf_dir, runs
+        )
+        for key, do_compact in (("dedup_lsh_store_upsert", False),
+                                ("dedup_lsh_store_compact", True)):
+            vals: list[float] = []
+            for i in range(runs + 1):  # sample 0 is the untimed warm-up
+                work = os.path.join(root, f"{key}_{i}")
+                shutil.copytree(base, work)
+                if do_compact:
+                    append_bands_store(spark, odd, work)
+                _quiesce(spark)
+                t0 = time.perf_counter()
+                if do_compact:
+                    compact_bands_store(spark, work)
+                else:
+                    append_bands_store(spark, odd, work)
+                store_neardup_pairs(spark, work).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                if i:
+                    vals.append(round(time.perf_counter() - t0, 3))
+                shutil.rmtree(work, ignore_errors=True)
+            out[key] = vals
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def bench_ivfpq_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[float]]:
@@ -590,7 +660,16 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"BENCH ERROR ivfpq_store_ops: {e}", file=sys.stderr)
         for key in STORE_OPS:
-            extended[key] = -1.0
+            if key.startswith("sim_ivfpq"):
+                extended[key] = -1.0
+    try:
+        for key, vals in bench_lsh_store_ops(spark, sf_dir).items():
+            extended[key] = min(vals)
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR lsh_store_ops: {e}", file=sys.stderr)
+        for key in STORE_OPS:
+            if key.startswith("dedup_lsh_store"):
+                extended[key] = -1.0
 
     # round 5 re-seated dedup_minhash_lsh on the oracle-replayable
     # md5/affine family (~35% slower than xxhash64); time the unregistered
