@@ -385,11 +385,12 @@ def bench_gha_ingest(spark, n_copies: int = 1500, runs: int = 3) -> list[float]:
         h.close()
     try:
         samples = []
-        for r in range(runs):
-            _quiesce(spark)
-            t0 = time.perf_counter()
+        for r in range(runs + 1):  # run 0 is the untimed warm-up (parse-path
+            _quiesce(spark)        # JIT, committer init — same protocol as
+            t0 = time.perf_counter()  # _time_fn's warm-up materialization)
             ingest_files(spark, [str(landing)], str(tmp / f"lake{r}"), fmt="parquet")
-            samples.append(round(time.perf_counter() - t0, 3))
+            if r:
+                samples.append(round(time.perf_counter() - t0, 3))
             shutil.rmtree(tmp / f"lake{r}", ignore_errors=True)
         return samples
     finally:
