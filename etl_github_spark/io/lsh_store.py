@@ -12,23 +12,31 @@ incremental ingest) from the store. This module is that storage half:
   rows per document, the self-join input. Band partitioning keeps
   compaction and the candidate join's co-location unit aligned with
   the banding itself.
-- ``sigs/`` — (doc_id, sig) parquet: the 32-component signature stored
-  ONCE per document (not 8× through the band explode), attached to
-  candidate pairs only when an agreement estimate is needed — the same
-  cand + sig-join shape the family's SQL oracle states.
+- ``sigs/`` — (doc_id, sig) parquet PARTITIONED BY ``sbucket =
+  pmod(hash(doc_id), 16)``: the 32-component signature stored ONCE per
+  document (not 8× through the band explode), attached to candidate
+  pairs only when an agreement estimate is needed — the same cand +
+  sig-join shape the family's SQL oracle states. The hash-bucket
+  partitioning exists for COMPACTION: each bucket directory rewrites
+  independently (16 parallel tasks, never a single O(corpus) task) with
+  the same per-directory swap as ``bands/``.
 - ``_lsh_index.json`` — the family sidecar (n_hashes, band count, rows
-  per band, family name). The hash family itself is the module-constant
-  md5/affine chain (`queries.dedup._md5_band_rows` — shared with the
-  batch AND streaming paths), so unlike the IVF store there is nothing
-  to fit: the sidecar exists to REFUSE appends from a mismatched
-  family/layout, the drift that would silently corrupt an index.
+  per band, family name, sig bucket count). The hash family itself is
+  the module-constant md5/affine chain (`queries.dedup._md5_band_rows`
+  — shared with the batch AND streaming paths), so unlike the IVF
+  store there is nothing to fit: the sidecar exists to REFUSE appends
+  from a mismatched family/layout, the drift that would silently
+  corrupt an index. Written via temp-file + ``os.replace`` so a crash
+  mid-dump can never leave a truncated sidecar (a JSONDecodeError
+  instead of the designed family-mismatch refusal).
 
 Append is embarrassingly incremental — banding is per-row map-side
 work, so a new batch pays one scan + one partitioned append and the
 appended index is BIT-IDENTICAL to a full rebuild (no refit identity
 to argue, unlike IVF-PQ; `dedup_lsh_store_upsert` pins it under the
-driver hash). Compaction rewrites each band partition to one file with
-the same atomic per-directory swap as the IVF store.
+driver hash). Compaction rewrites each band / sig-bucket partition to
+one file via a per-directory swap; see :func:`compact_bands_store` for
+the exact crash-recovery contract.
 
 Reference semantics: the dedup contract is the reference's corpus
 hygiene concern re-expressed as a persisted index (see SURVEY.md §2.9);
@@ -44,6 +52,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SIG_BUCKETS = 16
+
 
 def _family_meta() -> dict:
     from ..queries.dedup import _BAND_SIZE, _N_HASHES
@@ -53,33 +63,49 @@ def _family_meta() -> dict:
         "n_hashes": _N_HASHES,
         "band_size": _BAND_SIZE,
         "n_bands": _N_HASHES // _BAND_SIZE,
+        "sig_buckets": _SIG_BUCKETS,
     }
 
 
 def _band_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(bands, sigs) frames for ``docs`` under the shared md5/affine
     family — one banding pass, signatures split out so they are stored
-    once per doc instead of once per band row."""
+    once per doc instead of once per band row. ``sigs`` carries the
+    ``sbucket`` partition column for the bucketed sink."""
     from ..queries.dedup import _md5_band_rows
 
     rows = _md5_band_rows(docs, with_sig=True)
     rows = rows.localCheckpoint(eager=False)  # bands + sigs sinks share one pass
     bands = rows.select("doc_id", "band", "bucket")
-    sigs = rows.where(F.col("band") == 0).select("doc_id", "sig")
+    sigs = rows.where(F.col("band") == 0).select(
+        "doc_id", "sig", F.pmod(F.hash("doc_id"), F.lit(_SIG_BUCKETS)).alias("sbucket")
+    )
     return bands, sigs
+
+
+def _write_sidecar(path: str) -> None:
+    """Atomic sidecar publish: temp file + ``os.replace`` so a reader
+    (or a crash) never sees a half-written JSON."""
+    dest = os.path.join(path, "_lsh_index.json")
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(_family_meta(), fh)
+    os.replace(tmp, dest)
 
 
 def write_bands_store(docs: DataFrame, path: str) -> None:
     """Build the index: band + sign the corpus once, write ``bands/``
-    partitioned by band, ``sigs/`` flat, and the family sidecar. One
-    scan of the corpus, map-side banding, two partitioned sinks."""
+    partitioned by band, ``sigs/`` partitioned by hash bucket, and the
+    family sidecar. One scan of the corpus, map-side banding, two
+    partitioned sinks."""
     bands, sigs = _band_frames(docs)
     bands.write.partitionBy("band").mode("overwrite").parquet(
         os.path.join(path, "bands")
     )
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    with open(os.path.join(path, "_lsh_index.json"), "w") as fh:
-        json.dump(_family_meta(), fh)
+    sigs.write.partitionBy("sbucket").mode("overwrite").parquet(
+        os.path.join(path, "sigs")
+    )
+    _write_sidecar(path)
 
 
 def read_lsh_index(path: str) -> dict:
@@ -87,66 +113,98 @@ def read_lsh_index(path: str) -> dict:
         return json.load(fh)
 
 
-def append_bands_store(spark: SparkSession, docs: DataFrame, path: str) -> None:
+def _check_family(path: str) -> None:
+    meta = read_lsh_index(path)
+    if meta != _family_meta():
+        raise ValueError(
+            f"LSH store family mismatch: store={meta} runtime={_family_meta()}"
+        )
+
+
+def _read_sigs(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, sig) from the bucketed ``sigs/`` table — the ``sbucket``
+    partition column is a physical-layout detail and never leaves the
+    reader."""
+    return spark.read.parquet(os.path.join(path, "sigs")).select("doc_id", "sig")
+
+
+def append_bands_store(docs: DataFrame, path: str) -> None:
     """Incremental index maintenance: band a NEW document batch with the
     stored family and append. Banding is fit-free, so append-then-query
     is bit-identical to a full rebuild over the union — the property
     `dedup_lsh_store_upsert` driver-hashes. Refuses a store whose
     sidecar disagrees with the module's family constants (an index
     built under different banding would silently miss duplicates)."""
-    meta = read_lsh_index(path)
-    if meta != _family_meta():
-        raise ValueError(
-            f"LSH store family mismatch: store={meta} runtime={_family_meta()}"
-        )
+    _check_family(path)
     bands, sigs = _band_frames(docs)
     bands.write.partitionBy("band").mode("append").parquet(
         os.path.join(path, "bands")
     )
-    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    sigs.write.partitionBy("sbucket").mode("append").parquet(
+        os.path.join(path, "sigs")
+    )
+
+
+def _compact_partitioned(spark: SparkSession, root: str, part_col: str) -> None:
+    """Rewrite every ``<part_col>=<v>`` directory under ``root`` to one
+    file (parallel across partitions via a key repartition), then swap
+    the rewritten directories in.
+
+    Crash-recovery contract: phase 1 moves every live directory to
+    ``<dir>.old`` and its rewrite into place; the ``.old`` directories
+    are deleted only in phase 2, AFTER every partition has swapped. A
+    crash mid-phase-1 therefore always leaves each partition's rows in
+    exactly one of ``<dir>`` (new) or ``<dir>.old`` (pre-compaction) —
+    recovery is "restore any ``.old`` whose ``<dir>`` is missing, then
+    delete the rest". This is single-writer compaction (the Delta-log
+    sibling `io/delta_log.py` owns multi-writer commit arbitration); a
+    concurrent READER between the two renames of one partition can see
+    that directory absent for the duration of an ``os.rename``, which
+    is the same exposure every swap-based OPTIMIZE without a
+    transaction log has."""
+    import glob
+    import shutil
+
+    tmp = root + "_compact_tmp"
+    (
+        spark.read.parquet(root)
+        .repartition(part_col)
+        .write.partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    olds = []
+    for pdir in sorted(glob.glob(os.path.join(tmp, f"{part_col}=*"))):
+        dest = os.path.join(root, os.path.basename(pdir))
+        old = dest + ".old"
+        shutil.move(dest, old)
+        shutil.move(pdir, dest)
+        olds.append(old)
+    # every partition swapped — only now drop the pre-compaction copies
+    for old in olds:
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compact_bands_store(spark: SparkSession, path: str) -> dict:
     """OPTIMIZE for the band index: steady-state appends leave one small
-    file per batch in every ``band=<b>`` directory; rewrite each band
-    partition to ONE file (hash-repartition by band keeps the rewrite
-    parallel across bands), atomic per-directory swap so a concurrent
-    reader never sees a half-written band. ``sigs/`` is rewritten to a
-    single file the same way (it is flat and O(corpus) rows — at real
-    scale it would carry its own partitioning; the swap logic is
-    identical). Returns {"files_before": n, "files_after": m}."""
+    file per batch in every partition directory; rewrite each ``band=``
+    and ``sbucket=`` partition to ONE file. Both tables use the same
+    keyed repartition (parallel across partitions — sigs compaction is
+    16 concurrent bucket rewrites, never one O(corpus) task) and the
+    same deferred-delete directory swap (see :func:`_compact_partitioned`
+    for the crash-recovery contract). Returns {"files_before": n,
+    "files_after": m}."""
     import glob
-    import shutil
 
     def _count():
         return len(
             glob.glob(os.path.join(path, "bands", "band=*", "*.parquet"))
-        ) + len(glob.glob(os.path.join(path, "sigs", "*.parquet")))
+        ) + len(glob.glob(os.path.join(path, "sigs", "sbucket=*", "*.parquet")))
 
     before = _count()
-    tmp = os.path.join(path, "_compact_tmp")
-    (
-        spark.read.parquet(os.path.join(path, "bands"))
-        .repartition("band")
-        .write.partitionBy("band")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    for bdir in glob.glob(os.path.join(tmp, "band=*")):
-        dest = os.path.join(path, "bands", os.path.basename(bdir))
-        old = dest + ".old"
-        shutil.move(dest, old)
-        shutil.move(bdir, dest)  # atomic publish per band
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    sig_tmp = os.path.join(path, "_sigs_tmp")
-    spark.read.parquet(os.path.join(path, "sigs")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(sig_tmp)
-    old = os.path.join(path, "sigs.old")
-    shutil.move(os.path.join(path, "sigs"), old)
-    shutil.move(sig_tmp, os.path.join(path, "sigs"))
-    shutil.rmtree(old, ignore_errors=True)
+    _compact_partitioned(spark, os.path.join(path, "bands"), "band")
+    _compact_partitioned(spark, os.path.join(path, "sigs"), "sbucket")
     return {"files_before": before, "files_after": _count()}
 
 
@@ -161,7 +219,7 @@ def store_neardup_pairs(spark: SparkSession, path: str) -> DataFrame:
     from ..queries.dedup import _N_HASHES
 
     bands = spark.read.parquet(os.path.join(path, "bands"))
-    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    sigs = _read_sigs(spark, path)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -199,41 +257,58 @@ def store_judge_docs(spark: SparkSession, path: str, docs: DataFrame) -> DataFra
     """Judge an incoming document batch against the persisted index —
     the batch twin of `streaming/dedup.py::stream_neardup_against_
     corpus`, answered from the STORE instead of an in-plan corpus
-    banding: the batch is banded map-side with the shared family, its
-    band rows LEFT OUTER join the store's ``bands/`` on (band, bucket)
-    (collision-free docs keep a row), store signatures attach from
-    ``sigs/``, and one max-aggregation per doc yields the verdict
-    ``(doc_id, max_agree, kept)`` with kept ⇔ max_agree·2 < n_hashes —
-    the identical verdict arithmetic (and the identical SQL oracle) as
-    the streaming path, so stream, batch, and store agree on what
-    "near-dup" means. Refuses a mismatched-family store like the
-    append path."""
-    from ..queries.dedup import _N_HASHES, _md5_band_rows
+    banding. Verdict ``(doc_id, max_agree, kept)`` with kept ⇔
+    max_agree·2 < n_hashes — the identical verdict arithmetic (and the
+    identical SQL oracle) as the streaming path, so stream, batch, and
+    store agree on what "near-dup" means. Refuses a mismatched-family
+    store like the append path.
 
-    meta = read_lsh_index(path)
-    if meta != _family_meta():
-        raise ValueError(
-            f"LSH store family mismatch: store={meta} runtime={_family_meta()}"
-        )
-    incoming = _md5_band_rows(docs, with_sig=True)
+    Join order is the scale contract (same shape as
+    :func:`store_neardup_pairs`): the batch's SKINNY band rows
+    collision-join the store's SKINNY ``bands/`` on (band, bucket),
+    candidates reduce to DISTINCT (doc_id, c_doc) pairs, and only THEN
+    does ``sigs/`` attach — one signature per *colliding corpus doc*,
+    not 8 copies per corpus band row shuffled for docs that never
+    collide. Collision-free batch docs re-enter via a left-outer join
+    of the batch's own signature table against the per-doc maxima
+    (agree = 0, kept = true)."""
+    from ..queries.dedup import _N_HASHES
+
+    _check_family(path)
+    inc_bands, inc_sigs = _band_frames(docs)
+    inc_sigs = inc_sigs.select("doc_id", "sig")
     store_bands = spark.read.parquet(os.path.join(path, "bands")).select(
         F.col("doc_id").alias("c_doc"), "band", "bucket"
     )
-    store_sigs = spark.read.parquet(os.path.join(path, "sigs")).select(
+    cand = (
+        inc_bands.join(store_bands, ["band", "bucket"])
+        .select("doc_id", "c_doc")
+        .distinct()
+    )
+    store_sigs = _read_sigs(spark, path).select(
         F.col("doc_id").alias("c_doc"), F.col("sig").alias("c_sig")
     )
-    hit = store_bands.join(store_sigs, "c_doc")
     agree = F.size(
         F.filter(
             F.zip_with("sig", "c_sig", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    j = incoming.join(hit, ["band", "bucket"], "left_outer").select(
-        "doc_id",
-        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
+    hits = (
+        cand.join(store_sigs, "c_doc")
+        .join(inc_sigs, "doc_id")
+        .select("doc_id", agree.alias("agree"))
+        .groupBy("doc_id")
+        .agg(F.max("agree").alias("agree"))
     )
-    return j.groupBy("doc_id").agg(
-        F.max("agree").cast("long").alias("max_agree"),
-        (F.max("agree") * 2 < F.lit(_N_HASHES)).alias("kept"),
+    return (
+        inc_sigs.select("doc_id")
+        .join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("agree"), F.lit(0)).cast("long").alias("max_agree"),
+            (F.coalesce(F.col("agree"), F.lit(0)) * 2 < F.lit(_N_HASHES)).alias(
+                "kept"
+            ),
+        )
     )

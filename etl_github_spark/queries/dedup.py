@@ -1970,9 +1970,7 @@ def dedup_lsh_store_upsert(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="lsh_upsert_")
     try:
         write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
-        append_bands_store(
-            spark, docs.where(F.col("doc_id") % 2 == 1), path
-        )
+        append_bands_store(docs.where(F.col("doc_id") % 2 == 1), path)
         out = store_neardup_pairs(spark, path)
         rows = [tuple(r) for r in out.collect()]
     finally:
@@ -2013,9 +2011,7 @@ def dedup_lsh_store_compact(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="lsh_compact_")
     try:
         write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
-        append_bands_store(
-            spark, docs.where(F.col("doc_id") % 2 == 1), path
-        )
+        append_bands_store(docs.where(F.col("doc_id") % 2 == 1), path)
         stats = compact_bands_store(spark, path)
         if stats["files_after"] >= stats["files_before"]:
             raise RuntimeError(

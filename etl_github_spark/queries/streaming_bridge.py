@@ -1448,10 +1448,12 @@ def stream_neardup_replay(spark, sf_dir):
         .where(F.col("doc_id") % 2 == 1)
     )
     corpus = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
-    corpus_bands = _md5_band_rows(corpus, with_sig=True).localCheckpoint(
-        eager=False
-    )
-    out = stream_neardup_against_corpus(stream, corpus_bands)
+    # the lsh_store layout: skinny band rows + sigs stored once per doc,
+    # both cut from ONE checkpointed banding pass
+    rows = _md5_band_rows(corpus, with_sig=True).localCheckpoint(eager=False)
+    corpus_bands = rows.select("doc_id", "band", "bucket")
+    corpus_sigs = rows.where(F.col("band") == 0).select("doc_id", "sig")
+    out = stream_neardup_against_corpus(stream, corpus_bands, corpus_sigs)
     rows = [tuple(r) for r in _replay(spark, out, "stream_neardup")]
     return spark.createDataFrame(rows, "doc_id long, max_agree long, kept boolean")
 
@@ -1537,9 +1539,11 @@ def stream_neardup_eventtime_replay(spark, sf_dir):
     from ..streaming.dedup import stream_neardup_against_corpus_eventtime
 
     docs = T(spark, sf_dir, "documents")
-    corpus_bands = _md5_band_rows(
+    crows = _md5_band_rows(
         docs.where(F.col("doc_id") % 2 == 0), with_sig=True
     ).localCheckpoint(eager=False)
+    corpus_bands = crows.select("doc_id", "band", "bucket")
+    corpus_sigs = crows.where(F.col("band") == 0).select("doc_id", "sig")
 
     root = tempfile.mkdtemp(prefix="stream_neardup_et_")
     try:
@@ -1586,7 +1590,7 @@ def stream_neardup_eventtime_replay(spark, sf_dir):
             .withColumn("created_at", ts)
         )
         out = stream_neardup_against_corpus_eventtime(
-            stream, corpus_bands, ts_col="created_at",
+            stream, corpus_bands, corpus_sigs, ts_col="created_at",
             delay="30 minutes", window_len="1 hour",
         )
         rows = [

@@ -107,6 +107,7 @@ def stream_dedup_against_corpus(
 def stream_neardup_against_corpus(
     docs: DataFrame,
     corpus_bands: DataFrame,
+    corpus_sigs: DataFrame,
 ) -> DataFrame:
     """Streaming NEAR-duplicate detection against a landed corpus — the
     fuzzy sibling of :func:`stream_dedup_against_corpus`'s exact-md5
@@ -117,16 +118,27 @@ def stream_neardup_against_corpus(
     MinHash signature + 8×4 band buckets via the SHARED
     `queries/dedup.py::_md5_band_rows` expressions — identical to the
     batch family, so batch index and stream agree on what "near-dup"
-    means. Stream-static LEFT OUTER join of the stream's band rows to
-    ``corpus_bands`` (built once by `_md5_band_rows(corpus,
-    with_sig=True)`, re-resolved per micro-batch like the exact layer;
-    no broadcast hint — the index is O(corpus×bands) rows), signature
-    agreement counted per colliding (doc, corpus doc) pair, then ONE
+    means. The static index arrives as TWO frames, exactly the
+    `io/lsh_store.py` layout: ``corpus_bands`` is the SKINNY
+    (doc_id, band, bucket) rows and ``corpus_sigs`` the (doc_id, sig)
+    table stored once per doc. Stream-static LEFT OUTER join of the
+    stream's band rows to the skinny bands on (band, bucket) finds
+    collisions FIRST; a second stream-static LEFT OUTER join attaches
+    the corpus signature by doc id — so only *colliding* corpus docs'
+    signatures move through the plan, never 8 signature copies per
+    corpus band row (both frames re-resolve per micro-batch like the
+    exact layer; no broadcast hint — the planner sizes them). Signature
+    agreement is counted per colliding (doc, corpus doc) row, then ONE
     stateful max-aggregation per doc yields the verdict row:
     ``(doc_id, max_agree, kept)`` with kept ⇔ max_agree·2 < 32 (the
     integer form of est_jaccard < 0.5). The verdict is deterministic —
     the corpus is static and no in-stream survivor choice exists — so
     it replays exactly in a SQL oracle (`stream_neardup_replay`).
+
+    (No candidate-distinct before the sig join as in the batch store
+    path: ``dropDuplicates`` on a stream is a second stateful operator;
+    the max-aggregation already absorbs a pair colliding in several
+    bands, at the cost of ≤ n_bands sig-compare rows per pair.)
 
     State at scale: one (doc, running max) per in-flight doc; bounded
     by the watermark horizon when the stream carries event time
@@ -139,9 +151,11 @@ def stream_neardup_against_corpus(
     sb = _md5_band_rows(docs, with_sig=True)
     cb = corpus_bands.select(
         F.col("doc_id").alias("c_doc"),
-        F.col("sig").alias("c_sig"),
         F.col("band").alias("band"),
         F.col("bucket").alias("bucket"),
+    )
+    cs = corpus_sigs.select(
+        F.col("doc_id").alias("c_doc"), F.col("sig").alias("c_sig")
     )
     agree = F.size(
         F.filter(
@@ -154,9 +168,15 @@ def stream_neardup_against_corpus(
     # (spark.sql.ansi.enabled=false) size() of a NULL array returns -1,
     # not NULL, so the coalesce never fires and a collision-free doc
     # would replay max_agree=-1 while the oracle emits 0.
-    j = sb.join(cb, ["band", "bucket"], "left_outer").select(
-        "doc_id",
-        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
+    j = (
+        sb.join(cb, ["band", "bucket"], "left_outer")
+        .join(cs, "c_doc", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("c_sig").isNull(), F.lit(0))
+            .otherwise(agree)
+            .alias("agree"),
+        )
     )
     return j.groupBy("doc_id").agg(
         F.max("agree").cast("long").alias("max_agree"),
@@ -167,6 +187,7 @@ def stream_neardup_against_corpus(
 def stream_neardup_against_corpus_eventtime(
     docs: DataFrame,
     corpus_bands: DataFrame,
+    corpus_sigs: DataFrame,
     ts_col: str = "created_at",
     delay: str = "1 hour",
     window_len: str = "1 hour",
@@ -179,12 +200,14 @@ def stream_neardup_against_corpus_eventtime(
     holds one row per doc forever, fine for bounded replays only).
 
     Same banding, collision, and verdict arithmetic as the bounded
-    form (the shared `_md5_band_rows` expressions, the c_sig-IS-NULL
-    agreement guard, kept ⇔ max_agree·2 < 32); the stream's timestamp
-    rides through the map-side banding (``carry``) and the verdict is
-    emitted once per (window, doc) when the watermark passes the
-    window end — the standard Structured Streaming append contract,
-    so the sink sees each verdict exactly once.
+    form (the shared `_md5_band_rows` expressions, skinny static bands
+    + a separate (doc_id, sig) table joined only for colliding corpus
+    docs, the c_sig-IS-NULL agreement guard, kept ⇔ max_agree·2 < 32);
+    the stream's timestamp rides through the map-side banding
+    (``carry``) and the verdict is emitted once per (window, doc) when
+    the watermark passes the window end — the standard Structured
+    Streaming append contract, so the sink sees each verdict exactly
+    once.
 
     State at scale: stateOperators.numRowsTotal ≤ docs in open windows
     (pinned by `tests/test_streaming_dedup.py`); eviction is by
@@ -197,9 +220,11 @@ def stream_neardup_against_corpus_eventtime(
     )
     cb = corpus_bands.select(
         F.col("doc_id").alias("c_doc"),
-        F.col("sig").alias("c_sig"),
         F.col("band").alias("band"),
         F.col("bucket").alias("bucket"),
+    )
+    cs = corpus_sigs.select(
+        F.col("doc_id").alias("c_doc"), F.col("sig").alias("c_sig")
     )
     agree = F.size(
         F.filter(
@@ -207,10 +232,16 @@ def stream_neardup_against_corpus_eventtime(
             lambda v: v == 1,
         )
     )
-    j = sb.join(cb, ["band", "bucket"], "left_outer").select(
-        "doc_id",
-        ts_col,
-        F.when(F.col("c_sig").isNull(), F.lit(0)).otherwise(agree).alias("agree"),
+    j = (
+        sb.join(cb, ["band", "bucket"], "left_outer")
+        .join(cs, "c_doc", "left_outer")
+        .select(
+            "doc_id",
+            ts_col,
+            F.when(F.col("c_sig").isNull(), F.lit(0))
+            .otherwise(agree)
+            .alias("agree"),
+        )
     )
     return (
         j.groupBy(F.window(ts_col, window_len).alias("win"), F.col("doc_id"))

@@ -7,6 +7,7 @@ import glob
 import os
 
 from etl_github_spark.io.lsh_store import (
+    _SIG_BUCKETS,
     append_bands_store,
     compact_bands_store,
     read_lsh_index,
@@ -24,16 +25,20 @@ def _docs(spark):
 
 
 def test_store_layout_and_sidecar(spark, tmp_path):
-    """bands/ is partitioned by band (8 dirs), sigs/ holds one row per
-    banded doc, and the sidecar records the md5/affine family."""
+    """bands/ is partitioned by band (8 dirs), sigs/ is partitioned by
+    hash bucket and holds one row per banded doc, and the sidecar
+    records the md5/affine family + sig bucket count."""
     path = str(tmp_path / "store")
     docs = _docs(spark)
     write_bands_store(docs, path)
     band_dirs = sorted(glob.glob(os.path.join(path, "bands", "band=*")))
     assert len(band_dirs) == 8
+    sig_dirs = sorted(glob.glob(os.path.join(path, "sigs", "sbucket=*")))
+    assert 1 < len(sig_dirs) <= _SIG_BUCKETS
     meta = read_lsh_index(path)
     assert meta["family"] == "md5-affine"
     assert meta["n_hashes"] == 32 and meta["band_size"] == 4
+    assert meta["sig_buckets"] == _SIG_BUCKETS
     n_sigs = spark.read.parquet(os.path.join(path, "sigs")).count()
     n_banded = docs.where("size(split(text, ' ')) >= 3").count()
     assert n_sigs == n_banded
@@ -49,7 +54,7 @@ def test_append_equals_full_rebuild(spark, tmp_path):
     full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
     write_bands_store(docs, full)
     write_bands_store(docs.where("doc_id % 2 = 0"), inc)
-    append_bands_store(spark, docs.where("doc_id % 2 = 1"), inc)
+    append_bands_store(docs.where("doc_id % 2 = 1"), inc)
     rows_full = sorted(tuple(r) for r in store_neardup_pairs(spark, full).collect())
     rows_inc = sorted(tuple(r) for r in store_neardup_pairs(spark, inc).collect())
     assert rows_full == rows_inc and rows_full
@@ -70,23 +75,30 @@ def test_append_refuses_family_mismatch(spark, tmp_path):
     with open(os.path.join(path, "_lsh_index.json"), "w") as fh:
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="family mismatch"):
-        append_bands_store(spark, docs.limit(1), path)
+        append_bands_store(docs.limit(1), path)
 
 
 def test_compaction_reduces_files_and_preserves_results(spark, tmp_path):
     """After two appends each band dir holds >=3 files; compaction must
-    bring every band partition to one file without changing a single
-    pair or estimate."""
+    bring every band AND sig-bucket partition to one file without
+    changing a single pair or estimate — and sigs must NOT collapse to
+    a single global file (the coalesce(1) anti-pattern: one task
+    rewriting an O(corpus) table)."""
     path = str(tmp_path / "store")
     docs = _docs(spark)
     write_bands_store(docs.where("doc_id % 3 = 0"), path)
-    append_bands_store(spark, docs.where("doc_id % 3 = 1"), path)
-    append_bands_store(spark, docs.where("doc_id % 3 = 2"), path)
+    append_bands_store(docs.where("doc_id % 3 = 1"), path)
+    append_bands_store(docs.where("doc_id % 3 = 2"), path)
     before = sorted(tuple(r) for r in store_neardup_pairs(spark, path).collect())
     stats = compact_bands_store(spark, path)
     assert stats["files_after"] < stats["files_before"]
     for bdir in glob.glob(os.path.join(path, "bands", "band=*")):
         assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
+    sig_dirs = glob.glob(os.path.join(path, "sigs", "sbucket=*"))
+    assert len(sig_dirs) > 1  # bucketed rewrite, not one global file
+    for sdir in sig_dirs:
+        assert len(glob.glob(os.path.join(sdir, "*.parquet"))) == 1
+    assert not glob.glob(os.path.join(path, "sigs", "*.parquet"))
     after = sorted(tuple(r) for r in store_neardup_pairs(spark, path).collect())
     assert before == after
 
@@ -112,10 +124,13 @@ def test_store_judge_agrees_with_streaming_verdicts(spark, tmp_path):
     from_store = sorted(
         tuple(r) for r in store_judge_docs(spark, path, batch).collect()
     )
+    crows = _md5_band_rows(corpus, with_sig=True)
     streaming = sorted(
         tuple(r)
         for r in stream_neardup_against_corpus(
-            batch, _md5_band_rows(corpus, with_sig=True)
+            batch,
+            crows.select("doc_id", "band", "bucket"),
+            crows.where(F.col("band") == 0).select("doc_id", "sig"),
         ).collect()
     )
     assert from_store == streaming and from_store
@@ -126,3 +141,37 @@ def test_store_judge_agrees_with_streaming_verdicts(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="family mismatch"):
         store_judge_docs(spark, path, batch.limit(1))
+
+
+def test_store_judge_plan_joins_sigs_above_collision(spark, tmp_path):
+    """The scale contract from VERDICT r11: store signatures must attach
+    AFTER the (band, bucket) collision join reduces candidates to
+    distinct (doc_id, c_doc) pairs — never replicated onto every corpus
+    band row before the join. Pins the plan shape: a distinct-Aggregate
+    over (doc_id, c_doc) exists, and the sigs/ scan is its SIBLING
+    (appears after it in the tree print), i.e. sigs join above the
+    collision join."""
+    from etl_github_spark.io.lsh_store import store_judge_docs
+
+    docs = _docs(spark)
+    path = str(tmp_path / "store")
+    write_bands_store(docs.where("doc_id % 2 = 0"), path)
+    out = store_judge_docs(spark, path, docs.where("doc_id % 2 = 1"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Aggregate" in ln and "doc_id" in ln and "c_doc" in ln
+    ]
+    assert agg_idx, f"no distinct (doc_id, c_doc) Aggregate in plan:\n{plan}"
+    # the sigs/ scan is the only Relation carrying the sbucket column
+    sig_idx = [
+        i for i, ln in enumerate(lines) if "Relation" in ln and "sbucket" in ln
+    ]
+    assert sig_idx, f"no sigs relation in plan:\n{plan}"
+    # tree print order: the pre-aggregated candidate subtree (which owns
+    # the bands scans) precedes its sigs-join sibling scans
+    assert min(agg_idx) < min(sig_idx), (
+        "sigs scan is below the collision join (sig replication):\n" + plan
+    )

@@ -170,7 +170,9 @@ def test_stream_neardup_flags_fuzzy_corpus_duplicates(spark, tmp_path):
         [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
         "doc_id long, text string",
     )
-    corpus_bands = _md5_band_rows(corpus, with_sig=True)
+    crows = _md5_band_rows(corpus, with_sig=True)
+    corpus_bands = crows.select("doc_id", "band", "bucket")
+    corpus_sigs = crows.where("band = 0").select("doc_id", "sig")
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -185,7 +187,7 @@ def test_stream_neardup_flags_fuzzy_corpus_duplicates(spark, tmp_path):
             fh.write(json.dumps(r) + "\n")
 
     src = spark.readStream.schema("doc_id long, text string").json(str(landing))
-    out = stream_neardup_against_corpus(src, corpus_bands)
+    out = stream_neardup_against_corpus(src, corpus_bands, corpus_sigs)
     q = (
         out.writeStream.format("memory")
         .queryName("neardup_out")
@@ -224,8 +226,11 @@ def test_stream_neardup_unmatched_agree_zero_under_legacy_ansi(spark):
     prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
+        crows = _md5_band_rows(corpus, with_sig=True)
         got = stream_neardup_against_corpus(
-            docs, _md5_band_rows(corpus, with_sig=True)
+            docs,
+            crows.select("doc_id", "band", "bucket"),
+            crows.where("band = 0").select("doc_id", "sig"),
         ).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
@@ -252,7 +257,9 @@ def test_stream_neardup_eventtime_emits_on_watermark_and_bounds_state(spark, tmp
         [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
         "doc_id long, text string",
     )
-    corpus_bands = _md5_band_rows(corpus, with_sig=True)
+    crows = _md5_band_rows(corpus, with_sig=True)
+    corpus_bands = crows.select("doc_id", "band", "bucket")
+    corpus_sigs = crows.where("band = 0").select("doc_id", "sig")
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -283,7 +290,7 @@ def test_stream_neardup_eventtime_emits_on_watermark_and_bounds_state(spark, tmp
         .json(str(landing))
         .selectExpr("doc_id", "text", "to_timestamp(created_at) AS created_at")
     )
-    out = stream_neardup_against_corpus_eventtime(src, corpus_bands)
+    out = stream_neardup_against_corpus_eventtime(src, corpus_bands, corpus_sigs)
     q = (
         out.writeStream.format("memory")
         .queryName("neardup_et_out")
