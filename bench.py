@@ -491,7 +491,9 @@ STORE_OPS = {
 
 def bench_lsh_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[float]]:
     """Time the LSH band-index lifecycle OPERATORS post-build (same
-    treatment as `bench_ivfpq_store_ops`): the even-half base store is
+    treatment as `bench_ivfpq_store_ops`; keys carry the `_postbuild`
+    suffix — the registered full-lifecycle queries keep their own names
+    in queries_extended): the even-half base store is
     built once (untimed), then
     - pairs: the store-answered corpus near-dup query over a full-corpus
       store (read-only, warm-up + timed runs);
@@ -523,26 +525,26 @@ def bench_lsh_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[flo
         write_bands_store(even, base)
         full = os.path.join(root, "full")
         write_bands_store(docs, full)
-        out["dedup_lsh_store_pairs"] = _time_fn(
+        out["dedup_lsh_store_pairs_postbuild"] = _time_fn(
             spark, lambda s, _sf: store_neardup_pairs(s, full), sf_dir, runs
         )
-        out["dedup_lsh_store_judge"] = _time_fn(
+        out["dedup_lsh_store_judge_postbuild"] = _time_fn(
             spark, lambda s, _sf: store_judge_docs(s, base, odd), sf_dir, runs
         )
-        for key, do_compact in (("dedup_lsh_store_upsert", False),
-                                ("dedup_lsh_store_compact", True)):
+        for key, do_compact in (("dedup_lsh_store_upsert_postbuild", False),
+                                ("dedup_lsh_store_compact_postbuild", True)):
             vals: list[float] = []
             for i in range(runs + 1):  # sample 0 is the untimed warm-up
                 work = os.path.join(root, f"{key}_{i}")
                 shutil.copytree(base, work)
                 if do_compact:
-                    append_bands_store(spark, odd, work)
+                    append_bands_store(odd, work)
                 _quiesce(spark)
                 t0 = time.perf_counter()
                 if do_compact:
                     compact_bands_store(spark, work)
                 else:
-                    append_bands_store(spark, odd, work)
+                    append_bands_store(odd, work)
                 store_neardup_pairs(spark, work).write.mode("overwrite").format(
                     "noop"
                 ).save()
@@ -557,7 +559,9 @@ def bench_lsh_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[flo
 
 def bench_ivfpq_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[float]]:
     """Time the IVF-PQ store lifecycle OPERATORS with the index build
-    amortized out: fit + base-store write happen once (untimed), then
+    amortized out (keys carry the `_postbuild` suffix — the registered
+    full-lifecycle queries keep their own names in queries_extended):
+    fit + base-store write happen once (untimed), then
     - probe: sidecar read → pruned code scan → fold-ADC top-k (read-only,
       timed over the shared base store after a warm-up);
     - upsert: stored-index append of the odd half + post-append probe
@@ -584,14 +588,14 @@ def bench_ivfpq_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[f
     try:
         base = os.path.join(root, "base")
         write_embeddings_ivfpq(res, base, centroids, books)
-        out["sim_ivfpq_store_probe"] = _time_fn(
+        out["sim_ivfpq_store_probe_postbuild"] = _time_fn(
             spark,
             lambda s, _sf: ivfpq_probe_topk(s, base, q_raw, nprobe=3, topk=10),
             sf_dir,
             runs,
         )
-        for key, do_compact in (("sim_ivfpq_store_upsert", False),
-                                ("sim_ivfpq_store_compact", True)):
+        for key, do_compact in (("sim_ivfpq_store_upsert_postbuild", False),
+                                ("sim_ivfpq_store_compact_postbuild", True)):
             vals: list[float] = []
             for i in range(runs + 1):  # sample 0 is the untimed warm-up
                 work = os.path.join(root, f"{key}_{i}")
@@ -646,10 +650,40 @@ def main() -> None:
         print(f"BENCH ERROR gha_ingest: {e}", file=sys.stderr)
         timings["gha_ingest_27k_events"] = -1.0
 
+    # Contention self-heal (VERDICT r11 task 6): a headline query whose
+    # start-of-query load sentinel sat >0.5 above the suite's start was
+    # timed against the host scheduler, not the plan — re-run it once
+    # the suite's own work has drained and take the min across passes,
+    # so one contended invocation heals itself instead of merely
+    # documenting the contention. Second-pass sentinels ship in the
+    # JSON under loadavg_reruns so the healing is itself auditable.
+    loadavg_reruns: dict[str, float] = {}
+    for name, base_load in list(loadavg.items()):
+        if name.startswith("_") or timings.get(name, -1.0) < 0:
+            continue
+        if base_load - loadavg["_start"] <= 0.5:
+            continue
+        try:
+            _quiesce(spark)
+            time.sleep(1.0)  # let the 1-min average decay toward idle
+            loadavg_reruns[name] = _loadavg1()
+            if name == "gha_ingest_27k_events":
+                more = bench_gha_ingest(spark)
+            else:
+                more = run_query(spark, name, sf_dir, runs=3)
+            samples[name] = samples[name] + more
+            timings[name] = min(timings[name], min(more))
+        except Exception as e:  # pragma: no cover
+            print(f"BENCH ERROR rerun {name}: {e}", file=sys.stderr)
+
+    # Every EXTENDED entry — store lifecycles included — is timed as its
+    # REGISTERED query under its own name, so a key means the same thing
+    # in every round's JSON (ADVICE r11: r10/r11 silently compared
+    # full-lifecycle vs post-build numbers under one key). The amortized
+    # post-build operator timings ship under distinct `<name>_postbuild`
+    # keys from the two *_store_ops benches below.
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        if name in STORE_OPS:
-            continue  # timed post-build below (bench_ivfpq_store_ops)
         try:
             extended[name] = min(run_query(spark, name, sf_dir))
         except Exception as e:
@@ -662,7 +696,7 @@ def main() -> None:
         print(f"BENCH ERROR ivfpq_store_ops: {e}", file=sys.stderr)
         for key in STORE_OPS:
             if key.startswith("sim_ivfpq"):
-                extended[key] = -1.0
+                extended[key + "_postbuild"] = -1.0
     try:
         for key, vals in bench_lsh_store_ops(spark, sf_dir).items():
             extended[key] = min(vals)
@@ -670,7 +704,7 @@ def main() -> None:
         print(f"BENCH ERROR lsh_store_ops: {e}", file=sys.stderr)
         for key in STORE_OPS:
             if key.startswith("dedup_lsh_store"):
-                extended[key] = -1.0
+                extended[key + "_postbuild"] = -1.0
 
     # round 5 re-seated dedup_minhash_lsh on the oracle-replayable
     # md5/affine family (~35% slower than xxhash64); time the unregistered
@@ -721,6 +755,7 @@ def main() -> None:
         "queries_extended": extended,
         "samples": samples,
         "loadavg": loadavg,   # 1-min host load at each headline query start
+        "loadavg_reruns": loadavg_reruns,  # self-heal passes (load at rerun)
         "cpus": os.cpu_count(),
         "sf": sf,
     }

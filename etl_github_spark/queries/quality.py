@@ -339,9 +339,11 @@ _CHUNK_DEDUP_FINAL_SQL = """
 """
 
 
-def _chunk_dedup(d):
-    """Global first-occurrence chunk dedup + per-doc reassembly over any
-    (doc_id, text) DataFrame — see dedup_chunks_global for semantics."""
+def _chunk_kept(d):
+    """The kept-chunks stage of global chunk dedup: explode each doc
+    into {_CHUNK}-token chunks, keep the first corpus occurrence of
+    each chunk (min (doc_id, pos) struct). Split out so the lineage
+    manifest can count surviving docs without paying the reassembly."""
     k = _CHUNK
     d = d.select("doc_id", _words().alias("toks"))
     n_chunks = F.expr(f"(size(toks) + {k - 1}) div {k}")
@@ -363,7 +365,7 @@ def _chunk_dedup(d):
     # partition (sf0.1: 1.06 s vs 1.25 s, and the gap widens with
     # duplication rate; n_chunks rides along — constant per doc, it
     # never affects the struct ordering).
-    kept = (
+    return (
         chunks.groupBy("chunk")
         .agg(F.min(F.struct("doc_id", "pos", "n_chunks")).alias("f"))
         .select(
@@ -373,6 +375,12 @@ def _chunk_dedup(d):
             F.col("f.n_chunks").alias("n_chunks"),
         )
     )
+
+
+def _chunk_dedup(d):
+    """Global first-occurrence chunk dedup + per-doc reassembly over any
+    (doc_id, text) DataFrame — see dedup_chunks_global for semantics."""
+    kept = _chunk_kept(d)
     reassembled = F.concat_ws(
         " ",
         F.transform(
@@ -1182,3 +1190,138 @@ def quality_shannon_entropy(spark, sf_dir):
             .alias("entropy_ratio"),
         )
     )
+
+
+@query(
+    "curate_lineage_manifest",
+    sql=f"""
+    WITH s AS ({_STATS_SQL}),
+    keep AS (
+      SELECT doc_id FROM s
+      WHERE n_words BETWEEN 20 AND 400
+        AND mean_word_len BETWEEN 2 AND 8
+        AND stop_fraction >= 0.03
+        AND distinct_ratio >= 0.35
+    ),
+    d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM d1 GROUP BY source
+    ),
+    d2 AS (
+      SELECT d1.* FROM d1 JOIN m USING (source)
+      WHERE NOT (4 * (d1.n_chars * m.n - m.s1) * (d1.n_chars * m.n - m.s1)
+                 > 9 * (m.n * m.s2 - m.s1 * m.s1))
+    ),
+    d3 AS (
+      SELECT * FROM d2
+      WHERE substr(md5(text), 1, 4) <
+            CASE lang WHEN 'en' THEN '8000' ELSE '2000' END
+    ),
+    {_CHUNK_DEDUP_SQL.format(src="d3", k=_CHUNK, pad=_CHUNK - 1)},
+    cnt AS (
+      SELECT (SELECT count(*) FROM documents) AS c0,
+             (SELECT count(*) FROM d1) AS c1,
+             (SELECT count(*) FROM d2) AS c2,
+             (SELECT count(*) FROM d3) AS c3,
+             (SELECT count(DISTINCT doc_id) FROM kept) AS c4
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(rows_in - rows_out AS BIGINT) AS rows_dropped
+    FROM (
+      SELECT 0 AS stage_idx, 'ingest' AS stage, c0 AS rows_in, c0 AS rows_out FROM cnt
+      UNION ALL SELECT 1, 'gopher_filter', c0, c1 FROM cnt
+      UNION ALL SELECT 2, 'outlier_zscore', c1, c2 FROM cnt
+      UNION ALL SELECT 3, 'hash_sample', c2, c3 FROM cnt
+      UNION ALL SELECT 4, 'chunk_dedup', c3, c4 FROM cnt
+    )
+    """,
+    tags=("quality", "curation", "lineage", "audit", "capstone"),
+)
+def curate_lineage_manifest(spark, sf_dir):
+    """Per-stage lineage/audit manifest for the curation capstone — the
+    datasheet's per-stage sibling (VERDICT r11 task 7b): one row per
+    pipeline stage of `curate_pipeline_full` recording rows in, rows
+    out, and rows dropped, so a 100 TB curation run ships an auditable
+    record of WHERE its corpus shrank (the per-stage funnel every
+    training-data datasheet states; cf. Gopher/Dolma data cards).
+
+    Stages (identical operators/thresholds to `curate_pipeline_full`):
+    ingest → Gopher rule filter → per-source z-score outlier cut →
+    per-language weighted hash sample → global chunk dedup (a doc
+    survives if ≥1 of its chunks is a first occurrence).
+
+    Shape: each intermediate frame is localCheckpointed once and its
+    single-row count aggregate cross-joined into one manifest row set
+    via ``stack`` — five single-row broadcasts, no data-row collects;
+    the expensive stages run ONCE (the checkpoint shares them between
+    the count branch and the next stage's input). At 100 TB a real run
+    would fold these counts into the write job's task metrics instead
+    of a second action; the declarative form here is what the oracle
+    can replay end-to-end.
+    """
+    docs = T(spark, sf_dir, "documents")
+    w = F.col("_w")
+    n = F.size(w).cast("double")
+    is_stop = lambda t: t.isin(*_STOP)  # noqa: E731
+    st = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars", _words().alias("_w")
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        ((F.length("text").cast("double") - n + 1) / n).alias("mean_word_len"),
+        (F.size(F.filter(w, is_stop)).cast("double") / n).alias("stop_fraction"),
+        (F.size(F.array_distinct(w)).cast("double") / n).alias("distinct_ratio"),
+    )
+    d1 = (
+        st.where(
+            F.col("n_words").between(20, 400)
+            & F.col("mean_word_len").between(2, 8)
+            & (F.col("stop_fraction") >= 0.03)
+            & (F.col("distinct_ratio") >= 0.35)
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=False)
+    )
+    m = d1.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    dev = F.col("n_chars") * F.col("n") - F.col("s1")
+    d2 = (
+        d1.join(F.broadcast(m), "source")
+        .where(
+            ~(4 * dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    thresh = F.when(F.col("lang") == "en", "8000").otherwise("2000")
+    d3 = d2.where(F.substring(F.md5("text"), 1, 4) < thresh).localCheckpoint(
+        eager=False
+    )
+    surv = _chunk_kept(par(d3)).select("doc_id").distinct()
+    c0 = docs.agg(F.count("*").alias("c0"))
+    c1 = d1.agg(F.count("*").alias("c1"))
+    c2 = d2.agg(F.count("*").alias("c2"))
+    c3 = d3.agg(F.count("*").alias("c3"))
+    c4 = surv.agg(F.count("*").alias("c4"))
+    row = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3).crossJoin(c4)
+    return row.selectExpr(
+        """stack(5,
+           0L, 'ingest',         c0, c0,
+           1L, 'gopher_filter',  c0, c1,
+           2L, 'outlier_zscore', c1, c2,
+           3L, 'hash_sample',    c2, c3,
+           4L, 'chunk_dedup',    c3, c4
+        ) AS (stage_idx, stage, rows_in, rows_out)"""
+    ).withColumn("rows_dropped", F.col("rows_in") - F.col("rows_out"))

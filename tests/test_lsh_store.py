@@ -175,3 +175,23 @@ def test_store_judge_plan_joins_sigs_above_collision(spark, tmp_path):
     assert min(agg_idx) < min(sig_idx), (
         "sigs scan is below the collision join (sig replication):\n" + plan
     )
+
+
+def test_index_freshness_appends_are_visible(spark):
+    """The freshness capstone's core claim, asserted directly: appended
+    rows are visible to post-append reads. LSH side — every banded
+    %3==2 doc gets a verdict against the {0,1} store and near-dups of
+    the APPENDED (%3==1) third are flagged; ANN side — the top-k can
+    retrieve odd (appended) vec_ids."""
+    from etl_github_spark.queries.freshness import pipeline_index_freshness
+
+    rows = pipeline_index_freshness(spark, SF_SMALL).collect()
+    lsh = {r["id"]: (r["score"], r["flag"]) for r in rows if r["stage"] == "lsh_judge"}
+    ann = [r["id"] for r in rows if r["stage"] == "ann_topk"]
+    docs = _docs(spark)
+    n_banded = docs.where(
+        "doc_id % 3 = 2 AND size(split(text, ' ')) >= 3"
+    ).count()
+    assert len(lsh) == n_banded and all(k % 3 == 2 for k in lsh)
+    assert len(ann) == 10
+    assert any(v % 2 == 1 for v in ann), "appended (odd) vectors not retrievable"

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from etl_github_spark.queries.quality import _CHUNK, _EMAIL, _IPV4, _LONGNUM
 
+from .conftest import SF_SMALL
+
 
 def _redact(col):
     return F.regexp_replace(
@@ -143,3 +145,30 @@ def test_profile_variants_agree(spark):
     ma = rows_to_multiset(a.columns, [tuple(r) for r in a.collect()])
     mb = rows_to_multiset(b.columns, [tuple(r) for r in b.collect()])
     assert ma == mb
+
+
+def test_lineage_manifest_funnel_invariants(spark):
+    """The lineage manifest must be a consistent funnel: 5 stages,
+    rows_in of stage k == rows_out of stage k-1, counts non-negative
+    and non-increasing through the filter stages, and the terminal
+    rows_out equal to curate_pipeline_full's surviving-doc count (the
+    manifest audits THAT pipeline, so the two must agree)."""
+    from etl_github_spark.queries.quality import (
+        curate_lineage_manifest,
+        curate_pipeline_full,
+    )
+
+    rows = sorted(
+        (r["stage_idx"], r["stage"], r["rows_in"], r["rows_out"], r["rows_dropped"])
+        for r in curate_lineage_manifest(spark, SF_SMALL).collect()
+    )
+    assert [r[1] for r in rows] == [
+        "ingest", "gopher_filter", "outlier_zscore", "hash_sample", "chunk_dedup"
+    ]
+    for (i, (_, _, rin, rout, dropped)) in enumerate(rows):
+        assert dropped == rin - rout and rout >= 0
+        if i:
+            assert rin == rows[i - 1][3]  # the funnel chains
+            assert rout <= rin
+    survivors = curate_pipeline_full(spark, SF_SMALL).count()
+    assert rows[-1][3] == survivors
