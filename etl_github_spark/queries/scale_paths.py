@@ -2819,3 +2819,81 @@ def sim_ivf_autok_topk(spark, sf_dir):
     return sim_ivf_kmeans_topk(
         spark, sf_dir, k=_auto_k(n), nprobe=_auto_nprobe(n)
     )
+
+
+def _ivfpq_rerank_sql(shortlist: int = 50, topk: int = 10) -> str:
+    """DuckDB twin of :func:`sim_ivfpq_rerank_exact`: the full residual
+    IVF-PQ chain trimmed to a ``shortlist``-sized candidate set, then
+    the exact squared-L2 rerank over raw (double-cast) vectors — the
+    same index-order left fold `_sqdist_sql` states."""
+    return f"""
+    WITH short AS (
+      SELECT vec_id FROM ({_ivfpq_residual_sql(topk=shortlist)})
+    ),
+    x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT e AS qe FROM x WHERE vec_id = 0)
+    SELECT s.vec_id, {_sqdist_sql("e", "qe")} AS exact_d2
+    FROM short s JOIN x USING (vec_id), q
+    ORDER BY exact_d2, vec_id
+    LIMIT {topk}
+    """
+
+
+@query(
+    "sim_ivfpq_rerank_exact",
+    sql=_ivfpq_rerank_sql(),
+    tags=("similarity", "topk", "ivf", "pq", "residual", "rerank"),
+)
+def sim_ivfpq_rerank_exact(spark, sf_dir, k: int = 8, nprobe: int = 3,
+                           m: int = 16, ksub: int = 64,
+                           shortlist: int = 50):
+    """Two-stage retrieval — the production ANN serving shape FAISS
+    calls refine/rerank: the compressed index (residual IVF-PQ, ADC
+    scores) prunes the corpus to a ``shortlist`` of candidates, then
+    EXACT squared-L2 on the raw vectors reranks just those 50 for the
+    final top-10. PQ distances are biased by quantization error; the
+    rerank removes that bias from the returned ranking while the index
+    still does all the pruning.
+
+    Scale shape: stage 1 touches nprobe cells of 16-byte codes (the
+    `sim_ivfpq_residual_topk` plan, sampled fits, k-row metadata
+    collects only); stage 2 fetches exactly ``shortlist`` raw vectors
+    by id — a broadcast semi-join against the vector table, never a
+    second corpus scan of full-precision data. The exact distance is
+    the shared index-order left fold, so both engines rank
+    identically (ties broken by vec_id).
+    """
+    from ..io.ivf_store import probe_cells
+
+    raw = par(T(spark, sf_dir, "embeddings"))
+    centroids = lloyd_fit(raw, k=k, iters=3)
+    q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    probe = probe_cells(centroids, q_raw, nprobe)
+
+    res = residual_frame(spark, raw, centroids)
+    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
+    tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
+    cand = res.where(F.col("cell").isin([int(c) for c in probe]))
+    coded = pq_encode(cand.select("vec_id", "cell", "embedding"), books)
+    short = adc_score_topk(coded, probe, tab, m, topk=shortlist).select("vec_id")
+
+    q_arr = F.array(*[F.lit(float(v)) for v in q_raw])
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda v: v.cast("double")),
+            q_arr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        F.broadcast(short)
+        .join(raw.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", exact_d2.alias("exact_d2"))
+        .orderBy("exact_d2", "vec_id")
+        .limit(10)
+    )
