@@ -17,14 +17,14 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 12 (per VERDICT r11 tasks 1, 2, 7): 12 promotions —
+# staleness. Round 12 (per VERDICT r11 tasks 1, 2, 7): 11 promotions —
 # the two NEW capstones (curate_lineage_manifest, the per-stage
 # lineage/audit funnel of the curation pipeline;
 # pipeline_index_freshness, the build→append→judge/retrieve freshness
 # contract across the LSH band store AND the IVF-PQ store under one
-# hash), two NEW production-shape ops (lm_pack_sequences, GPT-style
-# per-shard sequence packing; sim_ivfpq_rerank_exact, PQ-shortlist →
-# exact-rerank two-stage retrieval), plus the eight queries whose
+# hash), one NEW production-shape op (sim_ivfpq_rerank_exact,
+# PQ-shortlist → exact-rerank two-stage retrieval — the FAISS refine
+# step over the residual IVF-PQ index), plus the eight queries whose
 # execution paths this round's
 # store/streaming restructure touched: the dedup_lsh_store_* lifecycle
 # quartet (sigs/ is now hash-bucket partitioned; store_judge_docs
@@ -44,7 +44,6 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 _R12_PROMOTED = [
     "curate_lineage_manifest",
     "pipeline_index_freshness",
-    "lm_pack_sequences",
     "sim_ivfpq_rerank_exact",
     "dedup_lsh_store_pairs",
     "dedup_lsh_store_upsert",
@@ -59,7 +58,6 @@ _R12_PROMOTED = [
 _R12_WINDOW = [
     "curate_lineage_manifest",  # never driver-verified (promoted)
     "pipeline_index_freshness",  # never driver-verified (promoted)
-    "lm_pack_sequences",  # never driver-verified (promoted)
     "sim_ivfpq_rerank_exact",  # never driver-verified (promoted)
     "dedup_lsh_store_pairs",  # green r11
     "dedup_lsh_store_upsert",  # green r11
@@ -107,6 +105,7 @@ _R12_WINDOW = [
     "join_salted_hotkey",  # green r04
     "sim_label_centroids_quantized",  # green r04
     "text_fuzzy_join_qgram",  # green r04
+    "sim_topk_int8",  # green r04
 ]
 
 

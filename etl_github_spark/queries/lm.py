@@ -726,75 +726,3 @@ def curate_domain_weights_lm(spark, sf_dir):
         (F.col("mean_q9").cast("double") / F.col("denom")).alias("weight"),
     )
 
-
-_SEQ_LEN = 128  # packed-sequence length in whitespace tokens (toy scale:
-# production packs 2k-8k BPE tokens; the assignment math is identical)
-
-
-@query(
-    "lm_pack_sequences",
-    sql=f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum
-      FROM t
-    )
-    SELECT doc_id, source, n_tokens,
-           CAST(cum - n_tokens AS BIGINT) AS start_offset,
-           CAST((cum - n_tokens) // {_SEQ_LEN} AS BIGINT) AS seq_first,
-           CAST((cum - 1) // {_SEQ_LEN} AS BIGINT) AS seq_last,
-           (cum - n_tokens) // {_SEQ_LEN} <> (cum - 1) // {_SEQ_LEN}
-             AS crosses_boundary
-    FROM c
-    """,
-    tags=("lm", "text", "packing"),
-)
-def lm_pack_sequences(spark, sf_dir):
-    """GPT-style sequence packing plan: concatenate documents in doc_id
-    order and cut the token stream into fixed-length training sequences
-    (docs cross boundaries — the standard "document concatenation"
-    packing most LM pretraining uses). Emits each document's placement:
-    absolute token offset, first/last sequence index, and whether it
-    straddles a boundary (the rows a loss-masking dataloader needs).
-
-    Scale shape: the running offset is a window PARTITIONED BY source —
-    each shard packs independently (one shuffle on the shard key, then
-    a per-partition running sum), which is exactly how a 100 TB corpus
-    packs in production: per-shard offsets, never a global single-
-    partition prefix sum. Whitespace tokens stand in for BPE counts
-    (`text_chunk_tokens` makes the same substitution); the assignment
-    arithmetic — cumsum, integer div, boundary test — is tokenizer-
-    agnostic.
-    """
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    c = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", "source", n_tokens.alias("n_tokens"))
-        .withColumn("cum", F.sum("n_tokens").over(w))
-    )
-    start = F.col("cum") - F.col("n_tokens")
-    return c.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        start.alias("start_offset"),
-        F.expr(f"(cum - n_tokens) div {_SEQ_LEN}").alias("seq_first"),
-        F.expr(f"(cum - 1) div {_SEQ_LEN}").alias("seq_last"),
-        (
-            F.expr(f"(cum - n_tokens) div {_SEQ_LEN}")
-            != F.expr(f"(cum - 1) div {_SEQ_LEN}")
-        ).alias("crosses_boundary"),
-    )

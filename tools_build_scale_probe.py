@@ -15,6 +15,7 @@ Recipe (documented in ARCHITECTURE.md since round 3):
 * dimension tables — copied as-is.
 
 Usage: python tools_build_scale_probe.py [src_sf_dir] [dest_dir]
+       [--replicas N] [--only documents]
 """
 
 from __future__ import annotations
@@ -64,8 +65,19 @@ def main() -> None:
     if "--gz-probe" in sys.argv:
         gz_probe()
         return
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dest = sys.argv[2] if len(sys.argv) > 2 else ".scale_probe"
+    argv = list(sys.argv[1:])
+    replicas = REPLICAS
+    only = None
+    if "--replicas" in argv:  # e.g. --replicas 100 for the 100x probe
+        i = argv.index("--replicas")
+        replicas = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--only" in argv:  # build a single table (documents for LSH probes)
+        i = argv.index("--only")
+        only = argv[i + 1]
+        del argv[i : i + 2]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    dest = argv[1] if len(argv) > 1 else ".scale_probe"
     spark = get_spark("scale-probe-build")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,7 +86,7 @@ def main() -> None:
     docs = load_table(spark, src, "documents")
     off = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = [docs]
-    for i in range(1, REPLICAS):
+    for i in range(1, replicas):
         parts.append(
             docs.select(
                 (F.col("doc_id") + i * off).alias("doc_id"),
@@ -88,12 +100,15 @@ def main() -> None:
     for p in parts[1:]:
         u = u.unionByName(p)
     u.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+    if only == "documents":
+        print(f"probe corpus (documents only, {replicas}x) written to {dest}")
+        return
 
     emb = load_table(spark, src, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     voff = emb.agg(F.max("vec_id")).first()[0] + 1
     eparts = [emb]
-    for i in range(1, REPLICAS):
+    for i in range(1, replicas):
         rot = F.concat(
             F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
         )
@@ -113,7 +128,7 @@ def main() -> None:
     eoff = ev.agg(F.max("event_id")).first()[0] + 1
     uoff = ev.agg(F.max("user_id")).first()[0] + 1
     evp = [ev]
-    for i in range(1, REPLICAS):
+    for i in range(1, replicas):
         evp.append(
             ev.withColumn("event_id", F.col("event_id") + i * eoff).withColumn(
                 "user_id", F.col("user_id") + i * uoff
@@ -135,7 +150,7 @@ def main() -> None:
     # the growth factor we actually want to measure.
     poff = li.agg(F.max("l_partkey")).first()[0] + 1
     op, lp = [orders], [li]
-    for i in range(1, REPLICAS):
+    for i in range(1, replicas):
         op.append(
             orders.withColumn("o_orderkey", F.col("o_orderkey") + i * ooff)
             .withColumn("o_custkey", F.col("o_custkey") + i * coff)
