@@ -312,3 +312,65 @@ def store_judge_docs(spark: SparkSession, path: str, docs: DataFrame) -> DataFra
             ),
         )
     )
+
+
+def store_delta_pairs(spark: SparkSession, path: str, docs: DataFrame) -> DataFrame:
+    """Incremental near-dup pair maintenance: ONLY the pairs that touch
+    an arriving batch — batch×store collisions plus batch-internal
+    collisions — never a recompute of the store's own self-join. This
+    is how a 100 TB corpus keeps a duplicate-pair (or dup-graph) table
+    current: the full `store_neardup_pairs` self-join is a once-ever
+    bootstrap; every later batch pays O(batch band rows + collisions),
+    and `delta ∪ previous-pairs = pairs(store ∪ batch)` exactly
+    (pinned by pytest) because banding is fit-free.
+
+    Same join discipline as :func:`store_judge_docs`: skinny band rows
+    collide first, candidates reduce to DISTINCT ordered (doc_a,
+    doc_b), signatures attach once per candidate pair from the union
+    of `sigs/` and the batch's own signature frame. Output schema and
+    threshold are exactly `store_neardup_pairs`'s (est_jaccard >= 0.5),
+    so downstream consumers cannot tell delta rows from bootstrap
+    rows. Assumes batch doc_ids are disjoint from the store's (the
+    append contract)."""
+    from ..queries.dedup import _N_HASHES
+
+    _check_family(path)
+    inc_bands, inc_sigs = _band_frames(docs)
+    inc_sigs = inc_sigs.select("doc_id", "sig")
+    store_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("s_doc"), "band", "bucket"
+    )
+    cross = (
+        inc_bands.join(store_bands, ["band", "bucket"])
+        .select(
+            F.least("doc_id", "s_doc").alias("doc_a"),
+            F.greatest("doc_id", "s_doc").alias("doc_b"),
+        )
+    )
+    a, b = inc_bands.alias("a"), inc_bands.alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = cross.unionByName(intra).distinct()
+    sigs = _read_sigs(spark, path).unionByName(inc_sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / _N_HASHES).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )

@@ -17,14 +17,16 @@ from .registry import QUERIES, oracle_map, query_map  # noqa: F401
 # and paste its stdout here. Ordering: latest-red first (fixes must
 # re-verify), then promoted names (this round's must-verify additions),
 # then never-driver-verified in registry add-order, then green by
-# staleness. Round 12 (per VERDICT r11 tasks 1, 2, 7): 11 promotions —
+# staleness. Round 12 (per VERDICT r11 tasks 1, 2, 7): 12 promotions —
 # the two NEW capstones (curate_lineage_manifest, the per-stage
 # lineage/audit funnel of the curation pipeline;
 # pipeline_index_freshness, the build→append→judge/retrieve freshness
 # contract across the LSH band store AND the IVF-PQ store under one
-# hash), one NEW production-shape op (sim_ivfpq_rerank_exact,
+# hash), two NEW production-shape ops (sim_ivfpq_rerank_exact,
 # PQ-shortlist → exact-rerank two-stage retrieval — the FAISS refine
-# step over the residual IVF-PQ index), plus the eight queries whose
+# step over the residual IVF-PQ index; dedup_lsh_store_delta,
+# incremental pair maintenance whose delta ∪ bootstrap = full-corpus
+# pairs identity is pytest-pinned), plus the eight queries whose
 # execution paths this round's
 # store/streaming restructure touched: the dedup_lsh_store_* lifecycle
 # quartet (sigs/ is now hash-bucket partitioned; store_judge_docs
@@ -45,6 +47,7 @@ _R12_PROMOTED = [
     "curate_lineage_manifest",
     "pipeline_index_freshness",
     "sim_ivfpq_rerank_exact",
+    "dedup_lsh_store_delta",
     "dedup_lsh_store_pairs",
     "dedup_lsh_store_upsert",
     "dedup_lsh_store_compact",
@@ -59,6 +62,7 @@ _R12_WINDOW = [
     "curate_lineage_manifest",  # never driver-verified (promoted)
     "pipeline_index_freshness",  # never driver-verified (promoted)
     "sim_ivfpq_rerank_exact",  # never driver-verified (promoted)
+    "dedup_lsh_store_delta",  # never driver-verified (promoted)
     "dedup_lsh_store_pairs",  # green r11
     "dedup_lsh_store_upsert",  # green r11
     "dedup_lsh_store_compact",  # green r11
@@ -105,7 +109,6 @@ _R12_WINDOW = [
     "join_salted_hotkey",  # green r04
     "sim_label_centroids_quantized",  # green r04
     "text_fuzzy_join_qgram",  # green r04
-    "sim_topk_int8",  # green r04
 ]
 
 

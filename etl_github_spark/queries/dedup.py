@@ -2093,3 +2093,65 @@ def dedup_lsh_store_judge(spark, sf_dir):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long, max_agree long, kept boolean")
+
+
+def _md5_lsh_delta_sql() -> str:
+    """DuckDB twin of :func:`dedup_lsh_store_delta`: the canonical
+    est-SQL restricted to pairs TOUCHING the odd-id batch — exactly the
+    rows the incremental maintenance call must produce on top of the
+    even-store bootstrap."""
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH {_md5_lsh_cte()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({agree}) AS DOUBLE) / {_N_HASHES} AS est_jaccard
+    FROM cand c
+    JOIN sig a ON c.doc_a = a.doc_id
+    JOIN sig b ON c.doc_b = b.doc_id
+    WHERE ({agree}) * 2 >= {_N_HASHES}
+      AND (c.doc_a % 2 = 1 OR c.doc_b % 2 = 1)
+    """
+
+
+@query(
+    "dedup_lsh_store_delta",
+    sql=_md5_lsh_delta_sql(),
+    tags=("dedup", "neardup", "lsh", "storage", "incremental"),
+)
+def dedup_lsh_store_delta(spark, sf_dir):
+    """Incremental pair maintenance under the driver hash: the even-id
+    corpus is indexed once, then the odd-id batch arrives and
+    `io/lsh_store.py::store_delta_pairs` emits ONLY the pairs touching
+    the batch (batch×store collisions + batch-internal collisions) —
+    the rows that, unioned with the store's bootstrap pairs, equal the
+    full-corpus `dedup_minhash_lsh` result exactly (that identity is
+    pinned by pytest; the oracle here replays the delta rows alone via
+    the canonical est-SQL restricted to odd-touching pairs).
+
+    This is the steady-state shape for a 100 TB duplicate-pair table:
+    the corpus self-join runs once as bootstrap; every ingest batch
+    pays O(batch band rows + collisions) — collision join over skinny
+    band rows first, distinct candidates, one signature attach — and
+    appends its delta rows. Nothing ever recomputes the store's own
+    self-join.
+    """
+    import shutil
+    import tempfile
+
+    from ..io.lsh_store import store_delta_pairs, write_bands_store
+
+    docs = par(T(spark, sf_dir, "documents"))
+    path = tempfile.mkdtemp(prefix="lsh_delta_")
+    try:
+        write_bands_store(docs.where(F.col("doc_id") % 2 == 0), path)
+        out = store_delta_pairs(
+            spark, path, docs.where(F.col("doc_id") % 2 == 1)
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_a long, doc_b long, est_jaccard double"
+    )

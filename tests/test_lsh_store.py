@@ -195,3 +195,30 @@ def test_index_freshness_appends_are_visible(spark):
     assert len(lsh) == n_banded and all(k % 3 == 2 for k in lsh)
     assert len(ann) == 10
     assert any(v % 2 == 1 for v in ann), "appended (odd) vectors not retrievable"
+
+
+def test_delta_pairs_union_bootstrap_equals_full(spark, tmp_path):
+    """The incremental-maintenance identity: delta(store, batch) ∪
+    bootstrap-pairs(store) must equal pairs(store ∪ batch) exactly —
+    rows and estimates — because banding is fit-free. A dropped
+    collision class (batch-internal or batch×store) or a double-counted
+    pair breaks this."""
+    from etl_github_spark.io.lsh_store import store_delta_pairs
+
+    docs = _docs(spark)
+    base, full = str(tmp_path / "base"), str(tmp_path / "full")
+    write_bands_store(docs.where("doc_id % 2 = 0"), base)
+    write_bands_store(docs, full)
+    bootstrap = [
+        tuple(r) for r in store_neardup_pairs(spark, base).collect()
+    ]
+    delta = [
+        tuple(r)
+        for r in store_delta_pairs(
+            spark, base, docs.where("doc_id % 2 = 1")
+        ).collect()
+    ]
+    expect = sorted(
+        tuple(r) for r in store_neardup_pairs(spark, full).collect()
+    )
+    assert sorted(bootstrap + delta) == expect and delta and bootstrap
