@@ -222,3 +222,30 @@ def test_delta_pairs_union_bootstrap_equals_full(spark, tmp_path):
         tuple(r) for r in store_neardup_pairs(spark, full).collect()
     )
     assert sorted(bootstrap + delta) == expect and delta and bootstrap
+
+
+def test_delta_pairs_plan_joins_sigs_above_collision(spark, tmp_path):
+    """store_delta_pairs must follow the same scale discipline as the
+    judge path: collision joins over skinny band rows reduce to a
+    distinct candidate set BEFORE any signature attaches."""
+    from etl_github_spark.io.lsh_store import store_delta_pairs
+
+    docs = _docs(spark)
+    path = str(tmp_path / "store")
+    write_bands_store(docs.where("doc_id % 2 = 0"), path)
+    out = store_delta_pairs(spark, path, docs.where("doc_id % 2 = 1"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Aggregate" in ln and "doc_a" in ln and "doc_b" in ln
+    ]
+    assert agg_idx, f"no distinct (doc_a, doc_b) Aggregate in plan:\n{plan}"
+    sig_idx = [
+        i for i, ln in enumerate(lines) if "Relation" in ln and "sbucket" in ln
+    ]
+    assert sig_idx, f"no sigs relation in plan:\n{plan}"
+    assert min(agg_idx) < min(sig_idx), (
+        "sigs scan is below the collision join (sig replication):\n" + plan
+    )
