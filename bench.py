@@ -299,6 +299,11 @@ EXTENDED = [
     "dedup_lsh_store_upsert",
     "dedup_lsh_store_compact",
     "dedup_lsh_store_judge",
+    # round-12 additions
+    "curate_lineage_manifest",
+    "pipeline_index_freshness",
+    "sim_ivfpq_rerank_exact",
+    "dedup_lsh_store_delta",
 ]
 
 
