@@ -23,6 +23,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lsh_store import recover_compaction  # noqa: F401 — shared swap recovery
+# (compact_ivfpq_store uses the same deferred-delete directory swap; run
+# recover_compaction(store_path) after a crash mid-compaction)
+
 
 def write_embeddings_ivf(emb: DataFrame, path: str, centroids) -> None:
     """Assign each vector to its nearest centroid and write
@@ -136,11 +140,19 @@ def compact_ivfpq_store(spark: SparkSession, path: str) -> dict:
         .mode("overwrite")
         .parquet(tmp)
     )
-    for cdir in glob.glob(os.path.join(tmp, "cell=*")):
+    # Deferred-delete swap (same crash-recovery contract as the LSH
+    # store's `_compact_partitioned`): every .old survives until ALL
+    # cells have swapped, so a crash mid-loop leaves each cell's rows
+    # in exactly one of <dir> (new) or <dir>.old (pre-compaction);
+    # `recover_compaction` restores the .old of any missing dir.
+    olds = []
+    for cdir in sorted(glob.glob(os.path.join(tmp, "cell=*"))):
         dest = os.path.join(path, os.path.basename(cdir))
         old = dest + ".old"
         shutil.move(dest, old)  # every tmp cell exists in the store
         shutil.move(cdir, dest)  # atomic publish per cell
+        olds.append(old)
+    for old in olds:
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return {"files_before": before, "files_after": _count()}

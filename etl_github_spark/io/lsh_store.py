@@ -374,3 +374,30 @@ def store_delta_pairs(spark: SparkSession, path: str, docs: DataFrame) -> DataFr
         )
         .where(F.col("est_jaccard") >= 0.5)
     )
+
+
+def recover_compaction(root: str) -> dict:
+    """Crash recovery for a directory-swap compaction (`bands/`,
+    `sigs/`, or an IVF store root): restore any ``<dir>.old`` whose
+    ``<dir>`` is missing (the crash hit between that partition's two
+    renames), delete the rest (their swap completed), and drop a
+    leftover ``*_compact_tmp`` staging dir. Idempotent; safe to run on
+    a healthy store (no-op). Returns counts of restored/deleted ``.old``
+    directories so an operator can see what the crash interrupted."""
+    import glob
+    import shutil
+
+    restored = deleted = 0
+    for old in sorted(glob.glob(os.path.join(root, "*.old"))):
+        dest = old[: -len(".old")]
+        if os.path.exists(dest):
+            shutil.rmtree(old, ignore_errors=True)
+            deleted += 1
+        else:
+            shutil.move(old, dest)
+            restored += 1
+    for tmp in glob.glob(os.path.join(root, "*_compact_tmp")) + glob.glob(
+        root + "_compact_tmp"
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"restored": restored, "deleted": deleted}

@@ -249,3 +249,37 @@ def test_delta_pairs_plan_joins_sigs_above_collision(spark, tmp_path):
     assert min(agg_idx) < min(sig_idx), (
         "sigs scan is below the collision join (sig replication):\n" + plan
     )
+
+
+def test_recover_compaction_restores_interrupted_swap(spark, tmp_path):
+    """Simulate a crash mid-swap: one band directory was moved to .old
+    but its rewrite never landed, another's swap completed but its .old
+    was not yet deleted, and the staging dir remains. recover_compaction
+    must restore the missing band from .old, drop the completed one's
+    .old, clean the staging dir, and leave the store answering queries
+    exactly as before."""
+    import shutil
+
+    from etl_github_spark.io.lsh_store import recover_compaction
+
+    path = str(tmp_path / "store")
+    docs = _docs(spark)
+    write_bands_store(docs, path)
+    before = sorted(tuple(r) for r in store_neardup_pairs(spark, path).collect())
+    bands = os.path.join(path, "bands")
+    # crash state: band=0 mid-swap (only .old exists), band=1 swap done
+    # but .old not yet deleted, staging dir still present
+    shutil.move(os.path.join(bands, "band=0"), os.path.join(bands, "band=0.old"))
+    shutil.copytree(
+        os.path.join(bands, "band=1"), os.path.join(bands, "band=1.old")
+    )
+    os.makedirs(bands + "_compact_tmp")
+    stats = recover_compaction(bands)
+    assert stats == {"restored": 1, "deleted": 1}
+    assert os.path.isdir(os.path.join(bands, "band=0"))
+    assert not os.path.exists(os.path.join(bands, "band=1.old"))
+    assert not os.path.exists(bands + "_compact_tmp")
+    after = sorted(tuple(r) for r in store_neardup_pairs(spark, path).collect())
+    assert before == after
+    # idempotent on a healthy store
+    assert recover_compaction(bands) == {"restored": 0, "deleted": 0}
