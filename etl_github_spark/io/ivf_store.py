@@ -23,9 +23,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .lsh_store import recover_compaction  # noqa: F401 — shared swap recovery
-# (compact_ivfpq_store uses the same deferred-delete directory swap; run
-# recover_compaction(store_path) after a crash mid-compaction)
+from .lsh_store import _cluster_for_write, recover_compaction  # noqa: F401
+# Shared swap recovery: compact_ivfpq_store uses the same deferred-delete
+# directory swap; after a crash mid-compaction run
+# recover_compaction(store_path) — correct HERE because ``cell=*`` lives
+# directly under the IVF store root. The adjacent LSH store partitions
+# live one level down: run it on <store>/bands AND <store>/sigs there
+# (see recover_compaction's docstring).
 
 
 def write_embeddings_ivf(emb: DataFrame, path: str, centroids) -> None:
@@ -34,9 +38,9 @@ def write_embeddings_ivf(emb: DataFrame, path: str, centroids) -> None:
     one shuffle-free kernel pass, one partitioned write."""
     from ..queries.scale_paths import assign_cells
 
-    assign_cells(emb, centroids).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(path)
+    _cluster_for_write(
+        assign_cells(emb, centroids), "cell", "vec_id"
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump([[float(v) for v in c] for c in centroids], fh)
 
@@ -76,8 +80,12 @@ def write_embeddings_ivfpq(res: DataFrame, path: str, centroids, books) -> None:
     bytes of float32×64."""
     from ..queries.scale_paths import pq_encode
 
-    pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
-        "vec_id", "codes", "cell"
+    _cluster_for_write(
+        pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
+            "vec_id", "codes", "cell"
+        ),
+        "cell",
+        "vec_id",
     ).write.partitionBy("cell").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_ivfpq_index.json"), "w") as fh:
         json.dump(
@@ -105,8 +113,12 @@ def append_embeddings_ivfpq(spark: SparkSession, new_vecs: DataFrame, path: str)
 
     centroids, books = read_ivfpq_index(path)
     res = residual_frame(spark, new_vecs, centroids)
-    pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
-        "vec_id", "codes", "cell"
+    _cluster_for_write(
+        pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
+            "vec_id", "codes", "cell"
+        ),
+        "cell",
+        "vec_id",
     ).write.partitionBy("cell").mode("append").parquet(path)
 
 
@@ -119,10 +131,16 @@ def compact_ivfpq_store(spark: SparkSession, path: str) -> dict:
     directory swap (write to ``<path>/_compact_tmp``, then swap per
     cell) so a concurrent probe never sees a half-written cell. The
     sidecar index is untouched — compaction moves bytes, never
-    semantics. Returns {"files_before": n, "files_after": m}."""
+    semantics. Idempotent after a crash: runs
+    :func:`recover_compaction` first, so a prior interrupted run's
+    ``*.old`` / ``_compact_tmp`` leftovers are healed instead of being
+    partition-discovered back into the rewrite (stale rows) or nesting
+    the new output. Returns {"files_before": n, "files_after": m}."""
     import glob
     import os
     import shutil
+
+    recover_compaction(path)
 
     def _count():
         return len(glob.glob(os.path.join(path, "cell=*", "*.parquet")))

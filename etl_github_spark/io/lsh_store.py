@@ -55,6 +55,27 @@ from pyspark.sql import functions as F
 _SIG_BUCKETS = 16
 
 
+def _cluster_for_write(df: DataFrame, part_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Cluster rows by the write-partition column (salted by a hash of
+    the id) before a ``partitionBy`` sink, so output file count tracks
+    DATA VOLUME instead of ``tasks × partition-values``.
+
+    Without this, a W-task upstream frame writes up to W files into
+    EVERY partition directory (measured at sf0.1: 256 band + 508 sig
+    files per store build, and the append commit — a per-file
+    listing/rename — dominated the whole lifecycle at ~9 s). The keyed
+    repartition has no explicit partition count, so AQE coalesces the
+    exchange by bytes: at fixture scale everything lands in 1-2 write
+    tasks (→ one file per partition dir); at 100 TB the
+    ``pmod(xxhash64(id), defaultParallelism)`` salt keeps
+    partition-value × salt keys spread across the cluster so no single
+    writer owns a whole partition (guide §6 "coalesce on write", §2.5
+    synthetic-key spread). Layout-only: readers and oracle hashes see
+    the same rows."""
+    w = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(F.col(part_col), F.pmod(F.xxhash64(id_col), F.lit(w)))
+
+
 def _family_meta() -> dict:
     from ..queries.dedup import _BAND_SIZE, _N_HASHES
 
@@ -99,12 +120,12 @@ def write_bands_store(docs: DataFrame, path: str) -> None:
     family sidecar. One scan of the corpus, map-side banding, two
     partitioned sinks."""
     bands, sigs = _band_frames(docs)
-    bands.write.partitionBy("band").mode("overwrite").parquet(
-        os.path.join(path, "bands")
-    )
-    sigs.write.partitionBy("sbucket").mode("overwrite").parquet(
-        os.path.join(path, "sigs")
-    )
+    _cluster_for_write(bands, "band").write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "bands"))
+    _cluster_for_write(sigs, "sbucket").write.partitionBy("sbucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "sigs"))
     _write_sidecar(path)
 
 
@@ -137,12 +158,12 @@ def append_bands_store(docs: DataFrame, path: str) -> None:
     built under different banding would silently miss duplicates)."""
     _check_family(path)
     bands, sigs = _band_frames(docs)
-    bands.write.partitionBy("band").mode("append").parquet(
-        os.path.join(path, "bands")
-    )
-    sigs.write.partitionBy("sbucket").mode("append").parquet(
-        os.path.join(path, "sigs")
-    )
+    _cluster_for_write(bands, "band").write.partitionBy("band").mode(
+        "append"
+    ).parquet(os.path.join(path, "bands"))
+    _cluster_for_write(sigs, "sbucket").write.partitionBy("sbucket").mode(
+        "append"
+    ).parquet(os.path.join(path, "sigs"))
 
 
 def _compact_partitioned(spark: SparkSession, root: str, part_col: str) -> None:
@@ -161,10 +182,18 @@ def _compact_partitioned(spark: SparkSession, root: str, part_col: str) -> None:
     concurrent READER between the two renames of one partition can see
     that directory absent for the duration of an ``os.rename``, which
     is the same exposure every swap-based OPTIMIZE without a
-    transaction log has."""
+    transaction log has.
+
+    Idempotence after a crash: compaction first runs
+    :func:`recover_compaction` on ``root``, so leftovers of an
+    interrupted earlier run (``*.old`` dirs that partition discovery
+    would otherwise merge back in as stale rows, or a stale
+    ``*_compact_tmp`` that ``shutil.move`` would nest new output
+    inside) are healed instead of corrupting the rewrite."""
     import glob
     import shutil
 
+    recover_compaction(root)
     tmp = root + "_compact_tmp"
     (
         spark.read.parquet(root)
@@ -193,9 +222,13 @@ def compact_bands_store(spark: SparkSession, path: str) -> dict:
     keyed repartition (parallel across partitions — sigs compaction is
     16 concurrent bucket rewrites, never one O(corpus) task) and the
     same deferred-delete directory swap (see :func:`_compact_partitioned`
-    for the crash-recovery contract). Returns {"files_before": n,
-    "files_after": m}."""
+    for the crash-recovery contract). Refuses a mismatched-family store
+    (same guard as append/judge — compacting a legacy layout would
+    otherwise die mid-rewrite with bands/ done and sigs/ untouched).
+    Returns {"files_before": n, "files_after": m}."""
     import glob
+
+    _check_family(path)
 
     def _count():
         return len(
@@ -377,8 +410,12 @@ def store_delta_pairs(spark: SparkSession, path: str, docs: DataFrame) -> DataFr
 
 
 def recover_compaction(root: str) -> dict:
-    """Crash recovery for a directory-swap compaction (`bands/`,
-    `sigs/`, or an IVF store root): restore any ``<dir>.old`` whose
+    """Crash recovery for a directory-swap compaction. ``root`` is ONE
+    partitioned-table root: for an IVF store that is the store path
+    itself (``cell=*`` lives directly under it); for an LSH store call
+    this TWICE — once on ``<store>/bands`` and once on ``<store>/sigs``
+    (calling it on the LSH store root is a silent no-op, since no
+    ``*.old``/staging dirs live there). Restore any ``<dir>.old`` whose
     ``<dir>`` is missing (the crash hit between that partition's two
     renames), delete the rest (their swap completed), and drop a
     leftover ``*_compact_tmp`` staging dir. Idempotent; safe to run on
