@@ -760,10 +760,13 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
     k-means needs distributional coverage, not the full corpus, so at
     100 TB the fit cost is a bounded fraction of one scan no matter how
     large the corpus grows. Deterministic init (the k lowest vec_ids of
-    the sample), then ``iters`` Lloyd rounds: assignment is one Arrow
-    matmul kernel pass (no shuffle), the update is one narrow
-    posexplode aggregation whose shuffle volume is k×dim rows —
-    independent of corpus size. Only the k×dim centroid matrix ever
+    the sample), then ``iters`` Lloyd rounds: one FUSED Arrow kernel
+    pass per round assigns cells and accumulates per-(cell, i)
+    scaled-integer partial sums numpy-side (`_lloyd_fit_partials`, the
+    `_pq_fit_partials` shape), so the shuffle volume is k×dim partial
+    rows per batch — independent of corpus size — and the embedding
+    arrays never cross the Arrow boundary back. Only the k×dim
+    centroid matrix ever
     reaches the driver (it IS the index metadata). Empty cells keep
     their previous centroid. Returns a numpy (k, dim) array.
 
@@ -776,28 +779,86 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
     """
     import numpy as np
 
-    fit = fit_sample(emb, fit_fraction)
+    from pyspark import StorageLevel
+
+    # the fit frame is scanned iters+1 times (init + one fused
+    # assign/update pass per round); persist it so the parquet scan +
+    # sampling filter run once, not per round (same contract as
+    # `pq_fit`'s persist: MEMORY_AND_DISK, results exact either way).
+    fit = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
     init = fit.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     centroids = np.array(
         [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
     for _ in range(iters):
+        # FUSED assign + partial update (the `_pq_fit_partials` shape,
+        # guide §2.3 "aggregate before you shuffle"): one Arrow kernel
+        # assigns cells AND accumulates per-(cell, i) scaled-integer
+        # sums numpy-side, emitting ≤ k·dim partial rows per batch. The
+        # old path shipped the full embedding array back across the
+        # Arrow boundary and posexploded it to sample×dim JVM rows per
+        # round just to re-aggregate them down to k×dim. Determinism
+        # unchanged: exact int64 sums of round-half-away(x·1e7), one
+        # IEEE division at the end — bit-identical to the previous
+        # posexplode/round()/sum() formulation and the DuckDB oracle.
         rows = (
-            assign_cells(fit, centroids)
-            .select("cell", F.posexplode("embedding").alias("i", "x"))
+            _lloyd_fit_partials(fit, centroids)
             .groupBy("cell", "i")
-            .agg(
-                (
-                    F.sum(F.round(F.col("x").cast("double") * 1e7).cast("long"))
-                    / (F.count("*") * 1e7)
-                ).alias("m")
-            )
+            .agg(F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         for r in rows:
-            centroids[r["cell"], r["i"]] = r["m"]
+            centroids[r["cell"], r["i"]] = r["tot"] / (r["cnt"] * 1e7)
+    fit.unpersist()
     return centroids
+
+
+def _lloyd_fit_partials(emb, centroids):
+    """One Lloyd round's map side, fused: per Arrow batch, assign every
+    vector to its nearest centroid (same matmul argmin as
+    `assign_cells`) and emit per-(cell, i) partial sums of
+    round-half-away(x·1e7) as int64 plus member counts. Output is
+    bounded by k·dim rows per batch regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.ascontiguousarray(centroids, dtype=np.float64)
+    k, dim = c_mat.shape
+    c_norm = (c_mat * c_mat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = -2.0 * (x @ c_mat.T) + c_norm[None, :]
+            cells = d2.argmin(axis=1)  # ties → lowest cell id
+            scaled = x * 1e7
+            xi = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int64
+            )  # round half away from zero == Spark/DuckDB round()
+            sums = np.zeros((k, dim), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, cells, xi)
+            np.add.at(cnts, cells, 1)
+            (c_idx,) = np.nonzero(cnts)
+            if len(c_idx) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(c_idx, dim).astype("int32"),
+                    "i": np.tile(np.arange(dim, dtype="int32"), len(c_idx)),
+                    "tot": sums[c_idx].reshape(-1),
+                    "cnt": np.repeat(cnts[c_idx], dim),
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(
+        run, schema="cell int, i int, tot long, cnt long"
+    )
 
 
 def _sqdist_sql(a: str, b: str, dim: int = _DIM) -> str:
