@@ -56,24 +56,14 @@ _SIG_BUCKETS = 16
 
 
 def _cluster_for_write(df: DataFrame, part_col: str, id_col: str = "doc_id") -> DataFrame:
-    """Cluster rows by the write-partition column (salted by a hash of
-    the id) before a ``partitionBy`` sink, so output file count tracks
-    DATA VOLUME instead of ``tasks × partition-values``.
+    """Single-column wrapper over :func:`io.sink.cluster_for_write`
+    (the shared salted keyed-repartition that makes output file count
+    track data volume instead of ``tasks × partition-values`` — see
+    that docstring). Measured here at sf0.1: 256 band + 508 sig files
+    per store build → 24, append 9.1 s → 2.5 s."""
+    from .sink import cluster_for_write
 
-    Without this, a W-task upstream frame writes up to W files into
-    EVERY partition directory (measured at sf0.1: 256 band + 508 sig
-    files per store build, and the append commit — a per-file
-    listing/rename — dominated the whole lifecycle at ~9 s). The keyed
-    repartition has no explicit partition count, so AQE coalesces the
-    exchange by bytes: at fixture scale everything lands in 1-2 write
-    tasks (→ one file per partition dir); at 100 TB the
-    ``pmod(xxhash64(id), defaultParallelism)`` salt keeps
-    partition-value × salt keys spread across the cluster so no single
-    writer owns a whole partition (guide §6 "coalesce on write", §2.5
-    synthetic-key spread). Layout-only: readers and oracle hashes see
-    the same rows."""
-    w = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(F.col(part_col), F.pmod(F.xxhash64(id_col), F.lit(w)))
+    return cluster_for_write(df, (part_col,), id_col)
 
 
 def _family_meta() -> dict:

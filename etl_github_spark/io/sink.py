@@ -30,6 +30,29 @@ _FORMAT = "parquet"
 _STAGING_SUFFIXES = ("__compacting", "__old")
 
 
+def cluster_for_write(
+    df: DataFrame, part_cols: tuple[str, ...], id_col: str
+) -> DataFrame:
+    """Cluster rows by the write-partition column(s) (salted by a hash
+    of ``id_col``) before a ``partitionBy`` sink, so output file count
+    tracks DATA VOLUME instead of ``tasks × partition-values`` (guide
+    §6 "coalesce on write"): a W-task upstream frame otherwise writes
+    up to W files into EVERY partition directory. The keyed repartition
+    has no explicit count, so AQE coalesces the exchange by bytes — at
+    fixture scale one or two write tasks (one file per partition dir);
+    at 100 TB the ``pmod(xxhash64(id), defaultParallelism)`` salt keeps
+    partition-value × salt keys spread so no single writer owns a whole
+    partition (guide §2.5 synthetic-key spread). Layout-only: readers
+    see the same rows. Shared by the lakehouse COW rewrites here and
+    both persisted index stores (io/lsh_store, io/ivf_store)."""
+    from pyspark.sql import functions as F
+
+    w = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(
+        *[F.col(c) for c in part_cols], F.pmod(F.xxhash64(id_col), F.lit(w))
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -154,7 +177,8 @@ def merge_table(
     )
     merged = keep.unionByName(updates.select(*keep.columns))
     (
-        merged.write.mode("overwrite")
+        cluster_for_write(merged, (partition_col,), key_cols[0])
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
@@ -214,7 +238,8 @@ def delete_rows(
         str(r[0]) for r in keep.select(partition_col).distinct().collect()
     }
     (
-        keep.write.mode("overwrite")
+        cluster_for_write(keep, (partition_col,), key_cols[0])
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)

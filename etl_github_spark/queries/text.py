@@ -80,9 +80,14 @@ def text_bigram_freq(spark, sf_dir):
         .select(_words().alias("w"))
         .where(F.size(w) >= 2)
     )
+    # zip-of-slices, not transform(sequence, i -> element_at(w, i)...):
+    # the indexed-lookup form allocates a positions array and does two
+    # interpreted element_at calls per bigram — the same per-element
+    # waste _hashed_shingles shed (~6× there). Output strings identical.
+    m = F.size(w) - 1
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
