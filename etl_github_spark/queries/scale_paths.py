@@ -791,35 +791,64 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
         [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
+    dim = centroids.shape[1]
+    combine = _fit_combine(fit, ("cell", "i"))
     for _ in range(iters):
         # FUSED assign + partial update (the `_pq_fit_partials` shape,
         # guide §2.3 "aggregate before you shuffle"): one Arrow kernel
         # assigns cells AND accumulates per-(cell, i) scaled-integer
-        # sums numpy-side, emitting ≤ k·dim partial rows per batch. The
-        # old path shipped the full embedding array back across the
-        # Arrow boundary and posexploded it to sample×dim JVM rows per
-        # round just to re-aggregate them down to k×dim. Determinism
-        # unchanged: exact int64 sums of round-half-away(x·1e7), one
-        # IEEE division at the end — bit-identical to the previous
-        # posexplode/round()/sum() formulation and the DuckDB oracle.
-        rows = (
-            _lloyd_fit_partials(fit, centroids)
-            .groupBy("cell", "i")
-            .agg(F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt"))
-            .collect()
-        )
+        # sums across the WHOLE task (one ≤ k·dim emission per task,
+        # not per batch). The old path shipped the full embedding array
+        # back across the Arrow boundary and posexploded it to
+        # sample×dim JVM rows per round just to re-aggregate them down
+        # to k×dim. Determinism unchanged: exact int64 sums of
+        # round-half-away(x·1e7), one IEEE division at the end —
+        # bit-identical to the previous posexplode/round()/sum()
+        # formulation and the DuckDB oracle. The combine is fan-in
+        # adaptive (`_fit_combine`): int64 sums are order-free, so the
+        # strategy can never change the centroids.
+        rows = combine(_lloyd_fit_partials(fit, centroids))
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnts = np.zeros((k, dim), dtype=np.int64)
         for r in rows:
-            centroids[r["cell"], r["i"]] = r["tot"] / (r["cnt"] * 1e7)
+            sums[r["cell"], r["i"]] += r["tot"]
+            cnts[r["cell"], r["i"]] += r["cnt"]
+        nz = cnts > 0
+        centroids[nz] = sums[nz] / (cnts[nz] * 1e7)
     fit.unpersist()
     return centroids
+
+
+# Max per-round reduce fan-in the driver sums itself: below this many
+# upstream tasks, skip the groupBy shuffle stage and collect the
+# (already task-accumulated, ≤ groups·dim rows each) partials directly
+# — one stage per Lloyd round instead of two (measured 2.3 → 1.85 s per
+# lloyd_fit at sf0.1; same win in pq_fit). Above it, pre-reduce with
+# groupBy so the driver never receives more than ~fan-in·k·dim tiny
+# rows — the treeAggregate depth heuristic, expressed over DataFrames.
+# Partial sums are exact int64 (order-free), so both strategies are
+# bit-identical; the cutoff only picks the cheaper plan.
+_FIT_COMBINE_FANIN = 256
+
+
+def _fit_combine(fit, keys):
+    """Return a combine(partials_df) → rows callable for an iterative
+    fit round: driver-side summation of per-task partials when the fit
+    frame's task count is bounded, a pre-reducing groupBy otherwise."""
+    if fit.rdd.getNumPartitions() <= _FIT_COMBINE_FANIN:
+        return lambda partials: partials.collect()
+    aggs = [F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt")]
+    return lambda partials: partials.groupBy(*keys).agg(*aggs).collect()
 
 
 def _lloyd_fit_partials(emb, centroids):
     """One Lloyd round's map side, fused: per Arrow batch, assign every
     vector to its nearest centroid (same matmul argmin as
-    `assign_cells`) and emit per-(cell, i) partial sums of
-    round-half-away(x·1e7) as int64 plus member counts. Output is
-    bounded by k·dim rows per batch regardless of batch size."""
+    `assign_cells`) and accumulate per-(cell, i) partial sums of
+    round-half-away(x·1e7) as int64 plus member counts — ACROSS the
+    whole task, emitting once at end of iterator, so output is bounded
+    by k·dim rows per TASK regardless of row count (int64 sums are
+    order-free, so in-task accumulation is exact)."""
     import numpy as np
     import pandas as pd
 
@@ -828,6 +857,8 @@ def _lloyd_fit_partials(emb, centroids):
     c_norm = (c_mat * c_mat).sum(axis=1)
 
     def run(batches):
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -840,13 +871,10 @@ def _lloyd_fit_partials(emb, centroids):
             xi = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
                 np.int64
             )  # round half away from zero == Spark/DuckDB round()
-            sums = np.zeros((k, dim), dtype=np.int64)
-            cnts = np.zeros(k, dtype=np.int64)
             np.add.at(sums, cells, xi)
             np.add.at(cnts, cells, 1)
-            (c_idx,) = np.nonzero(cnts)
-            if len(c_idx) == 0:
-                continue
+        (c_idx,) = np.nonzero(cnts)
+        if len(c_idx) > 0:
             yield pd.DataFrame(
                 {
                     "cell": np.repeat(c_idx, dim).astype("int32"),
@@ -1409,6 +1437,7 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
         dtype=np.float64,
     )
     books = first.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    combine = _fit_combine(emb, ("s", "code", "j"))
     for _ in range(iters):
         # FUSED assign + partial-update (r7: the old path re-encoded,
         # posexploded codes×embedding to m·dim rows/vector and filtered
@@ -1426,14 +1455,18 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
         # across runs, partitionings, AND the DuckDB oracle replay
         # (round = half away from zero in both engines, replicated
         # below with sign·floor(|v|+0.5), NOT np.rint's half-even).
-        rows = (
-            _pq_fit_partials(emb, books)
-            .groupBy("s", "code", "j")
-            .agg(F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt"))
-            .collect()
-        )
+        # combine is fan-in adaptive (`_fit_combine`, the lloyd_fit
+        # note): one stage per round when the task count is bounded,
+        # groupBy pre-reduce otherwise — int64 partials are order-free,
+        # so the strategy can never change the codebooks.
+        rows = combine(_pq_fit_partials(emb, books))
+        sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+        cnts = np.zeros((m, ksub, dsub), dtype=np.int64)
         for r in rows:
-            books[r["s"], r["code"], r["j"]] = r["tot"] / (r["cnt"] * 1e7)
+            sums[r["s"], r["code"], r["j"]] += r["tot"]
+            cnts[r["s"], r["code"], r["j"]] += r["cnt"]
+        nz = cnts > 0
+        books[nz] = sums[nz] / (cnts[nz] * 1e7)
     emb.unpersist()
     return books
 
@@ -1441,9 +1474,11 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
 def _pq_fit_partials(emb, books):
     """One k-means round's map side, fused: per Arrow batch, assign
     every subvector to its nearest codeword (same einsum as
-    `pq_encode`) and emit per-(s, code, j) partial sums of
-    round-half-away(x·1e7) as int64 plus member counts. Output is
-    bounded by m·ksub·dsub rows per batch regardless of batch size."""
+    `pq_encode`) and accumulate per-(s, code, j) partial sums of
+    round-half-away(x·1e7) as int64 plus member counts — ACROSS the
+    whole task, emitting once at end of iterator, so output is bounded
+    by m·ksub·dsub rows per TASK regardless of row count (int64 sums
+    are order-free, so in-task accumulation is exact)."""
     import numpy as np
     import pandas as pd
 
@@ -1452,6 +1487,8 @@ def _pq_fit_partials(emb, books):
     b_norm = (b * b).sum(axis=2)
 
     def run(batches):
+        sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+        cnts = np.zeros((m, ksub), dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1464,14 +1501,11 @@ def _pq_fit_partials(emb, books):
             xi = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
                 np.int64
             )  # round half away from zero == Spark/DuckDB round()
-            sums = np.zeros((m, ksub, dsub), dtype=np.int64)
-            cnts = np.zeros((m, ksub), dtype=np.int64)
             for s in range(m):
                 np.add.at(sums[s], codes[:, s], xi[:, s, :])
                 np.add.at(cnts[s], codes[:, s], 1)
-            s_idx, c_idx = np.nonzero(cnts)
-            if len(s_idx) == 0:
-                continue
+        s_idx, c_idx = np.nonzero(cnts)
+        if len(s_idx) > 0:
             yield pd.DataFrame(
                 {
                     "s": np.repeat(s_idx, dsub).astype("int32"),
