@@ -17,6 +17,8 @@ partition or fall back to decimal(38,s).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,3 +79,53 @@ def davg(c: Column | str, scale: int = 2) -> Column:
 
 def davg_sql(expr: str, scale: int = 2) -> str:
     return f"({dsum_sql(expr, scale)} / count({expr}))"
+
+
+#: Target rows per shuffle task inside iterative refinement loops — a
+#: narrow (int64 id/label/score) row is ~16-32 B in flight, so 1M rows
+#: is a 16-32 MB task: small enough to load-balance, large enough that
+#: task launch overhead is noise (guide §2.2 "fewer, larger reduce
+#: partitions").
+_LOOP_ROWS_PER_TASK = 1_000_000
+
+
+@contextmanager
+def loop_shuffle(spark: SparkSession, n_rows: int):
+    """Scale-adaptive shuffle width for an iterative refinement loop
+    (CC / PageRank / LPA / BFS / k-core ... — many tiny rounds over one
+    materialized frame of known size).
+
+    The session-wide ``spark.sql.shuffle.partitions`` is sized for one
+    wave of full-scan work; an iterative loop re-shuffles a (usually
+    far smaller) frontier/label frame every round, and with AQE each
+    exchange becomes its own scheduled stage — at fixture scale the
+    fixed per-task/per-stage cost dominates the round (measured: 5 CC
+    rounds over a 4k-edge graph take 14.1 s at 32 shuffle partitions
+    vs 3.7 s at 1). Deriving the width from the MEASURED row count of
+    the loop's frame (guide §2: "derive from input size, not a
+    constant tuned for either local mode or the cluster") keeps local
+    rounds at single-task cost while a 100 TB edge list still fans out
+    to ``rows / 1M`` tasks (capped at 8 waves of the cluster). Restores
+    the session value on exit — same set/restore discipline
+    `streaming_bridge._replay` uses for state-store sizing. Results
+    are partitioning-independent by construction (all loop reductions
+    here are min/max/sum over exact types), so this is layout-only.
+    """
+    sc = spark.sparkContext
+    p = max(1, min(int(n_rows) // _LOOP_ROWS_PER_TASK + 1,
+                   sc.defaultParallelism * 8))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    if p == 1:
+        # One partition leaves AQE nothing to adapt (no coalescing, no
+        # skew split within a chosen-single partition), but each
+        # exchange still becomes a separately scheduled query stage —
+        # measured 3.7 → 2.1 s over the same 5 CC rounds. Only at the
+        # provably-degenerate width; any multi-partition loop keeps AQE.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -20,22 +20,24 @@ them naively breaks in four ways this module exists to prevent:
   fast path when the layout guarantees keys never move.
 
 Scale shape: each micro-batch collapses to one row per key (window over
-the batch, which is small by definition), then applies one
-partition-pruned COW merge (`io/sink.merge_table`) and one
-partition-pruned COW delete (`io/sink.delete_rows`) — cost bounded by
-the partitions the batch touches, never the table.
+the batch, which is small by definition), then applies ONE fused
+partition-pruned COW cycle (victim discovery → survivor set → dynamic
+partition overwrite) — cost bounded by the partitions the batch
+touches, never the table.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..io.sink import delete_rows, merge_table
+from ..io.sink import cluster_for_write
 
 #: change-log op codes (Debezium-style: create/update collapse to upsert)
 UPSERT_OPS = ("I", "U")
@@ -115,8 +117,6 @@ def apply_cdc_batch(
         return
     latest = _latest_per_key(batch_df, key_cols, seq_col)
     ups = latest.where(F.col(op_col).isin(*UPSERT_OPS)).drop(op_col, seq_col)
-    del_cols = (*key_cols, partition_col) if partition_stable else key_cols
-    dels = latest.where(F.col(op_col) == DELETE_OP).select(*del_cols)
     spark = batch_df.sparkSession
     if not _has_data(path):
         # first batch bootstraps the table from the upserts alone
@@ -124,23 +124,60 @@ def apply_cdc_batch(
         # have left an artifact-only dir — same rule as stream_merge_sink)
         ups.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
-    if dels.limit(1).count() > 0:
-        delete_rows(spark, path, dels, key_cols, partition_col)
-    if ups.limit(1).count() > 0:
-        if not partition_stable:
-            # key-wide supersede: purge the key from any OTHER partition
-            # it may have lived in, then merge into its new partition.
-            # Crash between the two re-applies cleanly on redelivery
-            # (the delete finds nothing, the merge anti-joins the copy).
-            delete_rows(
-                spark, path, ups.select(*key_cols), key_cols, partition_col
+    # FUSED apply (r13, guide §2.4 "remove shuffles outright" / §1.2
+    # step 1): tombstone delete, key-wide supersede and merge previously
+    # ran as up to THREE separate COW cycles per batch (each with its
+    # own victim scan, emptiness probes, counts and rewrite — ~13 jobs,
+    # the affected partitions read and rewritten up to three times).
+    # One change batch is one logical transformation of the affected
+    # partitions, so compute the survivor set once and rewrite once.
+    # Semantics are unchanged and remain idempotent: only the latest op
+    # per key applies, a tombstone removes the key wherever it lives, an
+    # upsert replaces every prior copy of its key (partition-moving
+    # updates lose their stale copy because the OLD partition is in the
+    # affected set), absent-key deletes are no-ops, and re-applying the
+    # same batch deletes-then-reinserts identical rows (a fixpoint).
+    victims = latest.select(*key_cols).distinct()  # tombstoned ∪ superseded
+    if partition_stable:
+        # layout guarantees keys never move: the batch's own partition
+        # values bound the rewrite — no victim scan needed.
+        parts_df = latest.select(partition_col).distinct()
+    else:
+        # key-wide: find every partition any batch key currently lives
+        # in (one pruned scan, victims broadcast), plus the partitions
+        # the upserts land in.
+        hit = (
+            spark.read.parquet(path)
+            .join(F.broadcast(victims), list(key_cols))
+            .select(partition_col)
+        )
+        parts_df = hit.unionByName(ups.select(partition_col)).distinct()
+    parts = [r[0] for r in parts_df.collect()]
+    if not parts:
+        return  # no key present anywhere, nothing to insert
+    current = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
+    keep = current.join(F.broadcast(victims), list(key_cols), "left_anti")
+    merged = keep.unionByName(ups.select(*keep.columns))
+    # Dynamic overwrite only replaces partitions PRESENT in `merged`; a
+    # partition whose every row was deleted must be removed explicitly
+    # (same rule as io/sink.delete_rows). Partition values can surface
+    # as date objects on the read path but strings on the request path —
+    # compare by directory-name form.
+    kept_parts = {
+        str(r[0]) for r in merged.select(partition_col).distinct().collect()
+    }
+    (
+        cluster_for_write(merged, (partition_col,), key_cols[0])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for p in parts:
+        if str(p) not in kept_parts:
+            shutil.rmtree(
+                Path(path) / f"{partition_col}={p}", ignore_errors=True
             )
-        if _has_data(path):
-            merge_table(spark, path, ups, key_cols, partition_col)
-        else:
-            # the deletes above may have emptied the table entirely —
-            # a merge has nothing to read, so this is a re-bootstrap
-            ups.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
 def stream_cdc_apply(
