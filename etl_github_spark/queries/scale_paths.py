@@ -785,14 +785,19 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
     # assign/update pass per round); persist it so the parquet scan +
     # sampling filter run once, not per round (same contract as
     # `pq_fit`'s persist: MEMORY_AND_DISK, results exact either way).
-    fit = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
+    cached = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the cache and size the round jobs from the measured
+    # sample count (`_fit_width`): every subsequent job — init and one
+    # fused pass per round — runs over the cached sample at a width
+    # where kernel compute dominates task launch.
+    fit, width = _fit_width(cached)
     init = fit.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     centroids = np.array(
         [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
     dim = centroids.shape[1]
-    combine = _fit_combine(fit, ("cell", "i"))
+    combine = _fit_combine(width, ("cell", "i"))
     for _ in range(iters):
         # FUSED assign + partial update (the `_pq_fit_partials` shape,
         # guide §2.3 "aggregate before you shuffle"): one Arrow kernel
@@ -815,7 +820,7 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
             cnts[r["cell"], r["i"]] += r["cnt"]
         nz = cnts > 0
         centroids[nz] = sums[nz] / (cnts[nz] * 1e7)
-    fit.unpersist()
+    cached.unpersist()
     return centroids
 
 
@@ -830,12 +835,37 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
 # bit-identical; the cutoff only picks the cheaper plan.
 _FIT_COMBINE_FANIN = 256
 
+#: Rows per task for the iterative fit kernels: embedding rows are
+#: ~512 B (64 float64) so 256k rows is a ~128 MB Arrow task — large
+#: enough that the einsum/matmul dominates task launch, small enough
+#: to stream through the kernel's batch loop (guide §2.2 / §4.2).
+_FIT_ROWS_PER_TASK = 262_144
 
-def _fit_combine(fit, keys):
+
+def _fit_width(fit):
+    """Materialize the persisted fit sample and derive the round-job
+    width from its MEASURED row count (guide §2: scale-adaptive, never
+    a constant tuned for local mode): the count job doubles as the
+    cache materialization the first round would otherwise pay, and the
+    derived width replaces the `.rdd.getNumPartitions()` plan probe
+    (~0.2 s of physical planning per fit). Returns (coalesced fit
+    frame, width). Coalesce is narrow — it re-reads cached partitions,
+    never shuffles — and per-task int64 accumulation is order-free, so
+    width is layout-only."""
+    n = fit.count()
+    sc = fit.sparkSession.sparkContext
+    p = max(1, min(int(n) // _FIT_ROWS_PER_TASK + 1, sc.defaultParallelism * 8))
+    # coalesce never raises a partition count, so this is a no-op when
+    # the scan is already narrower than p — no plan probe needed.
+    return fit.coalesce(p), p
+
+
+def _fit_combine(p, keys):
     """Return a combine(partials_df) → rows callable for an iterative
     fit round: driver-side summation of per-task partials when the fit
-    frame's task count is bounded, a pre-reducing groupBy otherwise."""
-    if fit.rdd.getNumPartitions() <= _FIT_COMBINE_FANIN:
+    frame's task count ``p`` is bounded, a pre-reducing groupBy
+    otherwise."""
+    if p <= _FIT_COMBINE_FANIN:
         return lambda partials: partials.collect()
     aggs = [F.sum("tot").alias("tot"), F.sum("cnt").alias("cnt")]
     return lambda partials: partials.groupBy(*keys).agg(*aggs).collect()
@@ -1427,7 +1457,10 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
     # fit_fraction sample is still large, so spill — never recompute —
     # is the overflow path. Results are exact integers either way;
     # caching affects cost only.
-    emb = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
+    cached = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize + measure + width-size the round jobs (`_fit_width`,
+    # the lloyd_fit note).
+    emb, width = _fit_width(cached)
     dsub = _DIM // m
     # deterministic init: the ksub lowest vec_ids of the (possibly
     # sampled) fit frame — a top-k, not a scan-order head.
@@ -1437,7 +1470,7 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
         dtype=np.float64,
     )
     books = first.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
-    combine = _fit_combine(emb, ("s", "code", "j"))
+    combine = _fit_combine(width, ("s", "code", "j"))
     for _ in range(iters):
         # FUSED assign + partial-update (r7: the old path re-encoded,
         # posexploded codes×embedding to m·dim rows/vector and filtered
@@ -1467,7 +1500,7 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
             cnts[r["s"], r["code"], r["j"]] += r["cnt"]
         nz = cnts > 0
         books[nz] = sums[nz] / (cnts[nz] * 1e7)
-    emb.unpersist()
+    cached.unpersist()
     return books
 
 
