@@ -81,12 +81,16 @@ def davg_sql(expr: str, scale: int = 2) -> str:
     return f"({dsum_sql(expr, scale)} / count({expr}))"
 
 
-#: Target rows per shuffle task inside iterative refinement loops — a
-#: narrow (int64 id/label/score) row is ~16-32 B in flight, so 1M rows
-#: is a 16-32 MB task: small enough to load-balance, large enough that
-#: task launch overhead is noise (guide §2.2 "fewer, larger reduce
-#: partitions").
-_LOOP_ROWS_PER_TASK = 1_000_000
+#: Target rows per shuffle task inside iterative refinement loops.
+#: Originally 1M (sized for 16-32 MB of narrow int64 rows), which
+#: collapsed the 1.17M-edge purchase-graph loops to 1-2 tasks of REAL
+#: per-round join/aggregate work — measured SLOWER than full width
+#: (graph_label_propagation 5.4 → 9 s at p=1). 100k rows keeps genuinely
+#: tiny frames (CC labels, DBSCAN eps-graphs: ≤ 10k rows) at the
+#: measured-optimal single task while string-keyed edge loops fan out
+#: to ~½ wave (pagerank 3.9 → 3.1 s, modularity 5.5 → 4.3 s, BFS
+#: 4.6 → 3.8 s at sf0.1; see OPTIMIZATION_r13.md).
+_LOOP_ROWS_PER_TASK = 100_000
 
 
 @contextmanager
@@ -105,7 +109,8 @@ def loop_shuffle(spark: SparkSession, n_rows: int):
     the loop's frame (guide §2: "derive from input size, not a
     constant tuned for either local mode or the cluster") keeps local
     rounds at single-task cost while a 100 TB edge list still fans out
-    to ``rows / 1M`` tasks (capped at 8 waves of the cluster). Restores
+    to ``rows / _LOOP_ROWS_PER_TASK`` tasks (capped at 8 waves of the
+    cluster). Restores
     the session value on exit — same set/restore discipline
     `streaming_bridge._replay` uses for state-store sizing. Results
     are partitioning-independent by construction (all loop reductions

@@ -1582,29 +1582,52 @@ def dedup_threshold_sweep(spark, sf_dir, df_cap: int = _DF_CAP):
             F.first("b.n_sh").alias("n_b"),
         )
     )
-    hits = pairs.select(
-        F.explode(
-            F.sequence(F.lit(1).cast("int"), F.lit(9).cast("int"))
-        ).alias("threshold_decile"),
-        "doc_a",
-        "doc_b",
-        "shared",
-        "n_a",
-        "n_b",
-    ).where(
-        10 * F.col("shared")
-        >= F.col("threshold_decile") * (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    ).localCheckpoint(eager=False)
-    pc = hits.groupBy("threshold_decile").agg(
-        F.count("*").cast("long").alias("n_pairs")
+    # A pair passes decile t iff 10·shared ≥ t·union ⟺ t ≤ (10·shared)
+    # div union (union ≥ shared ≥ 1, integer t) — so instead of a 9-way
+    # explode of the pair frame + a countDistinct over its doubled
+    # union (two wide shuffles of 9×|pairs| rows), compute each pair's
+    # MAXIMUM passing decile once and read both curves off ≤9-row
+    # histograms as suffix sums: n_pairs(t) counts pairs with dec ≥ t,
+    # and a doc is flagged at t iff its BEST pair passes t, so
+    # n_docs(t) counts docs by max-over-pairs decile. Exact integer
+    # arithmetic throughout — bit-identical to the exploded form.
+    dec = F.least(
+        F.lit(9),
+        F.expr("(10 * shared) div (n_a + n_b - shared)"),
+    ).cast("int")
+    pdec = (
+        pairs.select("doc_a", "doc_b", dec.alias("dec"))
+        .where(F.col("dec") >= 1)
+        .localCheckpoint(eager=False)
     )
-    dc = (
-        hits.select("threshold_decile", F.col("doc_a").alias("d"))
-        .unionAll(hits.select("threshold_decile", F.col("doc_b").alias("d")))
-        .groupBy("threshold_decile")
-        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    pair_hist = pdec.groupBy("dec").agg(F.count("*").cast("long").alias("np"))
+    doc_hist = (
+        pdec.select(F.col("doc_a").alias("d"), "dec")
+        .unionAll(pdec.select(F.col("doc_b").alias("d"), "dec"))
+        .groupBy("d")
+        .agg(F.max("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").cast("long").alias("nd"))
     )
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("threshold_decile"))
+    pc = (
+        spine.join(
+            F.broadcast(pair_hist),
+            F.col("threshold_decile") <= F.col("dec"),
+            "left",
+        )
+        .groupBy("threshold_decile")
+        .agg(F.sum("np").cast("long").alias("n_pairs"))
+    )
+    dc = (
+        spine.join(
+            F.broadcast(doc_hist),
+            F.col("threshold_decile") <= F.col("dec"),
+            "left",
+        )
+        .groupBy("threshold_decile")
+        .agg(F.sum("nd").cast("long").alias("n_docs"))
+    )
     return (
         spine.join(F.broadcast(pc), "threshold_decile", "left")
         .join(F.broadcast(dc), "threshold_decile", "left")

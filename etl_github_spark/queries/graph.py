@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import T
+from ._util import T, loop_shuffle
 from .registry import query
 
 _SCALE = 10**12  # fixed-point rank mass (total graph mass = _SCALE)
@@ -111,54 +111,65 @@ def graph_pagerank_purchases(spark, sf_dir):
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager: the fact-table join + distinct is the full-width data
+        # work; the loop below only re-reads this materialized frame
+        .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    ncnt = nodes.agg(F.count("*").cast("long").alias("n"))
-    ranks = nodes.join(F.broadcast(ncnt)).select(
-        "node", F.expr(f"{_SCALE} div n").cast("long").alias("r")
-    )
-    for _ in range(_ITERS):
-        ranks = ranks.localCheckpoint(eager=False)
-        dang = (
-            ranks.join(
-                F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
-            )
-            .where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+    # Rounds are |nodes|-sized aggregates and joins; size their shuffle
+    # width from the measured edge count instead of the session's
+    # full-scan width (`_util.loop_shuffle`). Fixed-point ranks are
+    # order-free, so width is layout-only.
+    with loop_shuffle(spark, edges.count()):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        # rank/degree frames are |nodes|×16 B — broadcast them INTO the
-        # edge scan (the HITS rule): each round becomes a map-side join
-        # plus one combinable aggregate instead of re-shuffling the
-        # (much larger) edge list; beyond broadcastable node counts a
-        # deployment drops the hints and AQE plans the shuffle join.
-        inm = (
-            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(deg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
-            .withColumnRenamed("dst", "node")
+        deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+        ncnt = nodes.agg(F.count("*").cast("long").alias("n"))
+        ranks = nodes.join(F.broadcast(ncnt)).select(
+            "node", F.expr(f"{_SCALE} div n").cast("long").alias("r")
         )
-        ranks = (
-            nodes.join(F.broadcast(ncnt))
-            .join(F.broadcast(dang))
-            .join(inm, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"(15 * ({_SCALE} div n)) div 100"
-                    " + (85 * (coalesce(m, 0) + (dm div n))) div 100"
+        for _ in range(_ITERS):
+            ranks = ranks.localCheckpoint(eager=False)
+            dang = (
+                ranks.join(
+                    F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
                 )
-                .cast("long")
-                .alias("r"),
+                .where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
             )
-        )
+            # rank/degree frames are |nodes|×16 B — broadcast them INTO the
+            # edge scan (the HITS rule): each round becomes a map-side join
+            # plus one combinable aggregate instead of re-shuffling the
+            # (much larger) edge list; beyond broadcastable node counts a
+            # deployment drops the hints and AQE plans the shuffle join.
+            inm = (
+                edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+                .join(F.broadcast(deg), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
+                .withColumnRenamed("dst", "node")
+            )
+            ranks = (
+                nodes.join(F.broadcast(ncnt))
+                .join(F.broadcast(dang))
+                .join(inm, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"(15 * ({_SCALE} div n)) div 100"
+                        " + (85 * (coalesce(m, 0) + (dm div n))) div 100"
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+            )
+        # eager: pull every round's execution inside the loop-width
+        # scope (lazy plans would otherwise run at the final action,
+        # after the width is restored)
+        ranks = ranks.localCheckpoint()
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(_TOP)
@@ -342,16 +353,23 @@ def graph_kcore_peel(spark, sf_dir):
     )
     e = ue.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         ue.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).localCheckpoint(eager=False)
-    for _ in range(_KCORE_ROUNDS):
-        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= _KCORE_K).select("u")
-        e = (
-            e.join(keep, "u")
-            .join(keep.withColumnRenamed("u", "v"), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
+        # eager: the co-purchase self-join is the full-width data work;
+        # the peel rounds below only re-read this materialized frame
+    ).localCheckpoint()
+    # peel rounds at edge-count-derived width (the pagerank note);
+    # degree counts are order-free, so width is layout-only
+    with loop_shuffle(spark, e.count()):
+        for _ in range(_KCORE_ROUNDS):
+            deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+            keep = deg.where(F.col("deg") >= _KCORE_K).select("u")
+            e = (
+                e.join(keep, "u")
+                .join(keep.withColumnRenamed("u", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+        # eager: pull every round's execution inside the loop-width scope
+        e = e.localCheckpoint()
     return e.groupBy("u").agg(F.count("*").cast("long").alias("core_deg")).select(
         F.col("u").alias("part_id"), "core_deg"
     )
@@ -430,40 +448,48 @@ def graph_hits_bipartite(spark, sf_dir):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager: the fact-table join + distinct is the full-width data
+        # work; the loop below only re-reads this materialized frame
+        .localCheckpoint()
     )
-    h = edges.select("c").distinct().withColumn(
-        "h", F.lit(_HITS_S).cast("long")
-    )
-    an = None
-    for _ in range(_HITS_ITERS):
-        # score frames are |nodes|×16 B — broadcast them INTO the edge
-        # scan so each half-round is a map-side join + one combinable
-        # aggregate, not an edge-list shuffle (beyond broadcastable node
-        # counts a deployment drops the hint and lets AQE pick the
-        # shuffle join; the recurrence is identical either way)
-        a = (
-            edges.join(F.broadcast(h), "c")
-            .groupBy("s")
-            .agg(F.sum("h").cast("long").alias("a"))
+    # loop rounds at edge-count-derived width (the pagerank note);
+    # fixed-point scores are order-free, so width is layout-only
+    with loop_shuffle(spark, edges.count()):
+        h = edges.select("c").distinct().withColumn(
+            "h", F.lit(_HITS_S).cast("long")
         )
-        ma = a.agg(
-            F.greatest(F.expr(f"max(a) div {_HITS_S}"), F.lit(1)).alias("md")
-        )
-        an = a.join(F.broadcast(ma)).select(
-            "s", F.expr("a div md").cast("long").alias("a")
-        ).localCheckpoint(eager=False)
-        hr = (
-            edges.join(F.broadcast(an), "s")
-            .groupBy("c")
-            .agg(F.sum("a").cast("long").alias("h"))
-        )
-        mh = hr.agg(
-            F.greatest(F.expr(f"max(h) div {_HITS_S}"), F.lit(1)).alias("md")
-        )
-        h = hr.join(F.broadcast(mh)).select(
-            "c", F.expr("h div md").cast("long").alias("h")
-        ).localCheckpoint(eager=False)
+        an = None
+        for _ in range(_HITS_ITERS):
+            # score frames are |nodes|×16 B — broadcast them INTO the edge
+            # scan so each half-round is a map-side join + one combinable
+            # aggregate, not an edge-list shuffle (beyond broadcastable node
+            # counts a deployment drops the hint and lets AQE pick the
+            # shuffle join; the recurrence is identical either way)
+            a = (
+                edges.join(F.broadcast(h), "c")
+                .groupBy("s")
+                .agg(F.sum("h").cast("long").alias("a"))
+            )
+            ma = a.agg(
+                F.greatest(F.expr(f"max(a) div {_HITS_S}"), F.lit(1)).alias("md")
+            )
+            an = a.join(F.broadcast(ma)).select(
+                "s", F.expr("a div md").cast("long").alias("a")
+            ).localCheckpoint(eager=False)
+            hr = (
+                edges.join(F.broadcast(an), "s")
+                .groupBy("c")
+                .agg(F.sum("a").cast("long").alias("h"))
+            )
+            mh = hr.agg(
+                F.greatest(F.expr(f"max(h) div {_HITS_S}"), F.lit(1)).alias("md")
+            )
+            h = hr.join(F.broadcast(mh)).select(
+                "c", F.expr("h div md").cast("long").alias("h")
+            ).localCheckpoint(eager=False)
+        # eager: pull every round's execution inside the loop-width scope
+        an = an.localCheckpoint()
+        h = h.localCheckpoint()
     top_a = (
         an.orderBy(F.col("a").desc(), "s")
         .limit(_HITS_TOP)
@@ -536,35 +562,44 @@ def graph_bfs_shortest_paths(spark, sf_dir, max_hops: int = 4):
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
         )
         .distinct()
+        # eager: the fact-table join + distinct is the full-width data
+        # work; everything after iterates over this materialized frame
+        .localCheckpoint()
     )
-    edges = (
-        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        # hash-partition ONCE by the join key: the checkpointed frame
-        # keeps its outputPartitioning, so every round's frontier⋈edges
-        # join exchanges only the (small) frontier side — without this
-        # the full edge list re-shuffles every round and the whole BFS
-        # scales in O(rounds · edges) shuffle volume (measured 9.4× on
-        # the 10× probe before; edges move once after).
-        .repartition(F.col("a"))
-        .localCheckpoint(eager=False)
-    )
+    # Size every round's shuffle from the MEASURED edge count (the count
+    # is a cached-RDD job — und is already materialized; see
+    # `_util.loop_shuffle`): at the session's full-scan width the fixed
+    # per-task cost dominates the tiny frontier rounds. Distances are
+    # unique per (node, hop), so width is layout-only.
+    with loop_shuffle(spark, und.count() * 2):
+        edges = (
+            und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            # hash-partition ONCE by the join key: the checkpointed frame
+            # keeps its outputPartitioning, so every round's frontier⋈edges
+            # join exchanges only the (small) frontier side — without this
+            # the full edge list re-shuffles every round and the whole BFS
+            # scales in O(rounds · edges) shuffle volume (measured 9.4× on
+            # the 10× probe before; edges move once after).
+            .repartition(F.col("a"))
+            .localCheckpoint(eager=False)
+        )
 
-    visited = spark.createDataFrame([("C1", 0)], "node string, dist int")
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nbrs = (
-            frontier.join(edges, frontier.node == edges.a)
-            .select(F.col("b").alias("node"))
-            .distinct()
-        )
-        new = nbrs.join(visited, "node", "left_anti").select(
-            "node", F.lit(h).cast("int").alias("dist")
-        )
-        new = new.localCheckpoint()  # materialize: reused as frontier AND union arm
-        if new.isEmpty():
-            break
-        visited = visited.unionAll(new).localCheckpoint(eager=False)
-        frontier = new
+        visited = spark.createDataFrame([("C1", 0)], "node string, dist int")
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nbrs = (
+                frontier.join(edges, frontier.node == edges.a)
+                .select(F.col("b").alias("node"))
+                .distinct()
+            )
+            new = nbrs.join(visited, "node", "left_anti").select(
+                "node", F.lit(h).cast("int").alias("dist")
+            )
+            new = new.localCheckpoint()  # materialize: reused as frontier AND union arm
+            if new.isEmpty():
+                break
+            visited = visited.unionAll(new).localCheckpoint(eager=False)
+            frontier = new
     return visited
 
 
@@ -639,45 +674,56 @@ def _lpa_state(spark, sf_dir, rounds: int = 3):
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
         )
         .distinct()
+        # eager: the fact-table join + distinct is the full-width data
+        # work, and the modularity rollup re-reads `und` twice more (mm,
+        # ein) — without this each reference re-ran the whole join
+        .localCheckpoint()
     )
-    edges = (
-        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        # checkpoint only — with labels broadcast into the edge scan
-        # each round, edges never join-shuffle, so pre-partitioning by
-        # src would be a wasted exchange (contrast BFS, whose frontier
-        # join is shuffle-planned)
-        .localCheckpoint(eager=False)
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(rounds):
-        # label frame is |nodes|×2 strings — broadcast it INTO the edge
-        # scan (the pagerank/HITS rule): each round is a map-side join
-        # plus one combinable aggregate; beyond broadcastable node
-        # counts a deployment drops the hint and AQE plans the shuffle
-        votes = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"), "label")
-            .agg(F.count("*").alias("n"))
-        )
-        # argmax by (n desc, label asc) as ONE sort-free aggregate:
-        # min(struct(-n, label)) — same semantics as the oracle's
-        # row_number window, without the per-round partition sort
-        labels = (
-            votes.groupBy("node2")
-            .agg(
-                F.min(F.struct((-F.col("n")).alias("nn"), F.col("label"))).alias(
-                    "m"
-                )
-            )
-            .select(F.col("node2").alias("node"), F.col("m.label").alias("label"))
+    # loop rounds at edge-count-derived width (the pagerank note);
+    # min-struct label votes are order-free, so width is layout-only
+    with loop_shuffle(spark, und.count() * 2):
+        edges = (
+            und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            # checkpoint only — with labels broadcast into the edge scan
+            # each round, edges never join-shuffle, so pre-partitioning by
+            # src would be a wasted exchange (contrast BFS, whose frontier
+            # join is shuffle-planned)
             .localCheckpoint(eager=False)
         )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(rounds):
+            # label frame is |nodes|×2 strings — broadcast it INTO the edge
+            # scan (the pagerank/HITS rule): each round is a map-side join
+            # plus one combinable aggregate; beyond broadcastable node
+            # counts a deployment drops the hint and AQE plans the shuffle
+            votes = (
+                edges.join(F.broadcast(labels), edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"), "label")
+                .agg(F.count("*").alias("n"))
+            )
+            # argmax by (n desc, label asc) as ONE sort-free aggregate:
+            # min(struct(-n, label)) — same semantics as the oracle's
+            # row_number window, without the per-round partition sort
+            labels = (
+                votes.groupBy("node2")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("n")).alias("nn"), F.col("label"))
+                    ).alias("m")
+                )
+                .select(
+                    F.col("node2").alias("node"), F.col("m.label").alias("label")
+                )
+                .localCheckpoint(eager=False)
+            )
+        # eager: pull every round's execution inside the loop-width scope
+        labels = labels.localCheckpoint()
     return und, edges, labels
 
 
@@ -1004,74 +1050,85 @@ def graph_personalized_pagerank(spark, sf_dir):
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager: the fact-table join + distinct is the full-width data
+        # work; the loop below only re-reads this materialized frame
+        .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    seeds = (
-        T(spark, sf_dir, "customer")
-        .where(F.col("c_nationkey") == 1)
-        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
-        .distinct()
-        .join(nodes, "node")  # only seeds that exist in the graph
-        .select("node", F.lit(1).alias("is_seed"))
-        .localCheckpoint(eager=False)
-    )
-    kcnt = seeds.agg(F.count("*").cast("long").alias("k"))
-    if kcnt.first()["k"] == 0:
-        # fail loudly: k = 0 would otherwise surface as an ANSI
-        # divide-by-zero deep inside the teleport expression
-        raise ValueError(
-            "personalized pagerank: seed cohort (nation-1 customers with "
-            "purchases) is empty in this fixture — choose another cohort"
+    # loop rounds at edge-count-derived width (the pagerank note);
+    # fixed-point ranks are order-free, so width is layout-only
+    with loop_shuffle(spark, edges.count()):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-    base = nodes.join(F.broadcast(seeds), "node", "left").localCheckpoint(eager=False)
-    ranks = base.join(F.broadcast(kcnt)).select(
-        "node",
-        F.when(F.col("is_seed").isNotNull(), F.expr(f"{_SCALE} div k"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("r"),
-    )
-    for _ in range(_ITERS):
-        ranks = ranks.localCheckpoint(eager=False)
-        dang = (
-            ranks.join(
-                F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
-            )
-            .where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        )
-        inm = (
-            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(deg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
-            .withColumnRenamed("dst", "node")
-        )
-        ranks = (
-            base.join(F.broadcast(kcnt))
-            .join(F.broadcast(dang))
-            .join(inm, "node", "left")
+        deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+        seeds = (
+            T(spark, sf_dir, "customer")
+            .where(F.col("c_nationkey") == 1)
             .select(
-                "node",
-                F.when(
-                    F.col("is_seed").isNotNull(),
-                    F.expr(
-                        f"(15 * ({_SCALE} div k)) div 100"
-                        " + (85 * (coalesce(m, 0) + dm div k)) div 100"
-                    ),
-                )
-                .otherwise(F.expr("(85 * coalesce(m, 0)) div 100"))
-                .cast("long")
-                .alias("r"),
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node")
             )
+            .distinct()
+            .join(nodes, "node")  # only seeds that exist in the graph
+            .select("node", F.lit(1).alias("is_seed"))
+            .localCheckpoint(eager=False)
         )
+        kcnt = seeds.agg(F.count("*").cast("long").alias("k"))
+        if kcnt.first()["k"] == 0:
+            # fail loudly: k = 0 would otherwise surface as an ANSI
+            # divide-by-zero deep inside the teleport expression
+            raise ValueError(
+                "personalized pagerank: seed cohort (nation-1 customers with "
+                "purchases) is empty in this fixture — choose another cohort"
+            )
+        base = nodes.join(F.broadcast(seeds), "node", "left").localCheckpoint(
+            eager=False
+        )
+        ranks = base.join(F.broadcast(kcnt)).select(
+            "node",
+            F.when(F.col("is_seed").isNotNull(), F.expr(f"{_SCALE} div k"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+        for _ in range(_ITERS):
+            ranks = ranks.localCheckpoint(eager=False)
+            dang = (
+                ranks.join(
+                    F.broadcast(deg.withColumnRenamed("src", "node")), "node", "left"
+                )
+                .where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            )
+            inm = (
+                edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+                .join(F.broadcast(deg), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r div outdeg")).cast("long").alias("m"))
+                .withColumnRenamed("dst", "node")
+            )
+            ranks = (
+                base.join(F.broadcast(kcnt))
+                .join(F.broadcast(dang))
+                .join(inm, "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("is_seed").isNotNull(),
+                        F.expr(
+                            f"(15 * ({_SCALE} div k)) div 100"
+                            " + (85 * (coalesce(m, 0) + dm div k)) div 100"
+                        ),
+                    )
+                    .otherwise(F.expr("(85 * coalesce(m, 0)) div 100"))
+                    .cast("long")
+                    .alias("r"),
+                )
+            )
+        # eager: pull every round's execution inside the loop-width scope
+        ranks = ranks.localCheckpoint()
     return (
         ranks.where((F.col("r") > 0) & F.col("node").startswith("S"))
         .orderBy(F.col("r").desc(), "node")

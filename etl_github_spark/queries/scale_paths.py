@@ -1859,17 +1859,37 @@ def curate_kcenter_diversity(spark, sf_dir, k: int = 8):
     the output, so cross-kernel distance agreement is needed only for
     comparisons (the k-means oracle contract).
     """
-    emb = par(T(spark, sf_dir, "embeddings"))
-    seed = emb.where(F.col("vec_id") == 0).select("vec_id", "embedding").first()
-    sel = [(0, int(seed["vec_id"]), [float(v) for v in seed["embedding"]])]
-    for r in range(1, k):
-        far = (
-            _min_dist_to(emb, [s[2] for s in sel])
-            .orderBy(F.desc("dmin"), "vec_id")
-            .limit(1)
-            .first()
-        )
-        sel.append((r, int(far["vec_id"]), [float(v) for v in far["embedding"]]))
+    from pyspark import StorageLevel
+
+    # the corpus is scanned k times (seed lookup + one argmax round per
+    # selection); persist it once and size the round jobs from the
+    # measured row count (`_fit_width`, the lloyd_fit/pq_fit pattern) —
+    # the old per-round `par(T(...))` re-read the parquet AND paid a
+    # full-width repartition exchange every round, so at fixture scale
+    # 7 rounds of task launch dwarfed the distance kernel. Selection is
+    # a deterministic argmax over exact comparisons, so persistence and
+    # width are layout-only.
+    cached = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    emb, _ = _fit_width(cached)
+    try:
+        seed = emb.where(F.col("vec_id") == 0).first()
+        sel = [(0, int(seed["vec_id"]), [float(v) for v in seed["embedding"]])]
+        for r in range(1, k):
+            far = (
+                _min_dist_to(emb, [s[2] for s in sel])
+                .orderBy(F.desc("dmin"), "vec_id")
+                .limit(1)
+                .first()
+            )
+            sel.append(
+                (r, int(far["vec_id"]), [float(v) for v in far["embedding"]])
+            )
+    finally:
+        cached.unpersist()
     return spark.createDataFrame(
         [(r, vid) for r, vid, _ in sel], "sel_round int, vec_id long"
     ).orderBy("sel_round")
