@@ -291,11 +291,14 @@ def quality_boilerplate_ngrams(spark, sf_dir):
         .select("doc_id", _words().alias("_w"))
         .where(F.size(w) >= 3)
     )
+    # zip-of-slices, not transform(sequence, i -> element_at(w, i)): the
+    # indexed-lookup form allocates a positions array and does three
+    # interpreted element_at calls per trigram (the text_bigram_freq /
+    # _hashed_shingles lesson). Output strings identical.
+    m = F.size(w) - 2
     tris = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-        ),
+        F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m), F.slice(w, 3, m)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]),
     )
     return (
         d.select("doc_id", F.explode(tris).alias("ngram"))

@@ -905,17 +905,16 @@ def text_kneser_ney_bigram(spark, sf_dir):
         .select(F.split(F.col("text"), " ").alias("w"))
         .where(F.size(w) >= 2)
     )
-    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    # zip-of-slices, not transform(idx, i -> element_at(w, i)): the
+    # indexed-lookup form allocates a positions array and does two
+    # interpreted element_at calls per bigram (the text_bigram_freq /
+    # _hashed_shingles lesson). Output pairs identical.
+    m = F.size(w) - 1
     bg = (
         toks.select(
-            F.explode(
-                F.arrays_zip(
-                    F.transform(idx, lambda i: F.element_at(w, i)).alias("w1"),
-                    F.transform(idx, lambda i: F.element_at(w, i + 1)).alias("w2"),
-                )
-            ).alias("p")
+            F.explode(F.arrays_zip(F.slice(w, 1, m), F.slice(w, 2, m))).alias("p")
         )
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
