@@ -67,7 +67,10 @@ def stream_hourly_counts_replay(spark, sf_dir):
     return spark.createDataFrame(rows, "hour_start timestamp, event_type string, n long")
 
 
-def _replay(spark, agg_df, sink_prefix: str, mode: str = "complete"):
+def _replay(
+    spark, agg_df, sink_prefix: str, mode: str = "complete",
+    state_parts: int | None = None,
+):
     """Run a streaming aggregation to a memory sink with AvailableNow
     and return the materialized rows. Complete mode (default) holds the
     full aggregation state, so a bounded replay converges exactly to
@@ -83,12 +86,17 @@ def _replay(spark, agg_df, sink_prefix: str, mode: str = "complete"):
     fixture replay with the session default (32) pays 32 tasks × N
     state stores × N micro-batches of pure checkpoint overhead for a
     few MB of state, so the replay pins it to 4 for the stream's
-    lifetime and restores the session value after. Production
-    unbounded runs size this to the cluster (it is a per-query knob,
-    not a semantic one — results are partition-count-invariant)."""
+    lifetime and restores the session value after. Callers whose
+    per-batch work is Python state code over MANY groups (the
+    applyInPandasWithState bridges) pass a higher ``state_parts`` —
+    state partitions are also the Python-worker parallelism there, and
+    4 workers serializing thousands of per-group calls dominates the
+    replay (attribution: 4.3 → 3.3 s warm at 16). Production unbounded
+    runs size this to the cluster (it is a per-query knob, not a
+    semantic one — results are partition-count-invariant)."""
     sink = f"{sink_prefix}_{next(_SINK_IDS)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts or 4))
     try:
         q = (
             agg_df.writeStream.format("memory")
@@ -503,8 +511,13 @@ def stream_attribution_replay(spark, sf_dir):
         )
         rows = [
             tuple(r)
-            for r in _replay(spark, attribution_last_touch(stream),
-                             "stream_attr", mode="append")
+            for r in _replay(
+                spark, attribution_last_touch(stream), "stream_attr",
+                mode="append",
+                # per-user Python state calls are the batch cost; give
+                # the state shuffle one partition per core (capped)
+                state_parts=min(16, spark.sparkContext.defaultParallelism),
+            )
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)

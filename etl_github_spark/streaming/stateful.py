@@ -247,6 +247,8 @@ _ATTR_WINDOW_US = 3_600_000_000  # 1h lookback, matching the batch twin
 def _update_attr(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
     (user_id,) = key
     touch = state.get if state.exists else (None, None, None)
     out: dict[str, list] = {k.name: [] for k in ATTR_SCHEMA.fields}
@@ -257,25 +259,30 @@ def _update_attr(
         # the state (erasing the older in-window touch) before the
         # purchase reads it. Among tied touches event_id asc means the
         # highest id lands last in state = the batch (touch_id DESC)
-        # winner; tied purchases never interact.
-        pdf = pdf.assign(
-            __is_touch=(pdf["event_type"] != "purchase").astype("int8")
-        ).sort_values(["ts_us", "__is_touch", "event_id"])
-        for ev_id, etype, ts_us in zip(
-            pdf["event_id"], pdf["event_type"], pdf["ts_us"]
-        ):
-            if etype in ("click", "view"):
-                touch = (int(ev_id), str(etype), int(ts_us))
+        # winner; tied purchases never interact. Raw numpy + lexsort
+        # rather than DataFrame assign/sort_values: this function runs
+        # once per (user, batch) and the pandas forms dominated the
+        # replay's wall time (~1.9 ms vs ~0.4 ms per call).
+        ev = pdf["event_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        ts = pdf["ts_us"].to_numpy()
+        is_touch = et != "purchase"
+        for i in np.lexsort((ev, is_touch, ts)):
+            etype = et[i]
+            if etype == "click" or etype == "view":
+                touch = (int(ev[i]), str(etype), int(ts[i]))
             elif etype == "purchase":
                 tid, ttype, tts = touch
+                ts_us = int(ts[i])
                 fresh = tts is not None and 0 < ts_us - tts <= _ATTR_WINDOW_US
-                out["purchase_id"].append(int(ev_id))
+                out["purchase_id"].append(int(ev[i]))
                 out["user_id"].append(int(user_id))
                 out["attributed_event_id"].append(tid if fresh else None)
                 out["attributed_type"].append(ttype if fresh else None)
-                out["gap_us"].append(int(ts_us - tts) if fresh else None)
+                out["gap_us"].append(ts_us - tts if fresh else None)
     state.update(tuple(touch))
-    yield pd.DataFrame(out)
+    if out["purchase_id"]:  # groups with no purchases yield no frame
+        yield pd.DataFrame(out)
 
 
 def attribution_last_touch(events: DataFrame) -> DataFrame:
