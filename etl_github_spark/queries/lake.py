@@ -467,8 +467,16 @@ def lake_compact_roundtrip(spark, sf_dir):
     )
     path = _scratch("compact")
     try:
-        for i in range(5):  # five small appends per date → small-file storm
-            write_table(e.where(F.col("event_id") % 5 == i), path)
+        # small-file storm per date, produced by ONE 5-way keyed
+        # repartition write (partitionBy fans each task into every date
+        # dir → task×date small files) instead of five separate
+        # filtered appends — one scan of events instead of five
+        # sequential single-task jobs (3.0 -> 0.8 s of the entry). The
+        # storm is the FIXTURE here, not the method under test: the
+        # table content is identical as a multiset whatever the file
+        # boundaries, and append-commit semantics stay pinned by
+        # tests/test_lakehouse.py and T5.
+        write_table(e.repartition(5, F.pmod(F.col("event_id"), F.lit(5))), path)
         compact_table(spark, path, max_records_per_file=1_000_000)
         vacuum_table(path)
         out = (
