@@ -632,15 +632,44 @@ def test_perplexity_bigram_no_self_join_for_bigrams(spark):
 def test_pagerank_scalars_broadcast_topk_bounded(spark):
     """Every per-iteration scalar (N, dangling mass) joins as a 1-row
     broadcast (BroadcastNestedLoopJoin) — a cartesian there would scan
-    the rank frame per row. The contribution/rank joins are keyed
-    shuffles (SortMergeJoin is CORRECT: at 100 TB both sides are
-    graph-sized and broadcast is impossible). The final top-k must be
-    TakeOrderedAndProject, not a global sort."""
-    p = plan_of(spark, "graph_pagerank_purchases")
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p
+    the rank frame per row. The final top-k must be
+    TakeOrderedAndProject, not a global sort.
+
+    Since r13 each round materializes through localCheckpoint (the
+    measured-width loop window), so the returned frame's lineage stops
+    at a Scan ExistingRDD — the round-join shapes are only visible in
+    the PRE-checkpoint plans. Capture them by hooking localCheckpoint
+    and assert over every frame the loop materializes."""
+    # patch the CLASSIC class — `pyspark.sql.DataFrame` is the abstract
+    # base in Spark 4 and instances resolve the classic override
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    round_plans: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        round_plans.append(
+            self._jdf.queryExecution().explainString(
+                self.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        )
+        return orig(self, eager)
+
+    DataFrame.localCheckpoint = capturing
+    try:
+        p = plan_of(spark, "graph_pagerank_purchases")
+    finally:
+        DataFrame.localCheckpoint = orig
+
+    # final frame: bounded top-k over the materialized loop result
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+    # round frames: scalar joins broadcast, never cartesian
+    assert round_plans, "loop materialized no frames"
+    assert all("CartesianProduct" not in rp for rp in round_plans)
+    assert any("BroadcastNestedLoopJoin" in rp for rp in round_plans)
 
 
 def test_hll_rollup_partial_aggregates(spark):
