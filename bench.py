@@ -632,6 +632,18 @@ def main() -> None:
     spark = get_spark("etl-github-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Pre-flight quiesce (VERDICT r12 #5): the r12 canonical artifact was
+    # recorded starting at loadavg 7.3 (a pytest tail was still draining)
+    # and needed 3 self-heal passes. A loaded host at _start means every
+    # early entry is timed against the scheduler, not the plan — so wait
+    # (bounded) for the 1-min load to decay below ~1.0 before sampling.
+    # The self-heal rerun loop below stays as the backstop, not the method.
+    preflight = {"load_at_launch": _loadavg1(), "wait_sec": 0.0}
+    _deadline = time.time() + 300.0
+    while _loadavg1() > 1.0 and time.time() < _deadline:
+        time.sleep(5.0)
+        preflight["wait_sec"] = round(preflight["wait_sec"] + 5.0, 1)
+
     # JVM/codegen warm-up on a trivial action (not counted)
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
 
@@ -761,6 +773,7 @@ def main() -> None:
         "samples": samples,
         "loadavg": loadavg,   # 1-min host load at each headline query start
         "loadavg_reruns": loadavg_reruns,  # self-heal passes (load at rerun)
+        "preflight": preflight,  # launch-time load + bounded quiesce wait
         "cpus": os.cpu_count(),
         "sf": sf,
     }
