@@ -457,22 +457,16 @@ def bench_ivfpq_store_query_path(spark, sf_dir: str) -> float:
 
     from pyspark.sql import functions as F
 
-    from etl_github_spark.io.ivf_store import ivfpq_probe_topk, write_embeddings_ivfpq
+    from etl_github_spark.io.ivf_store import ivfpq_probe_topk, write_ivfpq_store
     from etl_github_spark.queries._util import T, par
-    from etl_github_spark.queries.scale_paths import (
-        lloyd_fit,
-        pq_fit,
-        residual_frame,
-    )
+    from etl_github_spark.queries.scale_paths import fit_ivfpq
 
     raw = par(T(spark, sf_dir, "embeddings"))
-    centroids = lloyd_fit(raw, k=8, iters=3)
+    centroids, books = fit_ivfpq(raw, k=8, m=16, ksub=64)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = residual_frame(spark, raw, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=16, ksub=64)
     path = tempfile.mkdtemp(prefix="ivfpq_bench_")
     try:
-        write_embeddings_ivfpq(res, path, centroids, books)
+        write_ivfpq_store(raw, path, centroids, books)
         samples = _time_fn(
             spark, lambda s, _sf: ivfpq_probe_topk(s, path, q_raw), sf_dir
         )
@@ -583,16 +577,16 @@ def bench_ivfpq_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[f
         append_embeddings_ivfpq,
         compact_ivfpq_store,
         ivfpq_probe_topk,
-        write_embeddings_ivfpq,
+        write_ivfpq_store,
     )
     from etl_github_spark.queries.scale_paths import _ivfpq_base_fit
 
-    res, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, 8, 16, 64)
+    raw_base, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, 8, 16, 64)
     root = tempfile.mkdtemp(prefix="ivfpq_ops_")
     out: dict[str, list[float]] = {}
     try:
         base = os.path.join(root, "base")
-        write_embeddings_ivfpq(res, base, centroids, books)
+        write_ivfpq_store(raw_base, base, centroids, books)
         out["sim_ivfpq_store_probe_postbuild"] = _time_fn(
             spark,
             lambda s, _sf: ivfpq_probe_topk(s, base, q_raw, nprobe=3, topk=10),

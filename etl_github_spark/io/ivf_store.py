@@ -87,6 +87,30 @@ def write_embeddings_ivfpq(res: DataFrame, path: str, centroids, books) -> None:
         "cell",
         "vec_id",
     ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    _write_ivfpq_sidecar(path, centroids, books)
+
+
+def write_ivfpq_store(raw: DataFrame, path: str, centroids, books) -> None:
+    """Build the residual IVF-PQ store straight from RAW (vec_id,
+    embedding) vectors — the r14 fused form of
+    :func:`write_embeddings_ivfpq`: assign, residual-quantize, and
+    PQ-encode run as ONE Arrow kernel pass
+    (`queries.scale_paths.residual_encode`), so the build never
+    materializes a corpus-sized residual frame and each 256-byte
+    embedding crosses the Python boundary exactly once (guide §4.2).
+    Store layout, sidecar, and every stored byte are identical to the
+    two-pass form (kernel A/B'd bit-identical at sf0.1)."""
+    from ..queries.scale_paths import residual_encode
+
+    _cluster_for_write(
+        residual_encode(raw, centroids, books).select("vec_id", "codes", "cell"),
+        "cell",
+        "vec_id",
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    _write_ivfpq_sidecar(path, centroids, books)
+
+
+def _write_ivfpq_sidecar(path: str, centroids, books) -> None:
     with open(os.path.join(path, "_ivfpq_index.json"), "w") as fh:
         json.dump(
             {
@@ -108,13 +132,14 @@ def append_embeddings_ivfpq(spark: SparkSession, new_vecs: DataFrame, path: str)
     + encode kernel pass and a partitioned append — at 100 TB the
     append touches exactly the cell directories the batch lands in.
     ``new_vecs`` is (vec_id, embedding) RAW vectors; residuals are formed
-    against the stored coarse centroids exactly like the build path."""
-    from ..queries.scale_paths import pq_encode, residual_frame
+    against the stored coarse centroids exactly like the build path —
+    assign + residual-quantize + encode fused into one Arrow pass
+    (`queries.scale_paths.residual_encode`, r14)."""
+    from ..queries.scale_paths import residual_encode
 
     centroids, books = read_ivfpq_index(path)
-    res = residual_frame(spark, new_vecs, centroids)
     _cluster_for_write(
-        pq_encode(res.select("vec_id", "cell", "embedding"), books).select(
+        residual_encode(new_vecs, centroids, books).select(
             "vec_id", "codes", "cell"
         ),
         "cell",

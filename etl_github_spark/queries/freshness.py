@@ -108,7 +108,7 @@ def pipeline_index_freshness(spark, sf_dir):
     from ..io.ivf_store import (
         append_embeddings_ivfpq,
         ivfpq_probe_topk,
-        write_embeddings_ivfpq,
+        write_ivfpq_store,
     )
     from ..io.lsh_store import (
         append_bands_store,
@@ -118,17 +118,27 @@ def pipeline_index_freshness(spark, sf_dir):
     from .scale_paths import _ivfpq_base_fit
 
     docs = par(T(spark, sf_dir, "documents"))
+    # Load (and tune() for) BOTH source tables on the MAIN thread before
+    # any pool work: T() applies the idempotent RUNTIME_CONF set via
+    # spark.conf.set, and issuing those from a pool thread would race
+    # the other half's planning (ADVICE r13) — after this line neither
+    # half touches session conf.
+    T(spark, sf_dir, "embeddings")
     lsh_path = tempfile.mkdtemp(prefix="fresh_lsh_")
     ann_path = tempfile.mkdtemp(prefix="fresh_ann_")
 
     # The two index lifecycles are INDEPENDENT (different source tables,
-    # different store roots, no shared state — neither half mutates
-    # session conf). Running them as two concurrent driver-submitted job
-    # chains (guide §2.6 "overlap independent jobs") lets each half's
-    # serial driver work (sidecar writes, collects, fit-round combines)
-    # back-fill the other's idle executors; FIFO scheduling keeps each
-    # chain's internal order. Output order stays deterministic: rows are
-    # concatenated lsh-then-ann AFTER both futures complete.
+    # different store roots, and — with the pre-load above — no session
+    # conf mutation on either path). Running them as two concurrent
+    # driver-submitted job chains (guide §2.6 "overlap independent
+    # jobs") lets each half's serial driver work (sidecar writes,
+    # collects, fit-round combines) back-fill the other's idle
+    # executors; FIFO scheduling keeps each chain's internal order.
+    # (Job descriptions are thread-local only under PySpark's default
+    # pinned-thread mode — on a non-pinned deployment the labels could
+    # cross-leak between the chains; cosmetic either way.) Output order
+    # stays deterministic: rows are concatenated lsh-then-ann AFTER
+    # both futures complete.
     def _lsh_half():
         spark.sparkContext.setJobDescription("freshness: LSH store half")
         write_bands_store(docs.where(F.col("doc_id") % 3 == 0), lsh_path)
@@ -143,10 +153,10 @@ def pipeline_index_freshness(spark, sf_dir):
 
     def _ann_half():
         spark.sparkContext.setJobDescription("freshness: IVF-PQ store half")
-        res, rest, centroids, books, q_raw = _ivfpq_base_fit(
+        base, rest, centroids, books, q_raw = _ivfpq_base_fit(
             spark, sf_dir, 8, 16, 64
         )
-        write_embeddings_ivfpq(res, ann_path, centroids, books)
+        write_ivfpq_store(base, ann_path, centroids, books)
         append_embeddings_ivfpq(spark, rest, ann_path)
         topk = ivfpq_probe_topk(spark, ann_path, q_raw, nprobe=3, topk=10)
         return [

@@ -796,22 +796,27 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
         [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
-    dim = centroids.shape[1]
+    centroids = _lloyd_rounds(fit, width, centroids, iters)
+    cached.unpersist()
+    return centroids
+
+
+def _lloyd_rounds(fit, width, centroids, iters: int):
+    """``iters`` fused Lloyd rounds over an already-persisted,
+    width-coalesced fit frame: one Arrow kernel per round assigns
+    cells AND accumulates per-(cell, i) scaled-integer sums across the
+    WHOLE task (one ≤ k·dim emission per task, not per batch — guide
+    §2.3 "aggregate before you shuffle"). Determinism: exact int64
+    sums of round-half-away(x·1e7), one IEEE division at the end —
+    bit-identical across runs, partitionings, and the DuckDB oracle.
+    The combine is fan-in adaptive (`_fit_combine`): int64 sums are
+    order-free, so the strategy can never change the centroids.
+    Mutates and returns the float64 (k, dim) centroid matrix."""
+    import numpy as np
+
+    k, dim = centroids.shape
     combine = _fit_combine(width, ("cell", "i"))
     for _ in range(iters):
-        # FUSED assign + partial update (the `_pq_fit_partials` shape,
-        # guide §2.3 "aggregate before you shuffle"): one Arrow kernel
-        # assigns cells AND accumulates per-(cell, i) scaled-integer
-        # sums across the WHOLE task (one ≤ k·dim emission per task,
-        # not per batch). The old path shipped the full embedding array
-        # back across the Arrow boundary and posexploded it to
-        # sample×dim JVM rows per round just to re-aggregate them down
-        # to k×dim. Determinism unchanged: exact int64 sums of
-        # round-half-away(x·1e7), one IEEE division at the end —
-        # bit-identical to the previous posexplode/round()/sum()
-        # formulation and the DuckDB oracle. The combine is fan-in
-        # adaptive (`_fit_combine`): int64 sums are order-free, so the
-        # strategy can never change the centroids.
         rows = combine(_lloyd_fit_partials(fit, centroids))
         sums = np.zeros((k, dim), dtype=np.int64)
         cnts = np.zeros((k, dim), dtype=np.int64)
@@ -820,7 +825,6 @@ def lloyd_fit(emb, k: int = 8, iters: int = 3, fit_fraction: float = 0.25):
             cnts[r["cell"], r["i"]] += r["cnt"]
         nz = cnts > 0
         centroids[nz] = sums[nz] / (cnts[nz] * 1e7)
-    cached.unpersist()
     return centroids
 
 
@@ -1470,28 +1474,34 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
         dtype=np.float64,
     )
     books = first.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+    books = _pq_rounds(emb, width, books, iters)
+    cached.unpersist()
+    return books
+
+
+def _pq_rounds(emb, width, books, iters: int):
+    """``iters`` fused PQ k-means rounds over an already-persisted,
+    width-coalesced fit frame (r7: the pre-fusion path re-encoded,
+    posexploded codes×embedding to m·dim rows/vector and filtered
+    15/16ths away before the shuffle): one Arrow kernel per iteration
+    assigns codes AND accumulates per-(s, code, j) scaled-integer sums
+    numpy-side — ≤ m·ksub·dsub partial rows per task, index metadata
+    instead of O(sample · m · dim) data rows.
+
+    Determinism contract: exact scaled-int64 sums (1e7 keeps 7
+    decimals of a unit-vector component; |x|≤1 ⇒ exact for any corpus
+    < 9e11 rows), integer merge order-free, one IEEE division at the
+    end — codebooks bit-identical across runs, partitionings, AND the
+    DuckDB oracle replay (round = half away from zero in both engines,
+    sign·floor(|v|+0.5), NOT np.rint's half-even). The combine is
+    fan-in adaptive (`_fit_combine`): one stage per round when the
+    task count is bounded, groupBy pre-reduce otherwise. Mutates and
+    returns the float64 (m, ksub, dsub) codebook array."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
     combine = _fit_combine(width, ("s", "code", "j"))
     for _ in range(iters):
-        # FUSED assign + partial-update (r7: the old path re-encoded,
-        # posexploded codes×embedding to m·dim rows/vector and filtered
-        # 16/16ths of them away before the shuffle — the whole fit was
-        # 3× that waste): one Arrow kernel per iteration assigns codes
-        # AND accumulates per-(s, code, j) scaled-integer sums
-        # numpy-side, emitting ≤ m·ksub·dsub tiny partial rows per
-        # batch. The shuffle is now O(batches · m·ksub·dsub) — index
-        # metadata — instead of O(sample · m · dim) data rows.
-        #
-        # Determinism contract unchanged: exact scaled-int64 sums (1e7
-        # keeps 7 decimals of a unit-vector component; |x|≤1 ⇒ exact
-        # for any corpus < 9e11 rows), integer merge order-free, one
-        # IEEE division at the end — codebooks stay bit-identical
-        # across runs, partitionings, AND the DuckDB oracle replay
-        # (round = half away from zero in both engines, replicated
-        # below with sign·floor(|v|+0.5), NOT np.rint's half-even).
-        # combine is fan-in adaptive (`_fit_combine`, the lloyd_fit
-        # note): one stage per round when the task count is bounded,
-        # groupBy pre-reduce otherwise — int64 partials are order-free,
-        # so the strategy can never change the codebooks.
         rows = combine(_pq_fit_partials(emb, books))
         sums = np.zeros((m, ksub, dsub), dtype=np.int64)
         cnts = np.zeros((m, ksub, dsub), dtype=np.int64)
@@ -1500,8 +1510,68 @@ def pq_fit(emb, m: int = 8, ksub: int = 16, iters: int = 3,
             cnts[r["s"], r["code"], r["j"]] += r["cnt"]
         nz = cnts > 0
         books[nz] = sums[nz] / (cnts[nz] * 1e7)
-    cached.unpersist()
     return books
+
+
+def fit_ivfpq(emb, k: int, m: int, ksub: int, iters: int = 3,
+              fit_fraction: float = 0.25):
+    """Coarse quantizer AND residual PQ codebooks from ONE persisted
+    fit sample (r14; guide §2.3/§5): the r13 chain ran `lloyd_fit` and
+    `pq_fit` back to back — two persists of the same vec_id-modulus
+    sample, two count jobs, two init collects, and a FULL-CORPUS
+    residual materialization just to keep its 25% fit rows (the
+    modulus filter cannot push below the residual kernel). This chain
+    persists the sample once, collects the max(k, ksub) lowest-vec_id
+    init rows once, trains Lloyd, residual-quantizes ONLY the sample
+    (one sample-sized kernel pass, persisted for the PQ rounds),
+    computes the PQ init residuals driver-side with the kernel's exact
+    numpy op sequence, and trains PQ.
+
+    Bit-identity with the unfused lloyd_fit→residual_frame→pq_fit
+    chain (asserted in tests/test_ivf_store.py): the fit sample, both
+    inits, and every round's int64 partials are identical by
+    construction — residuals are per-row, so sample-of-residuals ==
+    residuals-of-sample. Returns (centroids, books)."""
+    import numpy as np
+
+    from pyspark import StorageLevel
+
+    cached = fit_sample(emb, fit_fraction).persist(StorageLevel.MEMORY_AND_DISK)
+    res_fit = None
+    try:
+        fit, width = _fit_width(cached)
+        init = (
+            fit.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(max(k, ksub))
+            .collect()
+        )
+        x0 = np.array(
+            [r["embedding"] for r in sorted(init, key=lambda r: r["vec_id"])],
+            dtype=np.float64,
+        )
+        centroids = _lloyd_rounds(fit, width, x0[:k].copy(), iters)
+        dim = centroids.shape[1]
+        dsub = dim // m
+        # PQ init = residuals of the ksub lowest-vec_id sample rows,
+        # computed driver-side with the kernel's exact op sequence
+        # (float64 matmul argmin, float64 subtract, one float32 cast).
+        d2 = (
+            -2.0 * (x0[:ksub] @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        cells = d2.argmin(axis=1)
+        r0 = (x0[:ksub] - centroids[cells]).astype(np.float32).astype(np.float64)
+        books = r0.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+        res_fit = residual_frame(
+            emb.sparkSession, fit, centroids
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        books = _pq_rounds(res_fit, width, books, iters)
+    finally:
+        cached.unpersist()
+        if res_fit is not None:
+            res_fit.unpersist()
+    return centroids, books
 
 
 def _pq_fit_partials(emb, books):
@@ -1684,12 +1754,12 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
     candidate WITHOUT reconstructing it, by summing m table lookups.
 
     The query's dot-product table (tab[s][c] = q_s · codebook[s][c],
-    m×ksub floats) is computed driver-side and embedded as a literal 2-D
-    array, so scoring is a per-row JVM fold over the code array — no
-    Python in the scan path, no shuffle, TakeOrderedAndProject on top.
+    m×ksub floats) is computed driver-side and closed over by the ADC
+    scoring kernel — scoring is m table lookups + an index-order fold
+    per row, no shuffle, TakeOrderedAndProject on top.
     At 100 TB the codes column is what's stored and scanned (32× less
-    IO), and the same literal-table trick composes with the IVF cell
-    pruning. Oracle-checked end to end (same contract as
+    IO), and the same driver-side-table trick composes with the IVF
+    cell pruning. Oracle-checked end to end (same contract as
     sim_ivf_kmeans_topk): deterministic sampled fit + scaled-integer
     means ⇒ bit-identical codebooks, and every driver-side reduction
     here (q normalization, dot tables) is an explicit left fold so the
@@ -1733,21 +1803,29 @@ def sim_topk_pq(spark, sf_dir, m: int = 16, ksub: int = 64):
         for s in range(m)
     ]
 
-    tab_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in tab[s]]) for s in range(m)]
-    )
-    coded = pq_encode(emb, books).select("vec_id", "codes", tab_lit.alias("tab"))
-    approx_dot = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.element_at("tab", s + 1), F.element_at("codes", s + 1) + 1),
-    )
-    return (
-        coded.select("vec_id", approx_dot.alias("approx_dot"))
-        .orderBy(F.desc("approx_dot"), "vec_id")
-        .limit(10)
-    )
+    # ADC lookup + m-fold as one Arrow kernel (the `adc_score_topk` r14
+    # note: the m×ksub literal table's plan/codegen cost dominated at
+    # fixture scale). float64 partials accumulate in subspace index
+    # order — the exact IEEE sequence of the old interpreted fold and
+    # the oracle's list_reduce, so scores are unchanged bit for bit.
+    import numpy as np
+    import pandas as pd
+
+    tnp = np.asarray(tab, dtype=np.float64)  # (m, ksub)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray([np.asarray(c) for c in pdf["codes"]])
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                acc = acc + tnp[s, codes[:, s]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "approx_dot": acc})
+
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    scored = coded.mapInPandas(score, schema="vec_id long, approx_dot double")
+    return scored.orderBy(F.desc("approx_dot"), "vec_id").limit(10)
 
 
 def _min_dist_to(emb, centers):
@@ -2355,23 +2433,29 @@ def sim_ivfpq_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
         ]
         for s in range(m)
     ]
-    tab_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in tab[s]]) for s in range(m)]
-    )
-    coded = pq_encode(emb.join(cand, "vec_id"), books).select(
-        "vec_id", "codes", tab_lit.alias("tab")
-    )
-    approx_dot = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(F.element_at("tab", s + 1), F.element_at("codes", s + 1) + 1),
-    )
-    return (
-        coded.select("vec_id", approx_dot.alias("approx_dot"))
-        .orderBy(F.desc("approx_dot"), "vec_id")
-        .limit(10)
-    )
+    # ADC lookup + m-fold as one Arrow kernel (the `adc_score_topk`
+    # r14 note: the m×ksub literal table's plan/codegen cost dominated
+    # at fixture scale, and the fold ran interpreted). float64 partials
+    # accumulate in subspace index order — the exact IEEE sequence of
+    # the old fold and the oracle's list_reduce.
+    import numpy as np
+    import pandas as pd
+
+    tnp = np.asarray(tab, dtype=np.float64)  # (m, ksub)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray([np.asarray(c) for c in pdf["codes"]])
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                acc = acc + tnp[s, codes[:, s]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "approx_dot": acc})
+
+    coded = pq_encode(emb.join(cand, "vec_id"), books).select("vec_id", "codes")
+    scored = coded.mapInPandas(score, schema="vec_id long, approx_dot double")
+    return scored.orderBy(F.desc("approx_dot"), "vec_id").limit(10)
 
 
 def _ivfpq_residual_sql(k: int = 8, iters: int = 3, mod: int = 4,
@@ -2510,24 +2594,96 @@ def residual_frame(spark, raw, centroids):
     each vector to its nearest coarse centroid and subtract it, float-
     quantizing exactly like the stored form (double subtract of
     bit-reproducible Lloyd centroids → one correctly-rounded REAL cast,
-    identical in both engines). One Arrow assignment pass + one
-    broadcast join against the k×dim centroid table."""
-    cents = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cell int, c array<double>",
+    identical in both engines). ONE fused Arrow pass: the r13 shape
+    (assign kernel + broadcast centroid join + interpreted per-element
+    zip_with) shipped every embedding across the Python boundary and
+    then re-walked it element-by-element JVM-side; subtracting inside
+    the assignment kernel's numpy batch is the same IEEE op sequence
+    (float64 subtract of the float64-widened float32, one
+    round-to-nearest float32 cast) at matmul speed — A/B'd
+    bit-identical at sf0.1, 1.01 → 0.59 s for the even-half frame
+    (r14; guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm = (c_mat * c_mat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = -2.0 * (x @ c_mat.T) + c_norm[None, :]
+            cells = d2.argmin(axis=1)  # ties → lowest cell id
+            r = (x - c_mat[cells]).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int32"),
+                    "embedding": list(r),
+                }
+            )
+
+    return raw.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cell int, embedding array<float>"
     )
-    return (
-        assign_cells(raw, centroids)
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                F.transform("embedding", lambda v: v.cast("double")),
-                "c",
-                lambda x, y: (x - y).cast("float"),
-            ).alias("embedding"),
-        )
+
+
+def residual_encode(raw, centroids, books, cells=None):
+    """(vec_id, embedding) → (vec_id, codes, cell): the full store-side
+    residual IVF-PQ encode as ONE fused Arrow pass — assign to the
+    nearest coarse centroid, residual-quantize (float64 subtract → one
+    float32 cast, exactly the stored `residual_frame` form), PQ-encode
+    the float64-widened quantized residual. Replaces the two chained
+    kernels (`residual_frame` → `pq_encode`) on every write/append
+    path, so the 256-byte embedding crosses the Python boundary once
+    and only m small ints come back (guide §4.2; A/B'd identical codes at
+    sf0.1, 1.39 → 0.59 s). ``cells`` (optional) keeps the in-plan
+    probe contract "encode cost is paid only for probed cells": rows
+    assigned outside the probed set are dropped inside the kernel
+    before the einsum."""
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm = (c_mat * c_mat).sum(axis=1)
+    bk = np.ascontiguousarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = bk.shape
+    b_norm = (bk * bk).sum(axis=2)
+    keep = None if cells is None else np.asarray(sorted(int(c) for c in cells))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = -2.0 * (x @ c_mat.T) + c_norm[None, :]
+            cell = d2.argmin(axis=1)  # ties → lowest cell id
+            ids = pdf["vec_id"].to_numpy()
+            if keep is not None:
+                hit = np.isin(cell, keep)
+                if not hit.any():
+                    continue
+                x, cell, ids = x[hit], cell[hit], ids[hit]
+            r = (
+                (x - c_mat[cell])
+                .astype(np.float32)  # the stored float-quantized residual
+                .astype(np.float64)
+                .reshape(len(ids), m, dsub)
+            )
+            e2 = -2.0 * np.einsum("bsd,skd->bsk", r, bk) + b_norm[None, :, :]
+            codes = e2.argmin(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": ids, "codes": list(codes), "cell": cell.astype("int32")}
+            )
+
+    return raw.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, codes array<int>, cell int"
     )
 
 
@@ -2562,42 +2718,38 @@ def residual_adc_tables(q_raw, centroids, books, probe, m: int, ksub: int):
 
 def adc_score_topk(coded, probe, tab, m: int, topk: int = 10):
     """Score (vec_id, cell, codes) rows against per-probed-cell ADC
-    tables and return the ascending top-k: attach the nprobe×m×ksub
-    table as a literal, look each subspace's partial distance up by
-    (cell position, subspace, code), left-fold the m partials in index
-    order, TakeOrderedAndProject."""
-    tab_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in tab[p][s]])
-                    for s in range(m)
-                ]
-            )
-            for p in range(len(probe))
-        ]
+    tables and return the ascending top-k. The table lookup + m-fold
+    runs as one Arrow kernel: the r13 form attached the nprobe×m×ksub
+    table as a 3k-element nested array LITERAL and folded it with an
+    interpreted `aggregate` — at fixture scale the plan/codegen cost of
+    that literal tree dominated the whole probe (1.85 → 0.34 s for
+    `ivfpq_probe_topk`, A/B'd bit-identical). The kernel accumulates
+    float64 partials in subspace index order (acc = acc + tab[pos, s,
+    code_s] for s = 0..m−1) — the exact IEEE sequence of the old fold
+    and of the oracle's list_reduce, vectorized across rows. Only the
+    (vec_id, approx_d2) scalars cross back; TakeOrderedAndProject
+    stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    t = np.asarray(tab, dtype=np.float64)  # (nprobe, m, ksub)
+    cell2pos = {int(c): i for i, c in enumerate(probe)}
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = pdf["cell"].map(cell2pos).to_numpy()
+            codes = np.asarray([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):  # index-order fold == oracle's list_reduce
+                acc = acc + t[pos, s, codes[:, s]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "approx_d2": acc})
+
+    scored = coded.select("vec_id", "cell", "codes").mapInPandas(
+        run, schema="vec_id long, approx_d2 double"
     )
-    probe_lit = F.array(*[F.lit(int(c)) for c in probe])
-    scored = coded.select(
-        "vec_id",
-        "codes",
-        F.array_position(probe_lit, F.col("cell")).cast("int").alias("pos"),
-        tab_lit.alias("tab"),
-    )
-    approx_d2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.element_at("tab", F.col("pos")), s + 1),
-            F.element_at("codes", s + 1) + 1,
-        ),
-    )
-    return (
-        scored.select("vec_id", approx_d2.alias("approx_d2"))
-        .orderBy(F.asc("approx_d2"), "vec_id")
-        .limit(topk)
-    )
+    return scored.orderBy(F.asc("approx_d2"), "vec_id").limit(topk)
 
 
 @query(
@@ -2634,17 +2786,14 @@ def sim_ivfpq_residual_topk(spark, sf_dir, k: int = 8, nprobe: int = 3,
     from ..io.ivf_store import probe_cells
 
     raw = par(T(spark, sf_dir, "embeddings"))
-    centroids = lloyd_fit(raw, k=k, iters=3)
+    centroids, books = fit_ivfpq(raw, k=k, m=m, ksub=ksub)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     probe = probe_cells(centroids, q_raw, nprobe)
-
-    res = residual_frame(spark, raw, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
     tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
 
-    cand = res.where(F.col("cell").isin([int(c) for c in probe]))
-    # cell rides through the encode kernel — no re-attach join
-    coded = pq_encode(cand.select("vec_id", "cell", "embedding"), books)
+    # assign + residual-quantize + encode in ONE kernel pass, encoding
+    # only rows assigned to probed cells (the in-plan probe contract)
+    coded = residual_encode(raw, centroids, books, cells=probe)
     return adc_score_topk(coded, probe, tab, m, topk=10)
 
 
@@ -2677,17 +2826,15 @@ def sim_ivfpq_store_probe(spark, sf_dir, k: int = 8, nprobe: int = 3,
     import shutil
     import tempfile
 
-    from ..io.ivf_store import ivfpq_probe_topk, write_embeddings_ivfpq
+    from ..io.ivf_store import ivfpq_probe_topk, write_ivfpq_store
 
     raw = par(T(spark, sf_dir, "embeddings"))
-    centroids = lloyd_fit(raw, k=k, iters=3)
+    centroids, books = fit_ivfpq(raw, k=k, m=m, ksub=ksub)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = residual_frame(spark, raw, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
 
     path = tempfile.mkdtemp(prefix="ivfpq_store_")
     try:
-        write_embeddings_ivfpq(res, path, centroids, books)
+        write_ivfpq_store(raw, path, centroids, books)
         out = ivfpq_probe_topk(spark, path, q_raw, nprobe=nprobe, topk=10)
         rows = [(r["vec_id"], r["approx_d2"]) for r in out.collect()]
     finally:
@@ -2697,19 +2844,19 @@ def sim_ivfpq_store_probe(spark, sf_dir, k: int = 8, nprobe: int = 3,
 
 def _ivfpq_base_fit(spark, sf_dir, k, m, ksub):
     """Shared even-half fit for the store lifecycle queries →
-    (base residual frame, odd-half raw vectors, centroids, codebooks,
+    (even-half raw vectors, odd-half raw vectors, centroids, codebooks,
     query vector). By the fit-sample identity (vec_id % 4 == 0 is a
     subset of the evens) the fitted index equals a full-corpus fit —
     the property that keeps the unchanged in-plan oracle exact for the
-    build-half + append-half lifecycles."""
+    build-half + append-half lifecycles. The store build encodes the
+    raw base half directly (`write_ivfpq_store`'s fused kernel), so no
+    corpus-sized residual frame is materialized here (r14)."""
     raw = par(T(spark, sf_dir, "embeddings"))
     base = raw.where(F.col("vec_id") % 2 == 0)
     rest = raw.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
-    centroids = lloyd_fit(base, k=k, iters=3)
+    centroids, books = fit_ivfpq(base, k=k, m=m, ksub=ksub)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = residual_frame(spark, base, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
-    return res, rest, centroids, books, q_raw
+    return base, rest, centroids, books, q_raw
 
 
 @query(
@@ -2745,14 +2892,14 @@ def sim_ivfpq_store_upsert(spark, sf_dir, k: int = 8, nprobe: int = 3,
     from ..io.ivf_store import (
         append_embeddings_ivfpq,
         ivfpq_probe_topk,
-        write_embeddings_ivfpq,
+        write_ivfpq_store,
     )
 
-    res, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
+    base, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
 
     path = tempfile.mkdtemp(prefix="ivfpq_upsert_")
     try:
-        write_embeddings_ivfpq(res, path, centroids, books)
+        write_ivfpq_store(base, path, centroids, books)
         append_embeddings_ivfpq(spark, rest, path)
         out = ivfpq_probe_topk(spark, path, q_raw, nprobe=nprobe, topk=10)
         rows = [(r["vec_id"], r["approx_d2"]) for r in out.collect()]
@@ -2787,14 +2934,14 @@ def sim_ivfpq_store_compact(spark, sf_dir, k: int = 8, nprobe: int = 3,
         append_embeddings_ivfpq,
         compact_ivfpq_store,
         ivfpq_probe_topk,
-        write_embeddings_ivfpq,
+        write_ivfpq_store,
     )
 
-    res, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
+    base, rest, centroids, books, q_raw = _ivfpq_base_fit(spark, sf_dir, k, m, ksub)
 
     path = tempfile.mkdtemp(prefix="ivfpq_compact_")
     try:
-        write_embeddings_ivfpq(res, path, centroids, books)
+        write_ivfpq_store(base, path, centroids, books)
         append_embeddings_ivfpq(spark, rest, path)
         stats = compact_ivfpq_store(spark, path)
         if stats["files_after"] >= stats["files_before"]:
@@ -3017,15 +3164,11 @@ def sim_ivfpq_rerank_exact(spark, sf_dir, k: int = 8, nprobe: int = 3,
     from ..io.ivf_store import probe_cells
 
     raw = par(T(spark, sf_dir, "embeddings"))
-    centroids = lloyd_fit(raw, k=k, iters=3)
+    centroids, books = fit_ivfpq(raw, k=k, m=m, ksub=ksub)
     q_raw = raw.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     probe = probe_cells(centroids, q_raw, nprobe)
-
-    res = residual_frame(spark, raw, centroids)
-    books = pq_fit(res.select("vec_id", "embedding"), m=m, ksub=ksub)
     tab = residual_adc_tables(q_raw, centroids, books, probe, m, ksub)
-    cand = res.where(F.col("cell").isin([int(c) for c in probe]))
-    coded = pq_encode(cand.select("vec_id", "cell", "embedding"), books)
+    coded = residual_encode(raw, centroids, books, cells=probe)
     short = adc_score_topk(coded, probe, tab, m, topk=shortlist).select("vec_id")
 
     q_arr = F.array(*[F.lit(float(v)) for v in q_raw])

@@ -275,3 +275,80 @@ def test_ivfpq_compact_reduces_files_and_preserves_probe(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
     got = [tuple(r) for r in ivfpq_probe_topk(spark, path, q_raw).collect()]
     assert got == want
+
+
+def test_fused_fit_and_encode_bit_identical_to_unfused_chain(spark):
+    """r14 fusion pins: `fit_ivfpq` (one persisted sample, shared init
+    collect, driver-side PQ init residuals) must reproduce the unfused
+    lloyd_fit → residual_frame → pq_fit chain bit for bit, and the
+    fused `residual_encode` kernel must emit exactly the codes of
+    residual_frame → pq_encode."""
+    import numpy as np
+
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import (
+        fit_ivfpq,
+        lloyd_fit,
+        pq_encode,
+        pq_fit,
+        residual_encode,
+        residual_frame,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    c_old = lloyd_fit(emb, k=8, iters=3)
+    res = residual_frame(spark, emb, c_old)
+    b_old = pq_fit(res.select("vec_id", "embedding"), m=16, ksub=64)
+    c_new, b_new = fit_ivfpq(emb, k=8, m=16, ksub=64)
+    assert np.array_equal(np.asarray(c_old), np.asarray(c_new))
+    assert np.array_equal(np.asarray(b_old), np.asarray(b_new))
+
+    two_pass = {
+        r["vec_id"]: (tuple(r["codes"]), r["cell"])
+        for r in pq_encode(res.select("vec_id", "cell", "embedding"), b_old)
+        .select("vec_id", "codes", "cell")
+        .collect()
+    }
+    fused = {
+        r["vec_id"]: (tuple(r["codes"]), r["cell"])
+        for r in residual_encode(emb, c_old, b_old).collect()
+    }
+    assert fused == two_pass
+
+    # the probed-cells variant drops exactly the non-probed rows
+    probe = [0, 3]
+    sub = {
+        r["vec_id"]: (tuple(r["codes"]), r["cell"])
+        for r in residual_encode(emb, c_old, b_old, cells=probe).collect()
+    }
+    assert sub == {k: v for k, v in two_pass.items() if v[1] in probe}
+
+
+def test_write_ivfpq_store_matches_two_pass_write(spark, tmp_path):
+    """`write_ivfpq_store` (fused raw-input build) must lay down the
+    same rows and the same sidecar as `write_embeddings_ivfpq` over the
+    separately materialized residual frame."""
+    from etl_github_spark.io.ivf_store import (
+        read_ivfpq_index,
+        write_embeddings_ivfpq,
+        write_ivfpq_store,
+    )
+    from etl_github_spark.io.tables import load_table
+    from etl_github_spark.queries.scale_paths import fit_ivfpq, residual_frame
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids, books = fit_ivfpq(emb, k=8, m=16, ksub=64)
+    p_old = str(tmp_path / "two_pass")
+    p_new = str(tmp_path / "fused")
+    write_embeddings_ivfpq(residual_frame(spark, emb, centroids), p_old,
+                           centroids, books)
+    write_ivfpq_store(emb, p_new, centroids, books)
+
+    def rows(p):
+        return {
+            r["vec_id"]: (tuple(r["codes"]), r["cell"])
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(p_new) == rows(p_old)
+    assert read_ivfpq_index(p_new) == read_ivfpq_index(p_old)
