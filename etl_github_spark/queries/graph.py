@@ -464,30 +464,43 @@ def graph_hits_bipartite(spark, sf_dir):
             # scan so each half-round is a map-side join + one combinable
             # aggregate, not an edge-list shuffle (beyond broadcastable node
             # counts a deployment drops the hint and lets AQE pick the
-            # shuffle join; the recurrence is identical either way)
+            # shuffle join; the recurrence is identical either way).
+            # Each half-round's sum frame is EAGERLY checkpointed before
+            # its 1-row max is taken (r14): the former lazy form left the
+            # edge-sized aggregate inside BOTH the max's broadcast subtree
+            # and the normalize join, so every half-round ran its edge
+            # pass twice (guide §7.2 duplicated subtrees; 5.4 → 2.3 s).
+            # The max then collects driver-side — one tiny job over the
+            # checkpointed node frame instead of a broadcast-join plan;
+            # `div` on int64 is the identical truncating op either way.
             a = (
                 edges.join(F.broadcast(h), "c")
                 .groupBy("s")
                 .agg(F.sum("h").cast("long").alias("a"))
+                .localCheckpoint()
             )
-            ma = a.agg(
-                F.greatest(F.expr(f"max(a) div {_HITS_S}"), F.lit(1)).alias("md")
+            ma = int(
+                a.agg(
+                    F.greatest(
+                        F.expr(f"max(a) div {_HITS_S}"), F.lit(1)
+                    ).alias("md")
+                ).first()["md"]
             )
-            an = a.join(F.broadcast(ma)).select(
-                "s", F.expr("a div md").cast("long").alias("a")
-            ).localCheckpoint(eager=False)
+            an = a.select("s", F.expr(f"a div {ma}").cast("long").alias("a"))
             hr = (
                 edges.join(F.broadcast(an), "s")
                 .groupBy("c")
                 .agg(F.sum("a").cast("long").alias("h"))
+                .localCheckpoint()
             )
-            mh = hr.agg(
-                F.greatest(F.expr(f"max(h) div {_HITS_S}"), F.lit(1)).alias("md")
+            mh = int(
+                hr.agg(
+                    F.greatest(
+                        F.expr(f"max(h) div {_HITS_S}"), F.lit(1)
+                    ).alias("md")
+                ).first()["md"]
             )
-            h = hr.join(F.broadcast(mh)).select(
-                "c", F.expr("h div md").cast("long").alias("h")
-            ).localCheckpoint(eager=False)
-        # eager: pull every round's execution inside the loop-width scope
+            h = hr.select("c", F.expr(f"h div {mh}").cast("long").alias("h"))
         an = an.localCheckpoint()
         h = h.localCheckpoint()
     top_a = (
