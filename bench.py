@@ -42,6 +42,25 @@ HEADLINE = [
     "sim_lsh_bucketed_topk",
 ]
 
+#: r14 (VERDICT r13 #6): heavy operators promoted into the DRIVER-VISIBLE
+#: timed set, ADDITIONS-ONLY — the original 16 headline entries above keep
+#: their exact protocol (5 samples, self-heal) and their keys, so their
+#: round-over-round comparison stays apples-to-apples; these six are the
+#: representative expensive paths (store lifecycles, exhaustive DBSCAN,
+#: stream-stream join, LPA+modularity, the freshness capstone) whose r13
+#: improvements the driver's PERF could not see because they lived only in
+#: queries_extended (where they ALSO remain, same keys, for continuity).
+#: NOTE for round-over-round tooling: their inclusion raises the summed
+#: "value" field vs rounds <= 13 by construction; compare per-query.
+HEADLINE_HEAVY = [
+    "sim_ivfpq_store_upsert",
+    "sim_ivfpq_store_compact",
+    "cluster_dbscan_embeddings",
+    "stream_outer_join_replay",
+    "graph_modularity_lpa",
+    "pipeline_index_freshness",
+]
+
 #: round-2+ operators, timed and reported separately so the headline
 #: total stays composition-identical to the round-1 baseline (the
 #: round-over-round comparison would otherwise be apples-to-oranges).
@@ -619,24 +638,60 @@ def bench_ivfpq_store_ops(spark, sf_dir: str, runs: int = 2) -> dict[str, list[f
     return out
 
 
+def bench_lake_multi_append(spark, sf_dir: str, runs: int = 2) -> list[float]:
+    """The multi-append COMMIT path that r13's `lake_compact_roundtrip`
+    fixture reshaping stopped timing (VERDICT r13 #8): five sequential
+    filtered appends of the events table into a date-partitioned dir,
+    wall-clocked end to end into a fresh dir per sample (append-commit
+    semantics stay pinned by tests/test_lakehouse.py; this key exists so
+    the commit path's cost stays measured round over round)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_github_spark.io.sink import write_table
+    from etl_github_spark.queries._util import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("date"),
+    )
+    vals: list[float] = []
+    for i in range(runs + 1):  # sample 0 is the untimed warm-up
+        path = tempfile.mkdtemp(prefix="lake_multi_append_")
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        for b in range(5):
+            write_table(e.where(F.pmod(F.col("event_id"), F.lit(5)) == b), path)
+        if i:
+            vals.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(path, ignore_errors=True)
+    return vals
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("etl-github-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     # Pre-flight quiesce (VERDICT r12 #5): the r12 canonical artifact was
     # recorded starting at loadavg 7.3 (a pytest tail was still draining)
     # and needed 3 self-heal passes. A loaded host at _start means every
     # early entry is timed against the scheduler, not the plan — so wait
     # (bounded) for the 1-min load to decay below ~1.0 before sampling.
+    # Runs BEFORE the SparkSession exists (ADVICE r13): local[32] JVM
+    # startup itself pushes the 1-min load briefly above the threshold,
+    # which made the r13 loop wait out its own session launch.
     # The self-heal rerun loop below stays as the backstop, not the method.
     preflight = {"load_at_launch": _loadavg1(), "wait_sec": 0.0}
     _deadline = time.time() + 300.0
     while _loadavg1() > 1.0 and time.time() < _deadline:
         time.sleep(5.0)
         preflight["wait_sec"] = round(preflight["wait_sec"] + 5.0, 1)
+
+    spark = get_spark("etl-github-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up on a trivial action (not counted)
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
@@ -660,6 +715,15 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"BENCH ERROR gha_ingest: {e}", file=sys.stderr)
         timings["gha_ingest_27k_events"] = -1.0
+    for name in HEADLINE_HEAVY:  # 3 samples: multi-second entries, same
+        try:                     # min-of-samples statistic as the rest
+            _quiesce(spark)
+            loadavg[name] = _loadavg1()
+            samples[name] = run_query(spark, name, sf_dir, runs=3)
+            timings[name] = min(samples[name])
+        except Exception as e:
+            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
     # Contention self-heal (VERDICT r11 task 6): a headline query whose
     # start-of-query load sentinel sat >0.5 above the suite's start was
@@ -716,6 +780,15 @@ def main() -> None:
         for key in STORE_OPS:
             if key.startswith("dedup_lsh_store"):
                 extended[key + "_postbuild"] = -1.0
+
+    # r14: the multi-append commit path, timed on its own (VERDICT r13 #8)
+    try:
+        extended["lake_multi_append_commit"] = min(
+            bench_lake_multi_append(spark, sf_dir)
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"BENCH ERROR lake_multi_append: {e}", file=sys.stderr)
+        extended["lake_multi_append_commit"] = -1.0
 
     # round 5 re-seated dedup_minhash_lsh on the oracle-replayable
     # md5/affine family (~35% slower than xxhash64); time the unregistered

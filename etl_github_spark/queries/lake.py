@@ -447,10 +447,12 @@ def lake_cdc_apply(spark, sf_dir):
 )
 def lake_compact_roundtrip(spark, sf_dir):
     """Small-file compaction under the driver hash (S7 — the reference's
-    OPTIMIZE/compact after every ingest batch): land the events table as
-    FIVE separate hourly-style appends (small-file storm), run
-    `compact_table` (per-date coalesced rewrite via the crash-safe
-    rename-aside swap) plus `vacuum_table`, and read the result back.
+    OPTIMIZE/compact after every ingest batch): land the events table
+    with a deliberate small-file storm in every date partition (one
+    5-way keyed repartition write — partitionBy fans each task into
+    every date dir; see the inline note), run `compact_table` (per-date
+    coalesced rewrite via the crash-safe rename-aside swap) plus
+    `vacuum_table`, and read the result back.
     The oracle is the plain per-date rollup of the source — compaction
     is a LAYOUT operation, so any lost, duplicated, or reshuffled row
     flips the hash. The file-count contract (fewer, larger files) stays
