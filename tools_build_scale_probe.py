@@ -109,9 +109,16 @@ def main() -> None:
     voff = emb.agg(F.max("vec_id")).first()[0] + 1
     eparts = [emb]
     for i in range(1, replicas):
-        rot = F.concat(
-            F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
-        )
+        # rotate by i mod dim — replicas beyond the dimensionality wrap
+        # (r14: --replicas 100 > dim 64 made `dim - i` negative; a wrapped
+        # rotation keeps norms/dot statistics exactly like the 10x recipe)
+        r = i % dim
+        if r == 0:
+            rot = F.col("embedding")
+        else:
+            rot = F.concat(
+                F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
+            )
         eparts.append(
             emb.select(
                 (F.col("vec_id") + i * voff).alias("vec_id"),
